@@ -1,0 +1,204 @@
+"""Deduplication operators (EXT): exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Engine-portable determinism: shingle/token hashes come from md5 hex
+strings (identical in Spark and DuckDB), MinHash signatures are
+lexicographic minima of those strings, and SimHash bits come from md5
+nibbles — so every stage is exactly reproducible by the SQL oracle,
+not just "approximately similar".
+
+Scale shape (the reason LSH exists): exact pairwise Jaccard is
+O(n²) — fine for verification at fixture scale, impossible at 100 TB.
+MinHash+LSH is the scale path: per-doc signature (map-only) → band
+keys → shuffle on band key (groupBy/join on short hash strings) →
+candidate pairs only where a band collides → verify exact Jaccard on
+the (tiny) candidate set. No driver collects anywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .textanalysis import fingerprint
+
+N_MINHASH = 16  # signature length
+BAND_ROWS = 2   # rows per LSH band → 8 bands
+N_BANDS = N_MINHASH // BAND_ROWS
+
+# Universal-hash family h_j(x) = (a_j·x + b_j) mod P over a 32-bit
+# base hash (md5 prefix). One md5 per shingle instead of N_MINHASH —
+# and a,b < 2^30 with x < 2^32 keeps a·x+b < 2^63: no int64 overflow
+# in either engine (Spark ANSI mode errors on overflow).
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+import random as _random
+
+_rng = _random.Random(7)
+MINHASH_AB = [(_rng.randrange(1, 1 << 30), _rng.randrange(0, 1 << 30)) for _ in range(N_MINHASH)]
+# band key combiner: mh < P < 2^31 → mh0·C + mh1 < 2^62, overflow-safe
+BAND_MIX = 2_147_483_629
+
+
+def shingles_from_text(text: str = "text", k: int = 3) -> Column:
+    """Distinct k-word shingles straight from a text column name."""
+    toks = f"split(lower({text}), ' ')"
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {k}))))"
+    )
+
+
+def shingle_base_hash(shingle_col: str) -> Column:
+    """32-bit integer base hash per shingle: first 8 hex digits of md5.
+    Engine-portable: Spark conv(hex,16,10) == DuckDB CAST('0x'||hex)."""
+    return F.expr(
+        f"transform({shingle_col}, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"
+    )
+
+
+def minhash_signature(hash_col: str, n: int = N_MINHASH) -> list[Column]:
+    """n MinHash values over the base-hash array via the (a·x+b) mod P
+    universal family — one md5 per shingle total, not per signature row."""
+    return [
+        F.expr(
+            f"array_min(transform({hash_col}, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        ).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(MINHASH_AB[:n])
+    ]
+
+
+def band_keys(n: int = N_MINHASH, rows: int = BAND_ROWS) -> list[Column]:
+    """LSH band keys: integer mix of the signature slice per band
+    (bigint join keys shuffle far cheaper than hash strings)."""
+    out = []
+    for b in range(n // rows):
+        expr = f"mh_{b * rows}"
+        for r in range(1, rows):
+            expr = f"({expr} * {BAND_MIX} + mh_{b * rows + r})"
+        out.append(F.expr(f"cast({expr} as bigint)").alias(f"band_{b}"))
+    return out
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a narrow input before expensive per-row compute.
+    Small corpora often arrive as one parquet row-group → one task; the
+    md5/shingle work must fan out across cores. At real scale the
+    source has many splits and this is a cheap round-robin reshuffle
+    relative to the hash work it parallelizes."""
+    sess = df.sparkSession
+    n = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n)
+
+
+def minhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """doc → signature → bands → self-join on band collision →
+    distinct candidate pairs with exact Jaccard on shingle sets.
+
+    Returns (doc_a, doc_b, jaccard). The only shuffles are the band
+    self-join and the final distinct — both on short hash keys.
+    """
+    sh = _spread(docs).select(F.col(id_col), shingles_from_text(text_col).alias("sh"))
+    sig = sh.select(id_col, shingle_base_hash("sh").alias("hs")).select(
+        id_col, *minhash_signature("hs")
+    )
+    # band frame carries ONLY (id, band_idx, band_key); bucket members
+    # pair up via groupBy + in-bucket combination expansion — ONE scan
+    # of the corpus and one shuffle on the band key, instead of a
+    # self-join that scans and re-shingles the corpus twice
+    banded = sig.select(id_col, *band_keys()).select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    # shingle arrays join back onto the (small) candidate set only
+    pairs = pairs.join(
+        sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+    ).join(sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")).cast(
+        "double"
+    )
+    return pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exhaustive exact n-gram Jaccard ≥ threshold — the O(n²) ground
+    truth the LSH path approximates. Joined via shared-shingle inverted
+    index (not a cross join): pairs sharing zero shingles never meet.
+    """
+    sh = _spread(docs).select(F.col(id_col), shingles_from_text(text_col).alias("sh"))
+    # join the inverted index on a 60-bit md5-prefix int: bigint keys
+    # shuffle/compare far cheaper than ~30-char shingle strings; with
+    # ~2^61 space the collision expectation is ~0 (and the oracle
+    # hashes identically, so parity is exact either way)
+    inv = sh.select(
+        id_col,
+        F.size("sh").alias("n_sh"),
+        F.explode(
+            F.expr("transform(sh, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))")
+        ).alias("s"),
+    )
+    a = inv.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"), "s")
+    b = inv.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash32(text_col: str = "text") -> Column:
+    """32-bit SimHash from the first 8 md5 nibbles of each token
+    (token multiset, not distinct — repeated words weigh more).
+    bit_b(doc) = majority sign over tokens of bit_b(md5(token))."""
+    toks = f"split(lower({text_col}), ' ')"
+    bit_terms = []
+    for b in range(32):
+        nib, off = divmod(b, 4)
+        nib_expr = f"(instr('0123456789abcdef', substr(md5(t), {nib + 1}, 1)) - 1)"
+        bit = f"((({nib_expr}) div {1 << off}) % 2)"
+        # sum over tokens of (2*bit - 1); majority > 0 → bit set
+        # (acc is BIGINT because Spark's `div` yields BIGINT)
+        term = (
+            f"(case when aggregate({toks}, cast(0 as bigint), "
+            f"(acc, t) -> acc + (2 * {bit} - 1)) > 0 "
+            f"then {1 << b} else 0 end)"
+        )
+        bit_terms.append(term)
+    return F.expr("cast(" + " + ".join(bit_terms) + " as bigint)")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the normalized fingerprint: keep min id per
+    group (hash-groupBy — one shuffle on the fingerprint)."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )

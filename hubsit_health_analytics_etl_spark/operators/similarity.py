@@ -1,0 +1,155 @@
+"""Similarity search over an embedding column (EXT).
+
+Two paths, as a real pipeline would ship them:
+- ``brute_force_topk`` — exact cosine top-k. O(Q·N): the correctness
+  baseline, and the right choice when the query set is small (it
+  broadcasts the queries, so the corpus never shuffles).
+- ``lsh_bucket_topk`` — random-hyperplane (sign) LSH: each vector maps
+  to a small integer bucket; search compares only within-bucket.
+  The scale path: bucketing is map-only; the join shuffles on the
+  bucket id; expected candidates/query = N / 2^n_planes.
+
+Engine-portable determinism: the hyperplanes are literal constants
+(seeded numpy, rounded to 6dp, inlined into both the Spark expression
+and the SQL oracle), and dot products accumulate left-to-right in
+double on both engines — empirically bitwise-identical vs DuckDB's
+list_dot_product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+EMBED_DIM = 64
+N_PLANES = 4  # 16 buckets
+
+
+def _hyperplanes(n_planes: int = N_PLANES, dim: int = EMBED_DIM) -> list[list[float]]:
+    rng = np.random.RandomState(42)
+    return [[round(float(x), 6) for x in rng.randn(dim)] for _ in range(n_planes)]
+
+
+HYPERPLANES = _hyperplanes()
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Σ a[i]·b[i] in double, sequential accumulation (matches DuckDB
+    list_dot_product bitwise)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> Column:
+    return F.expr(
+        f"sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)), "
+        f"0D, (acc, v) -> acc + v))"
+    )
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "array(" + ", ".join(f"cast({x} as double)" for x in plane) + ")"
+
+
+def lsh_bucket_expr(vec: str, planes: list[list[float]] | None = None) -> Column:
+    """Sign-LSH bucket id: bit j = 1 iff dot(vec, plane_j) > 0."""
+    planes = planes or HYPERPLANES
+    terms = []
+    for j, p in enumerate(planes):
+        d = (
+            f"aggregate(zip_with({vec}, {_plane_literal(p)}, "
+            f"(x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)"
+        )
+        terms.append(f"(case when {d} > 0 then {1 << j} else 0 end)")
+    return F.expr("cast(" + " + ".join(terms) + " as int)")
+
+
+def sql_lsh_bucket(vec: str, planes: list[list[float]] | None = None) -> str:
+    """DuckDB twin of lsh_bucket_expr (list_dot_product on literal
+    double arrays)."""
+    planes = planes or HYPERPLANES
+    terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ", ".join(str(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}::DOUBLE[], {lit}) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (self excluded): broadcast the
+    query set, rank by (cosine desc, id) with a 9dp rounding before
+    ranking so cross-engine last-ulp noise can't flip ranks."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr("q_vec", "c_vec"), 9).alias("cosine"),
+    )
+    from .reshape import top_k
+
+    ranked = top_k(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+    )
+    return ranked.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """Approximate top-k: compare only within the same sign-LSH bucket.
+    Map-only bucketing + equi-join on bucket — no O(N²) pair explosion.
+    Queries in singleton buckets return no rows (honest ANN recall)."""
+    bucketed = corpus.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket_expr(vec_col).alias("bucket")
+    )
+    q = bucketed.filter(query_filter if query_filter is not None else F.lit(True)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    pairs = c.join(F.broadcast(q), "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "bucket",
+        "neighbor_id",
+        F.round(cosine_expr("q_vec", "c_vec"), 9).alias("cosine"),
+    )
+    from .reshape import top_k
+
+    ranked = top_k(
+        scored, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
+    )
+    return ranked.select(
+        "query_id", "bucket", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators (EXT) — language-ID, quality scoring, token
+counting, fingerprinting over a document corpus.
+
+All pure Catalyst array/string expressions (split/filter/size/md5):
+no Python UDFs, so a 100 TB documents table is processed entirely in
+whole-stage codegen with only the final aggregation shuffling.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit
+# language-ID heuristic. Deliberately small + deterministic (the
+# oracle replicates them verbatim).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "und", "das", "ist", "von", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "en"],
+}
+
+STOPWORDS_ALL = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of lower-cased text (split on single
+    space — the corpus is pre-normalized; swap the pattern for messy
+    input)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(t), " ")
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))  # noqa: B023
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Stopword-hit score per language."""
+    return {lang: _hits(toks, ws) for lang, ws in LANG_STOPWORDS.items()}
+
+
+def lang_id(toks: Column, default: str = "und") -> Column:
+    """Predicted language = argmax stopword hits, fixed priority order
+    (en > es > de > fr) on ties; all-zero → ``default``."""
+    scores = lang_scores(toks)
+    langs = list(LANG_STOPWORDS)
+    expr = None
+    for lang in langs:
+        cond = scores[lang] > 0
+        for other in langs:
+            if other != lang:
+                op = (
+                    (scores[lang] >= scores[other])
+                    if langs.index(other) > langs.index(lang)
+                    else (scores[lang] > scores[other])
+                )
+                cond = cond & op
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit(default))
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def token_count_bpe_ish(text: Column | str) -> Column:
+    """BPE-ish subword proxy: count of maximal runs of word chars /
+    digits / single punctuation — a cheap, deterministic token-count
+    estimator for budget accounting (regexp on the JVM)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(t), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features used by the
+    quality score (mirrors heuristic-filter pipelines à la C4/Gopher)."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    stop_hits = _hits(toks, STOPWORDS_ALL)
+    mean_word_len = (n_chars - (n_tok - 1)) / n_tok.cast("double")
+    return {
+        "n_tokens": n_tok,
+        "n_chars": n_chars,
+        "mean_word_len": mean_word_len,
+        "stopword_ratio": stop_hits / n_tok.cast("double"),
+        "punct_ratio": (
+            F.length(F.regexp_replace(F.lower(t), "[a-z0-9 ]", "")) / n_chars.cast("double")
+        ),
+    }
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1]-ish quality score: rewards stopword density
+    and 3-10 char mean word length, penalizes punctuation soup."""
+    f = quality_features(text)
+    wl_ok = F.when((f["mean_word_len"] >= 3) & (f["mean_word_len"] <= 10), 1.0).otherwise(0.0)
+    score = (
+        F.least(f["stopword_ratio"] * 4.0, F.lit(1.0)) * 0.4
+        + wl_ok * 0.3
+        + (1.0 - F.least(f["punct_ratio"] * 5.0, F.lit(1.0))) * 0.3
+    )
+    return F.round(score, 4)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lower-cased
+    text — stable under spacing/case noise; the exact-dedup key."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.trim(F.lower(t)), " +", " "))

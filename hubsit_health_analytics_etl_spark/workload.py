@@ -688,3 +688,8 @@ def q_revenue_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("receita"),
         )
     )
+
+
+# EXT workload registers itself through the same decorator (import at
+# the bottom: `query` must exist first).
+from . import workload_ext  # noqa: E402,F401

@@ -1,0 +1,427 @@
+"""EXT workload — the large-scale training-data-pipeline operators
+(SURVEY.md §7.2 step 7): time windows, text analysis, dedup,
+similarity search, multimodal plumbing.
+
+Registered through the same @query decorator as the core workload;
+oracle SQL replicates each pipeline stage-for-stage (md5-string
+MinHash, nibble SimHash, literal-hyperplane LSH), so the driver's
+value-hash check verifies the ACTUAL algorithm, not a lookalike.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.dedup import (
+    BAND_MIX,
+    BAND_ROWS,
+    MINHASH_AB,
+    MINHASH_PRIME,
+    N_BANDS,
+    N_MINHASH,
+    exact_dedup,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash32,
+)
+from .operators.multimodal import documents_as_media, extract_features
+from .operators.similarity import (
+    HYPERPLANES,
+    brute_force_topk,
+    lsh_bucket_topk,
+    sql_lsh_bucket,
+)
+from .operators.textanalysis import (
+    LANG_STOPWORDS,
+    STOPWORDS_ALL,
+    lang_id,
+    quality_features,
+    quality_score,
+    token_count_bpe_ish,
+    tokens,
+)
+from .sources.parquet import load_table
+from .streaming.windows import session_agg, sliding_agg, tumbling_agg
+from .workload import query
+
+JACCARD_THRESHOLD = 0.3
+ANN_QUERY_LIMIT = 20  # vec_id < 20 are the query vectors
+ANN_K = 5
+
+
+# ---------------------------------------------------------------------------
+# Time windows over events (batch-verified, streaming-compatible)
+# ---------------------------------------------------------------------------
+@query(
+    "tumbling_hourly",
+    """
+    WITH e AS (SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) tb,
+                      event_type, value
+               FROM events)
+    SELECT strftime(tb, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(tb + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type,
+           COUNT(*)::BIGINT AS n_eventos,
+           ROUND(SUM(value), 2) AS valor_total
+    FROM e GROUP BY tb, event_type
+    """,
+)
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return tumbling_agg(
+        events,
+        "ts",
+        "1 hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n_eventos"),
+            F.round(F.sum("value"), 2).alias("valor_total"),
+        ],
+        keys=["event_type"],
+    )
+
+
+@query(
+    "sliding_1h_15m",
+    """
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) ts, value FROM events),
+    w AS (SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(g.g * 15) AS ws, value
+          FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS g) g)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+           COUNT(*)::BIGINT AS n_eventos,
+           ROUND(SUM(value), 2) AS valor_total
+    FROM w GROUP BY ws
+    """,
+)
+def q_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sliding_agg(
+        events,
+        "ts",
+        "1 hour",
+        "15 minutes",
+        aggs=[
+            F.count(F.lit(1)).alias("n_eventos"),
+            F.round(F.sum("value"), 2).alias("valor_total"),
+        ],
+    )
+
+
+@query(
+    "session_30m",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, value FROM events),
+    m AS (SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*)::BIGINT AS n_eventos,
+           ROUND(SUM(value), 2) AS valor_total
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window (streaming-native stateful op) in batch mode;
+    oracle = classic gaps-and-islands."""
+    events = load_table(spark, sf_dir, "events")
+    out = session_agg(
+        events,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_eventos"),
+            F.round(F.sum("value"), 2).alias("valor_total"),
+        ],
+    )
+    return out.select("user_id", "session_start", "session_end", "n_eventos", "valor_total")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents
+# ---------------------------------------------------------------------------
+def _sql_stopword_hits(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> t IN ({lst})))"
+
+
+def _lang_id_sql() -> str:
+    langs = list(LANG_STOPWORDS)
+    hits = {lg: f"h_{lg}" for lg in langs}
+    branches = []
+    for i, lg in enumerate(langs):
+        conds = [f"{hits[lg]} > 0"]
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"{hits[lg]} {op} {hits[other]}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+@query(
+    "lang_confusion",
+    f"""
+    WITH t AS (SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),
+    h AS (SELECT lang,
+          {", ".join(f"{_sql_stopword_hits(ws)} AS h_{lg}" for lg, ws in LANG_STOPWORDS.items())}
+          FROM t)
+    SELECT lang, {_lang_id_sql()} AS lang_pred, COUNT(*)::BIGINT AS n_docs
+    FROM h GROUP BY lang, lang_pred
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-hit argmax) vs the labeled lang
+    column → confusion counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_pred", lang_id(tokens("text")))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "doc_quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+    f AS (SELECT doc_id,
+                 len(toks)::BIGINT AS n_tokens,
+                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
+                   AS n_bpe_tokens,
+                 (length(text) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE) AS mwl,
+                 {_sql_stopword_hits(STOPWORDS_ALL)} / CAST(len(toks) AS DOUBLE) AS swr,
+                 length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                   / CAST(length(text) AS DOUBLE) AS pr
+          FROM t)
+    SELECT doc_id, n_tokens, n_bpe_tokens,
+           ROUND(mwl, 4) AS mean_word_len,
+           ROUND(swr, 6) AS stopword_ratio,
+           ROUND(LEAST(swr * 4.0, 1.0) * 0.4
+                 + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.3
+                 + (1.0 - LEAST(pr * 5.0, 1.0)) * 0.3, 4) AS quality_score
+    FROM f
+    """,
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].cast("bigint").alias("n_tokens"),
+        token_count_bpe_ish("text").cast("bigint").alias("n_bpe_tokens"),
+        F.round(feats["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        quality_score("text").alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@query(
+    "exact_dedup",
+    """
+    SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp,
+           MIN(doc_id)::BIGINT AS doc_id,
+           COUNT(*)::BIGINT AS n_copies
+    FROM documents GROUP BY fp
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+def _sql_shingles(text: str = "text", k: int = 3) -> str:
+    toks = f"string_split(lower({text}), ' ')"
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string({toks}[i:i+{k - 1}], ' ')))"
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME})) AS mh_{j}"
+        for j, (a, b) in enumerate(MINHASH_AB[:N_MINHASH])
+    )
+
+    def band_key(b: int) -> str:
+        expr = f"mh_{b * BAND_ROWS}"
+        for r in range(1, BAND_ROWS):
+            expr = f"({expr} * {BAND_MIX} + mh_{b * BAND_ROWS + r})"
+        return expr
+
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {band_key(b)} AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH sh AS (SELECT doc_id, {_sql_shingles()} AS sh FROM documents),
+    hs AS (SELECT doc_id, sh,
+                  list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
+           FROM sh),
+    sig AS (SELECT doc_id, sh, {sig_cols} FROM hs),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             WHERE a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           ROUND(len(list_intersect(x.sh, y.sh))
+                 / CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE), 6) AS jaccard
+    FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+    """
+
+
+@query("minhash_lsh_pairs", _minhash_oracle())
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs with exact Jaccard — the oracle
+    replicates signature, banding and verification exactly (md5-string
+    minhash is engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidates(docs)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (SELECT doc_id,
+                       list_transform({_sql_shingles()},
+                                      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS sh
+                FROM documents),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+                     COUNT(*) AS n_inter
+              FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id, a.n, b.n)
+    SELECT doc_a, doc_b,
+           ROUND(n_inter / CAST(na + nb - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    WHERE ROUND(n_inter / CAST(na + nb - n_inter AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive exact n-gram Jaccard ≥ 0.3 via shared-shingle
+    inverted index — ground truth for the LSH path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+
+
+def _simhash_oracle() -> str:
+    sums = []
+    for b in range(32):
+        nib, off = divmod(b, 4)
+        nib_expr = f"(instr('0123456789abcdef', substr(md5(t), {nib + 1}, 1)) - 1)"
+        bit = f"((({nib_expr}) // {1 << off}) % 2)"
+        sums.append(f"SUM(2 * {bit} - 1) AS s_{b}")
+    recompose = " + ".join(f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+    bits AS (SELECT doc_id, {", ".join(sums)} FROM toks GROUP BY doc_id)
+    SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query("simhash_docs", _simhash_oracle())
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document from md5-nibble token hashes —
+    near-dup fingerprint whose Hamming neighbors are dedup candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash32("text").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+_COS_SQL = (
+    "list_dot_product(q.qv, e.v) / "
+    "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v)))"
+)
+
+
+@query(
+    "ann_bruteforce_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {ANN_QUERY_LIMIT}),
+    p AS (SELECT q.query_id, e.vec_id AS neighbor_id, ROUND({_COS_SQL}, 9) AS cosine
+          FROM q JOIN e ON e.vec_id <> q.query_id),
+    r AS (SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM p)
+    SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+    FROM r WHERE rank <= {ANN_K}
+    """,
+)
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < ANN_QUERY_LIMIT), ANN_K)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {sql_lsh_bucket("embedding")} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < {ANN_QUERY_LIMIT}),
+    p AS (SELECT q.query_id, q.bucket, e.vec_id AS neighbor_id, ROUND({_COS_SQL}, 9) AS cosine
+          FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+    r AS (SELECT query_id, bucket, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM p)
+    SELECT query_id, bucket, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+    FROM r WHERE rank <= {ANN_K}
+    """,
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: literal seeded hyperplanes shared with
+    the oracle; search space = same-bucket vectors only (≈ N/16)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_bucket_topk(emb, ANN_K, query_filter=F.col("vec_id") < ANN_QUERY_LIMIT)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@query(
+    "embedding_lsh_buckets",
+    f"""
+    SELECT {sql_lsh_bucket("embedding")} AS bucket,
+           COUNT(*)::BIGINT AS n_vecs,
+           MIN(vec_id)::BIGINT AS min_vec_id
+    FROM embeddings GROUP BY bucket
+    """,
+)
+def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_bucket_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(lsh_bucket_expr("embedding").alias("bucket"), "vec_id")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas — no SQL oracle: rows-only check)
+# ---------------------------------------------------------------------------
+@query("media_features")  # no oracle: Arrow/mapInPandas path is not SQL-expressible
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(documents_as_media(docs))
+
+
+HYPERPLANES_USED = HYPERPLANES  # re-export for tests

@@ -1,0 +1,81 @@
+"""Structured-Streaming compatibility: the SAME window builders used
+by the batch (oracle-checked) queries run under readStream with a
+watermark and produce identical results on a bounded input."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from .conftest import SF_SMOKE
+
+
+def _events_stream(spark):
+    # Watermarks require TIMESTAMP (LTZ): convert raw ns → LTZ on both
+    # the batch and stream sides (session tz is UTC → deterministic).
+    def fix_ts(df):
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+
+    schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    batch = fix_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    # the dir contains all tables; restrict via pathGlobFilter
+    stream = fix_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_SMOKE)
+    )
+    return batch, stream
+
+
+def test_tumbling_agg_streaming_matches_batch(spark):
+    from hubsit_health_analytics_etl_spark.streaming.windows import tumbling_agg
+
+    batch, stream = _events_stream(spark)
+    aggs = lambda: [  # noqa: E731
+        F.count(F.lit(1)).alias("n_eventos"),
+        F.round(F.sum("value"), 2).alias("valor_total"),
+    ]
+    expected = sorted(
+        tumbling_agg(batch, "ts", "1 hour", aggs(), keys=["event_type"]).collect()
+    )
+
+    out = tumbling_agg(
+        stream, "ts", "1 hour", aggs(), keys=["event_type"], watermark="2 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_smoke")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(spark.sql("SELECT * FROM tumbling_smoke").collect())
+    assert got == expected
+
+
+def test_session_agg_is_streaming_plannable(spark):
+    """session_window must be accepted by the streaming planner (update
+    mode + watermark) — catches accidental batch-only constructs."""
+    from hubsit_health_analytics_etl_spark.streaming.windows import session_agg
+
+    _, stream = _events_stream(spark)
+    out = session_agg(
+        stream,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_eventos")],
+        watermark="1 hour",
+    )
+    # session-window streaming aggs support append/complete, not update
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_smoke")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) FROM session_smoke").collect()[0][0] > 0
