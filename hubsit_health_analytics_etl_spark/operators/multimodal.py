@@ -85,6 +85,12 @@ def extract_features(media: DataFrame) -> DataFrame:
     (stub) decode kernel, yields feature frames — zero driver
     involvement, no shuffle."""
 
+    # spread narrow single-split inputs so decode parallelizes across
+    # python workers (real media tables arrive multi-split)
+    n = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if media.rdd.getNumPartitions() < n:
+        media = media.repartition(n)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = pdf["payload"].map(_fake_features)

@@ -94,10 +94,12 @@ def brute_force_topk(
     """Exact top-k neighbors per query (self excluded): broadcast the
     query set, rank by (cosine desc, id) with a 9dp rounding before
     ranking so cross-engine last-ulp noise can't flip ranks."""
+    from .dedup import _spread
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = _spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
@@ -127,7 +129,9 @@ def lsh_bucket_topk(
     """Approximate top-k: compare only within the same sign-LSH bucket.
     Map-only bucketing + equi-join on bucket — no O(N²) pair explosion.
     Queries in singleton buckets return no rows (honest ANN recall)."""
-    bucketed = corpus.select(
+    from .dedup import _spread
+
+    bucketed = _spread(corpus).select(
         F.col(id_col), F.col(vec_col), lsh_bucket_expr(vec_col).alias("bucket")
     )
     q = bucketed.filter(query_filter if query_filter is not None else F.lit(True)).select(

@@ -154,14 +154,10 @@ def q_shift_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("total"),
             count_if(F.col("event_type") == "purchase").alias("compras"),
             count_if(F.col("event_type") == "error").alias("erros"),
+            F.round(F.sum("value"), 2).alias("valor_total"),
         )
         .withColumn("taxa_erro", safe_rate(F.col("erros"), F.col("total")))
-        .join(
-            events.withColumn("turno", shift_of_day("ts"))
-            .groupBy("turno")
-            .agg(F.round(F.sum("value"), 2).alias("valor_total")),
-            "turno",
-        )
+        .select("turno", "total", "compras", "erros", "taxa_erro", "valor_total")
     )
 
 

@@ -181,7 +181,9 @@ def _lang_id_sql() -> str:
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (stopword-hit argmax) vs the labeled lang
     column → confusion counts."""
-    docs = load_table(spark, sf_dir, "documents")
+    from .operators.dedup import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.withColumn("lang_pred", lang_id(tokens("text")))
         .groupBy("lang", "lang_pred")
@@ -425,3 +427,229 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HYPERPLANES_USED = HYPERPLANES  # re-export for tests
+
+
+# ---------------------------------------------------------------------------
+# JSON scalar ops over events.props (SURVEY.md §2.3 EXT note)
+# ---------------------------------------------------------------------------
+@query(
+    "events_json_extract",
+    """
+    WITH e AS (SELECT event_type, value,
+                      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+               FROM events)
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_eventos,
+           ROUND(AVG(k), 4) AS k_medio,
+           MAX(k)::INTEGER AS k_max,
+           ROUND(SUM(CASE WHEN k > 50 THEN value ELSE 0 END), 2) AS valor_k_alto
+    FROM e GROUP BY event_type
+    """,
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the JSON-string props column — stays in
+    codegen (Jackson on the JVM), no Python."""
+    from .operators.aggregate import sum_if
+
+    events = load_table(spark, sf_dir, "events")
+    e = events.withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_eventos"),
+        F.round(F.avg("k"), 4).alias("k_medio"),
+        F.max("k").alias("k_max"),
+        F.round(sum_if(F.col("value"), F.col("k") > 50), 2).alias("valor_k_alto"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window analytics: lag-based sessionization (ranking/lag/lead — absent
+# in the reference, SURVEY.md §2.6 EXT)
+# ---------------------------------------------------------------------------
+@query(
+    "user_session_stats",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events),
+    g AS (SELECT user_id, ts,
+                 FLOOR(EPOCH(ts)) - FLOOR(EPOCH(LAG(ts) OVER w)) AS gap_s,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, gap_s, new_s,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g)
+    SELECT user_id,
+           MAX(sid)::BIGINT AS n_sessions,
+           CAST(MAX(cnt) AS BIGINT) AS longest_session_events,
+           ROUND(AVG(CASE WHEN new_s = 0 THEN gap_s END), 2) AS avg_intra_gap_s
+    FROM (SELECT user_id, gap_s, new_s, sid,
+                 COUNT(*) OVER (PARTITION BY user_id, sid) AS cnt
+          FROM s)
+    GROUP BY user_id
+    """,
+)
+def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands with lag/row-count windows (the by-hand twin of
+    F.session_window): per-user session counts, longest session, mean
+    intra-session gap."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    g = events.select(
+        "user_id",
+        "ts",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                >= 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    s = g.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    s = s.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("user_id", "sid")))
+    return s.groupBy("user_id").agg(
+        F.max("sid").alias("n_sessions"),
+        F.max("cnt").alias("longest_session_events"),
+        F.round(F.avg(F.when(F.col("new_s") == 0, F.col("gap_s"))), 2).alias(
+            "avg_intra_gap_s"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (median/p90) — EXT §2.5 note
+# ---------------------------------------------------------------------------
+@query(
+    "priority_price_percentiles",
+    """
+    SELECT o_orderpriority,
+           COUNT(*)::BIGINT AS pedidos,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS mediana,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_priority_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`). The scale path swaps in
+    `approx_percentile` (t-digest, one pass, mergeable) — asserted
+    close in tests, not oracle-matched (sketches differ by engine)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("pedidos"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("mediana"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP subtotals (EXT — reference's A3 is grouping-sets-shaped)
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_rollup",
+    """
+    SELECT COALESCE(r.r_name, '(all)') AS regiao,
+           CASE WHEN GROUPING(n.n_name) = 1 THEN '(all)' ELSE n.n_name END AS nacao,
+           COUNT(*)::BIGINT AS pedidos,
+           ROUND(SUM(o.o_totalprice), 2) AS receita
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    rolled = base.rollup("r_name", "n_name").agg(
+        F.grouping("n_name").alias("_g_n"),
+        F.count(F.lit(1)).alias("pedidos"),
+        F.round(F.sum("o_totalprice"), 2).alias("receita"),
+    )
+    return rolled.select(
+        F.coalesce(F.col("r_name"), F.lit("(all)")).alias("regiao"),
+        F.when(F.col("_g_n") == 1, F.lit("(all)")).otherwise(F.col("n_name")).alias("nacao"),
+        "pedidos",
+        "receita",
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4/F5 parse round-trips as an oracle query (messy strings synthesized
+# from typed fixture columns, then parsed back by the engine builders)
+# ---------------------------------------------------------------------------
+@query(
+    "parse_roundtrip",
+    """
+    WITH m AS (
+      SELECT o_totalprice,
+             'R$ ' || replace(CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS VARCHAR),
+                              '.', ',') AS money_str,
+             strftime(o_orderdate, '%d/%m/%Y %H:%M') AS date_str,
+             o_orderdate
+      FROM orders
+    )
+    SELECT COUNT(*)::BIGINT AS n,
+           CAST(SUM(CASE WHEN ROUND(CAST(replace(replace(replace(
+                  money_str, 'R$ ', ''), '.', ''), ',', '.') AS DOUBLE), 2)
+                  = ROUND(o_totalprice, 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_currency_ok,
+           CAST(SUM(CASE WHEN strptime(date_str, '%d/%m/%Y %H:%M') = o_orderdate
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_date_ok
+    FROM m
+    """,
+)
+def q_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Currency (F4) and dayfirst-datetime (F5) parsers proven on
+    synthesized 'R$ 1.234,56' / 'dd/MM/yyyy HH:mm' strings: parse back
+    and count exact matches against the typed source column."""
+    from .functions.temporal import parse_dayfirst_timestamp
+    from .functions.text import currency_to_double
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.select(
+        "o_totalprice",
+        F.concat(
+            F.lit("R$ "),
+            F.replace(
+                F.round("o_totalprice", 2).cast("decimal(18,2)").cast("string"),
+                F.lit("."),
+                F.lit(","),
+            ),
+        ).alias("money_str"),
+        F.date_format("o_orderdate", "dd/MM/yyyy HH:mm").alias("date_str"),
+        "o_orderdate",
+    )
+    return m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.round(currency_to_double("money_str"), 2) == F.round("o_totalprice", 2), 1
+            ).otherwise(0)
+        ).alias("n_currency_ok"),
+        F.sum(
+            F.when(parse_dayfirst_timestamp("date_str") == F.col("o_orderdate"), 1).otherwise(0)
+        ).alias("n_date_ok"),
+    )

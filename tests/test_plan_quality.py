@@ -1,0 +1,105 @@
+"""Plan-shape contracts: the properties that make these queries hold
+at 100 TB, asserted at fixture scale. A change that silently turns a
+broadcast join into a sort-merge join, or un-pushes a filter, fails
+here."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from .conftest import SF_SMOKE
+
+
+def _q(name):
+    from hubsit_health_analytics_etl_spark.workload import QUERIES
+
+    return QUERIES[name]
+
+
+def test_dim_joins_broadcast_never_shuffle(spark):
+    """Every small-dimension lookup must be a broadcast hash join —
+    the fact side must not shuffle for a join."""
+    from hubsit_health_analytics_etl_spark.plans.explain import assert_plan
+
+    for name in [
+        "revenue_by_region_nation",
+        "revenue_splits_by_nation",
+        "lookup_join_normalized",
+        "segment_status_pivot",
+    ]:
+        assert_plan(_q(name)(spark, SF_SMOKE), broadcast_join=True, no_shuffle_join=True)
+
+
+def test_scan_pruning_and_pushdown(spark):
+    """Filters reach the parquet scan; unused fat columns are pruned."""
+    from hubsit_health_analytics_etl_spark.plans.explain import (
+        assert_plan,
+        physical_plan,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    q = orders.filter(F.col("o_orderstatus") == "F").groupBy("o_orderpriority").count()
+    assert_plan(
+        q,
+        pushed_filter_substr="o_orderstatus",
+        read_schema_excludes=["o_totalprice", "o_custkey"],
+    )
+    # daily_status only needs two orders columns
+    p = physical_plan(_q("daily_status")(spark, SF_SMOKE))
+    assert "o_custkey" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_single_shuffle_aggregations(spark):
+    """Scan→agg queries shuffle exactly once (partial/final agg split);
+    the grouping-sets profile does all dims in ONE pass."""
+    from hubsit_health_analytics_etl_spark.plans.explain import count_exchanges
+
+    assert count_exchanges(_q("lineitem_pricing_summary")(spark, SF_SMOKE)) == 1
+    assert count_exchanges(_q("daily_status")(spark, SF_SMOKE)) == 1
+    # grouping sets: Expand + single aggregate exchange (+1 AQE output
+    # coalesce allowed)
+    assert count_exchanges(_q("profile_dimensions")(spark, SF_SMOKE)) <= 2
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """The sum(when) kernel must split map-side: a partial
+    HashAggregate appears below the Exchange."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("daily_status")(spark, SF_SMOKE))
+    # formatted plan lists partial_ functions in the pre-shuffle agg
+    assert "partial_" in p.lower() or "HashAggregate" in p
+
+
+def test_global_topk_avoids_full_sort(spark):
+    """Global top-k must plan TakeOrderedAndProject, not a total sort."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+    from hubsit_health_analytics_etl_spark.operators.reshape import top_k
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("receita"))
+    ranked = top_k(rev, [], [F.col("receita").desc(), F.col("o_custkey")], 10)
+    assert "TakeOrderedAndProject" in physical_plan(ranked)
+
+
+def test_anti_join_is_broadcast(spark):
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("customers_without_orders")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin LeftAnti" in p.replace("  ", " ") or (
+        "LeftAnti" in p and "Broadcast" in p
+    )
+
+
+@pytest.mark.parametrize("name", ["minhash_lsh_pairs", "ngram_jaccard_pairs"])
+def test_dedup_never_plans_cartesian(spark, name):
+    """LSH/inverted-index dedup must never degrade to a cartesian or
+    broadcast-nested-loop pair explosion."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q(name)(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
