@@ -1,0 +1,72 @@
+"""Skew mitigation — salting for hot keys.
+
+AQE's skew-join splitting (enabled in session.py) handles most cases
+at runtime; explicit salting remains the tool when a single group key
+is pathologically hot in an AGGREGATION (AQE skew handling applies to
+joins, not group-bys) or when AQE is unavailable.
+
+Two-phase salted aggregation: key → (key, salt) groupBy (spreads the
+hot key over `n_salts` reducers, partial aggregate per salt) → final
+groupBy(key) over the tiny per-salt partials. Works for any algebraic
+aggregate (sum/count/min/max); averages must be carried as (sum, count).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
+    """Uniform random salt in [0, n_salts) — deterministic given the
+    Spark seed handling is not required for correctness (salt only
+    routes rows; results are salt-invariant)."""
+    return df.withColumn(salt_col, (F.rand(seed=42) * n_salts).cast("int"))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column → (merge_fn, partial_expr) where
+    merge_fn ∈ {'sum','min','max'} recombines the per-salt partials,
+    e.g. {'total': ('sum', F.count(F.lit(1))),
+          'receita': ('sum', F.sum('valor')),
+          'maior': ('max', F.max('valor'))}.
+    """
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[expr.alias(f"_p_{name}") for name, (_, expr) in aggs.items()]
+    )
+    merge = {
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+    }
+    return partial.groupBy(*keys).agg(
+        *[merge[fn](f"_p_{name}").alias(name) for name, (fn, _) in aggs.items()]
+    )
+
+
+def salted_join_skewed_left(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Salted equi-join for a skewed fact key against a small dim when
+    broadcast is impossible (dim too big) and AQE unavailable: salt the
+    fact, explode the dim across all salts, join on (key, salt).
+    Prefer broadcast() or AQE skew-join when applicable — this
+    multiplies the dim by n_salts."""
+    salted_fact = with_salt(fact, n_salts)
+    exploded_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_fact.join(exploded_dim, [key, "_salt"]).drop("_salt")

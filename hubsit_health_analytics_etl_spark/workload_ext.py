@@ -653,3 +653,61 @@ def q_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(parse_dayfirst_timestamp("date_str") == F.col("o_orderdate"), 1).otherwise(0)
         ).alias("n_date_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: label-blocked nearest neighbor + threshold
+# ---------------------------------------------------------------------------
+NN_DUP_THRESHOLD = 0.45
+
+
+@query(
+    "embedding_nn_dedup",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT a.vec_id, a.label, b.vec_id AS nn_id,
+                 ROUND(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 9) AS cosine
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+    r AS (SELECT vec_id, label, nn_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY cosine DESC, nn_id) AS rn
+          FROM p)
+    SELECT vec_id, label, nn_id, ROUND(cosine, 6) AS cosine,
+           cosine >= {NN_DUP_THRESHOLD} AS is_dup
+    FROM r WHERE rn = 1
+    """,
+)
+def q_embedding_nn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection: nearest neighbor within the label
+    block (the blocking key bounds the pair explosion — at real scale
+    the block is an LSH bucket or IVF cell), flagged against a cosine
+    threshold."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import _spread
+    from .operators.similarity import cosine_expr
+
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select("vec_id", "label", F.col("embedding").alias("va"))
+    b = emb.select(
+        F.col("vec_id").alias("nn_id"), F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_id") != F.col("nn_id")))
+    scored = pairs.select(
+        "vec_id", "label", "nn_id", F.round(cosine_expr("va", "vb"), 9).alias("cosine")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            "nn_id",
+            F.round("cosine", 6).alias("cosine"),
+            (F.col("cosine") >= NN_DUP_THRESHOLD).alias("is_dup"),
+        )
+    )

@@ -1,0 +1,173 @@
+"""Tests: skew salting, Criptografia-job replica, stateful streaming,
+write-path diagnostics (S6/S7 round-trips)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from .conftest import SF_SMOKE
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    from hubsit_health_analytics_etl_spark.operators.skew import salted_agg
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    plain = {
+        r["o_orderstatus"]: r
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("receita"),
+            F.max("o_totalprice").alias("maior"),
+        )
+        .collect()
+    }
+    salted = {
+        r["o_orderstatus"]: r
+        for r in salted_agg(
+            orders,
+            ["o_orderstatus"],
+            {
+                "n": ("sum", F.count(F.lit(1))),
+                "receita": ("sum", F.sum("o_totalprice")),
+                "maior": ("max", F.max("o_totalprice")),
+            },
+            n_salts=8,
+        )
+        .withColumn("receita", F.round("receita", 2))
+        .collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k]["n"] == salted[k]["n"]
+        assert plain[k]["receita"] == salted[k]["receita"]
+        assert plain[k]["maior"] == salted[k]["maior"]
+
+
+def test_salted_join_matches_broadcast_join(spark):
+    from hubsit_health_analytics_etl_spark.operators.skew import salted_join_skewed_left
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    expected = orders.join(cust, "o_custkey").count()
+    got = salted_join_skewed_left(orders, cust, "o_custkey", n_salts=4).count()
+    assert got == expected
+
+
+def test_pseudonymization_job_replica(spark, tmp_path):
+    """Criptografia.py flow: CPF+Nome → sha2 patient id with CPF_NULO
+    sentinel and '.0' strip; Nome_Medico → doctor id; sources dropped."""
+    import hashlib
+
+    from hubsit_health_analytics_etl_spark.etl.pseudonymize import run_pseudonymization
+
+    src = tmp_path / "base.csv"
+    src.write_text(
+        "Pacientes_CPF;Pacientes_Nome;Nome_Medico;Unidade\n"
+        "12345678900.0;maria silva;DR A;U1\n"
+        ";joao souza;DR B;U1\n",
+        encoding="latin1",
+    )
+    out = run_pseudonymization(spark, str(src), str(tmp_path / "out"))
+    rows = out.orderBy("Unidade").collect()
+    cols = set(out.columns)
+    assert "Pacientes_CPF" not in cols and "Pacientes_Nome" not in cols
+    assert "Nome_Medico" not in cols
+    got = {r["ID_Paciente_Anon"] for r in rows}
+    # reference semantics: sha2(strip_suffix(cpf) || upper(trim(nome)))
+    exp1 = hashlib.sha256(b"12345678900MARIA SILVA").hexdigest()
+    exp2 = hashlib.sha256(b"CPF_NULOJOAO SOUZA").hexdigest()
+    assert got == {exp1, exp2}
+    # parquet written natively (no driver collect)
+    assert spark.read.parquet(str(tmp_path / "out" / "base_anonima.parquet")).count() == 2
+
+
+def test_stateful_stream_converges_to_batch(spark, tmp_path):
+    """applyInPandasWithState running profile == batch groupBy on a
+    bounded input (availableNow drains everything in one run)."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.streaming.stateful import (
+        user_profile_batch,
+        user_profile_stream,
+    )
+
+    schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+
+    def fix(df):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    batch = fix(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    expected = sorted(user_profile_batch(batch).collect())
+
+    stream = fix(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_SMOKE)
+    ).select("user_id", "ts", "value")
+    q = (
+        user_profile_stream(stream)
+        .writeStream.format("memory")
+        .queryName("profile_smoke")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # pending processing-time timeouts can keep the query alive after
+    # the data batches — poll for the data to land, then stop
+    import time
+
+    n_users = len(expected)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if not q.isActive:
+            break
+        n = spark.sql("SELECT count(DISTINCT user_id) FROM profile_smoke").collect()[0][0]
+        if n >= n_users:
+            break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+    # one emitted row per user per batch; last emission per user wins
+    got = sorted(
+        spark.sql(
+            """SELECT user_id, n_events, valor_total, last_seen FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY n_events DESC) rn FROM profile_smoke) WHERE rn=1"""
+        )
+        .drop("rn")
+        .collect()
+    )
+    exp_cmp = [(r["user_id"], r["n_events"], r["valor_total"]) for r in expected]
+    got_cmp = [(r["user_id"], r["n_events"], r["valor_total"]) for r in got]
+    assert got_cmp == exp_cmp
+
+
+def test_parquet_roundtrip_and_encoding_matrix(spark, tmp_path):
+    """S6/S7 diagnostics as engine tests: parquet round-trip and CSV
+    encoding matrix (diagnosis.py:58-133)."""
+    df = spark.createDataFrame(
+        [(1, "ação josé"), (2, "plain")], "id int, txt string"
+    )
+    pq = str(tmp_path / "rt.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    assert sorted(spark.read.parquet(pq).collect()) == sorted(df.collect())
+
+    for enc in ["UTF-8", "ISO-8859-1"]:
+        out = str(tmp_path / f"csv_{enc}")
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("encoding", enc)
+            .csv(out)
+        )
+        back = (
+            spark.read.option("header", True).option("encoding", enc).csv(out)
+        )
+        assert sorted(r["txt"] for r in back.collect()) == ["ação josé", "plain"]
