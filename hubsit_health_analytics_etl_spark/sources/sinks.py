@@ -80,3 +80,31 @@ def export_single_csv_file(df: DataFrame, file_path: str, **kwargs) -> None:
     part = sorted(glob.glob(os.path.join(tmp_dir, "part-*.csv")))[0]
     shutil.move(part, file_path)
     shutil.rmtree(tmp_dir, ignore_errors=True)
+
+
+def collect_pandas(df: DataFrame):
+    """S8: the collect-to-driver edge, Arrow-accelerated (the reference
+    collects WITHOUT Arrow — Criptografia.py:175 — paying row-at-a-time
+    serialization). Only for small aggregate outputs; never a fact
+    table."""
+    sess = df.sparkSession
+    assert sess.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true", (
+        "Arrow must be enabled for the collect edge (session.py sets it)"
+    )
+    return df.toPandas()
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table: two tables bucketed identically on the
+    join key join WITHOUT a shuffle exchange (co-located join) — the
+    pre-partitioning lever for repeated big-big joins at 100 TB."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

@@ -1,0 +1,85 @@
+"""Physical-layout levers: bucketed co-located joins (no shuffle
+exchange), date-partitioned writes with partition pruning, and the
+Arrow collect edge (S8)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from .conftest import SF_SMOKE
+
+
+def test_bucketed_join_has_no_shuffle_exchange(spark, tmp_path):
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.sources.sinks import write_bucketed_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        orders = load_table(spark, SF_SMOKE, "orders")
+        lineitem = load_table(spark, SF_SMOKE, "lineitem")
+        write_bucketed_table(
+            orders.select(F.col("o_orderkey").alias("k"), "o_totalprice"), "b_orders", "k", 8
+        )
+        write_bucketed_table(
+            lineitem.select(F.col("l_orderkey").alias("k"), "l_quantity"), "b_lineitem", "k", 8
+        )
+        j = spark.table("b_orders").join(spark.table("b_lineitem"), "k")
+        p = physical_plan(j)
+        # co-located: a sort-merge join with NO shuffle Exchange
+        assert "SortMergeJoin" in p
+        import re
+
+        assert not re.search(r"\n\(\d+\) Exchange", p), p
+        assert j.count() == lineitem.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.sources.sinks import write_parquet
+
+    lineitem = load_table(spark, SF_SMOKE, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    out = str(tmp_path / "li_part")
+    write_parquet(lineitem, out, partition_by=["ship_year"])
+    back = spark.read.parquet(out).filter(F.col("ship_year") == 1997)
+    p = physical_plan(back)
+    assert "PartitionFilters" in p and "ship_year" in p.split("PartitionFilters")[1].splitlines()[0]
+    n_all = spark.read.parquet(out).count()
+    n_1997 = back.count()
+    assert 0 < n_1997 < n_all
+
+
+def test_arrow_collect_edge(spark):
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.sources.sinks import collect_pandas
+
+    small = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pdf = collect_pandas(small)
+    assert set(pdf.columns) == {"o_orderstatus", "n"} and len(pdf) == 3
+
+
+def test_approx_aggregates_close_to_exact(spark):
+    """Scale-path sketches: approx_count_distinct (HLL) and
+    approx_percentile (t-digest) within tolerance of exact."""
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    row = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_d"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_d"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
+    ).collect()[0]
+    assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05
+    assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.02
