@@ -711,3 +711,119 @@ def q_embedding_nn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cosine") >= NN_DUP_THRESHOLD).alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped multi-join bench workhorses (Q3 / Q5 analogues on the
+# fixture schema) — exercise big-big joins + top-k + selective dates
+# ---------------------------------------------------------------------------
+@query(
+    "shipping_priority",
+    """
+    WITH r AS (
+      SELECT l.l_orderkey,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+      GROUP BY l.l_orderkey, orderdate
+    )
+    SELECT * FROM (
+      SELECT l_orderkey, revenue, orderdate,
+             ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS rank
+      FROM r
+    ) WHERE rank <= 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: selective date predicates (pushed to scan), broadcast
+    customer dim, lineitem⋈orders join, global top-10 via
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cutoff = "1997-06-30 00:00:00"
+    base = (
+        lineitem.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp_ntz"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp_ntz")),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .join(
+            F.broadcast(
+                customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+            ),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+    )
+    agg = base.groupBy(
+        "l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    top = agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "l_orderkey", "revenue", "orderdate", "rank"
+    )
+
+
+@query(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name AS nacao,
+           COUNT(*)::BIGINT AS itens,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'AMERICA'
+      AND s.s_nationkey = c.c_nationkey
+      AND EXTRACT(year FROM o.o_orderdate) = 1997
+    GROUP BY n.n_name
+    """,
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: five-way join where every dim broadcasts; the
+    customer-nation == supplier-nation theta condition rides on the
+    joined row, so the fact still only shuffles for the final agg."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nat = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "AMERICA")
+        .select("n_nationkey", "n_name")
+    )
+    base = (
+        lineitem.join(
+            orders.filter(F.year("o_orderdate") == 1997).select("o_orderkey", "o_custkey"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return base.groupBy(F.col("n_name").alias("nacao")).agg(
+        F.count(F.lit(1)).alias("itens"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
