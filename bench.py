@@ -27,8 +27,14 @@ def main() -> None:
     spark = get_spark(app_name="hubsit-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once (excluded from timings)
+    # warm the JVM + parquet footers + Python workers once (excluded
+    # from timings — steady-state throughput is what's measured)
     QUERIES["daily_status"](spark, sf_dir).count()
+    import pandas as _pd
+
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -96,15 +96,26 @@ def brute_force_topk(
     ranking so cross-engine last-ulp noise can't flip ranks."""
     from .dedup import _spread
 
+    # norms precomputed once per vector (identical expression → same
+    # bits as inline recomputation), so each pair costs ONE array
+    # aggregate instead of three
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_expr(vec_col).alias("q_norm"),
     )
-    c = _spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(vec_col).alias("c_norm"),
+    )
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr("q_vec", "c_vec"), 9).alias("cosine"),
+        F.round(dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 9).alias(
+            "cosine"
+        ),
     )
     from .reshape import top_k
 
@@ -132,13 +143,22 @@ def lsh_bucket_topk(
     from .dedup import _spread
 
     bucketed = _spread(corpus).select(
-        F.col(id_col), F.col(vec_col), lsh_bucket_expr(vec_col).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_expr(vec_col).alias("bucket"),
+        norm_expr(vec_col).alias("nrm"),
     )
     q = bucketed.filter(query_filter if query_filter is not None else F.lit(True)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "bucket",
+        F.col("nrm").alias("q_norm"),
     )
     c = bucketed.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "bucket",
+        F.col("nrm").alias("c_norm"),
     )
     pairs = c.join(F.broadcast(q), "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -147,7 +167,9 @@ def lsh_bucket_topk(
         "query_id",
         "bucket",
         "neighbor_id",
-        F.round(cosine_expr("q_vec", "c_vec"), 9).alias("cosine"),
+        F.round(dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 9).alias(
+            "cosine"
+        ),
     )
     from .reshape import top_k
 

@@ -687,17 +687,22 @@ def q_embedding_nn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from .operators.dedup import _spread
-    from .operators.similarity import cosine_expr
+    from .operators.similarity import dot_expr, norm_expr
 
-    emb = _spread(load_table(spark, sf_dir, "embeddings"))
-    a = emb.select("vec_id", "label", F.col("embedding").alias("va"))
+    emb = _spread(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", norm_expr("embedding")
+    )
+    a = emb.select("vec_id", "label", F.col("embedding").alias("va"), F.col("nrm").alias("na"))
     b = emb.select(
         F.col("vec_id").alias("nn_id"), F.col("label").alias("lb"),
-        F.col("embedding").alias("vb"),
+        F.col("embedding").alias("vb"), F.col("nrm").alias("nb"),
     )
     pairs = a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_id") != F.col("nn_id")))
     scored = pairs.select(
-        "vec_id", "label", "nn_id", F.round(cosine_expr("va", "vb"), 9).alias("cosine")
+        "vec_id",
+        "label",
+        "nn_id",
+        F.round(dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 9).alias("cosine"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("nn_id"))
     return (
