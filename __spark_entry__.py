@@ -8,9 +8,14 @@ twin. ``entry`` runs the flagship daily-status aggregation (A1+F10,
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# resolvable regardless of the driver's CWD
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:

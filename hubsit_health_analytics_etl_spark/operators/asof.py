@@ -1,0 +1,89 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks.
+
+``asof_join_backward(left, right, ...)`` attaches to every left row
+the most recent right row with ``right_ts <= left_ts`` for the same
+key (the temporal lookup behind feature stores, slowly-changing
+prices, latest-reading-before-event).
+
+Algorithm: the one-pass **union + running last_value** formulation —
+tag both inputs, union them, sort within key by (ts, side) and carry
+the right-side payload forward with ``last(..., ignorenulls=True)``
+over an unbounded-preceding running frame, then keep only left rows.
+
+Why not a range join (`l.key = r.key AND r.ts <= l.ts` + pick max):
+that's an O(|L|·|R|) per-key pair blow-up before the reduction. The
+union form is one shuffle on the key and one sort — the same cost
+class as a sort-merge join, and it degrades gracefully on skewed keys
+(a hot key is one big sorted partition, not a quadratic pair set).
+
+Ties: rights sort BEFORE lefts at equal ts (inclusive `<=`); supply
+``dedup_right=True`` (default) to keep one right row per (key, ts)
+(greatest ``tie_break`` wins) so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    tie_break: str | None = None,
+    dedup_right: bool = True,
+) -> DataFrame:
+    """Left rows + most recent right payload as of ``left_ts``.
+
+    Output: all left columns + ``payload`` columns (null when no right
+    row precedes the left row) + ``_asof_ts`` (the matched right ts).
+    """
+    if dedup_right:
+        order = [F.col(right_ts).desc()] + (
+            [F.col(tie_break).desc()] if tie_break else []
+        )
+        w_dedup = Window.partitionBy(key, right_ts).orderBy(*order)
+        right = (
+            right.withColumn("_rn", F.row_number().over(w_dedup))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    lcols = left.columns
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+        F.col(right_ts).alias("_r__asof_ts"),
+        *[F.lit(None).alias(f"_l_{c}") for c in lcols],
+    )
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in payload],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_r__asof_ts"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    unioned = r_tagged.unionByName(l_tagged)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "_side",
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in [*payload, "_asof_ts"]
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side")

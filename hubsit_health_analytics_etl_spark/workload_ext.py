@@ -832,3 +832,92 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("itens"),
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (custom operator — DuckDB's native ASOF JOIN is the oracle)
+# ---------------------------------------------------------------------------
+@query(
+    "asof_latest_order",
+    """
+    WITH r AS (  -- dedupe right to one row per (key, ts): max orderkey wins
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                         ORDER BY o_orderkey DESC) rn
+            FROM orders) WHERE rn = 1
+    ),
+    j AS (
+      SELECT e.event_type, e.ts, r.o_orderkey, r.o_orderdate
+      FROM (SELECT event_type, user_id, CAST(ts AS TIMESTAMP) ts FROM events) e
+      ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    )
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_eventos,
+           CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_com_pedido,
+           ROUND(AVG(date_diff('day', CAST(o_orderdate AS DATE), CAST(ts AS DATE))), 4)
+             AS dias_desde_pedido
+    FROM j GROUP BY event_type
+    """,
+)
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each event picks up the user's most recent
+    order as of the event time (union + running last_value — one
+    shuffle, no range-join pair explosion). Oracle = DuckDB's native
+    ASOF JOIN."""
+    from .operators.asof import asof_join_backward
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    joined = asof_join_backward(
+        events.withColumnRenamed("user_id", "k"),
+        orders.withColumnRenamed("o_custkey", "k"),
+        key="k",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_eventos"),
+        F.sum(F.when(F.col("o_orderkey").isNotNull(), 1).otherwise(0)).alias("n_com_pedido"),
+        F.round(F.avg(F.datediff(F.to_date("ts"), F.to_date("_asof_ts"))), 4).alias(
+            "dias_desde_pedido"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling (stable train/test splits)
+# ---------------------------------------------------------------------------
+from .operators.sampling import sql_hash_bucket  # noqa: E402
+
+
+@query(
+    "hash_sample_events",
+    f"""
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_total,
+           CAST(SUM(CASE WHEN {sql_hash_bucket("event_id")} < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sample_10pct,
+           CAST(SUM(CASE WHEN {sql_hash_bucket("event_id", salt="v2")} < 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sample_10pct_v2
+    FROM events GROUP BY event_type
+    """,
+)
+def q_hash_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-hash sampling: membership is a pure function of the row key
+    (and salt), so samples are reproducible across runs/engines and
+    need no shuffle — unlike rand()-based sampling."""
+    from .operators.sampling import hash_bucket
+
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(hash_bucket("event_id") < 10, 1).otherwise(0)).alias("n_sample_10pct"),
+        F.sum(F.when(hash_bucket("event_id", salt="v2") < 10, 1).otherwise(0)).alias(
+            "n_sample_10pct_v2"
+        ),
+    )
