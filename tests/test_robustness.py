@@ -1,0 +1,95 @@
+"""Robustness: corrupt CSV rows land in the audit column; watermark
+drops late data in streaming mode."""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+
+
+def test_corrupt_rows_survive_in_audit_column(spark, tmp_path):
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from hubsit_health_analytics_etl_spark.sources.csv_tolerant import read_csv_tolerant
+
+    p = tmp_path / "messy.csv"
+    p.write_text(
+        "id;name;qty\n1;ok;10\nnot_an_int;bad;xx\n2;fine;20\n", encoding="utf-8"
+    )
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("name", StringType()),
+            StructField("qty", IntegerType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = read_csv_tolerant(spark, str(p), schema=schema)
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["id"] for r in good} == {1, 2}
+    assert len(bad) == 1 and "not_an_int" in bad[0]["_corrupt_record"]
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Feed a batch of on-time events, advance the watermark, then a
+    very late event — the late row must NOT update its (closed)
+    window in append mode."""
+    from hubsit_health_analytics_etl_spark.streaming.windows import tumbling_agg
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, value double"
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp_b"))
+        import glob as g
+        import shutil
+
+        part = g.glob(str(tmp_path / "tmp_b" / "part-*.parquet"))[0]
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    write_batch("b1", [(1, t0, 1.0), (1, t0 + dt.timedelta(minutes=30), 1.0)])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = tumbling_agg(
+        stream,
+        "ts",
+        "1 hour",
+        aggs=[F.count(F.lit(1)).alias("n")],
+        watermark="15 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_smoke")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance event time far ahead → closes the first window
+        write_batch("b2", [(1, t0 + dt.timedelta(hours=3), 1.0)])
+        q.processAllAvailable()
+        # a VERY late event for the long-closed first window
+        write_batch("b3", [(1, t0 + dt.timedelta(minutes=1), 99.0)])
+        q.processAllAvailable()
+        write_batch("b4", [(1, t0 + dt.timedelta(hours=5), 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["window_start"]: r["n"] for r in spark.sql("SELECT * FROM late_smoke").collect()}
+    # first window emitted with its 2 on-time events; the late 99.0
+    # event neither re-emitted nor bumped the count
+    assert rows.get("2024-01-01 00:00:00") == 2
