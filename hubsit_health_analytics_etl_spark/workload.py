@@ -20,13 +20,13 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
-from .functions.case import band, case_map, status_machine
+from .functions.case import band, status_machine
 from .functions.crypto import sha256_hex
 from .functions.nulls import safe_rate
 from .functions.text import normalize_key
-from .operators.aggregate import avg_if, count_if, sum_if
+from .operators.aggregate import count_if, sum_if
 from .operators.joins import anti_join, lookup_join
 from .operators.profile import quality_profile
 from .operators.reshape import percent_of_total, pivot_counts, profile_union, top_k, unpivot

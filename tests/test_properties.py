@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis): engine expression builders vs
+independent Python reference implementations, evaluated in one
+DataFrame batch per property run."""
+
+from __future__ import annotations
+
+import math
+import re
+import unicodedata
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_normalize_key(s: str) -> str:
+    s = s.upper()
+    s = "".join(
+        c for c in unicodedata.normalize("NFD", s) if not unicodedata.combining(c)
+    )
+    s = re.sub(r"[^A-Z0-9 ]", "", s)
+    return re.sub(r" +", " ", s.strip())
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet="aáàâãbcçdeéêfgihíjklmnñoóôõpqrstuúüvwxyzAÁBCÇ -_.123!  ",
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_normalize_key_matches_python_reference(spark, texts):
+    from hubsit_health_analytics_etl_spark.functions.text import normalize_key
+
+    df = spark.createDataFrame([(t,) for t in texts], "v string")
+    got = [r[0] for r in df.select(normalize_key("v").alias("o")).collect()]
+    assert got == [_py_normalize_key(t) for t in texts]
+
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.floats(min_value=-50, max_value=200, allow_nan=False)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_band_matches_pd_cut_semantics(spark, values):
+    from hubsit_health_analytics_etl_spark.functions.case import band
+
+    bins = [0, 13, 18, 40, 60, 120]
+    labels = ["0-12", "13-17", "18-39", "40-59", "60+"]
+
+    def ref(v):
+        if v is None:
+            return "Indefinido"
+        for lo, hi, lab in zip(bins[:-1], bins[1:], labels):
+            if lo <= v < hi:
+                return lab
+        return "Indefinido"
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = [r[0] for r in df.select(band("v", bins, labels).alias("o")).collect()]
+    assert got == [ref(v) for v in values]
+
+
+@given(
+    st.lists(
+        st.decimals(
+            min_value=0, max_value=9_999_999, places=2, allow_nan=False
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SET
+def test_currency_roundtrip_property(spark, amounts):
+    """Format any 2dp amount as 'R$ 1.234,56' (thousands dots) and the
+    parser must recover it exactly."""
+    from hubsit_health_analytics_etl_spark.functions.text import currency_to_double
+
+    def br_format(d) -> str:
+        s = f"{d:,.2f}"  # 1,234.56
+        return "R$ " + s.replace(",", "§").replace(".", ",").replace("§", ".")
+
+    rows = [(br_format(a),) for a in amounts]
+    df = spark.createDataFrame(rows, "v string")
+    got = [r[0] for r in df.select(currency_to_double("v").alias("o")).collect()]
+    assert all(math.isclose(g, float(a), abs_tol=1e-9) for g, a in zip(got, amounts))
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=50))
+@SET
+def test_hash_bucket_range_and_stability(spark, keys):
+    from hubsit_health_analytics_etl_spark.operators.sampling import hash_bucket
+
+    df = spark.createDataFrame([(k,) for k in set(keys)], "k long")
+    a = {r["k"]: r["b"] for r in df.select("k", hash_bucket("k").alias("b")).collect()}
+    b = {r["k"]: r["b"] for r in df.select("k", hash_bucket("k").alias("b")).collect()}
+    assert a == b  # stable
+    assert all(0 <= v < 100 for v in a.values())
