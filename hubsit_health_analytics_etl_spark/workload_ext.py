@@ -921,3 +921,41 @@ def q_hash_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sample_10pct_v2"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Upsert compaction (SCD-1 latest-record-wins) — the Delta-less merge
+# pattern for snapshotting a keyed stream of updates
+# ---------------------------------------------------------------------------
+@query(
+    "latest_order_snapshot",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+)
+def q_latest_order_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat orders as keyed updates and compact to latest-per-key
+    (deterministic tie-break). One shuffle on the key; at scale this is
+    the periodic snapshot job over an append-only update log."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+        )
+    )
