@@ -179,3 +179,89 @@ def lsh_bucket_topk(
     return ranked.select(
         "query_id", "bucket", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
+
+
+def label_mean_centroids(corpus: DataFrame, id_col="vec_id", vec_col="embedding",
+                         label_col="label", scale: int = 6) -> DataFrame:
+    """IVF 'training' stand-in: one centroid per label = element-wise
+    mean embedding, ROUNDED so the centroid is identical across
+    engines/partitionings (raw float sums are order-dependent in their
+    last bits; rounding to 6dp makes the coarse quantizer stable).
+    Returns (label, centroid array<double>)."""
+    per_dim = (
+        corpus.select(label_col, F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy(label_col, "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), scale).alias("cval"))
+    )
+    return per_dim.groupBy(label_col).agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, cval))), s -> s.cval)").alias(
+            "centroid"
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """IVF-flavored ANN: assign every vector to its nearest centroid
+    cell (argmax cosine vs the small broadcast centroid table), then
+    search only within the cell. Map-only assignment + equi-join on
+    the cell id — the candidate set per query is |cell| ≈ N/n_cells."""
+    from .dedup import _spread
+    from .reshape import top_k
+
+    cents = label_mean_centroids(corpus, id_col, vec_col, label_col)
+    base = _spread(corpus).select(id_col, vec_col, norm_expr(vec_col).alias("nrm"))
+    scored_cells = base.crossJoin(
+        F.broadcast(cents.select(F.col(label_col).alias("cell"), "centroid"))
+    ).select(
+        id_col,
+        vec_col,
+        "nrm",
+        "cell",
+        F.round(
+            dot_expr(vec_col, "centroid")
+            / (F.col("nrm") * norm_expr("centroid")),
+            9,
+        ).alias("ccos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cell").asc())
+    assigned = (
+        scored_cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "nrm", "cell")
+    )
+    q = assigned.filter(query_filter if query_filter is not None else F.lit(True)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("nrm").alias("q_norm"),
+        "cell",
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("nrm").alias("c_norm"),
+        "cell",
+    )
+    pairs = c.join(F.broadcast(q), "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "cell",
+        "neighbor_id",
+        F.round(dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 9).alias(
+            "cosine"
+        ),
+    )
+    ranked = top_k(
+        scored, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
+    )
+    return ranked.select(
+        "query_id", "cell", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )

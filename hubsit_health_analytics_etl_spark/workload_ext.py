@@ -959,3 +959,97 @@ def q_latest_order_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Window FRAME analytics: rolling 7-day revenue per customer (range frame)
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_7d_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS receita_7d
+    FROM orders
+    """,
+)
+def q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: the 7-day trailing revenue per customer
+    (frames are absent from the reference — SURVEY §2.6). Ordered by
+    epoch-day so the range arithmetic is integral and engine-portable."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("receita_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over MinHash pairs
+# (iterative — rows-only check; semantics pinned by unit tests)
+# ---------------------------------------------------------------------------
+@query("dedup_clusters")  # iterative min-label propagation: not single-SQL
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clusters import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidates(docs).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return dedup_clusters(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: nearest-centroid cells (rounded label-mean centroids)
+# ---------------------------------------------------------------------------
+@query(
+    "ann_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT e.label, t.i, ROUND(AVG(e.v[t.i]), 6) AS cval
+             FROM e CROSS JOIN range(1, 65) t(i) GROUP BY e.label, t.i),
+    cents AS (SELECT label AS cell, list(cval ORDER BY i) AS centroid
+              FROM dims GROUP BY label),
+    base AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    sc AS (SELECT b.vec_id, b.v, b.nrm, c.cell,
+                  ROUND(list_dot_product(b.v, c.centroid)
+                        / (b.nrm * sqrt(list_dot_product(c.centroid, c.centroid))), 9)
+                    AS ccos
+           FROM base b CROSS JOIN cents c),
+    assigned AS (SELECT vec_id, v, nrm, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, cell) AS rn FROM sc)
+        WHERE rn = 1),
+    p AS (SELECT q.vec_id AS query_id, q.cell, c.vec_id AS neighbor_id,
+                 ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 9) AS cosine
+          FROM assigned q JOIN assigned c
+            ON q.cell = c.cell AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < {ANN_QUERY_LIMIT}),
+    r AS (SELECT query_id, cell, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM p)
+    SELECT query_id, cell, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+    FROM r WHERE rank <= {ANN_K}
+    """,
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse quantizer = rounded label-mean centroids
+    (rounding makes the cells engine/partition-order stable); vectors
+    assigned to their argmax-cosine cell; search within the cell only."""
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, ANN_K, query_filter=F.col("vec_id") < ANN_QUERY_LIMIT)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

@@ -1,0 +1,50 @@
+"""Connected-components dedup clustering on crafted graphs."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_connected_components_chain_and_islands(spark):
+    from hubsit_health_analytics_etl_spark.operators.clusters import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4, pair {10,11}, triangle {20,21,22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert {comp[n] for n in (1, 2, 3, 4)} == {1}
+    assert {comp[n] for n in (10, 11)} == {10}
+    assert {comp[n] for n in (20, 21, 22)} == {20}
+
+
+def test_dedup_clusters_counts_and_singletons(spark):
+    from hubsit_health_analytics_etl_spark.operators.clusters import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long")
+    out = {r["component"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert out[0]["n_members"] == 3 and out[0]["keeper"] == 0
+    assert out[5]["n_members"] == 2 and out[5]["keeper"] == 5
+    singles = [c for c, r in out.items() if r["n_members"] == 1]
+    assert sorted(singles) == [3, 4, 7]
+    assert sum(r["n_members"] for r in out.values()) == 8
+
+
+def test_dedup_clusters_on_fixture_pairs(spark):
+    """Cluster count + membership must be consistent with the pair set:
+    every paired doc shares a component with its partner."""
+    from hubsit_health_analytics_etl_spark.operators.clusters import (
+        connected_components,
+    )
+    from hubsit_health_analytics_etl_spark.operators.dedup import minhash_candidates
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = minhash_candidates(docs).filter(F.col("jaccard") >= 0.3)
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    for r in pairs.collect():
+        assert comp[r["doc_a"]] == comp[r["doc_b"]]
