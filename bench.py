@@ -30,8 +30,6 @@ def main() -> None:
     # warm the JVM + parquet footers + Python workers once (excluded
     # from timings — steady-state throughput is what's measured)
     QUERIES["daily_status"](spark, sf_dir).count()
-    import pandas as _pd
-
     spark.range(64).repartition(32).mapInPandas(
         lambda it: (pdf for pdf in it), "id long"
     ).count()
