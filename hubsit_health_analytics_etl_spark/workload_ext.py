@@ -1053,3 +1053,28 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = ivf_topk(emb, ANN_K, query_filter=F.col("vec_id") < ANN_QUERY_LIMIT)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates (stddev/corr/covar — absent from the reference,
+# free in both engines; EXT §2.5)
+# ---------------------------------------------------------------------------
+@query(
+    "lineitem_price_stats",
+    """
+    SELECT l_returnflag,
+           COUNT(*)::BIGINT AS n,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2) AS preco_stddev,
+           ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 2) AS preco_qty_covar,
+           ROUND(CORR(l_extendedprice, l_quantity), 4) AS preco_qty_corr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("preco_stddev"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("preco_qty_covar"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("preco_qty_corr"),
+    )
