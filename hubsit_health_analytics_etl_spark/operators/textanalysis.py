@@ -113,3 +113,22 @@ def fingerprint(text: Column | str) -> Column:
     text — stable under spacing/case noise; the exact-dedup key."""
     t = F.col(text) if isinstance(text, str) else text
     return F.md5(F.regexp_replace(F.trim(F.lower(t)), " +", " "))
+
+
+def chunk_tokens(
+    text: str = "text", chunk_size: int = 50, stride: int = 40
+) -> "Column":
+    """Overlapping token-window chunks (LLM context-prep staple):
+    windows of ``chunk_size`` tokens every ``stride`` tokens (overlap =
+    chunk_size - stride). Native sequence+slice — the chunk explosion
+    happens JVM-side, one output row per chunk after explode.
+
+    Returns array<struct<chunk_idx int, chunk string>>; pair with
+    posexplode/ explode at the call site."""
+    toks = f"split(lower({text}), ' ')"
+    n_chunks = f"greatest(cast(ceil((size({toks}) - {chunk_size}) / {stride}.0) as int) + 1, 1)"
+    return F.expr(
+        f"transform(sequence(0, {n_chunks} - 1), "
+        f"i -> struct(i as chunk_idx, "
+        f"concat_ws(' ', slice({toks}, i * {stride} + 1, {chunk_size})) as chunk))"
+    )

@@ -1078,3 +1078,48 @@ def q_lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("preco_qty_covar"),
         F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("preco_qty_corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (token windows with overlap — context prep)
+# ---------------------------------------------------------------------------
+CHUNK_SIZE, CHUNK_STRIDE = 50, 40
+
+
+@query(
+    "document_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id,
+             g.i AS chunk_idx,
+             array_to_string(toks[g.i * {CHUNK_STRIDE} + 1 :
+                                  g.i * {CHUNK_STRIDE} + {CHUNK_SIZE}], ' ') AS chunk
+      FROM t CROSS JOIN LATERAL (
+        SELECT unnest(range(0, greatest(CAST(ceil((len(toks) - {CHUNK_SIZE})
+                                              / {CHUNK_STRIDE}.0) AS INT) + 1, 1))) AS i
+      ) g
+    )
+    SELECT doc_id, chunk_idx::INTEGER AS chunk_idx,
+           len(string_split(chunk, ' '))::BIGINT AS n_tokens,
+           md5(chunk) AS chunk_hash
+    FROM c WHERE chunk <> ''
+    """,
+)
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 50-token chunks every 40 tokens per document —
+    native sequence/slice, exploded JVM-side (no Python)."""
+    from .operators.textanalysis import chunk_tokens
+
+    from .operators.dedup import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    exploded = docs.select(
+        "doc_id", F.explode(chunk_tokens("text", CHUNK_SIZE, CHUNK_STRIDE)).alias("c")
+    ).filter(F.col("c.chunk") != "")
+    return exploded.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size(F.split("c.chunk", " ")).cast("bigint").alias("n_tokens"),
+        F.md5("c.chunk").alias("chunk_hash"),
+    )
