@@ -84,6 +84,12 @@ def _bool(col: F.Column) -> F.Column:
     return F.coalesce(col, F.lit(False))
 
 
+def _nonnull_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """pandas groupby drops NaN group keys; Spark keeps a NULL group —
+    filter before grouping so the outputs match the reference's CSVs."""
+    return df.na.drop(subset=[k for k in keys if k in df.columns])
+
+
 def preprocess(
     df: DataFrame,
     df_precos: DataFrame,
@@ -97,10 +103,13 @@ def preprocess(
     as_of_lit = F.lit(as_of)
     df = normalize_columns(df)
 
-    # blacklist anti-filter (:171-181) — P5/J3
+    # blacklist anti-filter (:171-181) — P5/J3. Null doctors must be
+    # KEPT (pandas astype(str)->'nan' is never in the list; a bare
+    # ~isin(NULL) would three-valued-logic-drop them)
     if blacklist and "ID_Medico_Anon" in df.columns:
         norm = [b.upper().strip() for b in blacklist]
-        df = df.filter(~F.upper(F.trim(F.col("ID_Medico_Anon"))).isin(norm))
+        doc = F.col("ID_Medico_Anon")
+        df = df.filter(doc.isNull() | ~F.upper(F.trim(doc)).isin(norm))
 
     # F5 — tolerant dayfirst datetime parse (:183-194)
     if parse_dates:
@@ -121,6 +130,7 @@ def preprocess(
             normalize_key("Convenio").alias("key_conv"),
             F.col("Valor_Convenio"),
         )
+        price_is_text = dict(df_precos.dtypes).get("Valor_Convenio") == "string"
         df = (
             df.withColumn("key_proc", normalize_key("Procedimento"))
             .withColumn("key_conv", normalize_key("Convenio"))
@@ -128,7 +138,13 @@ def preprocess(
             .drop("key_proc", "key_conv")
             .withColumnRenamed("Valor_Convenio", "Valor")
         )
-        df = df.withColumn("Valor", currency_to_double("Valor"))
+        # decimal-comma munging ONLY for text prices (the reference
+        # checks dtype == 'object' at :218 — running the thousands-dot
+        # strip on an already-numeric '150.5' would 10x it)
+        if price_is_text:
+            df = df.withColumn("Valor", currency_to_double("Valor"))
+        else:
+            df = df.withColumn("Valor", F.col("Valor").cast("double"))
         df = df.na.fill({"Valor": 0.0})
     else:
         df = df.withColumn("Valor", F.lit(0.0))
@@ -217,7 +233,7 @@ def agenda_comparecimento(df: DataFrame) -> DataFrame:
     """1. Daily attendance (:474-487) — on the FULL base (includes
     future AGENDADO rows), per the reference."""
     st = F.col("Status_Consolidado")
-    out = df.groupBy("Data_Agendamento").agg(
+    out = _nonnull_keys(df, ["Data_Agendamento"]).groupBy("Data_Agendamento").agg(
         F.count(F.lit(1)).alias("total_agendado"),
         count_if(st == "ATENDIDO").alias("total_realizado"),
         count_if(st == "NO-SHOW").alias("total_no_show"),
@@ -295,7 +311,9 @@ def financeiro(df_passado: DataFrame) -> DataFrame:
     :537-539 — same result, distributed-safe here)."""
     st = F.col("Status_Consolidado")
     v = F.col("Valor")
-    out = df_passado.groupBy("Unidade", "Procedimento").agg(
+    out = _nonnull_keys(df_passado, ["Unidade", "Procedimento"]).groupBy(
+        "Unidade", "Procedimento"
+    ).agg(
         F.count(F.lit(1)).alias("qtde_agendamentos"),
         count_if(st == "ATENDIDO").alias("qtde_realizados"),
         count_if(st == "NO-SHOW").alias("qtde_no_show"),
@@ -340,7 +358,9 @@ def atravessamento(df: DataFrame) -> DataFrame:
             "no_horario", _bool(F.col("pontualidade") <= LIMITE_PONTUALIDADE_MINUTOS)
         )
     )
-    out = base.groupBy("Unidade", "ID_Medico_Anon").agg(
+    out = _nonnull_keys(base, ["Unidade", "ID_Medico_Anon"]).groupBy(
+        "Unidade", "ID_Medico_Anon"
+    ).agg(
         F.count(F.lit(1)).alias("qtde_atendimentos"),
         F.round(F.avg("tempo_total"), 2).alias("tempo_medio_total_min"),
         F.round(F.avg("tempo_espera"), 2).alias("tempo_medio_espera_min"),
@@ -439,9 +459,8 @@ def perfil_agenda(df_passado: DataFrame, df_ocupacao: DataFrame | None) -> DataF
     pre-aggregated broadcast capacity join on the normalized doctor
     key, capacity-relative rates (den 0 → 0, unlike pandas inf)."""
     st = F.col("Status_Consolidado")
-    grp = df_passado.groupBy(
-        "Unidade", "ID_Medico_Anon", "Procedimento", "Categoria_Servico"
-    ).agg(
+    keys = ["Unidade", "ID_Medico_Anon", "Procedimento", "Categoria_Servico"]
+    grp = _nonnull_keys(df_passado, keys).groupBy(*keys).agg(
         F.count(F.lit(1)).alias("qtde_agendamentos"),
         count_if(st == "ATENDIDO").alias("qtde_realizados"),
         count_if(st == "NO-SHOW").alias("qtde_no_show"),

@@ -45,10 +45,11 @@ def asof_join_backward(
     row precedes the left row) + ``_asof_ts`` (the matched right ts).
     """
     if dedup_right:
-        order = [F.col(right_ts).desc()] + (
-            [F.col(tie_break).desc()] if tie_break else []
-        )
-        w_dedup = Window.partitionBy(key, right_ts).orderBy(*order)
+        # a deterministic tie-break is mandatory: ordering a
+        # (key, right_ts) partition by right_ts alone would make
+        # row_number pick whichever row the shuffle delivered first
+        tb = tie_break or payload[0]
+        w_dedup = Window.partitionBy(key, right_ts).orderBy(F.col(tb).desc())
         right = (
             right.withColumn("_rn", F.row_number().over(w_dedup))
             .filter(F.col("_rn") == 1)

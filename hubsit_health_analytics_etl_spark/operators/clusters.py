@@ -78,6 +78,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence would split one duplicate group into
+        # several keepers with no signal — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"(graph diameter exceeds max_iter — raise it)"
+        )
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 

@@ -15,16 +15,15 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
-def hash_bucket(col: Column | str, n_buckets: int = 100, salt: str = "") -> Column:
-    """Stable bucket in [0, n_buckets) from md5 of the key (+salt).
-    Engine-portable: Spark conv(substr(md5,1,8),16,10) == DuckDB
+def hash_bucket(col: str, n_buckets: int = 100, salt: str = "") -> Column:
+    """Stable bucket in [0, n_buckets) from md5 of the key (+salt);
+    ``col`` is a column NAME (the expression is built as SQL text so it
+    stays byte-identical to the DuckDB twin). Engine-portable:
+    Spark conv(substr(md5,1,8),16,10) == DuckDB
     CAST('0x'||substr(md5,1,8) AS BIGINT)."""
-    name = col if isinstance(col, str) else None
-    expr = f"cast({name} as string)" if name else None
-    if expr is None:
-        raise ValueError("pass a column name")
     return F.expr(
-        f"cast(conv(substr(md5(concat('{salt}', {expr})), 1, 8), 16, 10) as bigint) % {n_buckets}"
+        f"cast(conv(substr(md5(concat('{salt}', cast({col} as string))), 1, 8), 16, 10) "
+        f"as bigint) % {n_buckets}"
     )
 
 

@@ -215,18 +215,19 @@ def ivf_topk(
     from .dedup import _spread
     from .reshape import top_k
 
-    cents = label_mean_centroids(corpus, id_col, vec_col, label_col)
+    # centroid norms computed once on the C-row centroid table, not
+    # per (vector, centroid) pair
+    cents = label_mean_centroids(corpus, id_col, vec_col, label_col).select(
+        F.col(label_col).alias("cell"), "centroid", norm_expr("centroid").alias("c_nrm")
+    )
     base = _spread(corpus).select(id_col, vec_col, norm_expr(vec_col).alias("nrm"))
-    scored_cells = base.crossJoin(
-        F.broadcast(cents.select(F.col(label_col).alias("cell"), "centroid"))
-    ).select(
+    scored_cells = base.crossJoin(F.broadcast(cents)).select(
         id_col,
         vec_col,
         "nrm",
         "cell",
         F.round(
-            dot_expr(vec_col, "centroid")
-            / (F.col("nrm") * norm_expr("centroid")),
+            dot_expr(vec_col, "centroid") / (F.col("nrm") * F.col("c_nrm")),
             9,
         ).alias("ccos"),
     )

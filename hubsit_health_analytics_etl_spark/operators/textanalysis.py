@@ -33,7 +33,6 @@ def tokens(text: Column | str) -> Column:
 
 
 def _hits(toks: Column, words: list[str]) -> Column:
-    arr = ", ".join(f"'{w}'" for w in words)
     return F.size(F.filter(toks, lambda x: x.isin(*words)))  # noqa: B023
 
 

@@ -63,7 +63,15 @@ def sniff_dialect(
             text = raw.decode(enc)
             encoding = enc
             break
-        except UnicodeDecodeError:
+        except UnicodeDecodeError as e:
+            # a fixed-size byte sample can cut a multi-byte character at
+            # the very end — that's a truncation artifact, not a wrong
+            # encoding: decode the intact prefix instead of falling
+            # through to a legacy charset
+            if len(raw) == sample_bytes and e.start >= len(raw) - 4:
+                text = raw[: e.start].decode(enc)
+                encoding = enc
+                break
             continue
     if text is None:  # undecodable even as latin1 (can't happen: latin1 total)
         text = raw.decode(encodings[-1], errors="replace")

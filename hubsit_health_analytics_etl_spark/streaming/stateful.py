@@ -60,7 +60,10 @@ def _update_profile(
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-        mx = str(pdf["ts"].max())
+        # explicit µs format: str(Timestamp) drops '.000000' on whole
+        # seconds, which would break parity with the batch twin's
+        # date_format(..., '.SSSSSS')
+        mx = pdf["ts"].max().strftime("%Y-%m-%d %H:%M:%S.%f")
         last = max(last, mx)
     state.update((n, total, last))
     state.setTimeoutDuration(60 * 60 * 1000)  # expire idle users after 1h

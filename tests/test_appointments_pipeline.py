@@ -182,3 +182,52 @@ def test_outputs_written_and_csv_dialect(outputs, spark):
     text = open(part).read()
     assert ";" in text.splitlines()[0]
     assert "100,00" in text or "100,0" in text  # decimal comma rendering
+
+
+def test_review_regressions(spark):
+    """Regression pins for review findings: null-doctor rows survive the
+    blacklist; numeric price files are not decimal-munged; null schedule
+    dates don't emit a null group row."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.etl.appointments import (
+        agenda_comparecimento,
+        preprocess,
+    )
+
+    base = spark.createDataFrame(
+        [
+            ("U1", "Proc", "Conv", None, "P1", "2025-05-10 09:00:00", None, None),
+            ("U1", "Proc", "Conv", "DR BLOCK", "P2", "2025-05-10 09:00:00", None, None),
+            ("U1", "Proc", "Conv", "DR OK", "P3", None, None, None),
+        ],
+        "Unidade string, Procedimento string, Convenio string, ID_Medico_Anon string, "
+        "ID_Paciente_Anon string, `Agendamento Inicio` string, "
+        "Cancelamentos_DataDeCancelamento string, Confirmacoes_Data_Confirmacao string",
+    ).withColumns(
+        {
+            "Agendamento Inicio": F.col("Agendamento Inicio").cast("timestamp_ntz"),
+            "Cancelamentos_DataDeCancelamento": F.col(
+                "Cancelamentos_DataDeCancelamento"
+            ).cast("timestamp_ntz"),
+            "Confirmacoes_Data_Confirmacao": F.col("Confirmacoes_Data_Confirmacao").cast(
+                "timestamp_ntz"
+            ),
+            "Atendimentos_DataEHora_Chegada": F.lit(None).cast("timestamp_ntz"),
+            "Atendimentos_DataEHora_Atendimento": F.lit(None).cast("timestamp_ntz"),
+            "Atendimentos_DataEHora_Final": F.lit(None).cast("timestamp_ntz"),
+        }
+    )
+    # numeric price table (double Valor_Convenio) — must pass through
+    precos = spark.createDataFrame(
+        [("Proc", "Conv", 150.5)],
+        "Procedimento string, Convenio string, Valor_Convenio double",
+    )
+    fact = preprocess(base, precos, as_of=dt.datetime(2025, 6, 1), blacklist=("dr block",))
+    rows = {r["ID_Paciente_Anon"]: r for r in fact.collect()}
+    assert set(rows) == {"P1", "P3"}          # null doctor kept, blocked dropped
+    assert rows["P1"]["Valor"] == 150.5        # NOT 1505.0
+    dia = agenda_comparecimento(fact).collect()
+    assert all(r["Data_Agendamento"] is not None for r in dia)  # null key dropped
