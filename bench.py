@@ -3,10 +3,12 @@
 ONE JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Timing = full query execution including the terminal action
-(count of a noop write-like collect via ``df.write`` is avoided: we
-use .foreach-less count() on the aggregate result, which for these
-workloads executes the complete plan).
+Timing = full query execution via ``df.write.format("noop")``: the
+noop sink consumes every InternalRow JVM-side, so every projected
+expression (md5/sha2/window/...) is actually evaluated.  A bare
+``count()`` is NOT a valid terminal action here — Catalyst prunes
+unused projections under count(), so map-only queries (simhash_docs,
+pseudonymize_customers, rolling_7d_revenue) would time a bare scan.
 """
 
 from __future__ import annotations
@@ -29,7 +31,9 @@ def main() -> None:
 
     # warm the JVM + parquet footers + Python workers once (excluded
     # from timings — steady-state throughput is what's measured)
-    QUERIES["daily_status"](spark, sf_dir).count()
+    QUERIES["daily_status"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     spark.range(64).repartition(32).mapInPandas(
         lambda it: (pdf for pdf in it), "id long"
     ).count()
@@ -38,9 +42,8 @@ def main() -> None:
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
     total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.case import band, status_machine
 from ..functions.nulls import safe_rate
-from ..functions.temporal import duration, parse_dayfirst_timestamp, shift_of_day
+from ..functions.temporal import (
+    age_years,
+    duration,
+    parse_dayfirst_timestamp,
+    shift_of_day,
+)
 from ..functions.text import currency_to_double, normalize_key
 from ..operators.aggregate import count_if, sum_if
 from ..operators.profile import quality_profile  # noqa: F401 (generic variant)
@@ -203,7 +208,7 @@ def preprocess(
     if "Pacientes_DataNascimento" in df.columns:
         df = df.withColumn(
             "Idade",
-            F.datediff(as_of_lit, F.col("Pacientes_DataNascimento")) / F.lit(365.25),
+            age_years("Pacientes_DataNascimento", as_of_lit),
         ).withColumn(
             "Faixa_Etaria",
             band("Idade", [0, 13, 18, 40, 60, 120], ["0-12", "13-17", "18-39", "40-59", "60+"]),

@@ -37,9 +37,17 @@ def duration(end: Column | str, start: Column | str, unit: str = "hours") -> Col
 
 def age_years(birth: Column | str, as_of: Column) -> Column:
     """Age in fractional years (F7): `(as_of - birth).days / 365.25`
-    (etl_pipeline.py:279-282) — columnar datediff, no per-row lambda."""
+    (etl_pipeline.py:279-282) — columnar, no per-row lambda.
+
+    pandas timedelta ``.days`` floors *elapsed 24 h periods* (toward
+    -inf), while ``datediff`` counts calendar-date boundaries; when the
+    birth time-of-day exceeds as_of's they differ by one day, which can
+    flip an age band exactly at a boundary.  floor(Δseconds/86400)
+    reproduces the pandas semantics bit-for-bit.
+    """
     b = F.col(birth) if isinstance(birth, str) else birth
-    return F.datediff(as_of, b) / F.lit(365.25)
+    days = F.floor((F.unix_timestamp(as_of) - F.unix_timestamp(b)) / F.lit(86400))
+    return days / F.lit(365.25)
 
 
 def shift_of_day(ts: Column | str) -> Column:

@@ -57,20 +57,36 @@ def asof_join_backward(
         )
 
     lcols = left.columns
+    # The entire right payload (+ matched ts) rides in ONE struct so a
+    # null payload column in the most recent right row cannot make
+    # per-column last(ignorenulls) mix values from different right rows
+    # — the struct is non-null whenever a right row exists, and it is
+    # carried (or not) atomically.
+    r_struct = F.struct(
+        *[F.col(c).alias(c) for c in payload],
+        F.col(right_ts).alias("_asof_ts"),
+    )
+    rtypes = dict(right.dtypes)
+    null_struct = F.lit(None).cast(
+        "struct<"
+        + ",".join(
+            [f"`{c}`:{rtypes[c]}" for c in payload]
+            + [f"`_asof_ts`:{rtypes[right_ts]}"]
+        )
+        + ">"
+    )
     r_tagged = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload],
-        F.col(right_ts).alias("_r__asof_ts"),
+        r_struct.alias("_r"),
         *[F.lit(None).alias(f"_l_{c}") for c in lcols],
     )
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in payload],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("_r__asof_ts"),
+        null_struct.alias("_r"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
     unioned = r_tagged.unionByName(l_tagged)
@@ -82,9 +98,13 @@ def asof_join_backward(
     carried = unioned.select(
         "_side",
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in [*payload, "_asof_ts"]
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_r_carried"),
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    return (
+        carried.filter(F.col("_side") == 1)
+        .select(
+            *lcols,
+            *[F.col(f"_r_carried.{c}").alias(c) for c in payload],
+            F.col("_r_carried._asof_ts").alias("_asof_ts"),
+        )
+    )

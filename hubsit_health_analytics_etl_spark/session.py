@@ -54,8 +54,11 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        # reference sets this for its write path (Criptografia.py:51)
-        .config("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # reference sets this for its write path (Criptografia.py:51);
+        # needs the spark.hadoop. prefix to reach the Hadoop conf.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -36,6 +36,32 @@ def test_asof_backward_semantics(spark):
     assert out[(3, "2024-01-05")] == (None, None)           # key absent on right
 
 
+def test_asof_payload_row_stays_atomic(spark):
+    """If the most recent right row carries a NULL in one payload
+    column, the output must keep that null — not backfill it from an
+    older right row (per-column carry would mix rows)."""
+    from hubsit_health_analytics_etl_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-10")], "k int, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-02", 100.0, "old-vendor"),
+            (1, "2024-01-08", 200.0, None),  # most recent: vendor NULL
+        ],
+        "k int, rts string, px double, vendor string",
+    ).withColumn("rts", F.col("rts").cast("timestamp_ntz"))
+
+    row = asof_join_backward(
+        left, right, key="k", left_ts="ts", right_ts="rts",
+        payload=["px", "vendor"], tie_break="px",
+    ).collect()[0]
+    assert row.px == 200.0
+    assert row.vendor is None  # NOT "old-vendor"
+    assert str(row._asof_ts)[:10] == "2024-01-08"
+
+
 def test_hash_split_stable_disjoint_exhaustive(spark):
     from hubsit_health_analytics_etl_spark.operators.sampling import (
         hash_sample,
