@@ -25,6 +25,10 @@ from .textanalysis import fingerprint
 N_MINHASH = 16  # signature length
 BAND_ROWS = 2   # rows per LSH band → 8 bands
 N_BANDS = N_MINHASH // BAND_ROWS
+# Production bucket cap: a band bucket larger than this is dropped
+# (after pre-exact-dedup, buckets this hot are low-precision noise;
+# un-capped they emit O(m²) pairs on one reducer).
+MINHASH_BUCKET_CAP = 32
 
 # Universal-hash family h_j(x) = (a_j·x + b_j) mod P over a 32-bit
 # base hash (md5 prefix). One md5 per shingle instead of N_MINHASH —
@@ -90,13 +94,81 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(n)
 
 
-def minhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dup_representatives(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One representative row (min id) per normalized-text fingerprint.
+
+    The scale guard in front of MinHash: a spam cluster of m identical
+    docs collapses to ONE representative before any signature is
+    computed, so it can never land m ids in one LSH bucket. One shuffle
+    on the md5 fingerprint; ``min_by`` keeps the representative's text
+    deterministically (DuckDB twin: ``arg_min``).
+    """
+    return (
+        docs.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min_by(text_col, F.col(id_col)).alias(text_col),
+        )
+        .drop("fp")
+    )
+
+
+def exact_dup_edges(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_a=representative, doc_b=duplicate, jaccard=1.0) for every
+    non-representative exact duplicate — the edges that reconnect docs
+    removed by :func:`exact_dup_representatives` to the dedup graph
+    (used by connected-components clustering). One fingerprint shuffle;
+    the rep join is a broadcast-able agg side at fixture scale and an
+    equi-join on fp at any scale."""
+    fp = docs.withColumn("fp", fingerprint(text_col)).select("fp", F.col(id_col))
+    reps = fp.groupBy("fp").agg(F.min(id_col).alias("doc_a"))
+    return (
+        fp.join(reps, "fp")
+        .filter(F.col(id_col) != F.col("doc_a"))
+        .select(
+            "doc_a",
+            F.col(id_col).alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_cap: int | None = None,
+    pre_exact_dedup: bool = False,
+    observation=None,
+) -> DataFrame:
     """doc → signature → bands → self-join on band collision →
     distinct candidate pairs with exact Jaccard on shingle sets.
 
     Returns (doc_a, doc_b, jaccard). The only shuffles are the band
     self-join and the final distinct — both on short hash keys.
+
+    Scale guards (both on for the production configuration):
+
+    - ``pre_exact_dedup=True`` collapses byte-identical docs to one
+      min-id representative BEFORE signatures, so exact-duplicate spam
+      can never concentrate a bucket (their pairs belong to
+      :func:`exact_dedup` / :func:`exact_dup_edges`, not LSH).
+    - ``bucket_cap=k`` drops any band bucket with more than ``k``
+      members entirely: an un-capped hot bucket puts m ids on one
+      reducer and emits O(m²) pairs. Near-dup recall loss is bounded —
+      a doc pair has ``N_BANDS`` chances to collide, and degenerate
+      buckets are low-precision anyway. Pass an
+      ``pyspark.sql.Observation`` as ``observation`` to read
+      ``dropped_buckets`` / ``dropped_members`` after the action runs
+      (JVM-side metric, zero extra pass).
     """
+    if pre_exact_dedup:
+        docs = exact_dup_representatives(docs, id_col, text_col)
     sh = _spread(docs).select(F.col(id_col), shingles_from_text(text_col).alias("sh"))
     sig = sh.select(id_col, shingle_base_hash("sh").alias("hs")).select(
         id_col, *minhash_signature("hs")
@@ -116,6 +188,17 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if bucket_cap is not None:
+        oversized = F.size("ids") > F.lit(int(bucket_cap))
+        if observation is not None:
+            buckets = buckets.observe(
+                observation,
+                F.sum(F.when(oversized, 1).otherwise(0)).alias("dropped_buckets"),
+                F.sum(F.when(oversized, F.size("ids")).otherwise(0)).alias(
+                    "dropped_members"
+                ),
+            )
+        buckets = buckets.filter(~oversized)
     pairs = (
         buckets.select(
             F.explode(

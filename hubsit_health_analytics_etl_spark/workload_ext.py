@@ -17,10 +17,12 @@ from .operators.dedup import (
     BAND_MIX,
     BAND_ROWS,
     MINHASH_AB,
+    MINHASH_BUCKET_CAP,
     MINHASH_PRIME,
     N_BANDS,
     N_MINHASH,
     exact_dedup,
+    exact_dup_edges,
     minhash_candidates,
     ngram_jaccard_pairs,
     simhash32,
@@ -251,7 +253,11 @@ def _sql_shingles(text: str = "text", k: int = 3) -> str:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_ctes() -> str:
+    """CTE chain replicating ``minhash_candidates`` in its production
+    configuration (pre-exact-dedup representatives + bucket cap) —
+    ends with a ``mh_pairs(doc_a, doc_b, jaccard)`` CTE.  Shared by the
+    minhash_lsh_pairs and dedup_clusters oracles."""
     sig_cols = ", ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME})) AS mh_{j}"
         for j, (a, b) in enumerate(MINHASH_AB[:N_MINHASH])
@@ -268,30 +274,49 @@ def _minhash_oracle() -> str:
         for b in range(N_BANDS)
     )
     return f"""
-    WITH sh AS (SELECT doc_id, {_sql_shingles()} AS sh FROM documents),
+    rep AS (SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+            FROM documents
+            GROUP BY md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))),
+    sh AS (SELECT doc_id, {_sql_shingles()} AS sh FROM rep),
     hs AS (SELECT doc_id, sh,
                   list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
            FROM sh),
     sig AS (SELECT doc_id, sh, {sig_cols} FROM hs),
     bands AS ({band_selects}),
+    bucket_ok AS (SELECT band_idx, band_key FROM bands
+                  GROUP BY band_idx, band_key
+                  HAVING COUNT(*) > 1 AND COUNT(*) <= {MINHASH_BUCKET_CAP}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM bands a JOIN bands b
+             FROM bands a
+             JOIN bucket_ok o
+               ON a.band_idx = o.band_idx AND a.band_key = o.band_key
+             JOIN bands b
                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-             WHERE a.doc_id < b.doc_id)
-    SELECT c.doc_a, c.doc_b,
-           ROUND(len(list_intersect(x.sh, y.sh))
-                 / CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE), 6) AS jaccard
-    FROM cand c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+             WHERE a.doc_id < b.doc_id),
+    mh_pairs AS (SELECT c.doc_a, c.doc_b,
+                        ROUND(len(list_intersect(x.sh, y.sh))
+                              / CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE), 6)
+                          AS jaccard
+                 FROM cand c
+                 JOIN sh x ON c.doc_a = x.doc_id
+                 JOIN sh y ON c.doc_b = y.doc_id)
     """
 
 
-@query("minhash_lsh_pairs", _minhash_oracle())
+@query(
+    "minhash_lsh_pairs",
+    f"WITH {_minhash_pairs_ctes()} SELECT doc_a, doc_b, jaccard FROM mh_pairs",
+)
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs with exact Jaccard — the oracle
     replicates signature, banding and verification exactly (md5-string
-    minhash is engine-portable)."""
+    minhash is engine-portable), INCLUDING the scale guards: exact
+    duplicates collapse to a min-id representative before signatures,
+    and band buckets over MINHASH_BUCKET_CAP members are dropped."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_candidates(docs)
+    return minhash_candidates(
+        docs, bucket_cap=MINHASH_BUCKET_CAP, pre_exact_dedup=True
+    )
 
 
 @query(
@@ -418,9 +443,24 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (mapInPandas — no SQL oracle: rows-only check)
+# Multimodal plumbing (mapInPandas). The runtime path is Arrow-batched
+# Python, but the STUB kernel is sha256 + byte length of a UTF-8
+# payload — fully expressible in DuckDB, so even the mapInPandas
+# plumbing is hash-checked end-to-end (a real image decoder would
+# drop back to a rows-only check).
 # ---------------------------------------------------------------------------
-@query("media_features")  # no oracle: Arrow/mapInPandas path is not SQL-expressible
+@query(
+    "media_features",
+    """
+    SELECT doc_id AS media_id,
+           (['image', 'audio', 'video'])[(doc_id % 3)::INT + 1] AS kind,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           sha256(text) AS payload_sha,
+           CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT) AS feat_0,
+           CAST('0x' || substr(sha256(text), 9, 8) AS BIGINT) AS feat_1
+    FROM documents
+    """,
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(documents_as_media(docs))
@@ -998,16 +1038,47 @@ def q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Duplicate clusters: connected components over MinHash pairs
-# (iterative — rows-only check; semantics pinned by unit tests)
+# Duplicate clusters: connected components over exact-dup + MinHash
+# edges. Spark side is iterative min-label propagation; the oracle is
+# DuckDB WITH RECURSIVE reachability (min reachable node == component),
+# so even the iterative operator is hash-checked end-to-end.
 # ---------------------------------------------------------------------------
-@query("dedup_clusters")  # iterative min-label propagation: not single-SQL
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    fp AS (SELECT doc_id,
+                  md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+           FROM documents),
+    freps AS (SELECT fp, MIN(doc_id) AS rep FROM fp GROUP BY fp),
+    edges0 AS (
+        SELECT doc_a, doc_b FROM mh_pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+        UNION
+        SELECT f.rep AS doc_a, p.doc_id AS doc_b
+        FROM fp p JOIN freps f USING (fp) WHERE p.doc_id <> f.rep),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM edges0
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM edges0),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT component, COUNT(*)::BIGINT AS n_members, MIN(node)::BIGINT AS keeper
+    FROM comp GROUP BY component
+    """,
+)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clusters import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_candidates(docs).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    return dedup_clusters(docs, pairs)
+    near = minhash_candidates(
+        docs, bucket_cap=MINHASH_BUCKET_CAP, pre_exact_dedup=True
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    # exact duplicates re-enter the graph via their representative edge
+    # (they were collapsed out of the LSH input by pre_exact_dedup)
+    edges = near.unionByName(exact_dup_edges(docs))
+    return dedup_clusters(docs, edges)
 
 
 # ---------------------------------------------------------------------------

@@ -39,6 +39,55 @@ def test_minhash_candidates_are_subset_of_ground_truth_high_j(spark):
     assert high and high.issubset(set(lsh))
 
 
+def test_minhash_spam_cluster_bounded(spark):
+    """Adversarial corpus: 1000 byte-identical spam docs + a handful of
+    distinct docs. Un-capped LSH would put all 1000 ids in one bucket
+    per band and emit ~500k pairs on one reducer; the production
+    configuration (pre-exact-dedup + bucket cap) must emit ZERO pairs
+    among the identical docs (they collapse to one representative) and
+    keep total pair output bounded by the cap."""
+    from pyspark.sql import Observation
+
+    from hubsit_health_analytics_etl_spark.operators.dedup import (
+        MINHASH_BUCKET_CAP,
+        N_BANDS,
+        exact_dup_edges,
+        minhash_candidates,
+    )
+
+    spam = [(i, "buy cheap pills now best price online pharmacy deal") for i in range(1000)]
+    distinct = [
+        (2000 + i, f"the quick brown fox number {i} jumps over the lazy dog {i}")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(spam + distinct, "doc_id long, text string")
+
+    pairs = minhash_candidates(
+        docs, bucket_cap=MINHASH_BUCKET_CAP, pre_exact_dedup=True
+    ).collect()
+    # 6 representatives total -> pair count bounded far below m^2/2
+    max_pairs = N_BANDS * MINHASH_BUCKET_CAP * (MINHASH_BUCKET_CAP - 1) // 2
+    assert len(pairs) <= max_pairs
+    spam_ids = {i for i in range(1000)}
+    assert not any(r.doc_a in spam_ids and r.doc_b in spam_ids for r in pairs)
+
+    # the spam cluster is still fully recoverable via exact edges
+    edges = exact_dup_edges(docs).collect()
+    assert len(edges) == 999
+    assert all(e.doc_a == 0 and e.jaccard == 1.0 for e in edges)
+
+    # cap path without pre-dedup: the hot bucket is DROPPED (observed),
+    # not expanded into 500k pairs
+    obs = Observation("lsh")
+    capped = minhash_candidates(
+        docs, bucket_cap=MINHASH_BUCKET_CAP, observation=obs
+    )
+    n = capped.count()
+    assert n <= max_pairs
+    assert obs.get["dropped_buckets"] >= N_BANDS  # one hot bucket per band
+    assert obs.get["dropped_members"] >= N_BANDS * 1000
+
+
 def test_exact_dedup_identifies_inserted_duplicates(spark):
     from hubsit_health_analytics_etl_spark.operators.dedup import exact_dedup
 
