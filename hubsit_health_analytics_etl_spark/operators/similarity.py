@@ -200,6 +200,44 @@ def label_mean_centroids(corpus: DataFrame, id_col="vec_id", vec_col="embedding"
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    scale: int = 6,
+) -> DataFrame:
+    """Real IVF trainer: seeded Spark ML KMeans over the embedding
+    column. Returns (cell, centroid array<double>) — the same contract
+    as :func:`label_mean_centroids`, so it plugs straight into
+    :func:`ivf_topk` via the ``centroids`` parameter.
+
+    Centroids are rounded to ``scale`` dp for the same reason as the
+    label-mean path (partition-order float noise must not move a cell
+    boundary between runs). Training itself is Spark ML's distributed
+    Lloyd iterations — no driver-side data pass beyond the k centers.
+    Not oracle-matched (k-means results are engine-specific); quality
+    is asserted as recall-vs-brute-force in tests instead.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(feats)
+    centers = [
+        (i, [round(float(x), scale) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        centers, "cell int, centroid array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     k: int,
@@ -207,18 +245,27 @@ def ivf_topk(
     vec_col: str = "embedding",
     label_col: str = "label",
     query_filter: Column | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flavored ANN: assign every vector to its nearest centroid
     cell (argmax cosine vs the small broadcast centroid table), then
     search only within the cell. Map-only assignment + equi-join on
-    the cell id — the candidate set per query is |cell| ≈ N/n_cells."""
+    the cell id — the candidate set per query is |cell| ≈ N/n_cells.
+
+    ``centroids`` (cell, centroid array<double>) selects the coarse
+    quantizer: :func:`kmeans_centroids` for a trained one, default is
+    the deterministic label-mean stand-in."""
     from .dedup import _spread
     from .reshape import top_k
 
+    if centroids is None:
+        centroids = label_mean_centroids(corpus, id_col, vec_col, label_col).select(
+            F.col(label_col).alias("cell"), "centroid"
+        )
     # centroid norms computed once on the C-row centroid table, not
     # per (vector, centroid) pair
-    cents = label_mean_centroids(corpus, id_col, vec_col, label_col).select(
-        F.col(label_col).alias("cell"), "centroid", norm_expr("centroid").alias("c_nrm")
+    cents = centroids.select(
+        "cell", "centroid", norm_expr("centroid").alias("c_nrm")
     )
     base = _spread(corpus).select(id_col, vec_col, norm_expr(vec_col).alias("nrm"))
     scored_cells = base.crossJoin(F.broadcast(cents)).select(

@@ -466,6 +466,47 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(documents_as_media(docs))
 
 
+# ---------------------------------------------------------------------------
+# Skew-safe aggregation: two-phase salted groupBy on the hot event_type
+# key. The oracle is the PLAIN single-phase GROUP BY — hash-matching it
+# proves the salting is result-invariant (routing only), which is the
+# entire contract of the operator.
+# ---------------------------------------------------------------------------
+@query(
+    "salted_event_totals",
+    """
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_eventos,
+           ROUND(SUM(value), 2) AS valor_total,
+           ROUND(MAX(value), 2) AS valor_max
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via operators.skew.salted_agg: the hot key
+    spreads over 16 salt reducers (partial agg per salt), then the tiny
+    per-salt partials merge in a second groupBy. Same answer as the
+    plain GROUP BY, minus the single-reducer hot spot."""
+    from .operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        ["event_type"],
+        {
+            "n_eventos": ("sum", F.count(F.lit(1))),
+            "valor_total": ("sum", F.sum("value")),
+            "valor_max": ("max", F.max("value")),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n_eventos").cast("bigint").alias("n_eventos"),
+        F.round("valor_total", 2).alias("valor_total"),
+        F.round("valor_max", 2).alias("valor_max"),
+    )
+
+
 HYPERPLANES_USED = HYPERPLANES  # re-export for tests
 
 
@@ -1124,6 +1165,70 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = ivf_topk(emb, ANN_K, query_filter=F.col("vec_id") < ANN_QUERY_LIMIT)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# ANN approximation quality: recall@k of the LSH and IVF paths against
+# the exact brute-force neighbors — the tracked number that says how
+# much accuracy the scale paths trade for their pruning. The oracle
+# nests the three already-verified ANN oracles as CTE subqueries.
+# ---------------------------------------------------------------------------
+def _ann_recall_oracle() -> str:
+    from .workload import ORACLES
+
+    return f"""
+    WITH brute AS ({ORACLES["ann_bruteforce_topk"]}),
+    lsh AS ({ORACLES["ann_lsh_topk"]}),
+    ivf AS ({ORACLES["ann_ivf_topk"]}),
+    approx AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
+               UNION ALL
+               SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf),
+    hits AS (SELECT method, COUNT(*)::BIGINT AS n_hits
+             FROM approx JOIN brute USING (query_id, neighbor_id)
+             GROUP BY method),
+    tot AS (SELECT COUNT(*)::BIGINT AS n_total FROM brute),
+    m(method) AS (VALUES ('lsh'), ('ivf'))
+    SELECT m.method,
+           COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+           t.n_total,
+           ROUND(COALESCE(h.n_hits, 0) / CAST(t.n_total AS DOUBLE), 6)
+             AS recall_at_k
+    FROM m LEFT JOIN hits h ON m.method = h.method CROSS JOIN tot t
+    """
+
+
+@query("ann_recall_at_k", _ann_recall_oracle())
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{ANN_K} per approximate method vs exact brute force:
+    |approx ∩ exact| / |exact| over all query vectors. LSH pays for
+    singleton buckets (recall loss is visible, not hidden); IVF pays at
+    cell boundaries."""
+    brute = q_ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_ann_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id"
+    ).unionByName(
+        q_ann_ivf_topk(spark, sf_dir).select(
+            F.lit("ivf").alias("method"), "query_id", "neighbor_id"
+        )
+    )
+    hits = (
+        approx.join(brute, ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    methods = spark.createDataFrame([("lsh",), ("ivf",)], "method string")
+    tot = brute.agg(F.count(F.lit(1)).alias("n_total"))
+    n_hits = F.coalesce("n_hits", F.lit(0)).cast("bigint")
+    return (
+        methods.join(hits, "method", "left")
+        .crossJoin(tot)
+        .select(
+            "method",
+            n_hits.alias("n_hits"),
+            F.col("n_total").cast("bigint").alias("n_total"),
+            F.round(n_hits / F.col("n_total"), 6).alias("recall_at_k"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

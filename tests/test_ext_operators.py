@@ -140,6 +140,39 @@ def test_ann_lsh_results_subset_of_bruteforce_space(spark):
         assert bf_scores[(r.query_id, r.neighbor_id)] == r.cosine
 
 
+def test_kmeans_ivf_recall_at_least_label_mean(spark):
+    """The trained coarse quantizer (seeded Spark ML KMeans) must reach
+    at least the recall of the deterministic label-mean stand-in, both
+    measured against exact brute-force top-k."""
+    from hubsit_health_analytics_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qf = F.col("vec_id") < 20
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, emb.filter(qf), 5).collect()
+    }
+
+    def recall(df) -> float:
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(got & brute) / len(brute)
+
+    base = recall(ivf_topk(emb, 5, query_filter=qf))
+    n_cells = emb.select("label").distinct().count()
+    trained = recall(
+        ivf_topk(
+            emb, 5, query_filter=qf,
+            centroids=kmeans_centroids(emb, n_cells),
+        )
+    )
+    assert trained >= base, f"kmeans recall {trained} < label-mean {base}"
+
+
 def test_multimodal_feature_extraction_schema_and_determinism(spark):
     from hubsit_health_analytics_etl_spark.operators.multimodal import (
         FEATURE_SCHEMA,

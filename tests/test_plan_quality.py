@@ -103,3 +103,60 @@ def test_dedup_never_plans_cartesian(spark, name):
     p = physical_plan(_q(name)(spark, SF_SMOKE))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ann_lsh_plans_equi_join_only(spark):
+    """Sign-LSH ANN: the bucket join must plan as an equi-join (hash);
+    no nested-loop anywhere — bucketing is map-only."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("ann_lsh_topk")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_ann_ivf_cell_search_is_equi_join(spark):
+    """IVF ANN: the centroid ASSIGNMENT is a deliberate cross join
+    against the tiny broadcast centroid table (C rows — bounded); the
+    cell SEARCH join itself must be a hash equi-join on the cell id,
+    and nothing may plan a CartesianProduct (unbounded both sides)."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("ann_ivf_topk")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # the cell-search equi-join
+    # any nested-loop must be the broadcast-centroid cross join, which
+    # always declares Cross BuildRight (the detail section repeats the
+    # node name with an empty remainder — skip those)
+    for seg in p.split("BroadcastNestedLoopJoin")[1:]:
+        head = seg.splitlines()[0].strip()
+        assert head == "" or head.startswith("Cross BuildRight")
+
+
+def test_ann_bruteforce_corpus_never_shuffles(spark):
+    """Brute force is intentionally a broadcast nested loop (non-equi
+    self-exclusion join over a SMALL broadcast query set) — but the
+    corpus side must stream map-only: no Exchange may sit between the
+    corpus scan and the join."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("ann_bruteforce_topk")(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in p  # the documented, chosen shape
+    # every Exchange in the plan feeds either the broadcast (query side)
+    # or the post-join top-k — none may be a corpus repartition between
+    # scan and join. The corpus enters via _spread (round-robin), so
+    # the join's streaming child must be that RoundRobin exchange
+    # directly, with no hash partitioning of the corpus.
+    streaming_side = p.split("BroadcastNestedLoopJoin")[0]
+    assert "hashpartitioning" not in streaming_side.lower()
+
+
+def test_embedding_nn_dedup_blocked_join_not_cartesian(spark):
+    """Embedding near-dup dedup joins on the block key — the plan must
+    be an equi-join on the block, never an all-pairs expansion."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("embedding_nn_dedup")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
