@@ -259,22 +259,29 @@ def ngram_jaccard_pairs(
 def simhash32(text_col: str = "text") -> Column:
     """32-bit SimHash from the first 8 md5 nibbles of each token
     (token multiset, not distinct — repeated words weigh more).
-    bit_b(doc) = majority sign over tokens of bit_b(md5(token))."""
+    bit_b(doc) = majority over tokens of bit_b(md5(token)).
+
+    ONE md5 per token: each token hashes once to a 32-bit int
+    (``conv`` of the first 8 hex chars — hex char j is the value's
+    nibble 7-j, so bit b of the nibble formulation is bit
+    ``4*(7 - b div 4) + b%4`` of the int), then a single ``aggregate``
+    folds all 32 bit-counters plus the token count in a struct
+    accumulator and recomposes the majority bits in the finish lambda.
+    The naive per-bit formulation re-hashes every token 32× — measured
+    ~20× slower at sf0.1 (bit set iff 2*count_b > n_tokens ⇔
+    majority of ±1 votes is positive; ties → 0, same as sum > 0)."""
     toks = f"split(lower({text_col}), ' ')"
-    bit_terms = []
-    for b in range(32):
-        nib, off = divmod(b, 4)
-        nib_expr = f"(instr('0123456789abcdef', substr(md5(t), {nib + 1}, 1)) - 1)"
-        bit = f"((({nib_expr}) div {1 << off}) % 2)"
-        # sum over tokens of (2*bit - 1); majority > 0 → bit set
-        # (acc is BIGINT because Spark's `div` yields BIGINT)
-        term = (
-            f"(case when aggregate({toks}, cast(0 as bigint), "
-            f"(acc, t) -> acc + (2 * {bit} - 1)) > 0 "
-            f"then {1 << b} else 0 end)"
-        )
-        bit_terms.append(term)
-    return F.expr("cast(" + " + ".join(bit_terms) + " as bigint)")
+    hs = f"transform({toks}, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"
+    shift = "cast(4 * (7 - i div 4) + i % 4 as int)"
+    return F.expr(
+        f"aggregate({hs}, "
+        "struct(array_repeat(cast(0 as bigint), 32) as c, cast(0 as bigint) as n), "
+        f"(acc, h) -> struct(transform(acc.c, (a, i) -> a + shiftright(h, {shift}) % 2) as c, "
+        "acc.n + 1 as n), "
+        "acc -> aggregate(transform(acc.c, (cnt, i) -> "
+        "case when 2 * cnt > acc.n then shiftleft(cast(1 as bigint), i) else cast(0 as bigint) end), "
+        "cast(0 as bigint), (s, x) -> s + x))"
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -362,9 +362,14 @@ def _simhash_oracle() -> str:
 @query("simhash_docs", _simhash_oracle())
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document from md5-nibble token hashes —
-    near-dup fingerprint whose Hamming neighbors are dedup candidates."""
+    near-dup fingerprint whose Hamming neighbors are dedup candidates.
+    _spread fans the single-row-group local fixture across cores before
+    the per-token hash work (no-op cost at real scale, where the
+    source arrives in many splits)."""
+    from .operators.dedup import _spread
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash32("text").alias("simhash"))
+    return _spread(docs).select("doc_id", simhash32("text").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
