@@ -246,6 +246,7 @@ def ivf_topk(
     label_col: str = "label",
     query_filter: Column | None = None,
     centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-flavored ANN: assign every vector to its nearest centroid
     cell (argmax cosine vs the small broadcast centroid table), then
@@ -254,7 +255,14 @@ def ivf_topk(
 
     ``centroids`` (cell, centroid array<double>) selects the coarse
     quantizer: :func:`kmeans_centroids` for a trained one, default is
-    the deterministic label-mean stand-in."""
+    the deterministic label-mean stand-in.
+
+    ``nprobe`` is the classic IVF recall knob: each QUERY searches its
+    ``nprobe`` nearest cells (corpus vectors stay single-cell
+    assigned, so the index is unchanged) — candidate set and recall
+    grow ≈ linearly, the join stays an equi-join on the cell id. A
+    (query, neighbor) pair can only arise in the neighbor's one home
+    cell, so no dedup pass is needed."""
     from .dedup import _spread
     from .reshape import top_k
 
@@ -281,12 +289,14 @@ def ivf_topk(
     from pyspark.sql import Window
 
     w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cell").asc())
-    assigned = (
-        scored_cells.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "nrm", "cell")
+    ranked_cells = scored_cells.withColumn("rn", F.row_number().over(w))
+    assigned = ranked_cells.filter(F.col("rn") == 1).select(
+        id_col, vec_col, "nrm", "cell"
     )
-    q = assigned.filter(query_filter if query_filter is not None else F.lit(True)).select(
+    q = ranked_cells.filter(
+        (F.col("rn") <= int(nprobe))
+        & (query_filter if query_filter is not None else F.lit(True))
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col("nrm").alias("q_norm"),

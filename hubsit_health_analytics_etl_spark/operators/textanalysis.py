@@ -114,6 +114,85 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.trim(F.lower(t)), " +", " "))
 
 
+def winnowed_fingerprints(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 8,
+) -> "DataFrame":
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD 2003): positional word k-grams hashed to 32-bit ints; every
+    window of ``w`` consecutive gram hashes contributes its minimum;
+    the doc's fingerprint is the distinct selected values (sorted).
+    Guarantee: two docs sharing a run of ≥ w+k-1 tokens share at least
+    one fingerprint — the basis for plagiarism/near-dup candidate
+    retrieval with O(2/(w+1)) selection density instead of every gram.
+
+    Two chained projections on purpose: the gram-hash array
+    materializes as a bound attribute in the first select, so the
+    window pass references it O(1) times per row (CollapseProject
+    never merges projections that would duplicate the expensive
+    md5-per-gram expression). Map-only — no shuffle, no Python.
+
+    Returns (id_col, fingerprints array<bigint>).
+    """
+    toks = f"split(lower({text_col}), ' ')"
+    grams = (
+        f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {k})))"
+    )
+    hs = f"transform({grams}, g -> cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint))"
+    step = df.select(id_col, F.expr(hs).alias("_gram_hashes"))
+    mins = (
+        f"array_sort(array_distinct(transform("
+        f"sequence(1, greatest(size(_gram_hashes) - {w - 1}, 1)), "
+        f"i -> array_min(slice(_gram_hashes, i, {w})))))"
+    )
+    return step.select(id_col, F.expr(mins).alias("fingerprints"))
+
+
+def winnow_candidate_pairs(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 8,
+    min_shared: int = 2,
+    df_cap: int | None = 50,
+) -> "DataFrame":
+    """Near-dup candidate pairs = docs sharing ≥ ``min_shared``
+    winnowed fingerprints, via an inverted index on the fingerprint
+    value (explode → self-equi-join on fp → pair count). Same shape as
+    the n-gram inverted index: the only shuffles are on the integer
+    fingerprint key and the final pair groupBy — never all-pairs.
+
+    ``df_cap`` drops fingerprints appearing in more than that many
+    docs (boilerplate/stopword grams): a hot fingerprint key would
+    otherwise emit O(m²) join rows on one reducer — the same scale
+    guard as the LSH bucket cap.
+
+    Returns (doc_a, doc_b, n_shared), doc_a < doc_b.
+    """
+    inv = winnowed_fingerprints(df, text_col, id_col, k, w).select(
+        F.col(id_col), F.explode("fingerprints").alias("fp")
+    )
+    if df_cap is not None:
+        counts = inv.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        inv = inv.join(
+            counts.filter(F.col("_df") <= df_cap).select("fp"), "fp"
+        )
+    a = inv.select(F.col(id_col).alias("doc_a"), "fp")
+    b = inv.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def chunk_tokens(
     text: str = "text", chunk_size: int = 50, stride: int = 40
 ) -> "Column":

@@ -23,6 +23,7 @@ from .operators.dedup import (
     N_MINHASH,
     exact_dedup,
     exact_dup_edges,
+    _spread,
     minhash_candidates,
     ngram_jaccard_pairs,
     simhash32,
@@ -342,6 +343,78 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index — ground truth for the LSH path."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al., SIGMOD 2003): rolling
+# window of k-gram hashes, min per window. K=4-token grams, W=8
+# windows — shared runs of ≥ 11 tokens always collide.
+# ---------------------------------------------------------------------------
+K_WINNOW, W_WINNOW = 4, 8
+WINNOW_MIN_SHARED, WINNOW_DF_CAP = 2, 50
+
+
+def _sql_winnow_fps() -> str:
+    """DuckDB twin of operators.textanalysis.winnowed_fingerprints:
+    (doc_id, fps list<bigint>)."""
+    toks = "string_split(lower(text), ' ')"
+    grams = (
+        f"list_transform(range(1, greatest(len({toks}) - {K_WINNOW - 1}, 1) + 1), "
+        f"i -> array_to_string(({toks})[i:i+{K_WINNOW - 1}], ' '))"
+    )
+    return f"""
+    SELECT doc_id,
+           list_sort(list_distinct(list_transform(
+               range(1, greatest(len(hs) - {W_WINNOW - 1}, 1) + 1),
+               i -> list_min(hs[i:i+{W_WINNOW - 1}])))) AS fps
+    FROM (SELECT doc_id,
+                 list_transform({grams},
+                                g -> CAST('0x' || substr(md5(g), 1, 8) AS BIGINT)) AS hs
+          FROM documents)
+    """
+
+
+@query(
+    "winnow_fingerprints",
+    f"WITH fp AS ({_sql_winnow_fps()}) SELECT doc_id, unnest(fps) AS fp FROM fp",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every selected (doc, fingerprint) pair — the full winnowed
+    fingerprint relation, hash-checked value by value."""
+    from .operators.textanalysis import winnowed_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnowed_fingerprints(_spread(docs), k=K_WINNOW, w=W_WINNOW)
+    return fps.select("doc_id", F.explode("fingerprints").alias("fp"))
+
+
+@query(
+    "winnow_candidate_pairs",
+    f"""
+    WITH fp AS ({_sql_winnow_fps()}),
+    inv AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+    keep AS (SELECT fp FROM inv GROUP BY fp HAVING COUNT(*) <= {WINNOW_DF_CAP}),
+    inv2 AS (SELECT inv.doc_id, inv.fp FROM inv JOIN keep USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_shared
+    FROM inv2 a JOIN inv2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """,
+)
+def q_winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates = docs sharing ≥ {min_shared} winnowed
+    fingerprints (inverted index on the integer fp key, document-
+    frequency cap against boilerplate-gram hot keys)."""
+    from .operators.textanalysis import winnow_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_candidate_pairs(
+        _spread(docs),
+        k=K_WINNOW,
+        w=W_WINNOW,
+        min_shared=WINNOW_MIN_SHARED,
+        df_cap=WINNOW_DF_CAP,
+    )
 
 
 def _simhash_oracle() -> str:
@@ -1172,6 +1245,54 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+ANN_NPROBE = 2
+
+
+@query(
+    "ann_ivf_nprobe_topk",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT e.label, t.i, ROUND(AVG(e.v[t.i]), 6) AS cval
+             FROM e CROSS JOIN range(1, 65) t(i) GROUP BY e.label, t.i),
+    cents AS (SELECT label AS cell, list(cval ORDER BY i) AS centroid
+              FROM dims GROUP BY label),
+    base AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    sc AS (SELECT b.vec_id, b.v, b.nrm, c.cell,
+                  ROUND(list_dot_product(b.v, c.centroid)
+                        / (b.nrm * sqrt(list_dot_product(c.centroid, c.centroid))), 9)
+                    AS ccos
+           FROM base b CROSS JOIN cents c),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY ccos DESC, cell) AS rn FROM sc),
+    assigned AS (SELECT vec_id, v, nrm, cell FROM ranked WHERE rn = 1),
+    probe AS (SELECT vec_id, v, nrm, cell FROM ranked
+              WHERE rn <= {ANN_NPROBE} AND vec_id < {ANN_QUERY_LIMIT}),
+    p AS (SELECT q.vec_id AS query_id, q.cell, c.vec_id AS neighbor_id,
+                 ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 9) AS cosine
+          FROM probe q JOIN assigned c
+            ON q.cell = c.cell AND c.vec_id <> q.vec_id),
+    r AS (SELECT query_id, cell, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM p)
+    SELECT query_id, cell, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+    FROM r WHERE rank <= {ANN_K}
+    """,
+)
+def q_ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe={ANN_NPROBE}: each query searches its 2 nearest
+    cells (the index — corpus single-cell assignment — is unchanged).
+    The recall knob of every production IVF deployment; lift is
+    tracked by ann_recall_at_k's 'ivf2' row."""
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, ANN_K, query_filter=F.col("vec_id") < ANN_QUERY_LIMIT, nprobe=ANN_NPROBE
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 # ---------------------------------------------------------------------------
 # ANN approximation quality: recall@k of the LSH and IVF paths against
 # the exact brute-force neighbors — the tracked number that says how
@@ -1185,14 +1306,17 @@ def _ann_recall_oracle() -> str:
     WITH brute AS ({ORACLES["ann_bruteforce_topk"]}),
     lsh AS ({ORACLES["ann_lsh_topk"]}),
     ivf AS ({ORACLES["ann_ivf_topk"]}),
+    ivf2 AS ({ORACLES["ann_ivf_nprobe_topk"]}),
     approx AS (SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh
                UNION ALL
-               SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf),
+               SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+               UNION ALL
+               SELECT 'ivf2' AS method, query_id, neighbor_id FROM ivf2),
     hits AS (SELECT method, COUNT(*)::BIGINT AS n_hits
              FROM approx JOIN brute USING (query_id, neighbor_id)
              GROUP BY method),
     tot AS (SELECT COUNT(*)::BIGINT AS n_total FROM brute),
-    m(method) AS (VALUES ('lsh'), ('ivf'))
+    m(method) AS (VALUES ('lsh'), ('ivf'), ('ivf2'))
     SELECT m.method,
            COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
            t.n_total,
@@ -1215,13 +1339,19 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_ann_ivf_topk(spark, sf_dir).select(
             F.lit("ivf").alias("method"), "query_id", "neighbor_id"
         )
+    ).unionByName(
+        q_ann_ivf_nprobe_topk(spark, sf_dir).select(
+            F.lit("ivf2").alias("method"), "query_id", "neighbor_id"
+        )
     )
     hits = (
         approx.join(brute, ["query_id", "neighbor_id"])
         .groupBy("method")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    methods = spark.createDataFrame([("lsh",), ("ivf",)], "method string")
+    methods = spark.createDataFrame(
+        [("lsh",), ("ivf",), ("ivf2",)], "method string"
+    )
     tot = brute.agg(F.count(F.lit(1)).alias("n_total"))
     n_hits = F.coalesce("n_hits", F.lit(0)).cast("bigint")
     return (

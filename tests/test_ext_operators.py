@@ -217,3 +217,97 @@ def test_lang_id_prefers_matching_stopwords(spark):
     )
     out = [r[0] for r in df.select(lang_id(tokens("text")).alias("lg")).collect()]
     assert out == ["en", "es", "und"]
+
+
+def test_winnowing_guarantee_and_identity(spark):
+    """Winnowing contract: docs sharing a run of >= w+k-1 tokens share
+    at least one fingerprint; identical docs have identical sets;
+    disjoint-vocabulary docs share nothing."""
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        winnowed_fingerprints,
+    )
+
+    shared_run = " ".join(f"common{i}" for i in range(12))  # >= 4+8-1
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta " + shared_run + " gamma delta"),
+            (1, "zeta eta theta " + shared_run),
+            (2, "alpha beta " + shared_run + " gamma delta"),
+            (3, " ".join(f"other{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r.doc_id: set(r.fingerprints)
+        for r in winnowed_fingerprints(df, k=4, w=8).collect()
+    }
+    assert fps[0] & fps[1], "shared 12-token run must collide"
+    assert fps[0] == fps[2], "identical docs -> identical fingerprints"
+    assert not fps[0] & fps[3] and not fps[1] & fps[3]
+
+
+def test_winnow_pairs_find_planted_near_dups(spark):
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        winnow_candidate_pairs,
+    )
+
+    core = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (0, core + " trailing bits here"),
+            (1, "lead-in words then " + core),
+            (2, " ".join(f"x{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_candidate_pairs(df, min_shared=2, df_cap=50).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert all(2 not in p for p in pairs)
+
+
+def test_winnow_df_cap_drops_boilerplate_fingerprints(spark):
+    """A fingerprint present in more docs than df_cap is dropped, so
+    boilerplate-only overlap yields no pairs (the hot-key guard)."""
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        winnow_candidate_pairs,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(15))
+    rows = [(i, boiler + f" unique{i} only{i} here{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnow_candidate_pairs(df, min_shared=1, df_cap=3).collect()
+    assert got == []
+    # with the cap lifted the boilerplate pairs every doc with every other
+    uncapped = winnow_candidate_pairs(df, min_shared=1, df_cap=None).count()
+    assert uncapped == 15
+
+
+def test_ivf_nprobe_monotone_recall(spark):
+    """Probing more cells can only add candidates: recall@k vs brute
+    force is monotone in nprobe (the knob's whole contract)."""
+    from hubsit_health_analytics_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qf = F.col("vec_id") < 20
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, emb.filter(qf), 5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, 5, query_filter=qf, nprobe=nprobe).collect()
+        }
+        return len(got & brute) / len(brute)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4, (r1, r2, r4)
+    assert r4 > r1, "probing 4x cells must lift recall on this fixture"

@@ -94,7 +94,9 @@ def test_anti_join_is_broadcast(spark):
     )
 
 
-@pytest.mark.parametrize("name", ["minhash_lsh_pairs", "ngram_jaccard_pairs"])
+@pytest.mark.parametrize(
+    "name", ["minhash_lsh_pairs", "ngram_jaccard_pairs", "winnow_candidate_pairs"]
+)
 def test_dedup_never_plans_cartesian(spark, name):
     """LSH/inverted-index dedup must never degrade to a cartesian or
     broadcast-nested-loop pair explosion."""
@@ -116,14 +118,15 @@ def test_ann_lsh_plans_equi_join_only(spark):
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
 
 
-def test_ann_ivf_cell_search_is_equi_join(spark):
+@pytest.mark.parametrize("name", ["ann_ivf_topk", "ann_ivf_nprobe_topk"])
+def test_ann_ivf_cell_search_is_equi_join(spark, name):
     """IVF ANN: the centroid ASSIGNMENT is a deliberate cross join
     against the tiny broadcast centroid table (C rows — bounded); the
     cell SEARCH join itself must be a hash equi-join on the cell id,
     and nothing may plan a CartesianProduct (unbounded both sides)."""
     from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
 
-    p = physical_plan(_q("ann_ivf_topk")(spark, SF_SMOKE))
+    p = physical_plan(_q(name)(spark, SF_SMOKE))
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p  # the cell-search equi-join
     # any nested-loop must be the broadcast-centroid cross join, which
