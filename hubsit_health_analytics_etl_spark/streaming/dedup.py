@@ -1,0 +1,62 @@
+"""Streaming deduplication — the streaming face of the batch dedup
+family (operators/dedup.py), for ingest pipelines that must drop
+duplicate records as they arrive (at-least-once sources: Kafka
+redeliveries, file re-drops, retried producers).
+
+The reference is strictly batch (no streaming surface at all —
+/root/reference/src/etl_pipeline.py:692-712); this module is EXT,
+required by the training-data-pipeline brief.
+
+Scale design: ``dropDuplicatesWithinWatermark`` keeps per-key state
+ONLY until the watermark passes the key's event time, so state size is
+bounded by (arrival rate × watermark horizon) — a plain
+``dropDuplicates`` on a stream retains every key forever and OOMs a
+100 TB/day ingest. Dedup state shuffles on the key; the key should be
+the short fingerprint, never the document body.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+from ..operators.textanalysis import fingerprint
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    watermark: str,
+) -> DataFrame:
+    """First-arrival-wins dedup on ``key_cols`` with bounded state:
+    duplicates arriving within the watermark horizon of the original
+    are dropped; state for keys older than the watermark is evicted.
+
+    Works identically on a batch DataFrame (falls back to
+    ``dropDuplicates`` — no watermark state needed when the input is
+    bounded), so batch backfills and the live stream share one code
+    path.
+    """
+    if not stream.isStreaming:
+        return stream.dropDuplicates(list(key_cols))
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def streaming_dedup_by_fingerprint(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Content-addressed streaming dedup: key = md5 fingerprint of the
+    whitespace/case-normalized text (operators.textanalysis.fingerprint
+    — the same key the batch exact_dedup groups on), so re-submitted
+    documents with cosmetic spacing/case differences still collapse.
+    The 32-char key, not the document body, is what the dedup state
+    stores and shuffles on."""
+    with_fp = stream.withColumn("fp", fingerprint(text_col))
+    return streaming_exact_dedup(with_fp, ["fp"], ts_col, watermark)
