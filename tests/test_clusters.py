@@ -48,3 +48,26 @@ def test_dedup_clusters_on_fixture_pairs(spark):
     comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
     for r in pairs.collect():
         assert comp[r["doc_a"]] == comp[r["doc_b"]]
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    """A 100-node path graph has diameter 99: plain one-hop min-label
+    propagation cannot finish inside max_iter=20, but pointer-jumping
+    compression shortcuts label chains geometrically."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from hubsit_health_analytics_etl_spark.operators.clusters import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
+    )
+    comps = connected_components(chain, max_iter=20, compress=True)
+    rows = comps.collect()
+    assert len(rows) == 101
+    assert {r.component for r in rows} == {0}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=5, compress=False).collect()
