@@ -1367,6 +1367,60 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Range (interval) join: events attributed to 2-hour "surge windows"
+# seeded by a stable 0.1% hash sample of events. The Spark side is the
+# bucketized equi-join (operators/rangejoin.py); the oracle is the
+# plain inequality join — hash-matching proves the bucketization is
+# routing only.
+# ---------------------------------------------------------------------------
+SURGE_WINDOW_SEC = 7200
+
+
+@query(
+    "range_join_surges",
+    f"""
+    WITH surges AS (
+        SELECT event_id AS surge_id, ts AS w_start,
+               ts + INTERVAL 2 HOUR AS w_end
+        FROM events
+        WHERE {sql_hash_bucket("event_id", 1000, "surge")} = 0)
+    SELECT s.surge_id,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(e.value), 2) AS valor_total
+    FROM surges s JOIN events e
+      ON e.ts >= s.w_start AND e.ts < s.w_end
+    GROUP BY s.surge_id
+    """,
+)
+def q_range_join_surges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per surge window via the bucketized range join: bucket
+    width = the window length, so each interval explodes into ≤ 2
+    buckets and the join is a hash equi-join on the bucket id (the
+    naive inequality join plans a nested loop)."""
+    from .operators.rangejoin import range_join
+    from .operators.sampling import hash_bucket
+
+    events = load_table(spark, sf_dir, "events")
+    surges = events.filter(hash_bucket("event_id", 1000, "surge") == 0).select(
+        F.col("event_id").alias("surge_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    joined = range_join(
+        events.select("ts", "value"),
+        surges,
+        "ts",
+        "w_start",
+        "w_end",
+        bucket_sec=SURGE_WINDOW_SEC,
+    )
+    return joined.groupBy("surge_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("valor_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Statistical aggregates (stddev/corr/covar — absent from the reference,
 # free in both engines; EXT §2.5)
 # ---------------------------------------------------------------------------

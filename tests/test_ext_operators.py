@@ -311,3 +311,44 @@ def test_ivf_nprobe_monotone_recall(spark):
     r1, r2, r4 = recall(1), recall(2), recall(4)
     assert r1 <= r2 <= r4, (r1, r2, r4)
     assert r4 > r1, "probing 4x cells must lift recall on this fixture"
+
+
+def test_range_join_semantics_match_naive_join(spark):
+    """Bucketized range join == the naive inequality join (exactly-once
+    pairs), with half-open boundaries: ts == start in, ts == end out.
+    Intervals spanning many buckets and empty intervals covered."""
+    import datetime as dt
+
+    from hubsit_health_analytics_etl_spark.operators.rangejoin import range_join
+
+    T = lambda h, m=0, s=0: dt.datetime(2025, 1, 1, h, m, s)  # noqa: E731
+    points = spark.createDataFrame(
+        [(i, T(9 + i % 12, 7 * i % 60)) for i in range(40)]
+        + [(100, T(10)), (101, T(12))],  # exact boundary probes
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, T(10), T(12)),       # 2h window: 100 in, 101 out
+            (2, T(9, 30), T(18)),    # spans 9 buckets at 1h bucketing
+            (3, T(14), T(14)),       # empty -> dropped
+            (4, T(15), T(14)),       # inverted -> dropped
+        ],
+        "iid long, w_start timestamp, w_end timestamp",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(
+            points, intervals, "ts", "w_start", "w_end", bucket_sec=3600
+        ).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in points.join(
+            intervals,
+            (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")),
+        ).collect()
+    }
+    assert got == naive
+    assert (100, 1) in got and (101, 1) not in got
+    assert not any(i in (3, 4) for _, i in got)

@@ -163,3 +163,15 @@ def test_embedding_nn_dedup_blocked_join_not_cartesian(spark):
     p = physical_plan(_q("embedding_nn_dedup")(spark, SF_SMOKE))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_range_join_plans_equi_join_not_nested_loop(spark):
+    """The whole point of the bucketized range join: the naive
+    inequality join plans a BroadcastNestedLoopJoin; ours must be a
+    hash/sort-merge equi-join on the bucket key."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("range_join_surges")(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
