@@ -108,6 +108,132 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 224) -> DataFrame:
+    """Resize every image payload so its longer side == ``max_side``
+    (aspect preserved). Arrow-batched mapInPandas, no shuffle; the
+    ``kind == 'image'`` filter sits UNDER the Python stage so audio/
+    video rows never cross the Arrow boundary.
+
+    STUB kernel (container has no PIL): output dims are computed from
+    the metadata (or a deterministic payload-derived stand-in when
+    width/height are null), and the "resized" payload is the
+    sha256-tagged original — swap ``_resize_one`` for a real
+    ``PIL.Image.resize`` and the schema/batching/filter plumbing all
+    stands."""
+    imgs = media.filter(F.col("kind") == "image")
+    n = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if imgs.rdd.getNumPartitions() < n:
+        imgs = imgs.repartition(n)
+
+    def _dims(payload: bytes, w, h) -> tuple[int, int]:
+        # nulls arrive as NaN through Arrow — treat any missing or
+        # non-positive metadata as "unknown dims"
+        if pd.isna(w) or pd.isna(h) or w <= 0 or h <= 0:
+            d = hashlib.sha256(payload).digest()
+            w, h = 64 + d[0] % 192, 64 + d[1] % 192  # fake source dims
+        scale = max_side / max(w, h)
+        # round, don't truncate: w*scale for the long side is exactly
+        # max_side in real arithmetic but can float down to 223.999...
+        return max(round(w * scale), 1), max(round(h * scale), 1)
+
+    def _resize_one(payload: bytes, w: int, h: int) -> bytes:
+        return hashlib.sha256(payload).digest() + payload[:64]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [
+                _dims(p, w, h)
+                for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        _resize_one(p, w, h)
+                        for p, (w, h) in zip(pdf["payload"], dims)
+                    ],
+                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                }
+            )
+
+    return imgs.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", IntegerType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def stub_frame_count(n_bytes: int, max_frames: int = 8) -> int:
+    """Deterministic stand-in for the decoded frame count: one frame
+    per 256 payload bytes, clamped to [1, max_frames]. Mirrors the
+    DuckDB oracle expression exactly."""
+    return max(min(n_bytes // 256, max_frames), 1)
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 2, fps: int = 25, max_frames: int = 8
+) -> DataFrame:
+    """Frame sampling for video payloads: each video row fans out into
+    one row per sampled frame (indices 0, every_n, 2·every_n, …) —
+    the 1→k batch-shape change real decoders (decord/ffmpeg) need.
+    mapInPandas, no shuffle; ``kind == 'video'`` filtered below the
+    Python stage.
+
+    STUB kernel: frame count = :func:`stub_frame_count` of the payload
+    length; each "frame" is the sha256 of payload‖frame_idx (hex) —
+    deterministic, cross-engine reproducible, and exactly the shape a
+    real extractor yields (media_id, frame_idx, ts_ms, frame bytes)."""
+    vids = media.filter(F.col("kind") == "video")
+    n = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if vids.rdd.getNumPartitions() < n:
+        vids = vids.repartition(n)
+    ms_per_frame = 1000 // fps
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "ts_ms": [],
+                "frame_sha": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for idx in range(0, stub_frame_count(len(payload), max_frames), every_n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(idx * ms_per_frame)
+                    out["frame_sha"].append(
+                        hashlib.sha256(payload + str(idx).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "ts_ms": pd.Series(out["ts_ms"], dtype="int32"),
+                    "frame_sha": pd.Series(out["frame_sha"], dtype="object"),
+                }
+            )
+
+    return vids.mapInPandas(kernel, FRAME_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Fixture adapter: documents.text → opaque binary payloads with
     cycling media kinds (the container has no real media fixtures)."""

@@ -544,6 +544,33 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(documents_as_media(docs))
 
 
+@query(
+    "video_frame_samples",
+    """
+    WITH vids AS (SELECT doc_id AS media_id, text,
+                         greatest(least(octet_length(encode(text)) // 256, 8), 1)
+                           AS n_frames
+                  FROM documents WHERE doc_id % 3 = 2),
+    frames AS (SELECT media_id, text, unnest(range(0, n_frames, 2)) AS frame_idx
+               FROM vids)
+    SELECT media_id,
+           frame_idx::INT AS frame_idx,
+           (frame_idx * 40)::INT AS ts_ms,
+           sha256(text || CAST(frame_idx AS VARCHAR)) AS frame_sha
+    FROM frames
+    """,
+)
+def q_video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the video rows: every video payload fans out
+    into one row per sampled frame through the Arrow mapInPandas
+    kernel — the stub frame hash is sha256(payload‖idx), so the 1→k
+    Python fan-out is hash-checked end-to-end by DuckDB."""
+    from .operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(documents_as_media(docs), every_n=2, fps=25, max_frames=8)
+
+
 # ---------------------------------------------------------------------------
 # Skew-safe aggregation: two-phase salted groupBy on the hot event_type
 # key. The oracle is the PLAIN single-phase GROUP BY — hash-matching it

@@ -352,3 +352,51 @@ def test_range_join_semantics_match_naive_join(spark):
     assert got == naive
     assert (100, 1) in got and (101, 1) not in got
     assert not any(i in (3, 4) for _, i in got)
+
+
+def test_resize_images_schema_dims_and_modality_filter(spark):
+    from hubsit_health_analytics_etl_spark.operators.multimodal import (
+        RESIZED_SCHEMA,
+        documents_as_media,
+        resize_images,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    media = documents_as_media(load_table(spark, SF_SMOKE, "documents"))
+    out = resize_images(media, max_side=224)
+    assert out.schema == RESIZED_SCHEMA
+    rows = out.collect()
+    # only image rows crossed the Arrow boundary
+    assert len(rows) == media.filter(F.col("kind") == "image").count() > 0
+    for r in rows:
+        assert max(r.width, r.height) == 224
+        assert min(r.width, r.height) >= 1
+    # deterministic under repartitioning
+    again = {(r.media_id, bytes(r.payload)) for r in resize_images(media.repartition(7), 224).collect()}
+    assert {(r.media_id, bytes(r.payload)) for r in rows} == again
+
+
+def test_sample_frames_fanout_matches_stub_count(spark):
+    from hubsit_health_analytics_etl_spark.operators.multimodal import (
+        documents_as_media,
+        sample_frames,
+        stub_frame_count,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    media = documents_as_media(load_table(spark, SF_SMOKE, "documents"))
+    vids = media.filter(F.col("kind") == "video").select(
+        "media_id", F.length("payload").alias("n")
+    )
+    expect = {
+        r.media_id: len(range(0, stub_frame_count(r.n), 2)) for r in vids.collect()
+    }
+    got = (
+        sample_frames(media, every_n=2)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("k"), F.max("frame_idx").alias("mx"))
+        .collect()
+    )
+    assert {r.media_id: r.k for r in got} == expect
+    for r in got:
+        assert r.mx % 2 == 0  # only even indices sampled
