@@ -129,11 +129,14 @@ def winnowed_fingerprints(
     one fingerprint — the basis for plagiarism/near-dup candidate
     retrieval with O(2/(w+1)) selection density instead of every gram.
 
-    Two chained projections on purpose: the gram-hash array
-    materializes as a bound attribute in the first select, so the
-    window pass references it O(1) times per row (CollapseProject
-    never merges projections that would duplicate the expensive
-    md5-per-gram expression). Map-only — no shuffle, no Python.
+    ONE md5 pass per gram: the gram-hash array is bound to a lambda
+    variable (``transform(array(<hs>), hs -> ...)[1]``) so the window
+    pass references the MATERIALIZED array — naively inlining the
+    array expression into ``size``/``slice`` re-evaluates the whole
+    md5-per-gram chain per window (measured ~50× slower at sf0.1;
+    higher-order-function lambdas are evaluated per reference, and
+    relying on projection boundaries is fragile under
+    CollapseProject). Map-only — no shuffle, no Python.
 
     Returns (id_col, fingerprints array<bigint>).
     """
@@ -143,13 +146,13 @@ def winnowed_fingerprints(
         f"i -> concat_ws(' ', slice({toks}, i, {k})))"
     )
     hs = f"transform({grams}, g -> cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint))"
-    step = df.select(id_col, F.expr(hs).alias("_gram_hashes"))
     mins = (
+        f"element_at(transform(array({hs}), hs -> "
         f"array_sort(array_distinct(transform("
-        f"sequence(1, greatest(size(_gram_hashes) - {w - 1}, 1)), "
-        f"i -> array_min(slice(_gram_hashes, i, {w})))))"
+        f"sequence(1, greatest(size(hs) - {w - 1}, 1)), "
+        f"i -> array_min(slice(hs, i, {w})))))), 1)"
     )
-    return step.select(id_col, F.expr(mins).alias("fingerprints"))
+    return df.select(id_col, F.expr(mins).alias("fingerprints"))
 
 
 def winnow_candidate_pairs(
