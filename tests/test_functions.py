@@ -95,3 +95,14 @@ def test_safe_div_zero_and_null(spark):
     df = spark.createDataFrame([(1.0, 0.0), (1.0, None), (9.0, 3.0)], "a double, b double")
     out = [r[0] for r in df.select(safe_div(F.col("a"), F.col("b")).alias("d")).collect()]
     assert out == [0.0, 0.0, 3.0]
+
+
+def test_package_lazy_api_exports_resolve():
+    """Every name in the package's lazy top-level API resolves to a
+    callable (the one-import surface a reference user switches to)."""
+    import hubsit_health_analytics_etl_spark as h
+
+    assert len(h.__all__) >= 30
+    for name in h.__all__:
+        assert callable(getattr(h, name)), name
+    assert "run_pipeline" in dir(h)
