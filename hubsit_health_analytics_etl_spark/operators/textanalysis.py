@@ -175,11 +175,20 @@ def winnow_candidate_pairs(
     otherwise emit O(m²) join rows on one reducer — the same scale
     guard as the LSH bucket cap.
 
+    The (id, fp) inverted index is localCheckpoint-materialized before
+    the self-join: it feeds three consumers (both join sides + the
+    df-cap counts) and is tiny (~2/(w+1) fingerprints per doc), while
+    recomputing it means re-hashing every gram per consumer.
+
     Returns (doc_a, doc_b, n_shared), doc_a < doc_b.
     """
     inv = winnowed_fingerprints(df, text_col, id_col, k, w).select(
         F.col(id_col), F.explode("fingerprints").alias("fp")
     )
+    try:
+        inv = inv.localCheckpoint(eager=False)
+    except Exception:
+        inv = inv.cache()
     if df_cap is not None:
         counts = inv.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
         inv = inv.join(
