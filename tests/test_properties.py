@@ -109,3 +109,81 @@ def test_hash_bucket_range_and_stability(spark, keys):
     b = {r["k"]: r["b"] for r in df.select("k", hash_bucket("k").alias("b")).collect()}
     assert a == b  # stable
     assert all(0 <= v < 100 for v in a.values())
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=40),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=500),
+            st.integers(min_value=-50, max_value=120),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.sampled_from([7, 60, 3600]),
+)
+@SET
+def test_range_join_equals_naive_for_random_intervals(spark, points, spans, bucket):
+    """range_join == the naive inequality join for arbitrary points,
+    interval placements (incl. empty/inverted), and bucket widths."""
+    import datetime as dt
+
+    from hubsit_health_analytics_etl_spark.operators.rangejoin import range_join
+
+    base = dt.datetime(2025, 1, 1)
+    P = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(points)],
+        "pid long, ts timestamp",
+    )
+    I = spark.createDataFrame(
+        [
+            (j, base + dt.timedelta(seconds=a), base + dt.timedelta(seconds=a + d))
+            for j, (a, d) in enumerate(spans)
+        ],
+        "iid long, w_start timestamp, w_end timestamp",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(P, I, "ts", "w_start", "w_end", bucket_sec=bucket).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in P.join(
+            I, (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+        ).collect()
+    }
+    assert got == naive
+
+
+def _py_winnow(text: str, k: int = 4, w: int = 8) -> set[int]:
+    import hashlib
+
+    toks = text.lower().split(" ")
+    n_grams = max(len(toks) - k + 1, 1)
+    grams = [" ".join(toks[i : i + k]) for i in range(n_grams)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    n_win = max(len(hs) - w + 1, 1)
+    return {min(hs[i : i + w]) for i in range(n_win)}
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc defg hij", min_size=0, max_size=60),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SET
+def test_winnowed_fingerprints_match_python_reference(spark, texts):
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        winnowed_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: set(r.fingerprints) for r in winnowed_fingerprints(df).collect()
+    }
+    assert got == {i: _py_winnow(t) for i, t in enumerate(texts)}
