@@ -114,6 +114,21 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.trim(F.lower(t)), " +", " "))
 
 
+def annotate_documents(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """One-pass document annotation: predicted language, token counts,
+    quality score — the per-doc record every curation decision reads.
+    Pure Catalyst expressions (no Python), map-only."""
+    toks = tokens(text_col)
+    feats = quality_features(text_col)
+    return docs.select(
+        "doc_id",
+        lang_id(toks).alias("lang_pred"),
+        feats["n_tokens"].cast("bigint").alias("n_tokens"),
+        token_count_bpe_ish(text_col).cast("bigint").alias("n_bpe_tokens"),
+        quality_score(text_col).alias("quality_score"),
+    )
+
+
 def winnowed_fingerprints(
     df: "DataFrame",
     text_col: str = "text",

@@ -230,6 +230,109 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Curation products: the keep-list a C4-style heuristic filter emits,
+# and the corpus-composition report read before training. Both compose
+# the annotation pass (lang-ID + token counts + quality score).
+# ---------------------------------------------------------------------------
+KEEP_MIN_QUALITY, KEEP_MIN_TOKENS, KEEP_MAX_TOKENS = 0.5, 20, 1000
+
+
+def _sql_doc_annotations() -> str:
+    """Annotated-documents CTE body (doc_id, lang_pred, n_tokens,
+    n_bpe_tokens, quality_score) — DuckDB twin of
+    operators.textanalysis.annotate_documents."""
+    hits = ", ".join(
+        f"{_sql_stopword_hits(ws)} AS h_{lg}" for lg, ws in LANG_STOPWORDS.items()
+    )
+    return f"""
+    t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+    h AS (SELECT doc_id, text, toks, {hits} FROM t),
+    ann AS (SELECT doc_id,
+                   {_lang_id_sql()} AS lang_pred,
+                   len(toks)::BIGINT AS n_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
+                     AS n_bpe_tokens,
+                   ROUND(LEAST(({_sql_stopword_hits(STOPWORDS_ALL)}
+                                / CAST(len(toks) AS DOUBLE)) * 4.0, 1.0) * 0.4
+                         + (CASE WHEN (length(text) - (len(toks) - 1))
+                                        / CAST(len(toks) AS DOUBLE) >= 3
+                                  AND (length(text) - (len(toks) - 1))
+                                        / CAST(len(toks) AS DOUBLE) <= 10
+                                 THEN 1.0 ELSE 0.0 END) * 0.3
+                         + (1.0 - LEAST((length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                                         / CAST(length(text) AS DOUBLE)) * 5.0, 1.0)) * 0.3,
+                         4) AS quality_score
+            FROM h)
+    """
+
+
+@query(
+    "corpus_keep_list",
+    f"""
+    WITH {_sql_doc_annotations()}
+    SELECT doc_id, lang_pred, n_tokens, quality_score
+    FROM ann
+    WHERE lang_pred = 'en'
+      AND quality_score >= {KEEP_MIN_QUALITY}
+      AND n_tokens BETWEEN {KEEP_MIN_TOKENS} AND {KEEP_MAX_TOKENS}
+    """,
+)
+def q_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heuristic-filter keep-list (C4/Gopher style): docs that are
+    confidently English, above the quality floor, and inside the token
+    budget band. Map-only — the filter runs inside the scan's codegen
+    stage at any corpus size."""
+    from .operators.textanalysis import annotate_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    ann = annotate_documents(_spread(docs))
+    return ann.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("quality_score") >= KEEP_MIN_QUALITY)
+        & F.col("n_tokens").between(KEEP_MIN_TOKENS, KEEP_MAX_TOKENS)
+    ).select("doc_id", "lang_pred", "n_tokens", "quality_score")
+
+
+@query(
+    "corpus_composition",
+    f"""
+    WITH {_sql_doc_annotations()}
+    SELECT lang_pred,
+           CASE WHEN quality_score >= 0.6 THEN 'high'
+                WHEN quality_score >= 0.4 THEN 'mid'
+                ELSE 'low' END AS quality_band,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS total_tokens,
+           SUM(n_bpe_tokens)::BIGINT AS total_bpe_tokens,
+           ROUND(AVG(quality_score), 4) AS avg_quality
+    FROM ann GROUP BY lang_pred, quality_band
+    """,
+)
+def q_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-composition report: docs and token budget per predicted
+    language × quality band — the numbers a data-mixture decision
+    reads. One annotation pass + one shuffle."""
+    from .operators.textanalysis import annotate_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    ann = annotate_documents(_spread(docs))
+    band = (
+        F.when(F.col("quality_score") >= 0.6, "high")
+        .when(F.col("quality_score") >= 0.4, "mid")
+        .otherwise("low")
+    )
+    return (
+        ann.groupBy("lang_pred", band.alias("quality_band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
 @query(
