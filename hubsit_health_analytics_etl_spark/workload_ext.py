@@ -1497,6 +1497,55 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew-safe JOIN: 5 order priorities × ~30k orders each at sf0.1 — a
+# plain shuffle join lands every key on one reducer. The salted join
+# spreads each hot key over 16 (key, salt) reducers; the dim replicates
+# ×16 (5 rows → 80). Oracle = the plain join: hash-matching proves the
+# salt is routing only.
+# ---------------------------------------------------------------------------
+PRIORITY_WEIGHTS = [
+    ("1-URGENT", 5.0),
+    ("2-HIGH", 4.0),
+    ("3-MEDIUM", 3.0),
+    ("4-NOT SPECIFIED", 2.0),
+    ("5-LOW", 1.0),
+]
+
+
+@query(
+    "salted_priority_join",
+    f"""
+    WITH dim(prio, weight) AS (VALUES
+        {", ".join(f"('{p}', {w})" for p, w in PRIORITY_WEIGHTS)})
+    SELECT o.o_orderpriority,
+           COUNT(*)::BIGINT AS n_orders,
+           ROUND(SUM(o.o_totalprice * d.weight), 2) AS receita_ponderada
+    FROM orders o JOIN dim d ON o.o_orderpriority = d.prio
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_salted_priority_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key fact⋈dim via operators.skew.salted_join_skewed_left
+    (the no-broadcast/no-AQE fallback pattern), then a salted-safe
+    aggregate. Same answer as the plain join."""
+    from .operators.skew import salted_join_skewed_left
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = spark.createDataFrame(
+        PRIORITY_WEIGHTS, "o_orderpriority string, weight double"
+    )
+    joined = salted_join_skewed_left(
+        orders.select("o_orderpriority", "o_totalprice"), dim, "o_orderpriority"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice") * F.col("weight")), 2).alias(
+            "receita_ponderada"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Range (interval) join: events attributed to 2-hour "surge windows"
 # seeded by a stable 0.1% hash sample of events. The Spark side is the
 # bucketized equi-join (operators/rangejoin.py); the oracle is the
