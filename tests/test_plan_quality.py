@@ -175,3 +175,23 @@ def test_range_join_plans_equi_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_corpus_keep_list_is_map_only(spark):
+    """The heuristic filter must run inside the scan stage: no
+    Exchange anywhere (annotation + filter are pure projections)."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("corpus_keep_list")(spark, SF_SMOKE))
+    body = p.split("== Physical Plan ==")[-1]
+    # _spread's round-robin fan-out is the only allowed exchange
+    n_ex = body.count("Exchange") 
+    n_rr = body.count("REPARTITION_BY_NUM") + body.lower().count("roundrobin")
+    assert n_ex <= n_rr, p
+
+
+def test_corpus_composition_single_shuffle(spark):
+    from hubsit_health_analytics_etl_spark.plans.explain import count_exchanges
+
+    # one aggregate exchange (+1 allowed for _spread's round-robin)
+    assert count_exchanges(_q("corpus_composition")(spark, SF_SMOKE)) <= 2
