@@ -56,6 +56,16 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow single-split input across the configured
+    parallelism before the Python stage (real media tables arrive
+    multi-split; this is a local-fixture no-op at scale)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
+
+
 def decode_image(payload: bytes):  # pragma: no cover - container lacks PIL
     """Real decode path — requires PIL (absent here by design)."""
     try:
@@ -85,11 +95,7 @@ def extract_features(media: DataFrame) -> DataFrame:
     (stub) decode kernel, yields feature frames — zero driver
     involvement, no shuffle."""
 
-    # spread narrow single-split inputs so decode parallelizes across
-    # python workers (real media tables arrive multi-split)
-    n = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if media.rdd.getNumPartitions() < n:
-        media = media.repartition(n)
+    media = _fan_out(media)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -130,10 +136,7 @@ def resize_images(media: DataFrame, max_side: int = 224) -> DataFrame:
     sha256-tagged original — swap ``_resize_one`` for a real
     ``PIL.Image.resize`` and the schema/batching/filter plumbing all
     stands."""
-    imgs = media.filter(F.col("kind") == "image")
-    n = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if imgs.rdd.getNumPartitions() < n:
-        imgs = imgs.repartition(n)
+    imgs = _fan_out(media.filter(F.col("kind") == "image"))
 
     def _dims(payload: bytes, w, h) -> tuple[int, int]:
         # nulls arrive as NaN through Arrow — treat any missing or
@@ -142,9 +145,10 @@ def resize_images(media: DataFrame, max_side: int = 224) -> DataFrame:
             d = hashlib.sha256(payload).digest()
             w, h = 64 + d[0] % 192, 64 + d[1] % 192  # fake source dims
         scale = max_side / max(w, h)
-        # round, don't truncate: w*scale for the long side is exactly
-        # max_side in real arithmetic but can float down to 223.999...
-        return max(round(w * scale), 1), max(round(h * scale), 1)
+        # half-up, not int() truncation (w*scale floats down to
+        # 223.999...) and not round() (banker's rounding differs from
+        # SQL ROUND at exact .5 — the dims are oracle-checked)
+        return max(int(w * scale + 0.5), 1), max(int(h * scale + 0.5), 1)
 
     def _resize_one(payload: bytes, w: int, h: int) -> bytes:
         return hashlib.sha256(payload).digest() + payload[:64]
@@ -200,10 +204,7 @@ def sample_frames(
     length; each "frame" is the sha256 of payload‖frame_idx (hex) —
     deterministic, cross-engine reproducible, and exactly the shape a
     real extractor yields (media_id, frame_idx, ts_ms, frame bytes)."""
-    vids = media.filter(F.col("kind") == "video")
-    n = int(media.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if vids.rdd.getNumPartitions() < n:
-        vids = vids.repartition(n)
+    vids = _fan_out(media.filter(F.col("kind") == "video"))
     ms_per_frame = 1000 // fps
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

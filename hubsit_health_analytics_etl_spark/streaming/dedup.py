@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..operators.textanalysis import fingerprint
@@ -34,13 +35,25 @@ def streaming_exact_dedup(
     duplicates arriving within the watermark horizon of the original
     are dropped; state for keys older than the watermark is evicted.
 
-    Works identically on a batch DataFrame (falls back to
-    ``dropDuplicates`` — no watermark state needed when the input is
-    bounded), so batch backfills and the live stream share one code
-    path.
+    Works on a batch DataFrame too, so batch backfills and the live
+    stream share one code path. The batch fallback keeps the EARLIEST
+    ``ts_col`` row per key (ties broken by a whole-row hash — a pure
+    function of the data): plain ``dropDuplicates`` keeps an arbitrary
+    partition-order winner, which would make a backfilled corpus
+    disagree with the live stream's first-arrival-wins on which
+    representative row survived.
     """
     if not stream.isStreaming:
-        return stream.dropDuplicates(list(key_cols))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(ts_col).asc(), F.xxhash64(*stream.columns).asc()
+        )
+        return (
+            stream.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )

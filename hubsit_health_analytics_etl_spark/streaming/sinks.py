@@ -32,10 +32,13 @@ from pyspark.sql import DataFrame, Window
 def latest_wins(
     df: DataFrame, key_cols: Sequence[str], ts_col: str
 ) -> DataFrame:
-    """One row per key: greatest ``ts_col`` wins, deterministic
-    tie-break on the key ordering columns themselves."""
+    """One row per key: greatest ``ts_col`` wins. Timestamp ties break
+    on a hash of the ENTIRE row — a pure function of the data, so the
+    winner is identical on every replay/repartition (ordering by the
+    partition keys would be a no-op: they are constant within the
+    window partition)."""
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(ts_col).desc(), *[F.col(k) for k in key_cols]
+        F.col(ts_col).desc(), F.xxhash64(*df.columns).asc()
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -48,9 +51,19 @@ def upsert_batch(
     batch: DataFrame, path: str, key_cols: Sequence[str], ts_col: str
 ) -> None:
     """Merge one (micro-)batch into the parquet snapshot at ``path``:
-    union existing snapshot + batch, keep latest per key, atomically
-    swap the directory (write tmp → move)."""
+    union existing snapshot + batch, keep latest per key, swap the
+    directory (write tmp → move). Crash-safe ordering: the previous
+    snapshot is renamed aside only AFTER the new one is fully written,
+    and a dangling ``._old`` from a crash between the two renames is
+    recovered on the next call instead of silently rebuilding from one
+    batch."""
     spark = batch.sparkSession
+    old = path + "._old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)  # crash after swap completed — stale
+        else:
+            os.rename(old, path)  # crash between the renames — recover
     if os.path.exists(path):
         merged = spark.read.parquet(path).unionByName(batch)
     else:
@@ -58,7 +71,6 @@ def upsert_batch(
     resolved = latest_wins(merged, key_cols, ts_col)
     tmp = path + "._tmp"
     resolved.write.mode("overwrite").parquet(tmp)
-    old = path + "._old"
     if os.path.exists(path):
         os.rename(path, old)
     os.rename(tmp, path)

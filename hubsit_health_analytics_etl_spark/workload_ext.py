@@ -184,7 +184,6 @@ def _lang_id_sql() -> str:
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (stopword-hit argmax) vs the labeled lang
     column → confusion counts."""
-    from .operators.dedup import _spread
 
     docs = _spread(load_table(spark, sf_dir, "documents"))
     return (
@@ -194,11 +193,18 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "doc_quality",
-    f"""
-    WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
-    f AS (SELECT doc_id,
+# Shared quality-feature CTE + score expression: ONE SQL copy of the
+# formula (weights, caps, 3-10 word-length band, ROUND 4) consumed by
+# every oracle that scores quality — the Spark twin is
+# operators.textanalysis.quality_score. The f CTE also carries the
+# per-language stopword hits so _lang_id_sql() composes on top.
+def _sql_quality_cte() -> str:
+    hits = ", ".join(
+        f"{_sql_stopword_hits(ws)} AS h_{lg}" for lg, ws in LANG_STOPWORDS.items()
+    )
+    return f"""
+    t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+    f AS (SELECT doc_id, {hits},
                  len(toks)::BIGINT AS n_tokens,
                  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
                    AS n_bpe_tokens,
@@ -207,12 +213,22 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                  length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
                    / CAST(length(text) AS DOUBLE) AS pr
           FROM t)
+    """
+
+
+_SQL_QUALITY_SCORE = """ROUND(LEAST(swr * 4.0, 1.0) * 0.4
+                 + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.3
+                 + (1.0 - LEAST(pr * 5.0, 1.0)) * 0.3, 4)"""
+
+
+@query(
+    "doc_quality",
+    f"""
+    WITH {_sql_quality_cte()}
     SELECT doc_id, n_tokens, n_bpe_tokens,
            ROUND(mwl, 4) AS mean_word_len,
            ROUND(swr, 6) AS stopword_ratio,
-           ROUND(LEAST(swr * 4.0, 1.0) * 0.4
-                 + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.3
-                 + (1.0 - LEAST(pr * 5.0, 1.0)) * 0.3, 4) AS quality_score
+           {_SQL_QUALITY_SCORE} AS quality_score
     FROM f
     """,
 )
@@ -240,29 +256,17 @@ KEEP_MIN_QUALITY, KEEP_MIN_TOKENS, KEEP_MAX_TOKENS = 0.5, 20, 1000
 def _sql_doc_annotations() -> str:
     """Annotated-documents CTE body (doc_id, lang_pred, n_tokens,
     n_bpe_tokens, quality_score) — DuckDB twin of
-    operators.textanalysis.annotate_documents."""
-    hits = ", ".join(
-        f"{_sql_stopword_hits(ws)} AS h_{lg}" for lg, ws in LANG_STOPWORDS.items()
-    )
+    operators.textanalysis.annotate_documents, built on the SAME
+    quality CTE + score expression as the doc_quality oracle (one SQL
+    copy of the formula)."""
     return f"""
-    t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
-    h AS (SELECT doc_id, text, toks, {hits} FROM t),
+    {_sql_quality_cte()},
     ann AS (SELECT doc_id,
                    {_lang_id_sql()} AS lang_pred,
-                   len(toks)::BIGINT AS n_tokens,
-                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
-                     AS n_bpe_tokens,
-                   ROUND(LEAST(({_sql_stopword_hits(STOPWORDS_ALL)}
-                                / CAST(len(toks) AS DOUBLE)) * 4.0, 1.0) * 0.4
-                         + (CASE WHEN (length(text) - (len(toks) - 1))
-                                        / CAST(len(toks) AS DOUBLE) >= 3
-                                  AND (length(text) - (len(toks) - 1))
-                                        / CAST(len(toks) AS DOUBLE) <= 10
-                                 THEN 1.0 ELSE 0.0 END) * 0.3
-                         + (1.0 - LEAST((length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
-                                         / CAST(length(text) AS DOUBLE)) * 5.0, 1.0)) * 0.3,
-                         4) AS quality_score
-            FROM h)
+                   n_tokens,
+                   n_bpe_tokens,
+                   {_SQL_QUALITY_SCORE} AS quality_score
+            FROM f)
     """
 
 
@@ -542,7 +546,6 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _spread fans the single-row-group local fixture across cores before
     the per-token hash work (no-op cost at real scale, where the
     source arrives in many splits)."""
-    from .operators.dedup import _spread
 
     docs = load_table(spark, sf_dir, "documents")
     return _spread(docs).select("doc_id", simhash32("text").alias("simhash"))
@@ -645,6 +648,40 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(documents_as_media(docs))
+
+
+@query(
+    "image_resize_dims",
+    """
+    WITH img AS (SELECT doc_id AS media_id, text FROM documents
+                 WHERE doc_id % 3 = 0),
+    src AS (SELECT media_id, text,
+                   64 + (CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 192) AS w0,
+                   64 + (CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 192) AS h0
+            FROM img)
+    SELECT media_id,
+           FLOOR(w0 * (224.0 / greatest(w0, h0)) + 0.5)::INT AS width,
+           FLOOR(h0 * (224.0 / greatest(w0, h0)) + 0.5)::INT AS height,
+           (32 + least(octet_length(encode(text)), 64))::BIGINT AS n_bytes
+    FROM src
+    """,
+)
+def q_image_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing, hash-checked: the stub dims (sha-derived source
+    size, half-up scaled to max_side=224) and the resized payload
+    length (32-byte sha tag + ≤64 original bytes) replicate in DuckDB,
+    so the Arrow kernel's arithmetic is oracle-pinned like the other
+    mapInPandas paths."""
+    from .operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize_images(documents_as_media(docs), max_side=224)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+    )
 
 
 @query(
@@ -975,7 +1012,6 @@ def q_embedding_nn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold."""
     from pyspark.sql import Window
 
-    from .operators.dedup import _spread
     from .operators.similarity import dot_expr, norm_expr
 
     emb = _spread(load_table(spark, sf_dir, "embeddings")).withColumn(
@@ -1655,7 +1691,6 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     native sequence/slice, exploded JVM-side (no Python)."""
     from .operators.textanalysis import chunk_tokens
 
-    from .operators.dedup import _spread
 
     docs = _spread(load_table(spark, sf_dir, "documents"))
     exploded = docs.select(

@@ -1,7 +1,7 @@
 """Streaming dedup (bounded state) and the foreachBatch upsert sink:
 
 - fingerprint dedup drops cosmetic re-submissions on a stream and
-  falls back to plain dropDuplicates on batch input;
+  keeps the deterministic earliest arrival on batch input;
 - a watermarked tumbling aggregation finalizes windows and DROPS late
   events that arrive in a later micro-batch (the late-data contract);
 - the upsert sink maintains a latest-wins snapshot and is idempotent
@@ -60,7 +60,7 @@ def test_streaming_fingerprint_dedup_matches_batch(spark, tmp_path):
     _write_file(spark, rows, schema, src, "f1.parquet", 1_700_000_000)
 
     batch = spark.read.schema(schema).parquet(src)
-    # batch path: plain dropDuplicates on the fingerprint
+    # batch path: deterministic earliest-ts winner per fingerprint
     b = streaming_dedup_by_fingerprint(batch, "text", "ts", "10 minutes")
     assert b.count() == 2
 
@@ -172,3 +172,45 @@ def test_upsert_sink_latest_wins_and_replay_idempotent(spark, tmp_path):
     q.awaitTermination()
     got2 = {r.k: r.v for r in spark.read.parquet(snap2).collect()}
     assert got2 == got
+
+
+def test_upsert_recovers_from_crash_between_renames(spark, tmp_path):
+    """A crash after `path -> ._old` but before `._tmp -> path` leaves
+    only ._old; the next upsert must recover it, not rebuild the
+    snapshot from one micro-batch."""
+    from hubsit_health_analytics_etl_spark.streaming.sinks import upsert_batch
+
+    schema = "k long, v string, ts timestamp"
+    snap = str(tmp_path / "snap")
+    upsert_batch(
+        spark.createDataFrame([(1, "keep-me", _ts("10:00"))], schema), snap, ["k"], "ts"
+    )
+    os.rename(snap, snap + "._old")  # simulate the crash window
+    upsert_batch(
+        spark.createDataFrame([(2, "new", _ts("11:00"))], schema), snap, ["k"], "ts"
+    )
+    got = {r.k: r.v for r in spark.read.parquet(snap).collect()}
+    assert got == {1: "keep-me", 2: "new"}
+    assert not os.path.exists(snap + "._old")
+
+    # stale ._old next to an intact snapshot is cleaned, not fatal
+    os.makedirs(snap + "._old/junk")
+    upsert_batch(
+        spark.createDataFrame([(3, "three", _ts("12:00"))], schema), snap, ["k"], "ts"
+    )
+    assert spark.read.parquet(snap).count() == 3
+
+
+def test_latest_wins_timestamp_tie_is_deterministic(spark):
+    """Equal timestamps for one key: the winner is a pure function of
+    the row data (whole-row hash), stable across repartitionings."""
+    from hubsit_health_analytics_etl_spark.streaming.sinks import latest_wins
+
+    rows = [(1, v, _ts("10:00")) for v in ("aa", "bb", "cc")]
+    winners = set()
+    for parts in (1, 3, 7):
+        df = spark.createDataFrame(rows, "k long, v string, ts timestamp").repartition(
+            parts
+        )
+        winners.add(latest_wins(df, ["k"], "ts").collect()[0].v)
+    assert len(winners) == 1
