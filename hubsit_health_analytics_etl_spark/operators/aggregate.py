@@ -36,3 +36,38 @@ def avg_if(col: Column | str, cond: Column) -> Column:
     excluded, not zero-filled)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.avg(F.when(cond, c))
+
+
+def approx_distinct(
+    df: "DataFrame", keys: list[str], col: str, rsd: float = 0.02
+) -> "DataFrame":
+    """Approximate distinct count per key group (HyperLogLog++,
+    ``approx_count_distinct``) — the constant-memory cardinality
+    primitive at 100 TB: an EXACT count-distinct shuffles every
+    distinct value to its reducer, while HLL sketches merge map-side
+    in a few KB per group regardless of cardinality.
+
+    Deliberately NOT an oracle-checked workload query: sketch
+    estimates are engine- and implementation-specific, so cross-engine
+    hash equality is impossible by construction. Accuracy is asserted
+    against exact counts (within a multiple of ``rsd``) in
+    tests/test_ext_operators.py instead."""
+    import pyspark.sql.functions as F2
+
+    return df.groupBy(*keys).agg(
+        F2.approx_count_distinct(col, rsd).alias(f"approx_distinct_{col}")
+    )
+
+
+def approx_quantiles(
+    df: "DataFrame", keys: list[str], col: str, probs: list[float], accuracy: int = 10_000
+) -> "DataFrame":
+    """Approximate per-group quantiles (``percentile_approx``,
+    Greenwald-Khanna style sketch): mergeable fixed-size state instead
+    of the full sort an exact percentile needs. Same non-oracle
+    rationale as :func:`approx_distinct`; bounded-error tested."""
+    import pyspark.sql.functions as F2
+
+    return df.groupBy(*keys).agg(
+        F2.percentile_approx(col, probs, accuracy).alias(f"approx_q_{col}")
+    )

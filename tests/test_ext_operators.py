@@ -400,3 +400,45 @@ def test_sample_frames_fanout_matches_stub_count(spark):
     assert {r.media_id: r.k for r in got} == expect
     for r in got:
         assert r.mx % 2 == 0  # only even indices sampled
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    """HLL distinct counts within 5*rsd of exact; approx quantiles
+    within the neighborhood of exact percentiles (sketches cannot be
+    oracle-hash-checked — bounded error IS their contract)."""
+    from hubsit_health_analytics_etl_spark.operators.aggregate import (
+        approx_distinct,
+        approx_quantiles,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.approx_distinct_user_id
+        for r in approx_distinct(events, ["event_type"], "user_id").collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(5 * 0.02 * n, 2), (k, approx[k], n)
+
+    qa = {
+        r.event_type: r.approx_q_value
+        for r in approx_quantiles(
+            events, ["event_type"], "value", [0.5, 0.95]
+        ).collect()
+    }
+    qe = {
+        r.event_type: r.q
+        for r in events.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.5, 0.95))").alias("q"))
+        .collect()
+    }
+    for k in qe:
+        for a, e in zip(qa[k], qe[k]):
+            assert abs(a - e) <= max(abs(e) * 0.05, 0.5), (k, a, e)

@@ -195,3 +195,15 @@ def test_corpus_composition_single_shuffle(spark):
 
     # one aggregate exchange (+1 allowed for _spread's round-robin)
     assert count_exchanges(_q("corpus_composition")(spark, SF_SMOKE)) <= 2
+
+
+def test_salted_priority_join_no_single_reducer_hot_key(spark):
+    """The salted join must plan an equi-join on (key, salt) — hash or
+    broadcast — never a plain nested loop; the aggregate splits
+    partials map-side."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("salted_priority_join")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
