@@ -1499,6 +1499,13 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     singleton buckets (recall loss is visible, not hidden); IVF pays at
     cell boundaries."""
     brute = q_ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # brute feeds BOTH the hits join and the n_total denominator — a
+    # lazy localCheckpoint materializes the ~100-row exact answer once
+    # instead of executing the full brute-force pipeline per consumer
+    try:
+        brute = brute.localCheckpoint(eager=False)
+    except Exception:
+        brute = brute.cache()
     approx = q_ann_lsh_topk(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "neighbor_id"
     ).unionByName(
