@@ -63,6 +63,7 @@ _EXPORTS = {
     "streaming_exact_dedup": ".streaming.dedup",
     "streaming_dedup_by_fingerprint": ".streaming.dedup",
     "upsert_sink": ".streaming.sinks",
+    "interval_join": ".streaming.joins",
 }
 
 __all__ = sorted(_EXPORTS)

@@ -1,0 +1,54 @@
+"""Stream-stream joins — the last §2.7 capability: correlating two
+live event streams (click↔purchase attribution, request↔response
+latency pairing) keyed by id within a bounded event-time interval.
+
+Spark buffers BOTH sides in state; the join is tractable only because
+the time-range condition + watermarks bound how long a row can wait
+for its match — without them state grows forever. The builder emits
+the canonical shape:
+
+    left.ts  ∈ [right.ts + lower, right.ts + upper]
+
+so state for a row is droppable once the other stream's watermark
+passes its interval end.
+
+The SAME builder runs on batch DataFrames (watermarks are no-ops in
+batch), which is how the semantics are verified: availableNow
+streaming output == the batch join on identical input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Equi-join on ``keys`` with the event-time band
+    ``right_ts + lower <= left_ts <= right_ts + upper`` (both bounds
+    inclusive). On streaming inputs both sides get ``watermark``, which
+    is what lets Spark evict join state (a right row is dead once the
+    left watermark passes ``right_ts + upper``). ``left_ts`` and
+    ``right_ts`` must be distinct column names (alias beforehand)."""
+    if left.isStreaming or right.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+        right = right.withWatermark(right_ts, watermark)
+    band = (
+        (F.col(left_ts) >= F.col(right_ts) + F.expr(f"INTERVAL {lower}"))
+        & (F.col(left_ts) <= F.col(right_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    cond = band
+    for k in keys:
+        cond = (left[k] == right[k]) & cond
+    return left.join(right, cond).drop(*[right[k] for k in keys])

@@ -214,3 +214,58 @@ def test_latest_wins_timestamp_tie_is_deterministic(spark):
         )
         winners.add(latest_wins(df, ["k"], "ts").collect()[0].v)
     assert len(winners) == 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """availableNow stream-stream interval join == the batch join on
+    the same input: clicks attributed to purchases by user within
+    [0s, 30m] after the click."""
+    from hubsit_health_analytics_etl_spark.streaming.joins import interval_join
+
+    cs = "user_id long, click_id long, click_ts timestamp"
+    ps = "user_id long, amount double, buy_ts timestamp"
+    clicks = [
+        (1, 10, _ts("10:00")), (1, 11, _ts("10:40")),
+        (2, 20, _ts("10:05")), (3, 30, _ts("10:10")),
+    ]
+    buys = [
+        (1, 5.0, _ts("10:20")),   # matches click 10 only (11 is later)
+        (2, 7.0, _ts("10:50")),   # 45m after click 20 -> outside band
+        (3, 9.0, _ts("10:10")),   # same instant: inclusive lower bound
+    ]
+    csrc, psrc = str(tmp_path / "c"), str(tmp_path / "p")
+    os.makedirs(csrc), os.makedirs(psrc)
+    _write_file(spark, clicks, cs, csrc, "c.parquet", 1_700_000_000)
+    _write_file(spark, buys, ps, psrc, "p.parquet", 1_700_000_000)
+
+    def run(left, right):
+        j = interval_join(
+            left, right, ["user_id"], "buy_ts", "click_ts",
+            lower="0 seconds", upper="30 minutes",
+        )
+        return j.select("user_id", "click_id", "amount")
+
+    batch = {
+        (r.user_id, r.click_id, r.amount)
+        for r in run(
+            spark.read.schema(ps).parquet(psrc), spark.read.schema(cs).parquet(csrc)
+        ).collect()
+    }
+    assert batch == {(1, 10, 5.0), (3, 30, 9.0)}
+
+    out = run(
+        spark.readStream.schema(ps).parquet(psrc),
+        spark.readStream.schema(cs).parquet(csrc),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.click_id, r.amount) for r in spark.table("ssjoin").collect()
+    }
+    assert got == batch
