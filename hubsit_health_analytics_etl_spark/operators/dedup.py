@@ -284,6 +284,96 @@ def simhash32(text_col: str = "text") -> Column:
     )
 
 
+SIMHASH_BANDS = 4        # 4 × 8-bit bands over the 32-bit simhash
+SIMHASH_HAMMING_MAX = 3  # pigeonhole: ≤3 flipped bits leave ≥1 band intact
+SIMHASH_BUCKET_CAP = 64
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hamming_max: int = SIMHASH_HAMMING_MAX,
+    bucket_cap: int | None = SIMHASH_BUCKET_CAP,
+    pre_exact_dedup: bool = True,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 32-bit fingerprint into
+    ``SIMHASH_BANDS`` byte keys, bucket on (band_idx, band_key), expand
+    in-bucket pairs, keep pairs with Hamming distance ≤ ``hamming_max``
+    (popcount of XOR — exact, cheap, computed only on candidates).
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Completeness: with 4 bands, any pair within Hamming ≤ 3 differs in
+    at most 3 of the 32 bits, so at least one 8-bit band is untouched
+    and the pair MUST share a bucket (pigeonhole) — banding is lossless
+    for the default radius, modulo the two scale guards shared with
+    :func:`minhash_candidates`:
+
+    - ``pre_exact_dedup`` collapses byte-identical docs to a min-id
+      representative first (identical docs have identical simhash —
+      their pairs belong to :func:`exact_dup_edges`, and un-collapsed
+      they'd concentrate every band bucket they touch);
+    - ``bucket_cap`` drops band buckets with more than ``cap`` members
+      (a hot byte-value puts m docs on one reducer and emits O(m²)
+      in-bucket pairs; at 100 TB the 256-value band key needs the cap —
+      or a wider simhash — to bound the reducer).
+
+    Plan shape: one corpus scan (map-only hash), one shuffle on the
+    (band_idx, band_key) bigint pair, in-bucket combinational
+    expansion, one distinct. No self-join of the corpus, no cartesian.
+    """
+    if pre_exact_dedup:
+        docs = exact_dup_representatives(docs, id_col, text_col)
+    sig = _spread(docs).select(F.col(id_col), simhash32(text_col).alias("simhash"))
+    banded = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftright(simhash, {8 * b}) & 255")
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+    )
+    if bucket_cap is not None:
+        buckets = buckets.filter(F.size("ms") <= int(bucket_cap))
+    # array_sort on struct(id, sh) orders members by id → expansion
+    # emits doc_a < doc_b directly; distinct collapses multi-band hits
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (x, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), y -> "
+                    "struct(x.id AS a, y.id AS b, x.sh AS sa, y.sh AS sb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b", "p.sa", "p.sb")
+        .distinct()
+    )
+    return (
+        pairs.select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.expr("cast(bit_count(sa ^ sb) as bigint)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= int(hamming_max))
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on the normalized fingerprint: keep min id per
     group (hash-groupBy — one shuffle on the fingerprint)."""

@@ -21,12 +21,16 @@ from .operators.dedup import (
     MINHASH_PRIME,
     N_BANDS,
     N_MINHASH,
+    SIMHASH_BANDS,
+    SIMHASH_BUCKET_CAP,
+    SIMHASH_HAMMING_MAX,
     exact_dedup,
     exact_dup_edges,
     _spread,
     minhash_candidates,
     ngram_jaccard_pairs,
     simhash32,
+    simhash_candidate_pairs,
 )
 from .operators.multimodal import documents_as_media, extract_features
 from .operators.similarity import (
@@ -524,7 +528,9 @@ def q_winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle() -> str:
+def _simhash_ctes(src: str = "documents") -> str:
+    """CTE chain ``toks → bits → sim(doc_id, simhash)`` replicating
+    ``simhash32`` nibble-for-nibble over table/CTE ``src``."""
     sums = []
     for b in range(32):
         nib, off = divmod(b, 4)
@@ -533,9 +539,16 @@ def _simhash_oracle() -> str:
         sums.append(f"SUM(2 * {bit} - 1) AS s_{b}")
     recompose = " + ".join(f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
     return f"""
-    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
-    bits AS (SELECT doc_id, {", ".join(sums)} FROM toks GROUP BY doc_id)
-    SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
+    toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM {src}),
+    bits AS (SELECT doc_id, {", ".join(sums)} FROM toks GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits)
+    """
+
+
+def _simhash_oracle() -> str:
+    return f"""
+    WITH {_simhash_ctes()}
+    SELECT doc_id, simhash FROM sim
     """
 
 
@@ -549,6 +562,44 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return _spread(docs).select("doc_id", simhash32("text").alias("simhash"))
+
+
+def _simhash_pairs_oracle() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_idx, (simhash >> {8 * b}) & 255 AS band_key FROM sim"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+    WITH rep AS (SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+                 FROM documents
+                 GROUP BY md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))),
+    {_simhash_ctes("rep")},
+    bands AS ({bands}),
+    bucket_ok AS (SELECT band_idx, band_key FROM bands
+                  GROUP BY band_idx, band_key
+                  HAVING COUNT(*) > 1 AND COUNT(*) <= {SIMHASH_BUCKET_CAP}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.simhash AS sa, b.simhash AS sb
+             FROM bands a
+             JOIN bucket_ok o
+               ON a.band_idx = o.band_idx AND a.band_key = o.band_key
+             JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAMMING_MAX}
+    """
+
+
+@query("simhash_candidate_pairs", _simhash_pairs_oracle())
+def q_simhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 near-dup pairs: 4×8-bit band buckets →
+    in-bucket pair expansion → popcount-of-XOR verification. Banding
+    is pigeonhole-lossless at radius 3; the oracle replicates band
+    keys, bucket cap and XOR popcount exactly, so the hash check
+    covers the whole retrieval path, not just the fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(docs)
 
 
 # ---------------------------------------------------------------------------

@@ -122,6 +122,60 @@ def test_simhash_close_for_near_identical_docs(spark):
     assert ham(rows[0], rows[1]) < ham(rows[0], rows[2])
 
 
+def test_simhash_pairs_banding_is_pigeonhole_complete(spark):
+    """With 4 bands over 32 bits and radius 3, band-bucketing must
+    retrieve EXACTLY the exhaustive Hamming-≤3 pair set (pigeonhole:
+    ≤3 flipped bits leave one 8-bit band intact), when no bucket is
+    capped away."""
+    from hubsit_health_analytics_etl_spark.operators.dedup import (
+        exact_dup_representatives,
+        simhash32,
+        simhash_candidate_pairs,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_candidate_pairs(docs, bucket_cap=None).collect()
+    }
+    sig = {
+        r.doc_id: r.h
+        for r in exact_dup_representatives(docs)
+        .select("doc_id", simhash32("text").alias("h"))
+        .collect()
+    }
+    ids = sorted(sig)
+    want = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    assert got == want and len(want) > 0
+
+
+def test_simhash_pairs_bucket_cap_yields_subset(spark):
+    """Capped retrieval ⊆ uncapped retrieval, with identical hamming
+    values on the surviving pairs."""
+    from hubsit_health_analytics_etl_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_candidate_pairs(docs, bucket_cap=None).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_candidate_pairs(docs, bucket_cap=8).collect()
+    }
+    assert set(capped) <= set(full)
+    assert all(full[k] == v for k, v in capped.items())
+
+
 def test_ann_lsh_results_subset_of_bruteforce_space(spark):
     """LSH top-k cosines must equal brute-force cosines for the same
     (query, neighbor) pairs — bucketing restricts candidates, never

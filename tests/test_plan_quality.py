@@ -95,7 +95,13 @@ def test_anti_join_is_broadcast(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["minhash_lsh_pairs", "ngram_jaccard_pairs", "winnow_candidate_pairs"]
+    "name",
+    [
+        "minhash_lsh_pairs",
+        "ngram_jaccard_pairs",
+        "winnow_candidate_pairs",
+        "simhash_candidate_pairs",
+    ],
 )
 def test_dedup_never_plans_cartesian(spark, name):
     """LSH/inverted-index dedup must never degrade to a cartesian or
