@@ -1033,50 +1033,73 @@ def q_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup: label-blocked nearest neighbor + threshold
+# Embedding-cosine near-dup: LSH-bucket-blocked nearest neighbor + threshold
 # ---------------------------------------------------------------------------
 NN_DUP_THRESHOLD = 0.45
+# The blocking key MUST scale with the corpus: label cardinality is
+# fixed (~10), so label blocks grow linearly and in-block pairs grow
+# quadratically. Sign-LSH buckets scale by the planes knob —
+# n_planes ≈ log2(N / target_block_size) keeps the expected block size
+# constant as N grows. 6 planes = 64 buckets at fixture scale.
+NN_DEDUP_PLANES = 6
+
+
+def _nn_dedup_planes() -> list[list[float]]:
+    from .operators.similarity import _hyperplanes
+
+    return _hyperplanes(NN_DEDUP_PLANES)
 
 
 @query(
     "embedding_nn_dedup",
     f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    p AS (SELECT a.vec_id, a.label, b.vec_id AS nn_id,
+    WITH e AS (SELECT vec_id, {sql_lsh_bucket("embedding", _nn_dedup_planes())} AS bucket,
+                      embedding::DOUBLE[] AS v
+               FROM embeddings),
+    p AS (SELECT a.vec_id, a.bucket, b.vec_id AS nn_id,
                  ROUND(list_dot_product(a.v, b.v)
                        / (sqrt(list_dot_product(a.v, a.v))
                           * sqrt(list_dot_product(b.v, b.v))), 9) AS cosine
-          FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
-    r AS (SELECT vec_id, label, nn_id, cosine,
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    r AS (SELECT vec_id, bucket, nn_id, cosine,
                  ROW_NUMBER() OVER (PARTITION BY vec_id
                                     ORDER BY cosine DESC, nn_id) AS rn
           FROM p)
-    SELECT vec_id, label, nn_id, ROUND(cosine, 6) AS cosine,
+    SELECT vec_id, bucket, nn_id, ROUND(cosine, 6) AS cosine,
            cosine >= {NN_DUP_THRESHOLD} AS is_dup
     FROM r WHERE rn = 1
     """,
 )
 def q_embedding_nn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup detection: nearest neighbor within the label
-    block (the blocking key bounds the pair explosion — at real scale
-    the block is an LSH bucket or IVF cell), flagged against a cosine
-    threshold."""
+    """Embedding near-dup detection: nearest neighbor within the
+    vector's sign-LSH bucket, flagged against a cosine threshold.
+
+    The block key is the 6-plane LSH bucket, not the ~10-value label:
+    bucket count doubles per plane, so the expected block size (and
+    the in-block pair explosion) is held constant at any corpus size
+    by choosing n_planes ≈ log2(N / target_block_size). Vectors in
+    singleton buckets emit no row — the honest LSH-recall semantics
+    shared with ann_lsh_topk; the oracle replicates the literal
+    hyperplanes, so the hash check covers the blocking too."""
     from pyspark.sql import Window
 
-    from .operators.similarity import dot_expr, norm_expr
+    from .operators.similarity import dot_expr, lsh_bucket_expr, norm_expr
 
-    emb = _spread(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "nrm", norm_expr("embedding")
+    emb = _spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        lsh_bucket_expr("embedding", _nn_dedup_planes()).alias("bucket"),
+        norm_expr("embedding").alias("nrm"),
     )
-    a = emb.select("vec_id", "label", F.col("embedding").alias("va"), F.col("nrm").alias("na"))
+    a = emb.select("vec_id", "bucket", F.col("embedding").alias("va"), F.col("nrm").alias("na"))
     b = emb.select(
-        F.col("vec_id").alias("nn_id"), F.col("label").alias("lb"),
+        F.col("vec_id").alias("nn_id"), F.col("bucket").alias("bk"),
         F.col("embedding").alias("vb"), F.col("nrm").alias("nb"),
     )
-    pairs = a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_id") != F.col("nn_id")))
+    pairs = a.join(b, (F.col("bucket") == F.col("bk")) & (F.col("vec_id") != F.col("nn_id")))
     scored = pairs.select(
         "vec_id",
-        "label",
+        "bucket",
         "nn_id",
         F.round(dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 9).alias("cosine"),
     )
@@ -1086,7 +1109,7 @@ def q_embedding_nn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select(
             "vec_id",
-            "label",
+            "bucket",
             "nn_id",
             F.round("cosine", 6).alias("cosine"),
             (F.col("cosine") >= NN_DUP_THRESHOLD).alias("is_dup"),

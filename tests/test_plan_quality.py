@@ -171,6 +171,33 @@ def test_embedding_nn_dedup_blocked_join_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_embedding_nn_dedup_block_key_cardinality_scales(spark):
+    """The dedup block key must be able to scale with the corpus —
+    unlike `label` (fixed ~10 values → linear block growth → quadratic
+    pairs). The sign-LSH bucket doubles per plane: the shipped 6-plane
+    config must out-fan the label blocking, and adding planes must
+    keep increasing the fan-out (the knob that holds block size
+    constant as N grows)."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket_expr,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.workload_ext import NN_DEDUP_PLANES
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+
+    def n_blocks(col):
+        return emb.select(col.alias("b")).distinct().count()
+
+    n_labels = n_blocks(F.col("label"))
+    n_shipped = n_blocks(lsh_bucket_expr("embedding", _hyperplanes(NN_DEDUP_PLANES)))
+    n_more = n_blocks(lsh_bucket_expr("embedding", _hyperplanes(NN_DEDUP_PLANES + 2)))
+    assert n_labels < n_shipped < n_more
+
+
 def test_range_join_plans_equi_join_not_nested_loop(spark):
     """The whole point of the bucketized range join: the naive
     inequality join plans a BroadcastNestedLoopJoin; ours must be a
