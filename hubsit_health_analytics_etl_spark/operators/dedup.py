@@ -221,12 +221,125 @@ def minhash_candidates(
     return pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
 
 
+def minhash_signature_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The PERSISTABLE MinHash signature index for a corpus slice —
+    what a real 100 TB pipeline writes once and dedups every new batch
+    against, instead of re-shingling the whole corpus per run.
+
+    Returns two relations (write both to parquet):
+
+    - ``bands`` (doc_id, band_idx, band_key): the LSH postings. At
+      scale, bucket or partition the files by band_key so a new batch
+      probes only matching buckets.
+    - ``shingles`` (doc_id, hs array<bigint>): 60-bit md5-prefix
+      shingle hashes — enough to verify exact Jaccard on candidates
+      without re-reading old documents (hashing preserves set
+      cardinalities; ~2^61 space makes collisions negligible, and the
+      SQL oracle hashes identically so parity stays exact).
+    """
+    sh = _spread(docs).select(F.col(id_col), shingles_from_text(text_col).alias("sh"))
+    sig = sh.select(id_col, shingle_base_hash("sh").alias("h32")).select(
+        id_col, *minhash_signature("h32")
+    )
+    bands = sig.select(id_col, *band_keys()).select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    shingles = sh.select(
+        id_col,
+        F.expr(
+            "transform(sh, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))"
+        ).alias("hs"),
+    )
+    return bands, shingles
+
+
+def incremental_minhash_candidates(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against a persisted signature index: only the
+    batch is shingled/signed; the corpus contributes pre-computed
+    postings. Candidates = (new vs indexed) ∪ (new vs new within the
+    batch) sharing a band bucket; exact Jaccard verified on the stored
+    60-bit shingle hashes. Returns (doc_a, doc_b, jaccard), doc_a <
+    doc_b, every pair touching ≥1 new doc.
+
+    ``bucket_cap`` is evaluated on the UNION bucket size (index
+    postings + the batch's postings — both known to an incremental
+    system without touching old documents), which makes the output
+    EXACTLY the full-corpus ``minhash_candidates(pre_exact_dedup=False,
+    bucket_cap=cap)`` result restricted to pairs involving the batch —
+    the equivalence the oracle and property test pin.
+
+    Plan shape: batch-side signature compute is map-only over the
+    (small) batch; the probe is an equi-join on (band_idx, band_key)
+    against bucket-pruned index postings; Jaccard joins touch only the
+    candidate ids. The corpus is never re-scanned.
+    """
+    new_bands, new_shingles = minhash_signature_index(new_docs, id_col, text_col)
+    all_bands = index_bands.unionByName(new_bands)
+    probe_side = all_bands
+    if bucket_cap is not None:
+        ok = (
+            all_bands.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= int(bucket_cap))
+            .select("band_idx", "band_key")
+        )
+        probe_side = all_bands.join(ok, ["band_idx", "band_key"])
+    a = new_bands.select(
+        "band_idx", "band_key", F.col(id_col).alias("new_id")
+    )
+    b = probe_side.select(
+        "band_idx", "band_key", F.col(id_col).alias("other_id")
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("new_id") != F.col("other_id"))
+        .select(
+            F.least("new_id", "other_id").alias("doc_a"),
+            F.greatest("new_id", "other_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    hs_all = index_shingles.unionByName(new_shingles)
+    pairs = pairs.join(
+        hs_all.select(F.col(id_col).alias("doc_a"), F.col("hs").alias("hs_a")), "doc_a"
+    ).join(hs_all.select(F.col(id_col).alias("doc_b"), F.col("hs").alias("hs_b")), "doc_b")
+    jac = F.size(F.array_intersect("hs_a", "hs_b")) / F.size(
+        F.array_union("hs_a", "hs_b")
+    ).cast("double")
+    return pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exhaustive exact n-gram Jaccard ≥ threshold — the O(n²) ground
     truth the LSH path approximates. Joined via shared-shingle inverted
     index (not a cross join): pairs sharing zero shingles never meet.
+
+    ``df_cap`` (default OFF — this operator's role is the exact ground
+    truth) drops inverted-index postings for shingles shared by more
+    than ``cap`` documents, mirroring winnowing's ``WINNOW_DF_CAP``: a
+    boilerplate shingle in m docs otherwise emits O(m²) join rows on
+    one reducer. With the cap on, results are a subset of the exact
+    answer and intersection counts (hence Jaccard) can only shrink —
+    never ship it as the verifier, do ship it if this operator ever
+    runs at corpus scale.
     """
     sh = _spread(docs).select(F.col(id_col), shingles_from_text(text_col).alias("sh"))
     # join the inverted index on a 60-bit md5-prefix int: bigint keys
@@ -240,6 +353,11 @@ def ngram_jaccard_pairs(
             F.expr("transform(sh, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))")
         ).alias("s"),
     )
+    if df_cap is not None:
+        keep = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= int(df_cap)
+        )
+        inv = inv.join(keep.select("s"), "s")
     a = inv.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"), "s")
     b = inv.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"), "s")
     inter = (

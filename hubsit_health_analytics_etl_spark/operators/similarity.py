@@ -84,17 +84,36 @@ def sql_lsh_bucket(vec: str, planes: list[list[float]] | None = None) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+MAX_BROADCAST_QUERIES = 10_000
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int | None = MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """Exact top-k neighbors per query (self excluded): broadcast the
     query set, rank by (cosine desc, id) with a 9dp rounding before
-    ranking so cross-engine last-ulp noise can't flip ranks."""
+    ranking so cross-engine last-ulp noise can't flip ranks.
+
+    The contract is a SMALL query set — it is broadcast to every
+    executor and nested-loop-joined against the corpus. ``max_queries``
+    makes misuse fail loudly instead of OOMing executors: the guard
+    probe is ``limit(max+1).count()``, cheap even when the input is
+    huge. Pass ``None`` to waive (e.g. a caller that just counted)."""
     from .dedup import _spread
+
+    if max_queries is not None:
+        probe = queries.limit(int(max_queries) + 1).count()
+        if probe > int(max_queries):
+            raise ValueError(
+                f"brute_force_topk broadcasts the query set; got more than "
+                f"{max_queries} query rows — use lsh_bucket_topk/ivf_topk for "
+                f"large query sets, or raise max_queries deliberately"
+            )
 
     # norms precomputed once per vector (identical expression → same
     # bits as inline recomputation), so each pair costs ONE array

@@ -42,6 +42,14 @@ def streaming_exact_dedup(
     partition-order winner, which would make a backfilled corpus
     disagree with the live stream's first-arrival-wins on which
     representative row survived.
+
+    Parity contract under OUT-OF-ORDER arrival: only the surviving KEY
+    SET is stream/batch identical. The stream keeps the first-ARRIVAL
+    row, the batch keeps the earliest-EVENT-TIME row — when a late row
+    carries an earlier event time than an already-kept duplicate, the
+    two paths keep different representative rows for the same key.
+    With in-order input (arrival order == event-time order) the winners
+    coincide, which is what the parity test pins.
     """
     if not stream.isStreaming:
         from pyspark.sql import Window

@@ -40,15 +40,22 @@ def interval_join(
     inclusive). On streaming inputs both sides get ``watermark``, which
     is what lets Spark evict join state (a right row is dead once the
     left watermark passes ``right_ts + upper``). ``left_ts`` and
-    ``right_ts`` must be distinct column names (alias beforehand)."""
+    ``right_ts`` must be distinct column names (alias beforehand).
+
+    Both inputs are aliased internally so the key equality is
+    lineage-independent: when left and right derive from the SAME
+    DataFrame (common in batch verification), ``left[k] == right[k]``
+    resolves both sides to one attribute — a trivially-true comparison
+    that silently degrades the equi-join to the time band alone."""
     if left.isStreaming or right.isStreaming:
         left = left.withWatermark(left_ts, watermark)
         right = right.withWatermark(right_ts, watermark)
+    lft, rgt = left.alias("__ij_l"), right.alias("__ij_r")
     band = (
         (F.col(left_ts) >= F.col(right_ts) + F.expr(f"INTERVAL {lower}"))
         & (F.col(left_ts) <= F.col(right_ts) + F.expr(f"INTERVAL {upper}"))
     )
     cond = band
     for k in keys:
-        cond = (left[k] == right[k]) & cond
-    return left.join(right, cond).drop(*[right[k] for k in keys])
+        cond = (F.col(f"__ij_l.{k}") == F.col(f"__ij_r.{k}")) & cond
+    return lft.join(rgt, cond).drop(*[rgt[k] for k in keys])

@@ -56,7 +56,15 @@ def upsert_batch(
     snapshot is renamed aside only AFTER the new one is fully written,
     and a dangling ``._old`` from a crash between the two renames is
     recovered on the next call instead of silently rebuilding from one
-    batch."""
+    batch.
+
+    Scope limits (documented, accepted for the local-snapshot demo):
+    CONCURRENT readers can observe a missing snapshot in the instant
+    between rename(path → ._old) and rename(._tmp → path) — writers are
+    crash-safe, readers are not isolated. And ``os.rename`` requires
+    tmp/old/path on one filesystem. A production deployment swaps a
+    versioned directory behind a pointer file (or uses a table format
+    with atomic commits — Delta/Iceberg) instead."""
     spark = batch.sparkSession
     old = path + "._old"
     if os.path.exists(old):

@@ -431,6 +431,102 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs a PERSISTED signature index. The
+# 100 TB shape — the corpus is signed once (parquet index); each new
+# batch is signed map-only and probed against the postings, never
+# re-shingling old documents. Oracle = the full-corpus LSH pair set
+# (no pre-dedup, union-bucket cap) restricted to pairs touching the
+# batch — the literal statement of incremental == batch equivalence.
+# ---------------------------------------------------------------------------
+NEW_BATCH_PCT = 10  # doc_id hash bucket < 10 → the "new" slice
+
+
+def _incremental_dedup_oracle() -> str:
+    sig_cols = ", ".join(
+        f"list_min(list_transform(h32, h -> ({a} * h + {b}) % {MINHASH_PRIME})) AS mh_{j}"
+        for j, (a, b) in enumerate(MINHASH_AB[:N_MINHASH])
+    )
+
+    def band_key(b: int) -> str:
+        expr = f"mh_{b * BAND_ROWS}"
+        for r in range(1, BAND_ROWS):
+            expr = f"({expr} * {BAND_MIX} + mh_{b * BAND_ROWS + r})"
+        return expr
+
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, is_new, {b} AS band_idx, {band_key(b)} AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    from .operators.sampling import sql_hash_bucket
+
+    return f"""
+    WITH sh0 AS (SELECT doc_id, {_sql_shingles()} AS sh,
+                        ({sql_hash_bucket("doc_id")} < {NEW_BATCH_PCT}) AS is_new
+                 FROM documents),
+    h32 AS (SELECT doc_id, is_new, sh,
+                   list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h32
+            FROM sh0),
+    sig AS (SELECT doc_id, is_new, {sig_cols} FROM h32),
+    bands AS ({band_selects}),
+    bucket_ok AS (SELECT band_idx, band_key FROM bands
+                  GROUP BY band_idx, band_key
+                  HAVING COUNT(*) > 1 AND COUNT(*) <= {MINHASH_BUCKET_CAP}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a
+             JOIN bucket_ok o
+               ON a.band_idx = o.band_idx AND a.band_key = o.band_key
+             JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             WHERE a.doc_id < b.doc_id AND (a.is_new OR b.is_new)),
+    h60 AS (SELECT doc_id,
+                   list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+            FROM sh0)
+    SELECT c.doc_a, c.doc_b,
+           ROUND(len(list_intersect(x.hs, y.hs))
+                 / CAST(len(list_distinct(x.hs || y.hs)) AS DOUBLE), 6) AS jaccard
+    FROM cand c
+    JOIN h60 x ON c.doc_a = x.doc_id
+    JOIN h60 y ON c.doc_b = y.doc_id
+    """
+
+
+@query("dedup_new_batch", _incremental_dedup_oracle())
+def q_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup end-to-end: sign the 90% "corpus" slice, WRITE
+    the signature index to parquet, read it back, and dedup the 10%
+    "new batch" against it — old documents are never re-shingled. The
+    oracle computes the full-corpus pair set restricted to the batch,
+    so the hash match proves incremental == full recompute."""
+    import os
+    import tempfile
+
+    from .operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_signature_index,
+    )
+    from .operators.sampling import hash_bucket
+    from .sources.sinks import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = hash_bucket("doc_id") < NEW_BATCH_PCT
+    corpus, batch = docs.filter(~is_new), docs.filter(is_new)
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "hubsit_sig_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    bands, shingles = minhash_signature_index(corpus)
+    write_parquet(bands, os.path.join(base, "bands"))
+    write_parquet(shingles, os.path.join(base, "shingles"))
+    index_bands = spark.read.parquet(os.path.join(base, "bands"))
+    index_shingles = spark.read.parquet(os.path.join(base, "shingles"))
+    return incremental_minhash_candidates(
+        batch, index_bands, index_shingles, bucket_cap=MINHASH_BUCKET_CAP
+    )
+
+
 @query(
     "ngram_jaccard_pairs",
     f"""
@@ -1610,6 +1706,51 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_total").cast("bigint").alias("n_total"),
             F.round(n_hits / F.col("n_total"), 6).alias("recall_at_k"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF with the REAL trainer: seeded Spark ML KMeans centroids plugged
+# into the same ivf_topk cell search, tracked as recall@k vs exact
+# brute force. Registered WITHOUT an SQL oracle by construction:
+# distributed KMeans centroids are engine-specific (float reduction
+# order, init sampling), so no DuckDB twin can exist — the driver
+# records the weaker rows-only check, and quality is value-asserted in
+# pytest (trained recall >= label-mean recall, both vs brute force).
+# ---------------------------------------------------------------------------
+KMEANS_IVF_CELLS = 10
+
+
+@query("ann_kmeans_ivf_recall")
+def q_ann_kmeans_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{ANN_K} of IVF with the trained coarse quantizer
+    (operators/similarity.py::kmeans_centroids — seeded, distributed
+    Lloyd iterations, centroids rounded to 6dp) against exact brute
+    force. One row: (method, n_hits, n_total, recall_at_k). Training
+    touches only the embedding column; the k centers collected to the
+    driver are the model, not data."""
+    from .operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") < ANN_QUERY_LIMIT
+    brute = q_ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    try:
+        brute = brute.localCheckpoint(eager=False)
+    except Exception:
+        brute = brute.cache()
+    cents = kmeans_centroids(emb, KMEANS_IVF_CELLS)
+    approx = ivf_topk(emb, ANN_K, query_filter=qf, centroids=cents).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.join(brute, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    tot = brute.agg(F.count(F.lit(1)).alias("n_total"))
+    return hits.crossJoin(tot).select(
+        F.lit("kmeans_ivf").alias("method"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.round(F.col("n_hits") / F.col("n_total"), 6).alias("recall_at_k"),
     )
 
 

@@ -155,6 +155,97 @@ def test_simhash_pairs_banding_is_pigeonhole_complete(spark):
     assert got == want and len(want) > 0
 
 
+def test_incremental_dedup_equals_full_recompute_restricted(spark, tmp_path):
+    """The incremental contract: new-batch-vs-persisted-index candidate
+    pairs == full-corpus recompute (same cap, no pre-dedup) restricted
+    to pairs touching the batch — identical keys AND Jaccard values,
+    through a real parquet round-trip of the index."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_candidates,
+        minhash_signature_index,
+    )
+    from hubsit_health_analytics_etl_spark.operators.sampling import hash_bucket
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    is_new = hash_bucket("doc_id") < 10
+    corpus, batch = docs.filter(~is_new), docs.filter(is_new)
+
+    bands, shingles = minhash_signature_index(corpus)
+    bands.write.parquet(str(tmp_path / "bands"))
+    shingles.write.parquet(str(tmp_path / "shingles"))
+    inc = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in incremental_minhash_candidates(
+            batch,
+            spark.read.parquet(str(tmp_path / "bands")),
+            spark.read.parquet(str(tmp_path / "shingles")),
+            bucket_cap=32,
+        ).collect()
+    }
+    new_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_candidates(
+            docs, bucket_cap=32, pre_exact_dedup=False
+        ).collect()
+    }
+    restricted = {
+        k: v for k, v in full.items() if k[0] in new_ids or k[1] in new_ids
+    }
+    assert len(inc) > 0
+    assert inc == restricted
+
+
+def test_ngram_jaccard_df_cap_subset_and_identity_below_cap(spark):
+    """df-capped n-gram Jaccard ⊆ uncapped; when every shingle's
+    document frequency is below the cap, the two are identical (the
+    cap only ever removes postings, never adds or rescores pairs)."""
+    from hubsit_health_analytics_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, 0.1).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, 0.1, df_cap=3).collect()
+    }
+    assert len(exact) > 0
+    assert set(capped) <= set(exact)
+    # capped intersections can only shrink → jaccard never increases
+    assert all(exact[k] >= v for k, v in capped.items())
+    # a cap above every shingle's df is the identity
+    n_docs = docs.count()
+    assert {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, 0.1, df_cap=n_docs).collect()
+    } == exact
+
+
+def test_brute_force_topk_rejects_oversized_query_set(spark):
+    """The broadcast guard: a query set over max_queries must fail
+    loudly instead of broadcasting it to every executor."""
+    import pytest as _pytest
+
+    from hubsit_health_analytics_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with _pytest.raises(ValueError, match="broadcasts the query set"):
+        brute_force_topk(emb, emb, 5, max_queries=10)
+    # under the limit (or waived) the same call plans fine
+    q = emb.filter(F.col("vec_id") < 3)
+    assert brute_force_topk(emb, q, 5, max_queries=10).count() > 0
+
+
 def test_simhash_pairs_bucket_cap_yields_subset(spark):
     """Capped retrieval ⊆ uncapped retrieval, with identical hamming
     values on the surviving pairs."""

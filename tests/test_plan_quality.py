@@ -101,6 +101,7 @@ def test_anti_join_is_broadcast(spark):
         "ngram_jaccard_pairs",
         "winnow_candidate_pairs",
         "simhash_candidate_pairs",
+        "dedup_new_batch",
     ],
 )
 def test_dedup_never_plans_cartesian(spark, name):

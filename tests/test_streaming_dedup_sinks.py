@@ -76,7 +76,14 @@ def test_streaming_fingerprint_dedup_matches_batch(spark, tmp_path):
     q.awaitTermination()
     got = spark.table("dedup_stream")
     assert got.count() == 2
-    assert {r.fp for r in got.collect()} == {r.fp for r in b.collect()}
+    # input is IN-ORDER (arrival order == event-time order), so not
+    # just the key set but the WINNING ROW must agree between paths —
+    # with out-of-order input only the fp set is contractual (stream
+    # keeps first arrival, batch keeps earliest event time; see
+    # streaming/dedup.py docstring)
+    assert {(r.fp, r.doc_id, r.ts) for r in got.collect()} == {
+        (r.fp, r.doc_id, r.ts) for r in b.collect()
+    }
 
 
 def test_late_event_dropped_after_watermark_advance(spark, tmp_path):
@@ -269,3 +276,25 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         (r.user_id, r.click_id, r.amount) for r in spark.table("ssjoin").collect()
     }
     assert got == batch
+
+
+def test_interval_join_enforces_keys_on_shared_lineage(spark):
+    """When both inputs derive from the SAME DataFrame, the key
+    equality must still bind one side to each input — un-aliased,
+    left[k] == right[k] resolves to a trivially-true self-comparison
+    and the join silently degrades to the time band alone."""
+    from hubsit_health_analytics_etl_spark.streaming.joins import interval_join
+
+    base = spark.createDataFrame(
+        [(1, _ts("10:00")), (2, _ts("10:05"))], "user_id long, ts timestamp"
+    )
+    left = base.select("user_id", F.col("ts").alias("l_ts"))
+    right = base.select("user_id", F.col("ts").alias("r_ts"))
+    j = interval_join(
+        left, right, ["user_id"], "l_ts", "r_ts",
+        lower="0 seconds", upper="30 minutes",
+    )
+    rows = {(r.user_id, r.l_ts, r.r_ts) for r in j.collect()}
+    # user 2's row at 10:05 is within the band of user 1's 10:00 — it
+    # must NOT join across users
+    assert rows == {(1, _ts("10:00"), _ts("10:00")), (2, _ts("10:05"), _ts("10:05"))}
