@@ -1329,6 +1329,168 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "market_share",
+    """
+    WITH base AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'AMERICA'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END), 2)
+             AS nation_volume,
+           ROUND(SUM(volume), 2) AS total_volume,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_1 suppliers' share of AMERICA-market
+    revenue per order year. Six-way join where every dimension
+    (customer/supplier/nation×2/region) broadcasts — the fact tables
+    shuffle once on the orderkey and once for the year agg; the share
+    is a conditional-sum ratio computed in the same single aggregate
+    pass (no second scan, no self-join)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust_nat = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "AMERICA")
+        .select("c_custkey")
+    )
+    supp_nat = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        supplier.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    base = (
+        lineitem.select("l_orderkey", "l_suppkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+        .join(orders.select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    is_nat = F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(F.lit(0.0))
+    return base.groupBy(F.col("o_year").cast("bigint").alias("o_year")).agg(
+        F.round(F.sum(is_nat), 2).alias("nation_volume"),
+        F.round(F.sum("volume"), 2).alias("total_volume"),
+        F.round(F.sum(is_nat) / F.sum("volume"), 6).alias("mkt_share"),
+    )
+
+
+@query(
+    "returned_item_report",
+    """
+    WITH agg AS (
+      SELECT c.c_custkey, c.c_name, n.n_name AS nacao,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             COUNT(*)::BIGINT AS itens
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1997-04-01'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    )
+    SELECT c_custkey, c_name, nacao, revenue, itens,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rnk FROM agg)
+    WHERE rnk <= 20
+    """,
+)
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in one quarter. The date filter pushes into the orders scan
+    and the returnflag filter into the lineitem scan BEFORE the join;
+    customer/nation broadcast; the top-20 is TakeOrderedAndProject on
+    (rounded revenue desc, custkey) — never a global sort."""
+    from .operators.reshape import top_k
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    agg = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nacao"))),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "nacao")
+        .agg(
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("itens"),
+        )
+    )
+    ranked = top_k(agg, [], [F.col("revenue").desc(), F.col("c_custkey").asc()], 20)
+    return ranked.select(
+        "c_custkey", "c_name", "nacao", "revenue", "itens",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+@query(
+    "customer_value_deciles",
+    """
+    WITH d AS (SELECT c_mktsegment, c_acctbal,
+                      NTILE(10) OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal, c_custkey) AS decile
+               FROM customer)
+    SELECT c_mktsegment, CAST(decile AS BIGINT) AS decile,
+           COUNT(*)::BIGINT AS n,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM d GROUP BY c_mktsegment, decile
+    """,
+)
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact account-balance deciles per market segment (NTILE with a
+    deterministic (balance, key) order), profiled per decile. Exact
+    n-tiles need a total order WITHIN each segment partition — fine
+    when segments are many/balanced; for a global or hot-key decile at
+    100 TB the scale path is percentile_approx bounds
+    (priority_price_percentiles) instead of a single-reducer sort."""
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    d = customer.select(
+        "c_mktsegment", "c_acctbal", F.ntile(10).over(w).cast("bigint").alias("decile")
+    )
+    return d.groupBy("c_mktsegment", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join (custom operator — DuckDB's native ASOF JOIN is the oracle)
 # ---------------------------------------------------------------------------

@@ -199,6 +199,32 @@ def test_embedding_nn_dedup_block_key_cardinality_scales(spark):
     assert n_labels < n_shipped < n_more
 
 
+def test_market_share_dims_broadcast_and_single_agg_pass(spark):
+    """Q8 shape: all dimensions broadcast (the fact shuffles only for
+    the orderkey join + year agg), and the share ratio is computed in
+    ONE aggregate pass — no second scan or self-join of the fact."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("market_share")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # the conditional sum shares one aggregate pass: lineitem scanned once
+    assert p.lower().count("lineitem.parquet") == 1
+
+
+def test_returned_item_report_pushdown_and_topk(spark):
+    """Q10 shape: returnflag reaches the lineitem scan, the date range
+    reaches the orders scan, and the top-20 is TakeOrderedAndProject
+    (bounded per-partition heaps), never a global Sort."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("returned_item_report")(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters: ")[1:]]
+    assert any("l_returnflag" in s for s in pushed)
+    assert any("o_orderdate" in s for s in pushed)
+
+
 def test_range_join_plans_equi_join_not_nested_loop(spark):
     """The whole point of the bucketized range join: the naive
     inequality join plans a BroadcastNestedLoopJoin; ours must be a
