@@ -257,6 +257,119 @@ def kmeans_centroids(
     )
 
 
+def _ranked_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Every vector scored against the (small, broadcast) centroid
+    table, cells ranked per vector by (cosine desc, cell): rn == 1 is
+    the home-cell assignment, rn <= nprobe the query probe set.
+    Centroid norms are computed once on the C-row table, not per
+    (vector, centroid) pair; the 9dp rounding keeps cell boundaries
+    identical across engines/partitionings."""
+    from pyspark.sql import Window
+
+    from .dedup import _spread
+
+    cents = centroids.select("cell", "centroid", norm_expr("centroid").alias("c_nrm"))
+    base = _spread(vectors).select(id_col, vec_col, norm_expr(vec_col).alias("nrm"))
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        vec_col,
+        "nrm",
+        "cell",
+        F.round(
+            dot_expr(vec_col, "centroid") / (F.col("nrm") * F.col("c_nrm")), 9
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cell").asc())
+    return scored.withColumn("rn", F.row_number().over(w))
+
+
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroids: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The PERSISTABLE IVF index for a vector corpus: returns
+    (centroids, assignments) — write both to parquet once, then search
+    every new batch against them without re-assigning the corpus.
+
+    - ``centroids`` (cell, centroid array<double>): the coarse
+      quantizer (label-mean by default, :func:`kmeans_centroids` for a
+      trained one).
+    - ``assignments`` (vec_id, embedding, nrm, cell): each corpus
+      vector in its home cell with its precomputed norm. At scale,
+      partition the files by ``cell`` so a query batch reads only the
+      cells it probes.
+    """
+    if centroids is None:
+        centroids = label_mean_centroids(corpus, id_col, vec_col, label_col).select(
+            F.col(label_col).alias("cell"), "centroid"
+        )
+    assigned = (
+        _ranked_cells(corpus, centroids, id_col, vec_col)
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "nrm", "cell")
+    )
+    return centroids, assigned
+
+
+def ivf_search_index(
+    index_assignments: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Search a persisted IVF index with a NEW query batch: only the
+    batch is assigned to cells (map-only vs the broadcast persisted
+    centroids); candidates come from an equi-join against the index
+    postings on the cell id. The corpus is never re-scored. Returns
+    (query_id, cell, neighbor_id, cosine, rank) — neighbors are index
+    members only, so a query vector never matches itself or its own
+    batch."""
+    from .reshape import top_k
+
+    q = (
+        _ranked_cells(queries, centroids, id_col, vec_col)
+        .filter(F.col("rn") <= int(nprobe))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("nrm").alias("q_norm"),
+            "cell",
+        )
+    )
+    c = index_assignments.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("nrm").alias("c_norm"),
+        "cell",
+    )
+    pairs = c.join(F.broadcast(q), "cell")
+    scored = pairs.select(
+        "query_id",
+        "cell",
+        "neighbor_id",
+        F.round(dot_expr("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 9).alias(
+            "cosine"
+        ),
+    )
+    ranked = top_k(
+        scored, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id").asc()], k
+    )
+    return ranked.select(
+        "query_id", "cell", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     k: int,
@@ -282,33 +395,13 @@ def ivf_topk(
     grow ≈ linearly, the join stays an equi-join on the cell id. A
     (query, neighbor) pair can only arise in the neighbor's one home
     cell, so no dedup pass is needed."""
-    from .dedup import _spread
     from .reshape import top_k
 
     if centroids is None:
         centroids = label_mean_centroids(corpus, id_col, vec_col, label_col).select(
             F.col(label_col).alias("cell"), "centroid"
         )
-    # centroid norms computed once on the C-row centroid table, not
-    # per (vector, centroid) pair
-    cents = centroids.select(
-        "cell", "centroid", norm_expr("centroid").alias("c_nrm")
-    )
-    base = _spread(corpus).select(id_col, vec_col, norm_expr(vec_col).alias("nrm"))
-    scored_cells = base.crossJoin(F.broadcast(cents)).select(
-        id_col,
-        vec_col,
-        "nrm",
-        "cell",
-        F.round(
-            dot_expr(vec_col, "centroid") / (F.col("nrm") * F.col("c_nrm")),
-            9,
-        ).alias("ccos"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cell").asc())
-    ranked_cells = scored_cells.withColumn("rn", F.row_number().over(w))
+    ranked_cells = _ranked_cells(corpus, centroids, id_col, vec_col)
     assigned = ranked_cells.filter(F.col("rn") == 1).select(
         id_col, vec_col, "nrm", "cell"
     )

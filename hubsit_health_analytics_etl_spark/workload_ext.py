@@ -1872,6 +1872,87 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental ANN: a NEW vector batch searched against a PERSISTED IVF
+# index (centroids + cell assignments on parquet) — the vector-side
+# twin of dedup_new_batch. Only the batch is scored against the
+# centroids; the corpus is never re-assigned.
+# ---------------------------------------------------------------------------
+ANN_NEW_PCT = 10  # vec_id hash bucket < 10 → the "new" query batch
+
+
+def _ann_incremental_oracle() -> str:
+    from .operators.sampling import sql_hash_bucket
+
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                      ({sql_hash_bucket("vec_id")} < {ANN_NEW_PCT}) AS is_new
+               FROM embeddings),
+    old AS (SELECT * FROM e WHERE NOT is_new),
+    dims AS (SELECT o.label, t.i, ROUND(AVG(o.v[t.i]), 6) AS cval
+             FROM old o CROSS JOIN range(1, 65) t(i) GROUP BY o.label, t.i),
+    cents AS (SELECT label AS cell, list(cval ORDER BY i) AS centroid
+              FROM dims GROUP BY label),
+    cn AS (SELECT cell, centroid,
+                  sqrt(list_dot_product(centroid, centroid)) AS c_nrm
+           FROM cents),
+    base AS (SELECT vec_id, is_new, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    sc AS (SELECT b.vec_id, b.is_new, b.v, b.nrm, c.cell,
+                  ROUND(list_dot_product(b.v, c.centroid) / (b.nrm * c.c_nrm), 9)
+                    AS ccos
+           FROM base b CROSS JOIN cn c),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY ccos DESC, cell) AS rn
+               FROM sc),
+    idx AS (SELECT vec_id, v, nrm, cell FROM ranked WHERE rn = 1 AND NOT is_new),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell
+          FROM ranked WHERE rn = 1 AND is_new),
+    p AS (SELECT q.query_id, q.cell, i.vec_id AS neighbor_id,
+                 ROUND(list_dot_product(q.qv, i.v) / (q.qn * i.nrm), 9) AS cosine
+          FROM q JOIN idx i ON q.cell = i.cell),
+    r AS (SELECT query_id, cell, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM p)
+    SELECT query_id, cell, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+    FROM r WHERE rank <= {ANN_K}
+    """
+
+
+@query("ann_incremental_topk", _ann_incremental_oracle())
+def q_ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN end-to-end: build the IVF index over the 90%
+    "corpus" slice, WRITE centroids + cell assignments to parquet,
+    read them back, and search the 10% "new batch" against the index —
+    corpus vectors are never re-scored. Neighbors come from the index
+    only (a new vector can't match its own batch), which is the
+    arriving-data contract; the oracle replicates the split, the
+    rounded centroids and the cell search exactly."""
+    import os
+    import tempfile
+
+    from .operators.sampling import hash_bucket
+    from .operators.similarity import ivf_index, ivf_search_index
+    from .sources.sinks import write_parquet
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_new = hash_bucket("vec_id") < ANN_NEW_PCT
+    corpus, batch = emb.filter(~is_new), emb.filter(is_new)
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "hubsit_ivf_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    cents, assigned = ivf_index(corpus)
+    write_parquet(cents, os.path.join(base, "centroids"))
+    write_parquet(assigned, os.path.join(base, "assignments"))
+    cents_rb = spark.read.parquet(os.path.join(base, "centroids"))
+    assigned_rb = spark.read.parquet(os.path.join(base, "assignments"))
+    out = ivf_search_index(assigned_rb, cents_rb, batch, ANN_K)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
 # IVF with the REAL trainer: seeded Spark ML KMeans centroids plugged
 # into the same ivf_topk cell search, tracked as recall@k vs exact
 # brute force. Registered WITHOUT an SQL oracle by construction:

