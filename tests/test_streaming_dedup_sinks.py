@@ -278,6 +278,76 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+def test_streaming_signature_index_accumulates_full_pair_set(spark, tmp_path):
+    """Two ordered micro-batches through the signature-index sink: each
+    batch is deduped against the index-so-far, then indexed. The union
+    of emitted pairs must equal the full-corpus batch recompute (no
+    cap, no pre-dedup) over everything that arrived — the streaming
+    face of dedup_new_batch's incremental == full equivalence. Batch
+    0's emissions may touch only batch-0 docs (nothing else is indexed
+    yet)."""
+    from hubsit_health_analytics_etl_spark.operators.dedup import minhash_candidates
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.streaming.incremental_dedup import (
+        read_emitted_pairs,
+        signature_index_sink,
+    )
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    b1 = [(r.doc_id, r.text) for r in docs.filter(F.col("doc_id") < 100).collect()]
+    b2 = [(r.doc_id, r.text) for r in docs.filter(F.col("doc_id") >= 100).collect()]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_file(spark, b1, schema, src, "b1.parquet", 1_700_000_000)
+    _write_file(spark, b2, schema, src, "b2.parquet", 1_700_000_100)
+
+    index_dir, pairs_dir = str(tmp_path / "index"), str(tmp_path / "pairs")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(signature_index_sink(index_dir, pairs_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in read_emitted_pairs(spark, pairs_dir).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_candidates(
+            docs, bucket_cap=None, pre_exact_dedup=False
+        ).collect()
+    }
+    assert len(emitted) > 0
+    assert emitted == full
+    # batch 0 could only have seen batch-0 docs
+    import glob as _glob
+
+    batch0 = spark.read.parquet(str(tmp_path / "pairs" / "batch-0"))
+    b1_ids = {d for d, _ in b1}
+    assert all(
+        r.doc_a in b1_ids and r.doc_b in b1_ids for r in batch0.collect()
+    )
+    # replay idempotence: re-running a batch rewrites, never duplicates
+    sink = signature_index_sink(index_dir, pairs_dir)
+    sink(spark.createDataFrame(b2, schema), 1)
+    again = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in read_emitted_pairs(spark, pairs_dir).collect()
+    }
+    assert again == full
+
+
 def test_interval_join_enforces_keys_on_shared_lineage(spark):
     """When both inputs derive from the SAME DataFrame, the key
     equality must still bind one side to each input — un-aliased,
