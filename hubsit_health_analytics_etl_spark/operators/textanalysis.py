@@ -220,6 +220,61 @@ def winnow_candidate_pairs(
     )
 
 
+def contamination_report(
+    corpus: "DataFrame",
+    benchmark: "DataFrame",
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = None,
+) -> "DataFrame":
+    """Benchmark decontamination (GPT-3/PaLM-style): flag every corpus
+    document sharing at least one k-token gram with a benchmark/eval
+    document, so contaminated training text can be dropped before the
+    eval is run on the trained model.
+
+    Returns (doc_id, n_shared_grams, n_eval_docs_hit) per contaminated
+    corpus doc — distinct shared grams and how many eval docs they
+    touch (triage signal: 1 gram × 1 doc is likely a phrase collision;
+    many × many is a leak).
+
+    Plan shape: gram extraction is map-only on both sides (distinct
+    k-grams hashed to 60-bit md5-prefix ints); the benchmark gram set
+    is small and BROADCAST into the probe join, so the corpus never
+    shuffles to discover hits — only the (tiny) hit set aggregates.
+    ``df_cap`` drops grams appearing in more than ``cap`` corpus docs
+    (boilerplate that would flag everything and hot-key the join).
+    """
+    from .dedup import _spread, shingles_from_text
+
+    cg = _spread(corpus).select(
+        F.col(id_col), shingles_from_text(text_col, k).alias("sh")
+    ).select(
+        id_col,
+        F.explode(
+            F.expr("transform(sh, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))")
+        ).alias("g"),
+    )
+    if df_cap is not None:
+        keep = cg.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= int(df_cap)
+        )
+        cg = cg.join(keep.select("g"), "g")
+    bg = _spread(benchmark).select(
+        F.col(id_col).alias("eval_id"), shingles_from_text(text_col, k).alias("sh")
+    ).select(
+        "eval_id",
+        F.explode(
+            F.expr("transform(sh, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))")
+        ).alias("g"),
+    )
+    hits = cg.join(F.broadcast(bg), "g")
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("g").alias("n_shared_grams"),
+        F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+    )
+
+
 def chunk_tokens(
     text: str = "text", chunk_size: int = 50, stride: int = 40
 ) -> "Column":

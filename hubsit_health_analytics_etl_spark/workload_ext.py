@@ -527,6 +527,60 @@ def q_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: corpus docs sharing k-token grams with a
+# held-out eval slice. The hash split stands in for a real benchmark
+# table; the operator takes any (doc_id, text) benchmark DataFrame.
+# ---------------------------------------------------------------------------
+DECON_K, DECON_EVAL_PCT, DECON_DF_CAP = 4, 5, 50
+
+
+def _decontamination_oracle() -> str:
+    from .operators.sampling import sql_hash_bucket
+
+    return f"""
+    WITH split AS (SELECT doc_id, text,
+                          ({sql_hash_bucket("doc_id", salt="eval")} < {DECON_EVAL_PCT})
+                            AS is_eval
+                   FROM documents),
+    cg AS (SELECT doc_id,
+                  unnest(list_transform({_sql_shingles("text", DECON_K)},
+                                        s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))
+                    AS g
+           FROM split WHERE NOT is_eval),
+    keep AS (SELECT g FROM cg GROUP BY g HAVING COUNT(*) <= {DECON_DF_CAP}),
+    cg2 AS (SELECT cg.doc_id, cg.g FROM cg JOIN keep USING (g)),
+    bg AS (SELECT doc_id AS eval_id,
+                  unnest(list_transform({_sql_shingles("text", DECON_K)},
+                                        s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))
+                    AS g
+           FROM split WHERE is_eval),
+    hits AS (SELECT cg2.doc_id, cg2.g, bg.eval_id FROM cg2 JOIN bg ON cg2.g = bg.g)
+    SELECT doc_id,
+           COUNT(DISTINCT g)::BIGINT AS n_shared_grams,
+           COUNT(DISTINCT eval_id)::BIGINT AS n_eval_docs_hit
+    FROM hits GROUP BY doc_id
+    """
+
+
+@query("benchmark_decontamination", _decontamination_oracle())
+def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination report: corpus docs sharing ≥1 4-token gram
+    with the 5% held-out "benchmark" slice (df-capped against
+    boilerplate grams). Gram extraction is map-only on both sides; the
+    small benchmark gram set broadcasts, so the corpus discovers hits
+    without shuffling — only the hit set aggregates."""
+    from .operators.sampling import hash_bucket
+    from .operators.textanalysis import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = hash_bucket("doc_id", salt="eval") < DECON_EVAL_PCT
+    corpus, benchmark = docs.filter(~is_eval), docs.filter(is_eval)
+    return contamination_report(
+        corpus, benchmark, k=DECON_K, df_cap=DECON_DF_CAP
+    )
+
+
 @query(
     "ngram_jaccard_pairs",
     f"""
