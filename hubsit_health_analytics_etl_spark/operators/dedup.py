@@ -84,14 +84,18 @@ def band_keys(n: int = N_MINHASH, rows: int = BAND_ROWS) -> list[Column]:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition a narrow input before expensive per-row compute.
+    """Fan a narrow input out before expensive per-row compute.
     Small corpora often arrive as one parquet row-group → one task; the
-    md5/shingle work must fan out across cores. At real scale the
-    source has many splits and this is a cheap round-robin reshuffle
-    relative to the hash work it parallelizes."""
+    md5/shingle work must spread across cores. CONDITIONAL: an input
+    that already has ≥ shuffle-partitions splits (every real corpus
+    scan at scale) passes through untouched — repartitioning it would
+    be a full-corpus shuffle purely to redo what the scan's split
+    planning already did."""
     sess = df.sparkSession
     n = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
-    return df.repartition(n)
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
 
 
 def exact_dup_representatives(

@@ -87,6 +87,27 @@ def sql_lsh_bucket(vec: str, planes: list[list[float]] | None = None) -> str:
 MAX_BROADCAST_QUERIES = 10_000
 
 
+def _broadcast_if_small(
+    probe: DataFrame, q: DataFrame, max_rows: int | None, divisor: int = 1
+) -> DataFrame:
+    """Broadcast ``q`` only when ``probe`` (a cheap stand-in with the
+    same row count — e.g. the filtered corpus scan, before any bucket/
+    norm compute) is provably small: ≤ ``max_rows // divisor`` rows.
+
+    Above the threshold the hint is simply DROPPED — every caller joins
+    on an equi-key (bucket / cell), so the planner falls back to a
+    shuffled hash / sort-merge join instead of OOMing executors on an
+    oversized broadcast (brute_force_topk, whose join is non-equi,
+    raises instead — there is no graceful fallback for a nested loop).
+    ``max_rows=None`` waives the probe and force-broadcasts."""
+    if max_rows is None:
+        return F.broadcast(q)
+    cap = int(max_rows) // max(int(divisor), 1)
+    if probe.limit(cap + 1).count() > cap:
+        return q
+    return F.broadcast(q)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -155,10 +176,18 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_filter: Column | None = None,
+    max_broadcast_queries: int | None = MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """Approximate top-k: compare only within the same sign-LSH bucket.
     Map-only bucketing + equi-join on bucket — no O(N²) pair explosion.
-    Queries in singleton buckets return no rows (honest ANN recall)."""
+    Queries in singleton buckets return no rows (honest ANN recall).
+
+    The query side broadcasts only while it is provably small
+    (``max_broadcast_queries`` guard, probed on the filtered corpus
+    scan — filter pushdown + limit keep the probe cheap). A large
+    query set — including ``query_filter=None``, the all-vectors
+    self-search — silently keeps the scalable shape instead: a
+    shuffled equi-join on the bucket id."""
     from .dedup import _spread
 
     bucketed = _spread(corpus).select(
@@ -179,9 +208,12 @@ def lsh_bucket_topk(
         "bucket",
         F.col("nrm").alias("c_norm"),
     )
-    pairs = c.join(F.broadcast(q), "bucket").filter(
-        F.col("query_id") != F.col("neighbor_id")
+    q_probe = corpus.filter(
+        query_filter if query_filter is not None else F.lit(True)
     )
+    pairs = c.join(
+        _broadcast_if_small(q_probe, q, max_broadcast_queries), "bucket"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "bucket",
@@ -327,6 +359,7 @@ def ivf_search_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    max_broadcast_queries: int | None = MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """Search a persisted IVF index with a NEW query batch: only the
     batch is assigned to cells (map-only vs the broadcast persisted
@@ -334,7 +367,12 @@ def ivf_search_index(
     postings on the cell id. The corpus is never re-scored. Returns
     (query_id, cell, neighbor_id, cosine, rank) — neighbors are index
     members only, so a query vector never matches itself or its own
-    batch."""
+    batch.
+
+    The probe side broadcasts only while the batch is provably small
+    (≤ ``max_broadcast_queries`` / nprobe rows — each query expands to
+    ``nprobe`` probe rows); an oversized batch falls back to a
+    shuffled equi-join on the cell id instead of OOMing executors."""
     from .reshape import top_k
 
     q = (
@@ -353,7 +391,9 @@ def ivf_search_index(
         F.col("nrm").alias("c_norm"),
         "cell",
     )
-    pairs = c.join(F.broadcast(q), "cell")
+    pairs = c.join(
+        _broadcast_if_small(queries, q, max_broadcast_queries, divisor=nprobe), "cell"
+    )
     scored = pairs.select(
         "query_id",
         "cell",
@@ -379,6 +419,7 @@ def ivf_topk(
     query_filter: Column | None = None,
     centroids: DataFrame | None = None,
     nprobe: int = 1,
+    max_broadcast_queries: int | None = MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """IVF-flavored ANN: assign every vector to its nearest centroid
     cell (argmax cosine vs the small broadcast centroid table), then
@@ -394,7 +435,12 @@ def ivf_topk(
     assigned, so the index is unchanged) — candidate set and recall
     grow ≈ linearly, the join stays an equi-join on the cell id. A
     (query, neighbor) pair can only arise in the neighbor's one home
-    cell, so no dedup pass is needed."""
+    cell, so no dedup pass is needed.
+
+    The query side broadcasts only while provably small (probed on the
+    filtered corpus scan against ``max_broadcast_queries`` / nprobe);
+    above that the cell join falls back to a shuffled equi-join —
+    including ``query_filter=None``, the every-vector self-search."""
     from .reshape import top_k
 
     if centroids is None:
@@ -420,7 +466,12 @@ def ivf_topk(
         F.col("nrm").alias("c_norm"),
         "cell",
     )
-    pairs = c.join(F.broadcast(q), "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    q_probe = corpus.filter(
+        query_filter if query_filter is not None else F.lit(True)
+    )
+    pairs = c.join(
+        _broadcast_if_small(q_probe, q, max_broadcast_queries, divisor=nprobe), "cell"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "cell",

@@ -619,3 +619,65 @@ def test_approx_sketches_within_error_bounds(spark):
     for k in qe:
         for a, e in zip(qa[k], qe[k]):
             assert abs(a - e) <= max(abs(e) * 0.05, 0.5), (k, a, e)
+
+
+def test_lsh_ivf_broadcast_guard_drops_hint_when_tripped(spark):
+    """The ANN equi-join paths must DROP the broadcast hint when the
+    query side exceeds the guard, with identical results: at scale
+    (real table stats) the planner then shuffles the equi-join instead
+    of force-broadcasting an oversized query set onto every executor.
+    At fixture scale the stats-based planner may still auto-broadcast
+    the tiny side — correct both times — so the contract asserted is
+    hint ABSENT + results unchanged."""
+    from hubsit_health_analytics_etl_spark.operators.similarity import (
+        ivf_index,
+        ivf_search_index,
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qf = F.col("vec_id") < 5
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    def n_hints(df) -> int:
+        return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+    # lsh: guard tripped -> no broadcast hint on the query side; same rows
+    small = lsh_bucket_topk(emb, 3, query_filter=qf)
+    big = lsh_bucket_topk(emb, 3, query_filter=qf, max_broadcast_queries=1)
+    assert n_hints(small) == 1 and n_hints(big) == 0
+    assert rows(small) == rows(big)
+
+    # ivf_topk: the (tiny-by-construction) centroid broadcast hint
+    # stays; the guard removes only the query-side hint
+    small = ivf_topk(emb, 3, query_filter=qf)
+    big = ivf_topk(emb, 3, query_filter=qf, max_broadcast_queries=1)
+    assert n_hints(big) == n_hints(small) - 1
+    assert rows(small) == rows(big)
+
+    # persisted-index search: oversized batch falls back too
+    corpus, batch = emb.filter(F.col("vec_id") >= 20), emb.filter(F.col("vec_id") < 20)
+    cents, assigned = ivf_index(corpus)
+    small = ivf_search_index(assigned, cents, batch, 3)
+    big = ivf_search_index(assigned, cents, batch, 3, max_broadcast_queries=1)
+    assert n_hints(big) == n_hints(small) - 1
+    assert rows(small) == rows(big)
+
+
+def test_spread_is_identity_on_wide_inputs(spark):
+    """_spread must NOT shuffle an input that already has enough
+    splits: at 100 TB the scan arrives with thousands of partitions
+    and a blanket repartition would re-shuffle the whole corpus."""
+    from hubsit_health_analytics_etl_spark.operators.dedup import _spread
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = load_table(spark, SF_SMOKE, "documents")
+    wide = docs.repartition(n)
+    assert _spread(wide) is wide  # no-op, not even a new plan node
+    narrow = docs.coalesce(1)
+    assert _spread(narrow).rdd.getNumPartitions() == n
