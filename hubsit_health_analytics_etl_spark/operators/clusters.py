@@ -139,3 +139,37 @@ def dedup_clusters(
         F.count(F.lit(1)).alias("n_members"),
         F.min(id_col).alias("keeper"),
     )
+
+
+def dedup_keep_list(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Per-document dedup DECISION table — the artifact a curation job
+    actually joins against its corpus: (doc_id, component, n_members,
+    keep) for EVERY document. ``component`` is the duplicate-cluster id
+    (min doc id of the connected component; singletons are their own
+    cluster), ``keep=1`` exactly for the per-cluster keeper (the min
+    id), so ``SUM(keep)`` is the deduped corpus size and
+    ``keep=0`` rows are the drop list.
+
+    Plan shape past the (iterative) components step: one left equi-join
+    of the corpus ids onto the (small — only docs WITH duplicates)
+    label frame, one groupBy on the component id for sizes, one
+    equi-join back. Nothing touches document text."""
+    comps = connected_components(pairs, src, dst)
+    joined = docs.select(F.col(id_col).alias("node")).join(comps, "node", "left")
+    resolved = joined.select(
+        F.col("node").alias(id_col),
+        F.coalesce(F.col("component"), F.col("node")).alias("component"),
+    )
+    sizes = resolved.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return resolved.join(sizes, "component").select(
+        id_col,
+        "component",
+        "n_members",
+        (F.col(id_col) == F.col("component")).cast("bigint").alias("keep"),
+    )

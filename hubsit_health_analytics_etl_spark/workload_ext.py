@@ -1753,6 +1753,56 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The end-to-end corpus-dedup pipeline in ONE job — the flow an LLM
+# data team actually runs (cf. the reference's one-shot main(),
+# /root/reference/src/etl_pipeline.py:692-712, which likewise chains
+# its whole flow as a single entry point): exact-dup representatives →
+# MinHash+LSH near-dup pairs → exact-dup edges → connected components
+# → per-document keep/drop decision. Output is the keep-list artifact:
+# one row per document with its cluster id, cluster size, and keep=1
+# iff it is the cluster's min-id keeper.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_dedup_pipeline",
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    fp AS (SELECT doc_id,
+                  md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+           FROM documents),
+    freps AS (SELECT fp, MIN(doc_id) AS rep FROM fp GROUP BY fp),
+    edges0 AS (
+        SELECT doc_a, doc_b FROM mh_pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+        UNION
+        SELECT f.rep AS doc_a, p.doc_id AS doc_b
+        FROM fp p JOIN freps f USING (fp) WHERE p.doc_id <> f.rep),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM edges0
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM edges0),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    sizes AS (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component)
+    SELECT c.node::BIGINT AS doc_id,
+           c.component::BIGINT AS component,
+           s.n_members::BIGINT AS n_members,
+           (c.node = c.component)::BIGINT AS keep
+    FROM comp c JOIN sizes s USING (component)
+    """,
+)
+def q_corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.clusters import dedup_keep_list
+
+    docs = load_table(spark, sf_dir, "documents")
+    near = minhash_candidates(
+        docs, bucket_cap=MINHASH_BUCKET_CAP, pre_exact_dedup=True
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    edges = near.unionByName(exact_dup_edges(docs))
+    return dedup_keep_list(docs, edges)
+
+
+# ---------------------------------------------------------------------------
 # IVF-style ANN: nearest-centroid cells (rounded label-mean centroids)
 # ---------------------------------------------------------------------------
 @query(

@@ -71,3 +71,37 @@ def test_long_chain_converges_in_log_rounds(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=5, compress=False).collect()
+
+
+def test_dedup_keep_list_invariants(spark):
+    """The keep-list must agree with the cluster summary: exactly one
+    keep per component (the min id), n_members consistent, every doc
+    present exactly once, and SUM(keep) == number of clusters."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.clusters import (
+        dedup_clusters,
+        dedup_keep_list,
+    )
+    from hubsit_health_analytics_etl_spark.operators.dedup import (
+        exact_dup_edges,
+        minhash_candidates,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    near = minhash_candidates(docs, pre_exact_dedup=True).filter(
+        F.col("jaccard") >= 0.3
+    )
+    edges = near.unionByName(exact_dup_edges(docs))
+    kl = dedup_keep_list(docs, edges).collect()
+    summary = {r.component: (r.n_members, r.keeper) for r in
+               dedup_clusters(docs, edges).collect()}
+
+    assert len(kl) == docs.count()  # every doc decided exactly once
+    kept = [r for r in kl if r.keep == 1]
+    assert len(kept) == len(summary)  # one keeper per cluster
+    for r in kl:
+        n_members, keeper = summary[r.component]
+        assert r.n_members == n_members
+        assert (r.doc_id == keeper) == (r.keep == 1)

@@ -269,3 +269,15 @@ def test_salted_priority_join_no_single_reducer_hot_key(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_corpus_dedup_pipeline_no_cartesian_and_bounded_joins(spark):
+    """The composite pipeline (LSH pairs -> components -> keep-list)
+    must stay equi-join-only end to end: the iterative component step
+    runs on localCheckpointed frames, and the final decision frame
+    joins only on node/component ids — never a pair explosion."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("corpus_dedup_pipeline")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
