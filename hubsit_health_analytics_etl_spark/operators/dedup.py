@@ -269,10 +269,14 @@ def incremental_minhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_cap: int | None = None,
+    new_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against a persisted signature index: only the
     batch is shingled/signed; the corpus contributes pre-computed
-    postings. Candidates = (new vs indexed) ∪ (new vs new within the
+    postings. A caller that also APPENDS the batch to the index (the
+    streaming sink) passes the batch's own ``(bands, shingles)`` as
+    ``new_index`` so the signatures are computed once — ideally
+    persisted — instead of once per consumer. Candidates = (new vs indexed) ∪ (new vs new within the
     batch) sharing a band bucket; exact Jaccard verified on the stored
     60-bit shingle hashes. Returns (doc_a, doc_b, jaccard), doc_a <
     doc_b, every pair touching ≥1 new doc.
@@ -289,7 +293,10 @@ def incremental_minhash_candidates(
     against bucket-pruned index postings; Jaccard joins touch only the
     candidate ids. The corpus is never re-scanned.
     """
-    new_bands, new_shingles = minhash_signature_index(new_docs, id_col, text_col)
+    if new_index is None:
+        new_bands, new_shingles = minhash_signature_index(new_docs, id_col, text_col)
+    else:
+        new_bands, new_shingles = new_index
     all_bands = index_bands.unionByName(new_bands)
     probe_side = all_bands
     if bucket_cap is not None:

@@ -52,12 +52,26 @@ _BANDS_SCHEMA = "doc_id bigint, band_idx int, band_key bigint"
 _SHINGLES_SCHEMA = "doc_id bigint, hs array<bigint>"
 
 
+def _index_has_batches(spark: SparkSession, path: str) -> bool:
+    """Storage-agnostic existence probe via the Hadoop FileSystem API:
+    the index may live on any Hadoop-supported store (local, HDFS,
+    s3a, ...), so driver-local os.path checks would silently report
+    'empty index' for every remote URI."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    return any(
+        not st.getPath().getName().startswith(("_", "."))
+        for st in fs.listStatus(hpath)
+    )
+
+
 def _read_index(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Read all per-batch subdirectories of an index relation; an
     index that does not exist yet is an empty relation."""
-    if os.path.isdir(path) and any(
-        not d.startswith("_") for d in os.listdir(path)
-    ):
+    if _index_has_batches(spark, path):
         return (
             spark.read.schema(schema)
             .option("recursiveFileLookup", "true")
@@ -97,19 +111,35 @@ def signature_index_sink(
         idx_bands = _read_index(spark, bands_dir, _BANDS_SCHEMA)
         idx_shingles = _read_index(spark, shingles_dir, _SHINGLES_SCHEMA)
         docs = batch.select(id_col, text_col)
-        pairs = incremental_minhash_candidates(
-            docs, idx_bands, idx_shingles, id_col, text_col, bucket_cap=bucket_cap
-        )
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(pairs_dir, f"batch-{batch_id}")
-        )
+        # sign the batch ONCE, persisted: the signatures feed three
+        # actions (pairs write, bands append, shingles append) — left
+        # un-persisted, each action would replay the lineage and
+        # re-shingle the micro-batch from the source
         new_bands, new_shingles = minhash_signature_index(docs, id_col, text_col)
-        new_bands.write.mode("overwrite").parquet(
-            os.path.join(bands_dir, f"batch-{batch_id}")
-        )
-        new_shingles.write.mode("overwrite").parquet(
-            os.path.join(shingles_dir, f"batch-{batch_id}")
-        )
+        new_bands.persist()
+        new_shingles.persist()
+        try:
+            pairs = incremental_minhash_candidates(
+                docs,
+                idx_bands,
+                idx_shingles,
+                id_col,
+                text_col,
+                bucket_cap=bucket_cap,
+                new_index=(new_bands, new_shingles),
+            )
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(pairs_dir, f"batch-{batch_id}")
+            )
+            new_bands.write.mode("overwrite").parquet(
+                os.path.join(bands_dir, f"batch-{batch_id}")
+            )
+            new_shingles.write.mode("overwrite").parquet(
+                os.path.join(shingles_dir, f"batch-{batch_id}")
+            )
+        finally:
+            new_bands.unpersist()
+            new_shingles.unpersist()
 
     return _apply
 

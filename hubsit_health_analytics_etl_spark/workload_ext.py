@@ -442,6 +442,19 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEW_BATCH_PCT = 10  # doc_id hash bucket < 10 → the "new" slice
 
 
+def _run_scoped_index_dir(kind: str) -> str:
+    """A fresh, run-private directory for a persisted-index query.
+    Unique per CALL (mkdtemp), so two concurrent drivers / parallel
+    test sessions on one machine can never race overwrite-vs-read on
+    the same index files. A real pipeline passes its own long-lived,
+    run-owned index path instead; these queries re-BUILD the index
+    inside the timed query precisely to measure that write+probe
+    round-trip."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"hubsit_{kind}_")
+
+
 def _incremental_dedup_oracle() -> str:
     sig_cols = ", ".join(
         f"list_min(list_transform(h32, h -> ({a} * h + {b}) % {MINHASH_PRIME})) AS mh_{j}"
@@ -499,7 +512,6 @@ def q_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the full-corpus pair set restricted to the batch,
     so the hash match proves incremental == full recompute."""
     import os
-    import tempfile
 
     from .operators.dedup import (
         incremental_minhash_candidates,
@@ -512,11 +524,7 @@ def q_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = hash_bucket("doc_id") < NEW_BATCH_PCT
     corpus, batch = docs.filter(~is_new), docs.filter(is_new)
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "hubsit_sig_index",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
+    base = _run_scoped_index_dir("sig_index")
     bands, shingles = minhash_signature_index(corpus)
     write_parquet(bands, os.path.join(base, "bands"))
     write_parquet(shingles, os.path.join(base, "shingles"))
@@ -2030,9 +2038,14 @@ def q_ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus vectors are never re-scored. Neighbors come from the index
     only (a new vector can't match its own batch), which is the
     arriving-data contract; the oracle replicates the split, the
-    rounded centroids and the cell search exactly."""
+    rounded centroids and the cell search exactly.
+
+    The assignments are written ``partitionBy("cell")`` — the layout
+    lever the index exists for: a query batch's cell join prunes to
+    the probed cells' directories (dynamic partition pruning), so at
+    scale a small batch reads a small fraction of the index files, not
+    the whole corpus posting set."""
     import os
-    import tempfile
 
     from .operators.sampling import hash_bucket
     from .operators.similarity import ivf_index, ivf_search_index
@@ -2042,14 +2055,10 @@ def q_ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = hash_bucket("vec_id") < ANN_NEW_PCT
     corpus, batch = emb.filter(~is_new), emb.filter(is_new)
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "hubsit_ivf_index",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
+    base = _run_scoped_index_dir("ivf_index")
     cents, assigned = ivf_index(corpus)
     write_parquet(cents, os.path.join(base, "centroids"))
-    write_parquet(assigned, os.path.join(base, "assignments"))
+    write_parquet(assigned, os.path.join(base, "assignments"), partition_by=["cell"])
     cents_rb = spark.read.parquet(os.path.join(base, "centroids"))
     assigned_rb = spark.read.parquet(os.path.join(base, "assignments"))
     out = ivf_search_index(assigned_rb, cents_rb, batch, ANN_K)

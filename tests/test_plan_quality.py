@@ -281,3 +281,70 @@ def test_corpus_dedup_pipeline_no_cartesian_and_bounded_joins(spark):
     p = physical_plan(_q("corpus_dedup_pipeline")(spark, SF_SMOKE))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivf_index_partitioned_by_cell_prunes(spark):
+    """The persisted IVF assignments are written partitionBy("cell");
+    the batch search must plan DYNAMIC PARTITION PRUNING on the cell
+    join — at scale a small batch then reads only its probed cells'
+    directories, not the whole index."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("ann_incremental_topk")(spark, SF_SMOKE))
+    scans = [seg for seg in p.split("Scan parquet") if "assignments" in seg.split("ReadSchema")[0]]
+    assert scans, p
+    assert any("dynamicpruning" in s.split("ReadSchema")[0].lower() for s in scans), p
+
+
+def test_scale_params_hold_bucket_size_constant():
+    """The derivation rules must keep per-bucket/per-cell work bounded
+    as N grows across nine orders of magnitude: expected sign-LSH
+    bucket size stays in (target/2, target], cells track 4*sqrt(N),
+    and the cap reproduces the shipped constants' pair budget."""
+    from hubsit_health_analytics_etl_spark.operators.scaleparams import (
+        TARGET_LSH_BUCKET,
+        bucket_cap_for,
+        derive_scale_params,
+        lsh_planes_for,
+    )
+
+    prev_planes = 0
+    for exp in range(3, 13):
+        n = 10 ** exp
+        p = derive_scale_params(n)
+        expected_bucket = n / 2 ** p["n_planes"]
+        assert TARGET_LSH_BUCKET / 2 < expected_bucket <= TARGET_LSH_BUCKET
+        assert p["n_planes"] >= prev_planes  # monotone in N
+        prev_planes = p["n_planes"]
+        assert abs(p["n_cells"] - 4 * n ** 0.5) <= 1
+    assert bucket_cap_for() == 32  # the shipped MINHASH_BUCKET_CAP
+    assert lsh_planes_for(10) == 1  # tiny corpora degrade gracefully
+
+
+def test_derived_planes_fan_out_on_real_embeddings(spark):
+    """Generalized block-key-cardinality check: instantiating the
+    DERIVED plane counts for growing (hypothetical) corpus sizes must
+    keep increasing the real fan-out on the fixture embeddings — the
+    knob that holds block size constant actually moves the blocking."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.scaleparams import (
+        lsh_planes_for,
+    )
+    from hubsit_health_analytics_etl_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket_expr,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+
+    def n_blocks(n_planes):
+        col = lsh_bucket_expr("embedding", _hyperplanes(n_planes))
+        return emb.select(col.alias("b")).distinct().count()
+
+    sizes = [10 ** 3, 10 ** 5, 10 ** 7]
+    planes = [lsh_planes_for(n) for n in sizes]
+    assert planes == sorted(planes) and len(set(planes)) == 3
+    fanouts = [n_blocks(p) for p in planes]
+    assert fanouts == sorted(fanouts) and fanouts[0] < fanouts[-1]
