@@ -180,41 +180,41 @@ def winnow_candidate_pairs(
     df_cap: int | None = 50,
 ) -> "DataFrame":
     """Near-dup candidate pairs = docs sharing ≥ ``min_shared``
-    winnowed fingerprints, via an inverted index on the fingerprint
-    value (explode → self-equi-join on fp → pair count). Same shape as
-    the n-gram inverted index: the only shuffles are on the integer
-    fingerprint key and the final pair groupBy — never all-pairs.
+    winnowed fingerprints, via fingerprint BUCKETS (same shape as
+    ``minhash_candidates``): grams are hashed ONCE in a single corpus
+    scan, the (id, fp) postings shuffle once on the integer
+    fingerprint into collect_list buckets, and pairs expand in-bucket
+    — no self-join, so no second shuffle of the postings and no
+    cached/recomputed fingerprint frame (an earlier self-join version
+    needed a localCheckpoint to avoid hashing every gram per side).
 
-    ``df_cap`` drops fingerprints appearing in more than that many
-    docs (boilerplate/stopword grams): a hot fingerprint key would
-    otherwise emit O(m²) join rows on one reducer — the same scale
-    guard as the LSH bucket cap.
-
-    The (id, fp) inverted index is localCheckpoint-materialized before
-    the self-join: it feeds three consumers (both join sides + the
-    df-cap counts) and is tiny (~2/(w+1) fingerprints per doc), while
-    recomputing it means re-hashing every gram per consumer.
+    ``df_cap`` drops fingerprint buckets with more than that many
+    members (boilerplate/stopword grams): a hot fingerprint would
+    otherwise expand O(m²) pairs on one reducer — the same scale
+    guard as the LSH bucket cap, applied as a bucket filter.
 
     Returns (doc_a, doc_b, n_shared), doc_a < doc_b.
     """
     inv = winnowed_fingerprints(df, text_col, id_col, k, w).select(
         F.col(id_col), F.explode("fingerprints").alias("fp")
     )
-    try:
-        inv = inv.localCheckpoint(eager=False)
-    except Exception:
-        inv = inv.cache()
+    buckets = (
+        inv.groupBy("fp")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     if df_cap is not None:
-        counts = inv.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
-        inv = inv.join(
-            counts.filter(F.col("_df") <= df_cap).select("fp"), "fp"
-        )
-    a = inv.select(F.col(id_col).alias("doc_a"), "fp")
-    b = inv.select(F.col(id_col).alias("doc_b"), "fp")
+        buckets = buckets.filter(F.size("ids") <= int(df_cap))
     return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
