@@ -107,6 +107,65 @@ def quality_score(text: Column | str) -> Column:
     return F.round(score, 4)
 
 
+def repetition_fraction(text: str, n: int) -> Column:
+    """Gopher-style within-document repetition signal: the fraction of
+    positional word n-grams that are repeats of an earlier n-gram
+    (1 - distinct/total), rounded to 4dp. High values mark looping /
+    boilerplate generator output that length or stopword ratios miss.
+    Takes the text column NAME (it is spliced into a SQL expression).
+
+    Map-only Catalyst expression; the gram array is bound via a
+    ``transform(array(...), g -> ...)`` lambda so it is built ONCE per
+    row, not re-evaluated per reference (the repo-wide HOF rule —
+    see SCALING.md)."""
+    toks = f"split(lower({text}), ' ')"
+    grams = (
+        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n})))"
+    )
+    return F.expr(
+        f"element_at(transform(array({grams}), g -> "
+        f"round(1.0d - size(array_distinct(g)) / cast(size(g) as double), 4)), 1)"
+    )
+
+
+# PII scrub patterns — deliberately simple and PORTABLE between Java
+# regex (Spark) and RE2 (DuckDB oracle): character classes and bounded
+# repetition only. A production deployment extends the dict; every
+# entry must stay oracle-replicable.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    "phone": (r"[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}", "<PHONE>"),
+}
+
+
+def pii_scrub(
+    docs: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, tuple[str, str]] | None = None,
+) -> "DataFrame":
+    """Redact PII-shaped spans before training-data release: each
+    pattern is counted (``n_<kind>``) and replaced with its token in
+    ``scrubbed``. Pure JVM regexp expressions — map-only, no shuffle,
+    no Python; at 100 TB this runs entirely inside the scan stage.
+
+    Patterns apply in dict order to the previous pattern's output, so
+    overlapping kinds behave deterministically on both engines."""
+    patterns = PII_PATTERNS if patterns is None else patterns
+    t = F.col(text_col)
+    counts = []
+    scrubbed = t
+    for kind, (pat, token) in patterns.items():
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+            .cast("bigint")
+            .alias(f"n_{kind}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return docs.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lower-cased
     text — stable under spacing/case noise; the exact-dedup key."""

@@ -341,6 +341,112 @@ def q_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Repetition filter (Gopher-style): within-doc duplicate n-gram
+# fractions — the curation signal that catches looping generator
+# output which length/stopword heuristics miss.
+# ---------------------------------------------------------------------------
+DUP_2GRAM_MAX, DUP_3GRAM_MAX = 0.60, 0.45
+
+
+def _sql_rep_frac(n: int) -> str:
+    toks = "string_split(lower(text), ' ')"
+    grams = (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )
+    return (
+        f"ROUND(1.0 - len(list_distinct({grams})) "
+        f"/ CAST(len({grams}) AS DOUBLE), 4)"
+    )
+
+
+@query(
+    "doc_repetition",
+    f"""
+    WITH r AS (SELECT doc_id,
+                      len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+                      {_sql_rep_frac(2)} AS dup_2gram_frac,
+                      {_sql_rep_frac(3)} AS dup_3gram_frac
+               FROM documents)
+    SELECT doc_id, n_tokens, dup_2gram_frac, dup_3gram_frac,
+           (dup_2gram_frac <= {DUP_2GRAM_MAX}
+            AND dup_3gram_frac <= {DUP_3GRAM_MAX})::BIGINT AS keep
+    FROM r
+    """,
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition report + keep flag (dup 2-gram ≤ 0.60 and
+    dup 3-gram ≤ 0.45 — Gopher-flavored thresholds). Map-only: gram
+    construction, distinct and the flag are one Catalyst projection
+    inside the scan stage."""
+    from .operators.dedup import _spread
+    from .operators.textanalysis import repetition_fraction, token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    d2 = repetition_fraction("text", 2)
+    d3 = repetition_fraction("text", 3)
+    return _spread(docs).select(
+        "doc_id",
+        token_count_ws("text").cast("bigint").alias("n_tokens"),
+        d2.alias("dup_2gram_frac"),
+        d3.alias("dup_3gram_frac"),
+        ((d2 <= DUP_2GRAM_MAX) & (d3 <= DUP_3GRAM_MAX))
+        .cast("bigint")
+        .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub: redact PII-shaped spans before release. The fixture
+# corpus contains no PII, so the query deterministically APPENDS a
+# synthetic contact string per doc and scrubs that — the hash match
+# then proves the Java-regex (Spark) and RE2 (DuckDB) redaction
+# semantics agree on real matches, not just on "no match".
+# ---------------------------------------------------------------------------
+_PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_PHONE_RE = "[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}"
+
+
+@query(
+    "pii_scrub",
+    f"""
+    WITH aug AS (SELECT doc_id,
+                        text || ' contact user' || doc_id ||
+                        '@example.com or 555-' ||
+                        lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+                 FROM documents),
+    e AS (SELECT doc_id,
+                 len(regexp_extract_all(text, '{_PII_EMAIL_RE}'))::BIGINT AS n_email,
+                 regexp_replace(text, '{_PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+          FROM aug)
+    SELECT doc_id, n_email,
+           len(regexp_extract_all(t1, '{_PII_PHONE_RE}'))::BIGINT AS n_phone,
+           regexp_replace(t1, '{_PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM e
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the (synthetically contact-augmented)
+    corpus: counts + scrubbed text per doc, all JVM regexp — map-only,
+    runs inside the scan stage at any scale."""
+    from .operators.dedup import _spread
+    from .operators.textanalysis import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = _spread(docs).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return pii_scrub(aug)
+
+
+# ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
 @query(

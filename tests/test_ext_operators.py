@@ -681,3 +681,52 @@ def test_spread_is_identity_on_wide_inputs(spark):
     assert _spread(wide) is wide  # no-op, not even a new plan node
     narrow = docs.coalesce(1)
     assert _spread(narrow).rdd.getNumPartitions() == n
+
+
+def test_repetition_fraction_flags_looping_text(spark):
+    """A looping doc must show high duplicate-n-gram fractions; a
+    all-distinct doc must show zero."""
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        repetition_fraction,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 50),           # 2-gram loop
+            (2, "a b c d e f g h i j"),      # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.d2, r.d3)
+        for r in docs.select(
+            "doc_id",
+            repetition_fraction("text", 2).alias("d2"),
+            repetition_fraction("text", 3).alias("d3"),
+        ).collect()
+    }
+    assert rows[1][0] > 0.9 and rows[1][1] > 0.9
+    assert rows[2] == (0.0, 0.0)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """Crafted PII must be counted per kind and replaced with tokens;
+    clean text must pass through untouched."""
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        pii_scrub,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e-f.org then call 555-123-4567"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert rows[1].n_email == 2 and rows[1].n_phone == 1
+    assert "@" not in rows[1].scrubbed and "555" not in rows[1].scrubbed
+    assert rows[1].scrubbed.count("<EMAIL>") == 2
+    assert rows[1].scrubbed.count("<PHONE>") == 1
+    assert rows[2].n_email == 0 and rows[2].n_phone == 0
+    assert rows[2].scrubbed == "nothing sensitive here"

@@ -348,3 +348,16 @@ def test_derived_planes_fan_out_on_real_embeddings(spark):
     assert planes == sorted(planes) and len(set(planes)) == 3
     fanouts = [n_blocks(p) for p in planes]
     assert fanouts == sorted(fanouts) and fanouts[0] < fanouts[-1]
+
+
+@pytest.mark.parametrize("name", ["doc_repetition", "pii_scrub"])
+def test_curation_filters_are_map_only(spark, name):
+    """Repetition + PII scrub must run inside the scan stage: the only
+    allowed exchange is _spread's round-robin fan-out."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q(name)(spark, SF_SMOKE))
+    body = p.split("== Physical Plan ==")[-1]
+    n_ex = body.count("Exchange")
+    n_rr = body.count("REPARTITION_BY_NUM") + body.lower().count("roundrobin")
+    assert n_ex <= n_rr, p
