@@ -368,3 +368,72 @@ def test_interval_join_enforces_keys_on_shared_lineage(spark):
     # user 2's row at 10:05 is within the band of user 1's 10:00 — it
     # must NOT join across users
     assert rows == {(1, _ts("10:00"), _ts("10:00")), (2, _ts("10:05"), _ts("10:05"))}
+
+
+def test_streaming_ivf_sink_matches_batch_and_replays_idempotently(spark, tmp_path):
+    """The streaming IVF sink's per-batch results must equal the batch
+    ivf_search_index over exactly the earlier batches' vectors, batch 0
+    must emit nothing (empty index), and replaying a batch must
+    reproduce its original results even though its own postings are
+    already in the index (batch_id < current filter)."""
+    from hubsit_health_analytics_etl_spark.operators.similarity import (
+        ivf_index,
+        ivf_search_index,
+        label_mean_centroids,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.streaming.incremental_ann import (
+        ivf_index_sink,
+        read_search_results,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 120
+    )
+    cents = label_mean_centroids(emb).select(
+        F.col("label").alias("cell"), "centroid"
+    )
+    b1 = emb.filter(F.col("vec_id") < 80)
+    b2 = emb.filter(F.col("vec_id") >= 80)
+
+    schema = "vec_id long, embedding array<float>, label int"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_file(spark, [tuple(r) for r in b1.collect()], schema, src,
+                "b1.parquet", 1_700_000_000)
+    _write_file(spark, [tuple(r) for r in b2.collect()], schema, src,
+                "b2.parquet", 1_700_000_100)
+
+    index_dir, results_dir = str(tmp_path / "index"), str(tmp_path / "results")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            ivf_index_sink(index_dir, results_dir, cents, k=5)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    # batch 0 searched an empty index
+    batch0 = spark.read.parquet(os.path.join(results_dir, "batch-0"))
+    assert batch0.count() == 0
+    # batch 1's results == batch search of b2 against b1's index
+    _, assigned_b1 = ivf_index(b1, centroids=cents)
+    expected = ivf_search_index(assigned_b1, cents, b2, 5)
+    got = spark.read.parquet(os.path.join(results_dir, "batch-1"))
+    assert rows(got) == rows(expected) and got.count() > 0
+    assert rows(read_search_results(spark, results_dir)) == rows(expected)
+
+    # replay batch 1: its own postings are in the index now, but the
+    # batch_id filter reproduces the original results exactly
+    sink = ivf_index_sink(index_dir, results_dir, cents, k=5)
+    sink(b2.select("vec_id", "embedding"), 1)
+    again = spark.read.parquet(os.path.join(results_dir, "batch-1"))
+    assert rows(again) == rows(expected)
