@@ -1660,6 +1660,176 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q18-style large orders: the AGGREGATED-SEMI-JOIN shape (HAVING on a
+# child aggregate gating the parent join). cf. reference's
+# capacity-gated joins (etl_pipeline.py perfil_agenda pre-aggregation).
+# ---------------------------------------------------------------------------
+LARGE_ORDER_QTY = 200
+
+
+@query(
+    "large_orders",
+    f"""
+    WITH big AS (SELECT l_orderkey, SUM(l_quantity) AS q
+                 FROM lineitem GROUP BY l_orderkey
+                 HAVING SUM(l_quantity) > {LARGE_ORDER_QTY}),
+    j AS (SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                 strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+                 ROUND(o.o_totalprice, 2) AS total_price,
+                 ROUND(CAST(b.q AS DOUBLE), 2) AS total_qty
+          FROM big b
+          JOIN orders o ON b.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY total_price DESC, o_orderkey)
+                      AS rank
+          FROM j)
+    SELECT c_custkey, c_name, o_orderkey, orderdate, total_price, total_qty,
+           rank::BIGINT AS rank
+    FROM r WHERE rank <= 100
+    """,
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 largest orders by value among orders whose total
+    lineitem quantity exceeds {LARGE_ORDER_QTY} (TPC-H Q18 shape).
+    Plan: ONE aggregate shuffle on l_orderkey produces the small
+    qualifying set, which then gates the orders join (the aggregate
+    side is tiny post-HAVING → broadcastable); customer is a broadcast
+    dim; the top-100 is TakeOrderedAndProject, never a global sort."""
+    from .operators.reshape import top_k
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > LARGE_ORDER_QTY)
+    )
+    j = (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round(F.col("q").cast("double"), 2).alias("total_qty"),
+        )
+    )
+    ranked = top_k(j, [], [F.col("total_price").desc(), F.col("o_orderkey").asc()], 100)
+    return ranked.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Q16-style supplier breadth: the DISTINCT-AGGREGATE shape (two-phase
+# partial distinct under the shuffle) over a broadcast dim join.
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_breadth",
+    """
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey)::BIGINT AS n_suppliers,
+           COUNT(*)::BIGINT AS n_lineitems
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45' AND p.p_type <> 'PROMO'
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, size) excluding one brand and
+    the PROMO type (TPC-H Q16 shape). The part dim broadcasts with the
+    exclusion predicates pushed to its scan; COUNT(DISTINCT) plans the
+    two-phase Expand + partial-aggregate split, so no single reducer
+    ever sees all (group, supplier) pairs."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dim = part.filter(
+        (F.col("p_brand") != "Brand#45") & (F.col("p_type") != "PROMO")
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(dim), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22-style dormant high-balance customers: the SCALAR-SUBQUERY +
+# ANTI-JOIN shape (global aggregate broadcast into a filter, NOT IN
+# against a filtered key set).
+# ---------------------------------------------------------------------------
+DORMANT_CUTOFF = "2001-01-01"
+
+
+@query(
+    "dormant_rich_customers",
+    f"""
+    WITH avg_bal AS (SELECT ROUND(AVG(c_acctbal), 2) AS a
+                     FROM customer WHERE c_acctbal > 0),
+    recent AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= '{DORMANT_CUTOFF}'),
+    eligible AS (SELECT c.c_custkey, c.c_acctbal, c.c_nationkey
+                 FROM customer c, avg_bal
+                 WHERE c.c_acctbal > avg_bal.a
+                   AND c.c_custkey NOT IN (SELECT o_custkey FROM recent))
+    SELECT n.n_name AS nacao,
+           COUNT(*)::BIGINT AS n_customers,
+           ROUND(SUM(e.c_acctbal), 2) AS saldo_total
+    FROM eligible e JOIN nation n ON e.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average positive balance and NO orders
+    since {DORMANT_CUTOFF}, aggregated per nation (TPC-H Q22 shape).
+    The global average is a one-row aggregate cross-joined (broadcast)
+    into the filter — the scalar-subquery pattern; the recency check
+    is a broadcast LEFT ANTI join against the distinct recent
+    custkeys (date filter pushed to the orders scan); nation is a
+    broadcast dim. The average is rounded 2dp on both engines so a
+    partition-order float ulp can never flip a boundary customer."""
+    from .operators.joins import anti_join
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("a")
+    )
+    recent = (
+        orders.filter(F.col("o_orderdate") >= DORMANT_CUTOFF)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    eligible = anti_join(
+        customer.crossJoin(F.broadcast(avg_bal)).filter(
+            F.col("c_acctbal") > F.col("a")
+        ),
+        recent,
+        keys=["c_custkey"],
+    )
+    return (
+        eligible.join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nacao"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("nacao")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("saldo_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # As-of join (custom operator — DuckDB's native ASOF JOIN is the oracle)
 # ---------------------------------------------------------------------------
 @query(

@@ -361,3 +361,40 @@ def test_curation_filters_are_map_only(spark, name):
     n_ex = body.count("Exchange")
     n_rr = body.count("REPARTITION_BY_NUM") + body.lower().count("roundrobin")
     assert n_ex <= n_rr, p
+
+
+def test_large_orders_aggregated_semi_join_shape(spark):
+    """Q18 shape: the HAVING-gated aggregate feeds the join (no second
+    lineitem pass), and the top-100 plans TakeOrderedAndProject."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("large_orders")(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert p.lower().count("lineitem.parquet") == 1
+
+
+def test_supplier_breadth_pushdown_and_distinct_split(spark):
+    """Q16 shape: the brand/type exclusions reach the part scan, the
+    dim broadcasts, and COUNT(DISTINCT) splits partial (Expand +
+    two-phase aggregate) instead of collecting pairs on one reducer."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("supplier_breadth")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters: ")[1:]]
+    assert any("p_brand" in s and "p_type" in s for s in pushed)
+    assert "Expand" in p or "partial_count(distinct" in p.lower()
+
+
+def test_dormant_rich_customers_anti_join_and_date_pushdown(spark):
+    """Q22 shape: the recency anti-join is a broadcast LeftAnti, the
+    cutoff reaches the orders scan, and the scalar average enters via
+    a broadcast one-row join, never a per-row subquery."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("dormant_rich_customers")(spark, SF_SMOKE))
+    assert "LeftAnti" in p
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters: ")[1:]]
+    assert any("o_orderdate" in s for s in pushed)
+    assert "CartesianProduct" not in p
