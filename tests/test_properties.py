@@ -187,3 +187,71 @@ def test_winnowed_fingerprints_match_python_reference(spark, texts):
         r.doc_id: set(r.fingerprints) for r in winnowed_fingerprints(df).collect()
     }
     assert got == {i: _py_winnow(t) for i, t in enumerate(texts)}
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab @.-09xyz"),
+            min_size=1,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_pii_scrub_is_idempotent_and_token_preserving(spark, texts):
+    """Scrubbing is a fixed point: scrub(scrub(x)) == scrub(x) (the
+    replacement tokens never re-match a pattern), and a clean text is
+    returned byte-identical."""
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        pii_scrub,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    once = pii_scrub(docs)
+    twice = pii_scrub(
+        once.select("doc_id", F.col("scrubbed").alias("text"))
+    )
+    a = {r.doc_id: r.scrubbed for r in once.collect()}
+    b = {r.doc_id: (r.scrubbed, r.n_email, r.n_phone) for r in twice.collect()}
+    for i, t in enumerate(texts):
+        assert b[i][0] == a[i]          # fixed point
+        assert b[i][1] == 0 and b[i][2] == 0  # nothing left to find
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("abc "), min_size=1, max_size=80),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_repetition_fraction_bounds_and_python_twin(spark, texts):
+    """0 ≤ frac < 1 always, and the Spark expression equals a direct
+    Python recomputation of 1 - distinct/total over positional
+    n-grams."""
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        repetition_fraction,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.d2
+        for r in docs.select(
+            "doc_id", repetition_fraction("text", 2).alias("d2")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.lower().split(" ")
+        n = max(len(toks) - 1, 1)
+        grams = [" ".join(toks[j : j + 2]) for j in range(n)]
+        expect = round(1.0 - len(set(grams)) / len(grams), 4)
+        assert 0.0 <= got[i] < 1.0
+        assert abs(got[i] - expect) < 1e-9
