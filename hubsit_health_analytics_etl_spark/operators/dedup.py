@@ -425,6 +425,7 @@ def simhash_candidate_pairs(
     hamming_max: int = SIMHASH_HAMMING_MAX,
     bucket_cap: int | None = SIMHASH_BUCKET_CAP,
     pre_exact_dedup: bool = True,
+    observation=None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 32-bit fingerprint into
     ``SIMHASH_BANDS`` byte keys, bucket on (band_idx, band_key), expand
@@ -446,7 +447,11 @@ def simhash_candidate_pairs(
     - ``bucket_cap`` drops band buckets with more than ``cap`` members
       (a hot byte-value puts m docs on one reducer and emits O(m²)
       in-bucket pairs; at 100 TB the 256-value band key needs the cap —
-      or a wider simhash — to bound the reducer).
+      or a wider simhash — to bound the reducer). Pass a
+      ``pyspark.sql.Observation`` as ``observation`` to read
+      ``dropped_buckets`` / ``dropped_members`` after the action runs
+      (JVM-side metric, zero extra pass — same contract as
+      :func:`minhash_candidates`).
 
     Plan shape: one corpus scan (map-only hash), one shuffle on the
     (band_idx, band_key) bigint pair, in-bucket combinational
@@ -477,7 +482,16 @@ def simhash_candidate_pairs(
         .filter(F.size("ms") > 1)
     )
     if bucket_cap is not None:
-        buckets = buckets.filter(F.size("ms") <= int(bucket_cap))
+        oversized = F.size("ms") > F.lit(int(bucket_cap))
+        if observation is not None:
+            buckets = buckets.observe(
+                observation,
+                F.sum(F.when(oversized, 1).otherwise(0)).alias("dropped_buckets"),
+                F.sum(F.when(oversized, F.size("ms")).otherwise(0)).alias(
+                    "dropped_members"
+                ),
+            )
+        buckets = buckets.filter(~oversized)
     # array_sort on struct(id, sh) orders members by id → expansion
     # emits doc_a < doc_b directly; distinct collapses multi-band hits
     pairs = (

@@ -730,3 +730,32 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert rows[1].scrubbed.count("<PHONE>") == 1
     assert rows[2].n_email == 0 and rows[2].n_phone == 0
     assert rows[2].scrubbed == "nothing sensitive here"
+
+
+def test_simhash_bucket_cap_observed_drop_metrics(spark):
+    """SimHash's bucket cap must report dropped buckets/members via
+    Observation (same contract as minhash_candidates): a 1000-doc
+    identical-simhash cluster without pre-dedup trips the cap in every
+    band and is dropped, not expanded."""
+    from pyspark.sql import Observation
+
+    from hubsit_health_analytics_etl_spark.operators.dedup import (
+        SIMHASH_BANDS,
+        simhash_candidate_pairs,
+    )
+
+    spam = [(i, "buy cheap pills now best price online pharmacy deal")
+            for i in range(1000)]
+    distinct = [
+        (2000 + i, f"the quick brown fox number {i} jumps over the lazy dog {i}")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(spam + distinct, "doc_id long, text string")
+    obs = Observation("simhash")
+    out = simhash_candidate_pairs(
+        docs, bucket_cap=64, pre_exact_dedup=False, observation=obs
+    )
+    n = out.count()
+    assert n < 1000 * 999 // 2  # never the quadratic expansion
+    assert obs.get["dropped_buckets"] >= SIMHASH_BANDS
+    assert obs.get["dropped_members"] >= SIMHASH_BANDS * 1000
