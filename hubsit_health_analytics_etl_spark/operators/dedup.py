@@ -517,6 +517,49 @@ def simhash_candidate_pairs(
     )
 
 
+def exact_fingerprint_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The PERSISTABLE exact-dedup index: (fp, doc_id) — one min-id
+    representative per normalized-text fingerprint. Write it once;
+    every ingest batch dedups against it with :func:`incremental_exact_dedup`
+    instead of re-fingerprinting the corpus. At scale, bucket the
+    parquet by fp so a batch probes co-located files."""
+    return (
+        docs.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-dedup an ingest batch against a persisted fingerprint
+    index: only the batch is fingerprinted (map-only); one equi-join
+    on fp against the index, one groupBy within the batch. Returns
+    (doc_id, rep_id, is_keeper) per batch doc, where rep_id is the
+    min id over corpus ∪ batch sharing the fingerprint (``least``
+    skips the null from an unseen fp on both engines) — exactly the
+    full-corpus :func:`exact_dedup` assignment restricted to the
+    batch, whatever the id interleaving. ``is_keeper=1`` marks batch
+    docs that become their fingerprint's representative."""
+    fp_new = new_docs.withColumn("fp", fingerprint(text_col)).select("fp", id_col)
+    batch_rep = fp_new.groupBy("fp").agg(F.min(id_col).alias("batch_rep"))
+    joined = fp_new.join(batch_rep, "fp").join(
+        index.select("fp", F.col(id_col).alias("idx_rep")), "fp", "left"
+    )
+    rep = F.least("idx_rep", "batch_rep")
+    return joined.select(
+        F.col(id_col),
+        rep.alias("rep_id"),
+        (F.col(id_col) == rep).cast("bigint").alias("is_keeper"),
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on the normalized fingerprint: keep min id per
     group (hash-groupBy — one shuffle on the fingerprint)."""

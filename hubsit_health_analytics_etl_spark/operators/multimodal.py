@@ -249,3 +249,68 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("sample_rate"),
     )
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("start_ms", IntegerType()),
+        StructField("end_ms", IntegerType()),
+        StructField("window_sha", StringType()),
+    ]
+)
+
+
+def segment_audio(
+    media: DataFrame,
+    window_ms: int = 250,
+    hop_ms: int = 125,
+    max_windows: int = 8,
+) -> DataFrame:
+    """Overlapping-window segmentation for audio payloads (the audio
+    twin of :func:`sample_frames`): each audio row fans out into one
+    row per analysis window (start every ``hop_ms``, span
+    ``window_ms`` — the 50%-overlap framing a real feature extractor
+    (fbank/wav2vec) consumes). mapInPandas, no shuffle;
+    ``kind == 'audio'`` filtered below the Python stage so image/video
+    payload bytes never cross the Arrow boundary.
+
+    STUB kernel (no torchaudio in this container): window count =
+    :func:`stub_frame_count` of the payload length; each "window" is
+    the sha256 of payload‖'w'‖idx — deterministic and replicated by
+    the DuckDB oracle, with the real decoder seam being the body of
+    ``kernel`` only."""
+    auds = _fan_out(media.filter(F.col("kind") == "audio"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "window_idx": [],
+                "start_ms": [],
+                "end_ms": [],
+                "window_sha": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for idx in range(stub_frame_count(len(payload), max_windows)):
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(idx)
+                    out["start_ms"].append(idx * hop_ms)
+                    out["end_ms"].append(idx * hop_ms + window_ms)
+                    out["window_sha"].append(
+                        hashlib.sha256(
+                            payload + b"w" + str(idx).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "window_idx": pd.Series(out["window_idx"], dtype="int32"),
+                    "start_ms": pd.Series(out["start_ms"], dtype="int32"),
+                    "end_ms": pd.Series(out["end_ms"], dtype="int32"),
+                    "window_sha": pd.Series(out["window_sha"], dtype="object"),
+                }
+            )
+
+    return auds.mapInPandas(kernel, AUDIO_WINDOW_SCHEMA)

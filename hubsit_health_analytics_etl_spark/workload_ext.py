@@ -642,6 +642,54 @@ def q_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental EXACT dedup: the highest-volume ingest operation — a new
+# batch assigned to exact-duplicate representatives against a
+# persisted fingerprint index; the corpus is never re-fingerprinted.
+# ---------------------------------------------------------------------------
+def _exact_incremental_oracle() -> str:
+    from .operators.sampling import sql_hash_bucket
+
+    return f"""
+    WITH fp AS (SELECT doc_id,
+                       md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp,
+                       ({sql_hash_bucket("doc_id")} < {NEW_BATCH_PCT}) AS is_new
+                FROM documents),
+    rep AS (SELECT fp, MIN(doc_id) AS rep FROM fp GROUP BY fp)
+    SELECT p.doc_id,
+           r.rep::BIGINT AS rep_id,
+           (p.doc_id = r.rep)::BIGINT AS is_keeper
+    FROM fp p JOIN rep r USING (fp)
+    WHERE p.is_new
+    """
+
+
+@query("exact_dedup_new_batch", _exact_incremental_oracle())
+def q_exact_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup end-to-end: fingerprint the 90% corpus
+    slice ONCE into a parquet index, read it back, and assign the 10%
+    batch to representatives — one map-only fingerprint pass over the
+    batch plus one equi-join. The oracle is the full-corpus min-id
+    assignment restricted to the batch, so the hash match proves
+    incremental == full recompute."""
+    import os
+
+    from .operators.dedup import (
+        exact_fingerprint_index,
+        incremental_exact_dedup,
+    )
+    from .operators.sampling import hash_bucket
+    from .sources.sinks import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = hash_bucket("doc_id") < NEW_BATCH_PCT
+    corpus, batch = docs.filter(~is_new), docs.filter(is_new)
+    base = _run_scoped_index_dir("fp_index")
+    write_parquet(exact_fingerprint_index(corpus), os.path.join(base, "fp"))
+    index = spark.read.parquet(os.path.join(base, "fp"))
+    return incremental_exact_dedup(batch, index)
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination: corpus docs sharing k-token grams with a
 # held-out eval slice. The hash split stands in for a real benchmark
 # table; the operator takes any (doc_id, text) benchmark DataFrame.
@@ -1024,6 +1072,38 @@ def q_video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(documents_as_media(docs), every_n=2, fps=25, max_frames=8)
+
+
+@query(
+    "audio_window_segments",
+    """
+    WITH auds AS (SELECT doc_id AS media_id, text,
+                         greatest(least(octet_length(encode(text)) // 256, 8), 1)
+                           AS n_win
+                  FROM documents WHERE doc_id % 3 = 1),
+    w AS (SELECT media_id, text, unnest(range(0, n_win)) AS window_idx
+          FROM auds)
+    SELECT media_id,
+           window_idx::INT AS window_idx,
+           (window_idx * 125)::INT AS start_ms,
+           (window_idx * 125 + 250)::INT AS end_ms,
+           sha256(text || 'w' || CAST(window_idx AS VARCHAR)) AS window_sha
+    FROM w
+    """,
+)
+def q_audio_window_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window segmentation over the audio rows (250 ms
+    windows every 125 ms): the audio twin of the frame-sample query,
+    same Arrow mapInPandas 1→k fan-out, stub window hash
+    sha256(payload‖'w'‖idx) hash-checked by DuckDB. The kind filter
+    sits under the Python stage so image/video bytes never cross the
+    Arrow boundary."""
+    from .operators.multimodal import segment_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_audio(
+        documents_as_media(docs), window_ms=250, hop_ms=125, max_windows=8
+    )
 
 
 # ---------------------------------------------------------------------------

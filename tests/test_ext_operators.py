@@ -759,3 +759,32 @@ def test_simhash_bucket_cap_observed_drop_metrics(spark):
     assert n < 1000 * 999 // 2  # never the quadratic expansion
     assert obs.get["dropped_buckets"] >= SIMHASH_BANDS
     assert obs.get["dropped_members"] >= SIMHASH_BANDS * 1000
+
+
+def test_incremental_exact_dedup_handles_id_interleaving(spark):
+    """rep_id must be the min id over corpus UNION batch per
+    fingerprint — including when a batch id is SMALLER than the
+    indexed representative (ids interleave across ingests)."""
+    from hubsit_health_analytics_etl_spark.operators.dedup import (
+        exact_fingerprint_index,
+        incremental_exact_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(5, "alpha beta"), (10, "gamma delta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "  ALPHA   beta "),   # dup of 5, smaller id -> new keeper
+            (7, "fresh text"),        # unseen fp -> keeper
+            (12, "gamma delta"),      # dup of 10, larger id -> not keeper
+            (13, "fresh text"),       # in-batch dup of 7
+        ],
+        "doc_id long, text string",
+    )
+    index = exact_fingerprint_index(corpus)
+    got = {
+        r.doc_id: (r.rep_id, r.is_keeper)
+        for r in incremental_exact_dedup(batch, index).collect()
+    }
+    assert got == {1: (1, 1), 7: (7, 1), 12: (10, 0), 13: (7, 0)}
