@@ -990,6 +990,65 @@ def q_embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding int8 quantization: the STORAGE lever for 100 TB vector
+# corpora — 4x smaller than float32 (64 dims: 256 B -> 64 B + 2
+# floats), reconstruction error bounded by scale/2 per dim. Per-vector
+# min/max affine quantization, all Catalyst array expressions
+# (map-only); the oracle replicates the arithmetic bit-for-bit.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_quantize",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    mm AS (SELECT vec_id, v, list_min(v) AS mn,
+                  (list_max(v) - list_min(v)) / 255.0 AS scale
+           FROM e),
+    q AS (SELECT vec_id, mn, scale,
+                 list_transform(v, x -> CAST(round((x - mn) / scale) AS BIGINT))
+                   AS q8
+          FROM mm)
+    SELECT vec_id,
+           ROUND(mn, 6) AS mn,
+           ROUND(scale, 9) AS scale,
+           md5(array_to_string(q8, ',')) AS q8_sig,
+           list_min(q8)::BIGINT AS q_min,
+           list_max(q8)::BIGINT AS q_max
+    FROM q
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector affine int8 quantization (codes 0..255): stores mn +
+    scale + one byte per dim. Map-only; the md5 signature of the code
+    array proves the exact codes match DuckDB (same IEEE double
+    arithmetic on both engines), and q_min/q_max pin the code range.
+    Dequantize is mn + q*scale with max error scale/2 per dim."""
+    from .operators.dedup import _spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = "cast(embedding as array<double>)"
+    mm = _spread(emb).select(
+        "vec_id",
+        F.expr(f"{v}").alias("v"),
+        F.expr(f"array_min({v})").alias("mn"),
+        F.expr(f"(array_max({v}) - array_min({v})) / 255.0d").alias("scale"),
+    )
+    q = mm.select(
+        "vec_id",
+        "mn",
+        "scale",
+        F.expr("transform(v, x -> cast(round((x - mn) / scale) as bigint))").alias("q8"),
+    )
+    return q.select(
+        "vec_id",
+        F.round("mn", 6).alias("mn"),
+        F.round("scale", 9).alias("scale"),
+        F.md5(F.concat_ws(",", F.col("q8").cast("array<string>"))).alias("q8_sig"),
+        F.expr("array_min(q8)").alias("q_min"),
+        F.expr("array_max(q8)").alias("q_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas). The runtime path is Arrow-batched
 # Python, but the STUB kernel is sha256 + byte length of a UTF-8
 # payload — fully expressible in DuckDB, so even the mapInPandas
@@ -2635,4 +2694,66 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.chunk_idx").alias("chunk_idx"),
         F.size(F.split("c.chunk", " ")).cast("bigint").alias("n_tokens"),
         F.md5("c.chunk").alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token packing: assign documents to fixed-token-budget training bins
+# (sequence-packing staple). Scale-first design: a GLOBAL ordered
+# cumulative sum is a single total order — a one-reducer sort at
+# 100 TB — so packing runs per hash-SHARD (cumsum windows partitioned
+# by shard, embarrassingly parallel); packing quality is unchanged
+# asymptotically and bin ids are (shard, bin).
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 512  # tokens per bin
+PACK_SHARDS = 8
+
+
+@query(
+    "token_pack_bins",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      (doc_id % {PACK_SHARDS}) AS shard,
+                      len(regexp_extract_all(lower(text),
+                                             '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
+                        AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, shard, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT doc_id, shard::BIGINT AS shard, n_tokens,
+           ((cum - n_tokens) // {PACK_BUDGET})::BIGINT AS bin
+    FROM c
+    """,
+)
+def q_token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document packing assignment: docs are BPE-ish token-counted
+    (map-only regexp), sharded by doc_id hash, and binned by the
+    budget-quantized cumulative start offset within their shard —
+    deterministic, one shuffle on the shard key, no global sort. A doc
+    lands in bin floor(start_offset / {PACK_BUDGET}), so every bin
+    holds ~{PACK_BUDGET} tokens of consecutive docs."""
+    from pyspark.sql import Window
+
+    from .operators.textanalysis import token_count_bpe_ish
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        token_count_bpe_ish("text").cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET)
+        .cast("bigint")
+        .alias("bin"),
     )

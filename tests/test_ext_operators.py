@@ -788,3 +788,46 @@ def test_incremental_exact_dedup_handles_id_interleaving(spark):
         for r in incremental_exact_dedup(batch, index).collect()
     }
     assert got == {1: (1, 1), 7: (7, 1), 12: (10, 0), 13: (7, 0)}
+
+
+def test_embedding_quantize_codes_and_reconstruction_bound(spark):
+    """int8 codes must span [0, 255] with endpoints hit (min/max map
+    to 0/255), and dequantization mn + q*scale must reconstruct every
+    dim within scale/2."""
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(50)
+    v = "cast(embedding as array<double>)"
+    checked = emb.select(
+        F.expr(
+            f"transform(array(struct(array_min({v}) AS mn, "
+            f"(array_max({v}) - array_min({v})) / 255.0d AS sc, {v} AS v)), p -> "
+            "aggregate(p.v, struct(0 AS bad, 999 AS qmin, -999 AS qmax), (acc, x) -> "
+            "struct(acc.bad + CASE WHEN abs(x - (p.mn + round((x - p.mn) / p.sc) * p.sc)) "
+            "> p.sc / 2 + 1e-12 THEN 1 ELSE 0 END, "
+            "least(acc.qmin, cast(round((x - p.mn) / p.sc) as int)), "
+            "greatest(acc.qmax, cast(round((x - p.mn) / p.sc) as int))))"
+            ")[0]"
+        ).alias("r")
+    ).collect()
+    for row in checked:
+        assert row.r.bad == 0
+        assert row.r.qmin == 0 and row.r.qmax == 255
+
+
+def test_token_pack_bins_respect_budget(spark):
+    """Every (shard, bin) must hold docs whose cumulative START
+    offsets share one budget window: bin token sum ≤ budget + the
+    bin's largest doc (the straggler that crosses the boundary)."""
+    from hubsit_health_analytics_etl_spark.workload import QUERIES
+    from hubsit_health_analytics_etl_spark.workload_ext import PACK_BUDGET
+
+    out = QUERIES["token_pack_bins"](spark, SF_SMOKE)
+    agg = (
+        out.groupBy("shard", "bin")
+        .agg(F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    assert len(agg) > 1
+    for r in agg:
+        assert r.tot <= PACK_BUDGET + r.mx

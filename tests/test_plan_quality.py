@@ -398,3 +398,20 @@ def test_dormant_rich_customers_anti_join_and_date_pushdown(spark):
     pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters: ")[1:]]
     assert any("o_orderdate" in s for s in pushed)
     assert "CartesianProduct" not in p
+
+
+def test_embedding_quantize_map_only_and_pack_single_shuffle(spark):
+    """Quantization must run inside the scan stage (no exchange beyond
+    _spread's fan-out); packing shuffles ONCE on the shard key for its
+    windowed cumsum — never a global total order."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("embedding_quantize")(spark, SF_SMOKE))
+    body = p.split("== Physical Plan ==")[-1]
+    assert body.count("Exchange") <= body.count("REPARTITION_BY_NUM") + body.lower().count("roundrobin")
+
+    p = physical_plan(_q("token_pack_bins")(spark, SF_SMOKE))
+    body = p.split("== Physical Plan ==")[-1]
+    # one hashpartitioning exchange (the shard window) + optional fan-out
+    assert body.lower().count("hashpartitioning") <= 1
+    assert "rangepartitioning" not in body.lower()  # no global sort
