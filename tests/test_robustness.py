@@ -93,3 +93,53 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # first window emitted with its 2 on-time events; the late 99.0
     # event neither re-emitted nor bumped the count
     assert rows.get("2024-01-01 00:00:00") == 2
+
+
+def test_jsonl_roundtrip_and_corrupt_record_audit(spark, tmp_path):
+    """JSONL tolerant ingest: well-formed lines parse, malformed lines
+    survive as audit rows (never silently dropped), and clean+audit
+    partition the input exactly."""
+    import json as _json
+
+    from hubsit_health_analytics_etl_spark.sources.jsonl import (
+        read_jsonl,
+        split_audit,
+        write_jsonl,
+    )
+
+    src = tmp_path / "docs.jsonl"
+    lines = [
+        _json.dumps({"doc_id": 1, "text": "hello world"}),
+        '{"doc_id": 2, "text": "unterminated',        # malformed
+        _json.dumps({"doc_id": 3, "text": "ok", "extra": 9}),
+        "not json at all",                             # malformed
+    ]
+    src.write_text("\n".join(lines) + "\n")
+
+    df = read_jsonl(spark, str(src), schema="doc_id bigint, text string")
+    clean, audit = split_audit(df)
+    got = {r.doc_id: r.text for r in clean.collect()}
+    assert got == {1: "hello world", 3: "ok"}
+    audit_rows = audit.collect()  # full-row collect is allowed on raw scans
+    assert {r._corrupt_record for r in audit_rows} == {
+        '{"doc_id": 2, "text": "unterminated', "not json at all"
+    }
+    assert all(r.doc_id is None and r.text is None for r in audit_rows)
+    # every line accounted for: parsed + audited == input. A bare
+    # audit.count() on the RAW scan is the one consumption Spark
+    # disallows (QUERY_ONLY_CORRUPT_RECORD_COLUMN); the documented
+    # cache-then-aggregate pattern works:
+    cached = df.cache()
+    try:
+        c_clean, c_audit = split_audit(cached)
+        assert c_clean.count() + c_audit.count() == 4
+    finally:
+        cached.unpersist()
+
+    # round-trip: write clean back out and re-read identically
+    out = tmp_path / "out"
+    write_jsonl(clean, str(out))
+    back = read_jsonl(spark, str(out), schema="doc_id bigint, text string")
+    back_clean, back_audit = split_audit(back)
+    assert {r.doc_id: r.text for r in back_clean.collect()} == got
+    assert len(back_audit.collect()) == 0
