@@ -16,7 +16,11 @@ from pyspark.sql import SparkSession
 # Runtime-settable confs applied to *any* session handed to us (the
 # driver owns the session for __spark_entry__.entry/queries).
 RUNTIME_CONFS: dict[str, str] = {
-    # events.parquet carries TIMESTAMP(NANOS); Spark reads it as long ns.
+    # events.parquet carries TIMESTAMP(NANOS). On Spark ≤4.0 this conf
+    # makes it read as long ns; on 4.1+ the conf is INERT and the column
+    # loads natively as timestamp_ntz (µs-truncated). Harmless to set on
+    # both — sources/parquet.py dtype-guards, so either shape normalizes
+    # to the same timestamp_ntz µs values.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Deterministic wall-clock semantics for NTZ conversions + oracles.
     "spark.sql.session.timeZone": "UTC",

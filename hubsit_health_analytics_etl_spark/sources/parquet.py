@@ -28,9 +28,14 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table; normalizes events.ts (stored as
-    TIMESTAMP(NANOS) → long ns under nanosAsLong) to timestamp_ntz,
-    truncated to microseconds exactly like DuckDB's ns→us cast."""
+    """Read one fixture table; normalizes events.ts to timestamp_ntz
+    truncated to microseconds exactly like DuckDB's ns→us cast.
+
+    events.parquet stores TIMESTAMP(NANOS). Spark ≤4.0 under
+    ``nanosAsLong`` surfaces it as ``bigint`` ns (converted here);
+    Spark 4.1+ ignores that conf and reads ``timestamp_ntz`` natively
+    (already µs-truncated), so the guard is a no-op there — both paths
+    yield identical values."""
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

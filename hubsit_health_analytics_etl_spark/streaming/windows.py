@@ -10,8 +10,11 @@ streaming agg with late-data handling.
 
 NB: Spark's streaming watermark requires TIMESTAMP (with local tz);
 TIMESTAMP_NTZ event time is batch-only. The batch fixtures use NTZ for
-cross-engine determinism; streaming callers should keep event time as
-LTZ (see tests/test_streaming.py).
+cross-engine determinism; when a ``watermark`` is requested on an NTZ
+event-time column, ``_with_watermark`` casts it to LTZ (identity under
+the engine's UTC session), so the same builder works on Spark ≤4.0
+(bigint-ns fixtures) and 4.1+ (native NTZ reads) — see
+tests/test_streaming.py and tests/conftest.py fix_event_ts.
 
 Scale notes: windowed aggregation shuffles on (key, window) — at
 100 TB the input should be partitioned by event date so partition
@@ -28,7 +31,15 @@ from pyspark.sql import Column, DataFrame
 
 
 def _with_watermark(df: DataFrame, ts: str, watermark: str | None) -> DataFrame:
-    return df.withWatermark(ts, watermark) if watermark else df
+    if not watermark:
+        return df
+    # Watermarks require TIMESTAMP (LTZ); Spark 4.1+ reads the nanos
+    # fixture column as timestamp_ntz (nanosAsLong is inert there), so
+    # cast NTZ → LTZ here. Under the engine's UTC session the cast is
+    # the identity on wall-clock values — batch results are unchanged.
+    if dict(df.dtypes).get(ts) == "timestamp_ntz":
+        df = df.withColumn(ts, F.col(ts).cast("timestamp"))
+    return df.withWatermark(ts, watermark)
 
 
 def tumbling_agg(

@@ -89,22 +89,19 @@ def test_pseudonymization_job_replica(spark, tmp_path):
 def test_stateful_stream_converges_to_batch(spark, tmp_path):
     """applyInPandasWithState running profile == batch groupBy on a
     bounded input (availableNow drains everything in one run)."""
-    import pyspark.sql.functions as F
-
     from hubsit_health_analytics_etl_spark.streaming.stateful import (
         user_profile_batch,
         user_profile_stream,
     )
 
+    from .conftest import fix_event_ts
+
     schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
 
-    def fix(df):
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-
-    batch = fix(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    batch = fix_event_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
     expected = sorted(user_profile_batch(batch).collect())
 
-    stream = fix(
+    stream = fix_event_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(SF_SMOKE)

@@ -6,18 +6,17 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from .conftest import SF_SMOKE
+from .conftest import SF_SMOKE, fix_event_ts
 
 
 def test_stream_static_broadcast_enrichment(spark, tmp_path):
     from hubsit_health_analytics_etl_spark.sources.parquet import load_table
 
     schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
-    stream = (
+    stream = fix_event_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(SF_SMOKE)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
     # static dim: per-user segment derived from customer fixture
     dim = (

@@ -6,21 +6,16 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from .conftest import SF_SMOKE
+from .conftest import SF_SMOKE, fix_event_ts
 
 
 def _events_stream(spark):
-    # Watermarks require TIMESTAMP (LTZ): convert raw ns → LTZ on both
-    # the batch and stream sides (session tz is UTC → deterministic).
-    def fix_ts(df):
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-
+    # Watermarks require TIMESTAMP (LTZ): fix_event_ts converts either
+    # the bigint-ns or timestamp_ntz representation on both sides.
     schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
-    batch = fix_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    batch = fix_event_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
     # the dir contains all tables; restrict via pathGlobFilter
-    stream = fix_ts(
+    stream = fix_event_ts(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(SF_SMOKE)
