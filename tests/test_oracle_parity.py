@@ -48,3 +48,38 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+
+def test_gate_rotation_puts_stalest_queries_first():
+    """The driver CORRECTNESS gate samples the first 50 queries()
+    entries; _rotation_order must front-load queries that the committed
+    CORRECTNESS_r*.json artifacts have never (or least recently)
+    covered, so the gate sweeps the whole surface across rounds."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    w = _workload()
+    names = list(e.queries())
+    assert set(names) == set(w.QUERIES), "rotation must not drop queries"
+
+    covered_last = {}
+    here = os.path.dirname(os.path.abspath(e.__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
+        with open(path) as f:
+            for n in json.load(f):
+                covered_last[n] = max(covered_last.get(n, -1), rnd)
+    if not covered_last:
+        return  # fresh clone without artifacts: any order is fine
+    never = [n for n in w.QUERIES if covered_last.get(n, -1) < 0]
+    # every never-covered query must land inside the driver's 50-sample
+    assert all(names.index(n) < 50 for n in never), (
+        f"never-driver-checked queries outside the first 50: "
+        f"{[n for n in never if names.index(n) >= 50]}"
+    )
+    # and the order must be monotone in last-covered round
+    rounds = [covered_last.get(n, -1) for n in names]
+    assert rounds == sorted(rounds)
