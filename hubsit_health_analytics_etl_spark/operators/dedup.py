@@ -22,13 +22,18 @@ from pyspark.sql import Column, DataFrame
 
 from .textanalysis import fingerprint
 
-N_MINHASH = 16  # signature length
+from .scaleparams import bucket_cap_for
+
+N_MINHASH = 16  # signature length (recall/precision knob, not a load knob)
 BAND_ROWS = 2   # rows per LSH band → 8 bands
 N_BANDS = N_MINHASH // BAND_ROWS
 # Production bucket cap: a band bucket larger than this is dropped
 # (after pre-exact-dedup, buckets this hot are low-precision noise;
-# un-capped they emit O(m²) pairs on one reducer).
-MINHASH_BUCKET_CAP = 32
+# un-capped they emit O(m²) pairs on one reducer). DERIVED from the
+# per-bucket pair budget (cap = floor(sqrt(2·528)) = 32) — the budget,
+# not the member count, is the primitive, and it is N-independent: one
+# reducer's pair work stays constant however large the corpus grows.
+MINHASH_BUCKET_CAP = bucket_cap_for()
 
 # Universal-hash family h_j(x) = (a_j·x + b_j) mod P over a 32-bit
 # base hash (md5 prefix). One md5 per shingle instead of N_MINHASH —

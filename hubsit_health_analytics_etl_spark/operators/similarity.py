@@ -22,8 +22,19 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from .scaleparams import ivf_cells_for, lsh_planes_for
+
 EMBED_DIM = 64
-N_PLANES = 4  # 16 buckets
+# Plane count is DERIVED from corpus size via the scaleparams rule,
+# not pinned: planes = ceil(log2(N / target_bucket)) holds the
+# expected within-bucket candidate count per query at TARGET_ANN_BUCKET
+# as N grows. The shipped workload queries (and their inlined SQL
+# oracles) size for the 500-vector embeddings fixture, where the rule
+# yields 4 planes / 16 buckets — production callers pass their own
+# corpus size via ``n_rows`` (or ``planes`` directly).
+FIXTURE_EMBED_ROWS = 500
+TARGET_ANN_BUCKET = 32
+N_PLANES = lsh_planes_for(FIXTURE_EMBED_ROWS, TARGET_ANN_BUCKET)  # = 4
 
 
 def _hyperplanes(n_planes: int = N_PLANES, dim: int = EMBED_DIM) -> list[list[float]]:
@@ -58,8 +69,25 @@ def _plane_literal(plane: list[float]) -> str:
     return "array(" + ", ".join(f"cast({x} as double)" for x in plane) + ")"
 
 
-def lsh_bucket_expr(vec: str, planes: list[list[float]] | None = None) -> Column:
-    """Sign-LSH bucket id: bit j = 1 iff dot(vec, plane_j) > 0."""
+def planes_for_corpus(n_rows: int) -> list[list[float]]:
+    """Hyperplanes sized for a corpus of ``n_rows`` via the scaleparams
+    rule — expected bucket size stays ≈ TARGET_ANN_BUCKET as N grows
+    (the fixture default N_PLANES is this rule at FIXTURE_EMBED_ROWS)."""
+    return _hyperplanes(lsh_planes_for(n_rows, TARGET_ANN_BUCKET))
+
+
+def lsh_bucket_expr(
+    vec: str,
+    planes: list[list[float]] | None = None,
+    n_rows: int | None = None,
+) -> Column:
+    """Sign-LSH bucket id: bit j = 1 iff dot(vec, plane_j) > 0.
+
+    Pass ``n_rows`` (corpus size or catalog estimate) to derive the
+    plane count from the scaleparams rule; with neither ``planes`` nor
+    ``n_rows`` the fixture-scale default applies."""
+    if planes is None and n_rows is not None:
+        planes = planes_for_corpus(n_rows)
     planes = planes or HYPERPLANES
     terms = []
     for j, p in enumerate(planes):
@@ -71,9 +99,15 @@ def lsh_bucket_expr(vec: str, planes: list[list[float]] | None = None) -> Column
     return F.expr("cast(" + " + ".join(terms) + " as int)")
 
 
-def sql_lsh_bucket(vec: str, planes: list[list[float]] | None = None) -> str:
+def sql_lsh_bucket(
+    vec: str,
+    planes: list[list[float]] | None = None,
+    n_rows: int | None = None,
+) -> str:
     """DuckDB twin of lsh_bucket_expr (list_dot_product on literal
-    double arrays)."""
+    double arrays); same plane derivation so both sides stay in step."""
+    if planes is None and n_rows is not None:
+        planes = planes_for_corpus(n_rows)
     planes = planes or HYPERPLANES
     terms = []
     for j, p in enumerate(planes):
@@ -177,6 +211,7 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     query_filter: Column | None = None,
     max_broadcast_queries: int | None = MAX_BROADCAST_QUERIES,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: compare only within the same sign-LSH bucket.
     Map-only bucketing + equi-join on bucket — no O(N²) pair explosion.
@@ -193,7 +228,7 @@ def lsh_bucket_topk(
     bucketed = _spread(corpus).select(
         F.col(id_col),
         F.col(vec_col),
-        lsh_bucket_expr(vec_col).alias("bucket"),
+        lsh_bucket_expr(vec_col, n_rows=n_rows).alias("bucket"),
         norm_expr(vec_col).alias("nrm"),
     )
     q = bucketed.filter(query_filter if query_filter is not None else F.lit(True)).select(
@@ -253,7 +288,7 @@ def label_mean_centroids(corpus: DataFrame, id_col="vec_id", vec_col="embedding"
 
 def kmeans_centroids(
     corpus: DataFrame,
-    n_cells: int,
+    n_cells: int | None = None,
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
@@ -270,10 +305,16 @@ def kmeans_centroids(
     Lloyd iterations — no driver-side data pass beyond the k centers.
     Not oracle-matched (k-means results are engine-specific); quality
     is asserted as recall-vs-brute-force in tests instead.
+
+    ``n_cells=None`` derives the cell count from the corpus size via
+    the scaleparams rule (4·√N — FAISS working rule); pass an explicit
+    value only for pinned harnesses like the fixture recall sweep.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if n_cells is None:
+        n_cells = ivf_cells_for(corpus.count())
     feats = corpus.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )

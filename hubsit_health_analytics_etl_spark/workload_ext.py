@@ -2489,6 +2489,10 @@ def q_ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # records the weaker rows-only check, and quality is value-asserted in
 # pytest (trained recall >= label-mean recall, both vs brute force).
 # ---------------------------------------------------------------------------
+# Recall-harness pin: 10 cells over the 500-vector fixture gives a
+# meaningful nprobe sweep (cells of ~50). This is NOT the production
+# sizing — kmeans_centroids(n_cells=None) derives 4·√N cells from the
+# corpus via operators/scaleparams.py::ivf_cells_for.
 KMEANS_IVF_CELLS = 10
 
 

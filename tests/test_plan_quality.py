@@ -350,6 +350,65 @@ def test_derived_planes_fan_out_on_real_embeddings(spark):
     assert fanouts == sorted(fanouts) and fanouts[0] < fanouts[-1]
 
 
+def test_production_constants_are_helper_derived():
+    """The shipped workload knobs must COME FROM the scaleparams rules
+    (evaluated at the documented fixture estimates), not free-floating
+    literals — so a production caller changing only ``n_rows`` gets
+    consistently re-derived knobs."""
+    from hubsit_health_analytics_etl_spark.operators.dedup import (
+        MINHASH_BUCKET_CAP,
+    )
+    from hubsit_health_analytics_etl_spark.operators.scaleparams import (
+        bucket_cap_for,
+        lsh_planes_for,
+    )
+    from hubsit_health_analytics_etl_spark.operators.similarity import (
+        FIXTURE_EMBED_ROWS,
+        N_PLANES,
+        TARGET_ANN_BUCKET,
+    )
+
+    assert MINHASH_BUCKET_CAP == bucket_cap_for() == 32
+    assert N_PLANES == lsh_planes_for(FIXTURE_EMBED_ROWS, TARGET_ANN_BUCKET) == 4
+
+
+def test_lsh_bucket_expr_derives_planes_from_n_rows(spark):
+    """lsh_bucket_expr(n_rows=...) must re-derive the plane count: a
+    corpus-size estimate 2000x the fixture yields log2-more planes and
+    therefore strictly finer bucketing on the same vectors."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from hubsit_health_analytics_etl_spark.operators.similarity import (
+        lsh_bucket_expr,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    fixture = emb.select(lsh_bucket_expr("embedding").alias("b")).distinct().count()
+    scaled = (
+        emb.select(lsh_bucket_expr("embedding", n_rows=10**6).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert scaled > fixture
+
+
+def test_kmeans_cells_derive_from_corpus_size(spark):
+    """kmeans_centroids with n_cells=None must size the quantizer from
+    the corpus row count via ivf_cells_for (4·sqrt(N))."""
+    from hubsit_health_analytics_etl_spark.operators.scaleparams import (
+        ivf_cells_for,
+    )
+    from hubsit_health_analytics_etl_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = kmeans_centroids(emb, max_iter=1)
+    assert cents.count() == ivf_cells_for(emb.count())
+
+
 @pytest.mark.parametrize("name", ["doc_repetition", "pii_scrub"])
 def test_curation_filters_are_map_only(spark, name):
     """Repetition + PII scrub must run inside the scan stage: the only
