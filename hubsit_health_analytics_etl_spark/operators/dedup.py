@@ -275,6 +275,7 @@ def incremental_minhash_candidates(
     text_col: str = "text",
     bucket_cap: int | None = None,
     new_index: tuple[DataFrame, DataFrame] | None = None,
+    observation=None,
 ) -> DataFrame:
     """Dedup a NEW batch against a persisted signature index: only the
     batch is shingled/signed; the corpus contributes pre-computed
@@ -305,12 +306,21 @@ def incremental_minhash_candidates(
     all_bands = index_bands.unionByName(new_bands)
     probe_side = all_bands
     if bucket_cap is not None:
-        ok = (
-            all_bands.groupBy("band_idx", "band_key")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") <= int(bucket_cap))
-            .select("band_idx", "band_key")
+        sizes = all_bands.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("n")
         )
+        oversized = F.col("n") > F.lit(int(bucket_cap))
+        if observation is not None:
+            # same audit contract as minhash_candidates: dropped bucket
+            # and member counts readable after the action, zero extra pass
+            sizes = sizes.observe(
+                observation,
+                F.sum(F.when(oversized, 1).otherwise(0)).alias("dropped_buckets"),
+                F.sum(F.when(oversized, F.col("n")).otherwise(0)).alias(
+                    "dropped_members"
+                ),
+            )
+        ok = sizes.filter(~oversized).select("band_idx", "band_key")
         probe_side = all_bands.join(ok, ["band_idx", "band_key"])
     a = new_bands.select(
         "band_idx", "band_key", F.col(id_col).alias("new_id")
@@ -343,6 +353,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     df_cap: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Exhaustive exact n-gram Jaccard ≥ threshold — the O(n²) ground
     truth the LSH path approximates. Joined via shared-shingle inverted
@@ -355,7 +366,10 @@ def ngram_jaccard_pairs(
     one reducer. With the cap on, results are a subset of the exact
     answer and intersection counts (hence Jaccard) can only shrink —
     never ship it as the verifier, do ship it if this operator ever
-    runs at corpus scale.
+    runs at corpus scale. With the cap on, pass an
+    ``pyspark.sql.Observation`` as ``observation`` to read
+    ``dropped_shingles`` / ``dropped_postings`` after the action runs,
+    so the recall loss the cap buys is auditable.
     """
     sh = _spread(docs).select(F.col(id_col), shingles_from_text(text_col).alias("sh"))
     # join the inverted index on a 60-bit md5-prefix int: bigint keys
@@ -370,10 +384,17 @@ def ngram_jaccard_pairs(
         ).alias("s"),
     )
     if df_cap is not None:
-        keep = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
-            F.col("df") <= int(df_cap)
-        )
-        inv = inv.join(keep.select("s"), "s")
+        dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        oversized = F.col("df") > F.lit(int(df_cap))
+        if observation is not None:
+            dfreq = dfreq.observe(
+                observation,
+                F.sum(F.when(oversized, 1).otherwise(0)).alias("dropped_shingles"),
+                F.sum(F.when(oversized, F.col("df")).otherwise(0)).alias(
+                    "dropped_postings"
+                ),
+            )
+        inv = inv.join(dfreq.filter(~oversized).select("s"), "s")
     a = inv.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"), "s")
     b = inv.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"), "s")
     inter = (

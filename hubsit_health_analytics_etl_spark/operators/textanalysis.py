@@ -237,6 +237,7 @@ def winnow_candidate_pairs(
     w: int = 8,
     min_shared: int = 2,
     df_cap: int | None = 50,
+    observation=None,
 ) -> "DataFrame":
     """Near-dup candidate pairs = docs sharing ≥ ``min_shared``
     winnowed fingerprints, via fingerprint BUCKETS (same shape as
@@ -250,7 +251,14 @@ def winnow_candidate_pairs(
     ``df_cap`` drops fingerprint buckets with more than that many
     members (boilerplate/stopword grams): a hot fingerprint would
     otherwise expand O(m²) pairs on one reducer — the same scale
-    guard as the LSH bucket cap, applied as a bucket filter.
+    guard as the LSH bucket cap, applied as a bucket filter. Pass a
+    ``pyspark.sql.Observation`` as ``observation`` to read
+    ``dropped_buckets`` / ``dropped_members`` after the action runs —
+    at corpus scale a silent cap makes recall loss unauditable.
+    (AQE caveat, applies to every cap observation in this engine: if
+    the cap drops EVERY candidate, AQE's empty-relation propagation can
+    replace the downstream stage and lose the CollectMetrics node — a
+    degenerate input; run the audit with AQE off if it ever matters.)
 
     Returns (doc_a, doc_b, n_shared), doc_a < doc_b.
     """
@@ -263,7 +271,16 @@ def winnow_candidate_pairs(
         .filter(F.size("ids") > 1)
     )
     if df_cap is not None:
-        buckets = buckets.filter(F.size("ids") <= int(df_cap))
+        oversized = F.size("ids") > F.lit(int(df_cap))
+        if observation is not None:
+            buckets = buckets.observe(
+                observation,
+                F.sum(F.when(oversized, 1).otherwise(0)).alias("dropped_buckets"),
+                F.sum(F.when(oversized, F.size("ids")).otherwise(0)).alias(
+                    "dropped_members"
+                ),
+            )
+        buckets = buckets.filter(~oversized)
     return (
         buckets.select(
             F.explode(

@@ -761,6 +761,97 @@ def test_simhash_bucket_cap_observed_drop_metrics(spark):
     assert obs.get["dropped_members"] >= SIMHASH_BANDS * 1000
 
 
+def test_winnow_df_cap_observed_drop_metrics(spark):
+    """winnow_candidate_pairs' df_cap must report dropped buckets and
+    members via Observation (same contract as the LSH caps): a shared
+    boilerplate paragraph across 60 docs tips its fingerprint buckets
+    over the cap and the drop is counted, not silent."""
+    from pyspark.sql import Observation
+
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        winnow_candidate_pairs,
+    )
+
+    boiler = "all rights reserved this document is provided as is without warranty of any kind either express or implied"
+    shared = " ".join(f"word{j}" for j in range(30))
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique trailer {i}") for i in range(60)]
+        # survivor near-dup cluster below the cap (a realistic corpus is
+        # never 100% drops — and AQE empty-propagation would lose the
+        # CollectMetrics node on an all-dropped plan, see docstring)
+        + [(100 + i, shared) for i in range(3)],
+        "doc_id long, text string",
+    )
+    obs = Observation("winnow")
+    out = winnow_candidate_pairs(docs, df_cap=50, observation=obs)
+    n = out.count()
+    assert 0 < n < 60 * 59 // 2  # survivors only — no quadratic expansion
+    assert obs.get["dropped_buckets"] >= 1
+    assert obs.get["dropped_members"] >= 60
+
+
+def test_ngram_df_cap_observed_drop_metrics(spark):
+    """ngram_jaccard_pairs' optional df_cap must report dropped
+    shingles/postings via Observation so the recall loss it buys at
+    corpus scale is auditable."""
+    from pyspark.sql import Observation
+
+    from hubsit_health_analytics_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "terms of service apply to all users of this website"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} extra words {i}") for i in range(40)]
+        # survivor cluster: shared shingles with df=3, under the cap
+        + [(100 + i, "an entirely distinctive sentence repeated verbatim here")
+           for i in range(3)],
+        "doc_id long, text string",
+    )
+    obs = Observation("ngram")
+    capped = ngram_jaccard_pairs(docs, 0.1, df_cap=20, observation=obs)
+    n_capped = capped.count()
+    assert n_capped > 0
+    assert obs.get["dropped_shingles"] >= 1
+    assert obs.get["dropped_postings"] >= 40
+    # and the uncapped exact path finds strictly more pairs
+    assert n_capped < ngram_jaccard_pairs(docs, 0.1).count()
+
+
+def test_incremental_minhash_cap_observed_drop_metrics(spark):
+    """incremental_minhash_candidates' union-bucket cap must report
+    dropped buckets/members via Observation: a batch probing an index
+    whose buckets are already hot sees the drop counted."""
+    from pyspark.sql import Observation
+
+    from hubsit_health_analytics_etl_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_signature_index,
+    )
+
+    spam = "limited offer click here to claim your free prize today only"
+    plain = "a perfectly ordinary and unique sentence nobody else wrote"
+    corpus = spark.createDataFrame(
+        [(i, spam) for i in range(50)] + [(60, plain)],
+        "doc_id long, text string",
+    )
+    # batch duplicates the one plain doc (2-member buckets survive the
+    # cap) while its spam doc probes only dropped buckets
+    batch = spark.createDataFrame(
+        [(1000, spam), (1001, plain)], "doc_id long, text string"
+    )
+    bands, shingles = minhash_signature_index(corpus)
+    obs = Observation("inc_minhash")
+    out = incremental_minhash_candidates(
+        batch, bands, shingles, bucket_cap=8, observation=obs
+    )
+    rows = out.collect()
+    assert (60, 1001) in {(r.doc_a, r.doc_b) for r in rows}
+    assert len(rows) < 50  # the 51-member spam buckets were dropped, not probed
+    assert obs.get["dropped_buckets"] >= 1
+    assert obs.get["dropped_members"] >= 50
+
+
 def test_incremental_exact_dedup_handles_id_interleaving(spark):
     """rep_id must be the min id over corpus UNION batch per
     fingerprint — including when a batch id is SMALLER than the
