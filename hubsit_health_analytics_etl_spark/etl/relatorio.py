@@ -125,31 +125,63 @@ def relatorio_dados_faltantes(df: DataFrame) -> str:
     return "\n".join(out)
 
 
+_STATUS_SIMPLES = ["No-Show", "Realizado", "Cancelado"]
+
+
 def _perfil_table(pdf: pd.DataFrame, coluna_grupo: str) -> pd.DataFrame:
     """Crosstab shape of one no-show profile (etl_pipeline.py:390-417)
-    from already-aggregated (valor, status_simples, n) rows."""
-    tabela = pdf.pivot_table(
-        index=coluna_grupo, columns="Status_Simples", values="n",
-        aggfunc="sum", fill_value=0,
+    from already-pivoted (valor, No-Show, Realizado, Cancelado) rows —
+    rendered exactly like the reference's pivot_table (index/columns
+    names, int64 counts, 2dp rate)."""
+    tabela = (
+        pdf.set_index("valor")[_STATUS_SIMPLES].astype("int64").sort_index()
     )
-    for c in ["No-Show", "Realizado", "Cancelado"]:
-        if c not in tabela.columns:
-            tabela[c] = 0
-    tabela = tabela[["No-Show", "Realizado", "Cancelado"]].astype("int64")
-    tabela["total"] = tabela.sum(axis=1)
+    tabela.index.name = coluna_grupo
+    tabela.columns.name = "Status_Simples"
+    tabela["total"] = tabela[_STATUS_SIMPLES].sum(axis=1)
+    # groups whose every row mapped to 'Outro' never appeared in the
+    # reference's pre-filtered pivot — drop them, don't divide by 0
+    tabela = tabela[tabela["total"] > 0]
     tabela["taxa_no_show_%"] = (tabela["No-Show"] / tabela["total"] * 100).round(2)
     return tabela
 
 
 def relatorio_noshow(df_passado: DataFrame) -> str:
     """No-show headline + per-dimension profiles
-    (etl_pipeline.py:363-430). One groupBy per dimension (tiny result
-    sets); the headline scalars ride along in a single agg."""
+    (etl_pipeline.py:363-430). ONE distributed job: the grouping-sets
+    profile (operators.reshape.profile_union) computes every
+    per-dimension status crosstab AND — via the grand-total grouping
+    set — the headline scalars in a single Expand + aggregate pass;
+    the driver only formats text. (The reference loops one groupby per
+    dimension, :390-417.)"""
+    from ..operators.reshape import profile_union
+
     st = F.col("Status_Consolidado")
-    head = df_passado.agg(
-        F.count(F.lit(1)).alias("total"), count_if(st == "NO-SHOW").alias("noshows")
-    ).first()
-    total, noshows = head["total"], head["noshows"]
+    simples = reduce(
+        lambda acc, kv: acc.when(st == kv[0], F.lit(kv[1])),
+        _MAPA_STATUS.items(),
+        F.when(F.lit(False), F.lit("")),
+    ).otherwise(F.lit("Outro"))
+    dims = [c for c, _ in _PROFILE_DIMS if c in df_passado.columns]
+    aggs = [
+        count_if(F.col("Status_Simples") == lbl).alias(lbl) for lbl in _STATUS_SIMPLES
+    ] + [F.count(F.lit(1)).alias("_n_total")]
+    if dims:
+        prof = profile_union(
+            df_passado.withColumn("Status_Simples", simples),
+            dims,
+            aggs,
+            global_label="_GERAL_",
+        ).toPandas()
+        geral = prof[prof["dimensao"] == "_GERAL_"]
+        total = int(geral["_n_total"].iloc[0]) if not geral.empty else 0
+        noshows = int(geral["No-Show"].iloc[0]) if not geral.empty else 0
+    else:
+        prof = pd.DataFrame(columns=["dimensao", "valor", *_STATUS_SIMPLES, "_n_total"])
+        head = df_passado.agg(
+            F.count(F.lit(1)).alias("total"), count_if(st == "NO-SHOW").alias("noshows")
+        ).first()
+        total, noshows = head["total"], head["noshows"]
     if total == 0:
         return formatar_relatorio("1. Análise de No-Show", "Sem dados passados.")
     taxa = noshows / total * 100
@@ -160,28 +192,16 @@ def relatorio_noshow(df_passado: DataFrame) -> str:
     out.append(f"Total de No-Shows: {noshows}")
     out.append("OBS: Agendas administrativas foram excluídas desta análise.")
 
-    simples = reduce(
-        lambda acc, kv: acc.when(st == kv[0], F.lit(kv[1])),
-        _MAPA_STATUS.items(),
-        F.when(F.lit(False), F.lit("")),
-    ).otherwise(F.lit("Outro"))
     for coluna, titulo in _PROFILE_DIMS:
-        if coluna not in df_passado.columns:
-            continue
-        rows = (
-            df_passado.filter(F.col(coluna).isNotNull() & (F.col(coluna) != "Indefinido"))
-            .withColumn("Status_Simples", simples)
-            .filter(F.col("Status_Simples") != "Outro")
-            .groupBy(coluna, "Status_Simples")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .toPandas()
-        )
+        rows = prof[prof["dimensao"] == coluna]
         if rows.empty:
             continue
-        out.append(f"\n--- Perfil de No-Show por {titulo} ---")
         tabela = _perfil_table(rows, coluna)
+        if tabela.empty:
+            continue
         if titulo == "INDICACAO":
             tabela = tabela.sort_values("total", ascending=False)
+        out.append(f"\n--- Perfil de No-Show por {titulo} ---")
         out.append(tabela.to_string())
     return "\n".join(out)
 

@@ -37,6 +37,7 @@ def profile_union(
     dim_name_col: str = "dimensao",
     dim_value_col: str = "valor",
     exclude_value: str | None = "Indefinido",
+    global_label: str | None = None,
 ) -> DataFrame:
     """A3 multi-dimension profile via GROUPING SETS — one shuffle.
 
@@ -46,8 +47,16 @@ def profile_union(
     hash aggregate, so a 100 TB fact is scanned and shuffled once, not
     len(dims) times. The 'Indefinido' per-dim exclusion filter
     (:511) is applied via a per-row validity mask before expansion.
+
+    ``global_label`` adds the grand-total grouping set ``()`` and
+    labels its row (dim_name_col=dim_value_col=global_label): headline
+    scalars ride the same single pass instead of a second job. The
+    global row counts ALL input rows — the exclude_value mask only
+    nulls dim KEYS, it drops no rows.
     """
     sets = [[d] for d in dims]
+    if global_label is not None:
+        sets = sets + [[]]
     gdf = df
     if exclude_value is not None:
         # rows with dim == exclude_value must not count toward that
@@ -67,6 +76,9 @@ def profile_union(
         cond = F.col(f"_g_{d}") == 0
         name_expr = F.when(cond, F.lit(d)) if name_expr is None else name_expr.when(cond, F.lit(d))
         val_expr = F.when(cond, F.col(d)) if val_expr is None else val_expr.when(cond, F.col(d))
+    if global_label is not None:
+        name_expr = name_expr.otherwise(F.lit(global_label))
+        val_expr = val_expr.otherwise(F.lit(global_label))
     metric_cols = [c for c in grouped.columns if c not in dims and not c.startswith("_g_")]
     out = grouped.select(
         name_expr.alias(dim_name_col),

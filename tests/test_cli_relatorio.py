@@ -87,6 +87,50 @@ def test_relatorio_noshow_headline_and_profiles(fact):
         assert not line.startswith("Indefinido")
 
 
+def test_relatorio_noshow_golden_text(fact):
+    """The single-pass (grouping-sets) rewrite must render EXACTLY the
+    text the per-dimension-loop implementation produced on the crafted
+    base — golden captured from that implementation (r6)."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.etl.relatorio import relatorio_noshow
+
+    golden = open(os.path.join(REPO, "tests", "golden", "relatorio_noshow.txt")).read()
+    txt = relatorio_noshow(fact.filter(F.col("Status_Consolidado") != "AGENDADO"))
+    assert txt + "\n" == golden
+
+
+def test_noshow_profile_is_single_pass(fact):
+    """profile_union with the grand-total set must stay ONE Expand +
+    ONE shuffle: headline and every dimension ride a single aggregate
+    pass over the fact."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.aggregate import count_if
+    from hubsit_health_analytics_etl_spark.operators.reshape import profile_union
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    passado = fact.filter(F.col("Status_Consolidado") != "AGENDADO")
+    prof = profile_union(
+        passado,
+        ["Pacientes_Sexo", "Faixa_Etaria", "Pacientes_Indicacao"],
+        [count_if(F.col("Status_Consolidado") == "NO-SHOW").alias("No-Show"),
+         F.count(F.lit(1)).alias("_n_total")],
+        global_label="_GERAL_",
+    )
+    import re
+
+    body = physical_plan(prof).split("== Physical Plan ==")[-1]
+    # node-id entries ("(14) Expand") count each node once; the plain
+    # "Exchange" token would double-count tree + detail lines and the
+    # upstream price-join BroadcastExchange is not a shuffle
+    assert len(re.findall(r"\(\d+\) Expand", body)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange\b", body)) == 1
+    # the grand-total row is present alongside the per-dim rows
+    labels = {r["dimensao"] for r in prof.select("dimensao").distinct().collect()}
+    assert "_GERAL_" in labels
+
+
 def test_relatorio_antecedencia_mean(fact):
     """Hand-computed lead times (days): 38.9583, 14.1667, 39.9583, 45,
     49, 19 -> mean 34.35."""
