@@ -62,8 +62,12 @@ def streaming_exact_dedup(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        list(key_cols)
+    from .eventtime import ensure_event_time_ltz
+
+    return (
+        ensure_event_time_ltz(stream, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(key_cols))
     )
 
 

@@ -48,8 +48,12 @@ def interval_join(
     resolves both sides to one attribute — a trivially-true comparison
     that silently degrades the equi-join to the time band alone."""
     if left.isStreaming or right.isStreaming:
-        left = left.withWatermark(left_ts, watermark)
-        right = right.withWatermark(right_ts, watermark)
+        from .eventtime import ensure_event_time_ltz
+
+        left = ensure_event_time_ltz(left, left_ts).withWatermark(left_ts, watermark)
+        right = ensure_event_time_ltz(right, right_ts).withWatermark(
+            right_ts, watermark
+        )
     lft, rgt = left.alias("__ij_l"), right.alias("__ij_r")
     band = (
         (F.col(left_ts) >= F.col(right_ts) + F.expr(f"INTERVAL {lower}"))

@@ -33,13 +33,9 @@ from pyspark.sql import Column, DataFrame
 def _with_watermark(df: DataFrame, ts: str, watermark: str | None) -> DataFrame:
     if not watermark:
         return df
-    # Watermarks require TIMESTAMP (LTZ); Spark 4.1+ reads the nanos
-    # fixture column as timestamp_ntz (nanosAsLong is inert there), so
-    # cast NTZ → LTZ here. Under the engine's UTC session the cast is
-    # the identity on wall-clock values — batch results are unchanged.
-    if dict(df.dtypes).get(ts) == "timestamp_ntz":
-        df = df.withColumn(ts, F.col(ts).cast("timestamp"))
-    return df.withWatermark(ts, watermark)
+    from .eventtime import ensure_event_time_ltz
+
+    return ensure_event_time_ltz(df, ts).withWatermark(ts, watermark)
 
 
 def tumbling_agg(

@@ -50,6 +50,57 @@ def test_tumbling_agg_streaming_matches_batch(spark):
     assert got == expected
 
 
+def test_watermark_operators_accept_ntz_event_time(spark, tmp_path):
+    """Every watermarking operator must cast TIMESTAMP_NTZ event time
+    to LTZ internally (streaming/eventtime.py): Spark 4.1 reads the
+    nanos fixtures as NTZ, and a raw withWatermark rejects that type.
+    Covers dedup, windows, and interval join on a purpose-built NTZ
+    source (version-independent, unlike the fixture read dtype)."""
+    from hubsit_health_analytics_etl_spark.streaming.dedup import (
+        streaming_dedup_by_fingerprint,
+    )
+    from hubsit_health_analytics_etl_spark.streaming.joins import interval_join
+    from hubsit_health_analytics_etl_spark.streaming.windows import tumbling_agg
+
+    src = str(tmp_path / "src")
+    spark.range(4).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc text "), (F.col("id") % 2).cast("string")).alias("text"),
+        F.expr(
+            "cast(timestamp_micros(1735732800000000 + id * 60000000) as timestamp_ntz)"
+        ).alias("ts"),
+    ).write.mode("overwrite").parquet(src)
+    assert dict(spark.read.parquet(src).dtypes)["ts"] == "timestamp_ntz"
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    # dedup: run end-to-end — 4 docs with 2 distinct normalized texts
+    out = streaming_dedup_by_fingerprint(stream, "text", "ts", "10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ntz_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) FROM ntz_dedup").collect()[0][0] == 2
+
+    # windows + interval join: watermark analysis is eager, so building
+    # the plans on NTZ inputs is the acceptance check
+    tumbling_agg(
+        stream, "ts", "1 hour", [F.count(F.lit(1)).alias("n")], watermark="2 hours"
+    )
+    interval_join(
+        stream.select("doc_id", F.col("ts").alias("l_ts")),
+        stream.select(F.col("doc_id").alias("r_doc"), F.col("ts").alias("r_ts")),
+        keys=[],
+        left_ts="l_ts",
+        right_ts="r_ts",
+    )
+
+
 def test_session_agg_is_streaming_plannable(spark):
     """session_window must be accepted by the streaming planner (update
     mode + watermark) — catches accidental batch-only constructs."""
