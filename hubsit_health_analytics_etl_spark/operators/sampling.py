@@ -56,3 +56,72 @@ def stratified_sample(
     """Per-stratum Bernoulli sampling (sampleBy) — for quota sampling
     where exact reproducibility matters less than stratum balance."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def hash_frac(col: str, salt: str = "") -> Column:
+    """Stable fraction in [0, 1) from md5 of the key (+salt) — the
+    continuous version of hash_bucket, for per-stratum keep rates that
+    aren't integer percents. Engine-portable like hash_bucket."""
+    return F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', cast({col} as string))), 1, 8), 16, 10) "
+        f"as double) / 4294967296.0"
+    )
+
+
+def sql_hash_frac(col: str, salt: str = "") -> str:
+    """DuckDB twin of hash_frac."""
+    return (
+        f"(CAST('0x' || substr(md5('{salt}' || CAST({col} AS VARCHAR)), 1, 8) AS BIGINT)"
+        f" / 4294967296.0)"
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    key: str,
+    alpha: float = 0.5,
+    budget: int = 300,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-balanced corpus sampling (multilingual rebalancing à
+    la mC4/XLM: per-stratum target ∝ N_s^alpha, so alpha < 1 upsamples
+    low-resource strata relative to their natural share).
+
+    Per stratum s: target t_s = min(N_s, floor(budget · share_s)) with
+    share_s = round(N_s^alpha / Σ N^alpha, 6); a row is kept iff the
+    stable hash fraction of its key < t_s / N_s. The 6dp share rounding
+    pins the float boundary cross-engine before the floor.
+
+    Scale shape: counts are a tiny aggregate (|strata| rows), the share
+    normalization is a window over THAT tiny frame, and the keep
+    decision joins the rates back (broadcast-size) as a pure map-side
+    filter — no per-stratum global sort or rank, so a skewed stratum
+    (one language = 80 % of a 100 TB corpus) costs nothing extra. The
+    budget is hit in expectation (binomial around t_s); membership is
+    exactly deterministic and replay-stable.
+
+    Returns the kept rows of ``df`` plus ``rate`` (the stratum's keep
+    probability, 6dp).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    w_all = Window.partitionBy()
+    rates = (
+        counts.withColumn("_w_s", F.pow("_n_s", F.lit(float(alpha))))
+        .withColumn("_share", F.round(F.col("_w_s") / F.sum("_w_s").over(w_all), 6))
+        .withColumn(
+            "_t_s",
+            F.least(F.col("_n_s"), F.floor(F.lit(int(budget)) * F.col("_share"))),
+        )
+        .select(
+            strata_col,
+            F.round(F.col("_t_s") / F.col("_n_s"), 6).alias("rate"),
+            (F.col("_t_s") / F.col("_n_s")).alias("_thresh"),
+        )
+    )
+    out = df.join(F.broadcast(rates), strata_col).filter(
+        hash_frac(key, salt) < F.col("_thresh")
+    )
+    return out.select(*df.columns, "rate")

@@ -1453,9 +1453,11 @@ def _nn_dedup_planes() -> list[list[float]]:
     return _hyperplanes(NN_DEDUP_PLANES)
 
 
-@query(
-    "embedding_nn_dedup",
-    f"""
+def _nn_oracle_cte() -> str:
+    """Shared oracle CTE: in-bucket nearest neighbor per vector
+    (embedding_nn_dedup and semantic_dedup_keep replicate the same
+    blocking + scoring stage-for-stage)."""
+    return f"""
     WITH e AS (SELECT vec_id, {sql_lsh_bucket("embedding", _nn_dedup_planes())} AS bucket,
                       embedding::DOUBLE[] AS v
                FROM embeddings),
@@ -1467,7 +1469,13 @@ def _nn_dedup_planes() -> list[list[float]]:
     r AS (SELECT vec_id, bucket, nn_id, cosine,
                  ROW_NUMBER() OVER (PARTITION BY vec_id
                                     ORDER BY cosine DESC, nn_id) AS rn
-          FROM p)
+          FROM p)"""
+
+
+@query(
+    "embedding_nn_dedup",
+    _nn_oracle_cte()
+    + f"""
     SELECT vec_id, bucket, nn_id, ROUND(cosine, 6) AS cosine,
            cosine >= {NN_DUP_THRESHOLD} AS is_dup
     FROM r WHERE rn = 1
@@ -2760,4 +2768,91 @@ def q_token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET)
         .cast("bigint")
         .alias("bin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-balanced multilingual sampling (mC4/XLM-style corpus
+# rebalancing: per-language budget ∝ N_lang^alpha, alpha < 1 upsamples
+# low-resource languages relative to their natural share). The keep
+# decision is a stable hash-fraction threshold — a pure map filter
+# after a |langs|-row aggregate, so a skewed language distribution
+# (one lang = 80 % of a 100 TB corpus) never needs a per-stratum sort.
+# ---------------------------------------------------------------------------
+from .operators.sampling import sql_hash_frac  # noqa: E402
+
+TEMP_SAMPLE_ALPHA = 0.5
+TEMP_SAMPLE_BUDGET = 300
+
+
+@query(
+    "corpus_temperature_sample",
+    f"""
+    WITH c AS (SELECT lang, COUNT(*)::BIGINT AS n_s FROM documents GROUP BY lang),
+    r AS (SELECT lang, n_s,
+                 ROUND(POW(n_s, {TEMP_SAMPLE_ALPHA})
+                       / SUM(POW(n_s, {TEMP_SAMPLE_ALPHA})) OVER (), 6) AS share
+          FROM c),
+    t AS (SELECT lang, n_s,
+                 LEAST(n_s, CAST(FLOOR({TEMP_SAMPLE_BUDGET} * share) AS BIGINT)) AS t_s
+          FROM r)
+    SELECT d.doc_id, d.lang, ROUND(CAST(t_s AS DOUBLE) / n_s, 6) AS rate
+    FROM documents d JOIN t USING (lang)
+    WHERE {sql_hash_frac("d.doc_id")} < CAST(t_s AS DOUBLE) / n_s
+    """,
+)
+def q_corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature sampling over the documents corpus:
+    per-language target t_l = min(N_l, floor(budget · share_l)) with
+    share_l = round(N_l^α / Σ N^α, 6); a doc survives iff its stable
+    md5 hash fraction < t_l / N_l (operators/sampling.py::
+    temperature_sample). Membership is replay/partitioning-invariant —
+    rand()-based sampling is not — and the oracle replicates the hash
+    threshold bit-for-bit, so the value-hash check covers the sampling
+    decision itself. (Reference has no sampling surface; EXT per the
+    training-data brief.)"""
+    from .operators.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_sample(
+        docs, "lang", "doc_id", alpha=TEMP_SAMPLE_ALPHA, budget=TEMP_SAMPLE_BUDGET
+    )
+    return out.select("doc_id", "lang", "rate")
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup keep-list (SemDeDup-style decision): a vector is
+# DROPPED when its in-bucket nearest neighbor clears the duplicate
+# threshold and the neighbor has the smaller id (min-id representative
+# survives, same keep rule as the exact/MinHash dedup family).
+# ---------------------------------------------------------------------------
+@query(
+    "semantic_dedup_keep",
+    _nn_oracle_cte()
+    + f"""
+    , nn AS (SELECT vec_id, nn_id, ROUND(cosine, 6) AS cosine,
+                    cosine >= {NN_DUP_THRESHOLD} AS is_dup
+             FROM r WHERE rn = 1)
+    SELECT emb.vec_id, nn.nn_id, nn.cosine,
+           COALESCE(NOT (nn.is_dup AND emb.vec_id > nn.nn_id), TRUE) AS keep
+    FROM embeddings emb LEFT JOIN nn ON emb.vec_id = nn.vec_id
+    """,
+)
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector keep/drop decision from the LSH-bucket-blocked
+    nearest neighbor (q_embedding_nn_dedup): drop iff the NN is a
+    duplicate (cosine ≥ threshold) AND has the smaller id. Vectors in
+    singleton buckets have no NN row (left join) and are always kept —
+    the honest LSH-recall semantics. The keep-list is what a corpus
+    pipeline feeds downstream; the drop set is the semantic-dedup
+    analogue of exact_dedup's non-representatives."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    nn = q_embedding_nn_dedup(spark, sf_dir).select(
+        "vec_id", "nn_id", "cosine", "is_dup"
+    )
+    keep = F.coalesce(
+        ~(F.col("is_dup") & (F.col("vec_id") > F.col("nn_id"))), F.lit(True)
+    )
+    return emb.join(nn, "vec_id", "left").select(
+        "vec_id", "nn_id", "cosine", keep.alias("keep")
     )

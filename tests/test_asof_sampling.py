@@ -112,3 +112,59 @@ def test_asof_join_plans_single_shuffle(spark):
     import re
 
     assert len(re.findall(r"\n\(\d+\) Exchange", p)) <= 2
+
+
+def test_temperature_sample_upsamples_low_resource_strata(spark):
+    """alpha=0.5 must give the low-resource languages a HIGHER keep
+    rate than the dominant one (the whole point of temperature
+    rebalancing), stay within each stratum (rate <= 1), and be exactly
+    deterministic across runs."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.sampling import (
+        temperature_sample,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = temperature_sample(docs, "lang", "doc_id", alpha=0.5, budget=300)
+    rates = {r["lang"]: r["rate"] for r in out.select("lang", "rate").distinct().collect()}
+    n_by_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    dominant = max(n_by_lang, key=n_by_lang.get)   # en: 193 docs
+    smallest = min(n_by_lang, key=n_by_lang.get)   # de: 71 docs
+    assert rates[smallest] > rates[dominant]
+    assert all(0 < r <= 1 for r in rates.values())
+    # membership is replay-stable (hash-based, not rand())
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {r["doc_id"] for r in temperature_sample(docs, "lang", "doc_id", alpha=0.5, budget=300).select("doc_id").collect()}
+    assert a == b
+    # kept count per language lands near its target (binomial noise)
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, rate in rates.items():
+        target = rate * n_by_lang[lang]
+        assert abs(kept.get(lang, 0) - target) <= 3 * (target ** 0.5) + 1
+
+
+def test_temperature_sample_no_per_stratum_sort(spark):
+    """The keep decision must be a map filter after a tiny-aggregate
+    broadcast join: no Window/Sort over the corpus side (a skewed
+    stratum would serialize on one reducer otherwise)."""
+    from hubsit_health_analytics_etl_spark.operators.sampling import (
+        temperature_sample,
+    )
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = temperature_sample(docs, "lang", "doc_id", alpha=0.5, budget=300)
+    body = physical_plan(out).split("== Physical Plan ==")[-1]
+    # the rates side must broadcast; the only Window runs over the
+    # |strata|-row counts aggregate behind that broadcast — the corpus
+    # side reaches the join via scan+filter, no sort, no window
+    assert "BroadcastHashJoin" in body
+    corpus_side = body.split("BroadcastExchange")[0]
+    assert "Sort" not in corpus_side and "Window" not in corpus_side
