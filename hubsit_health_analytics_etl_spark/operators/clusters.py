@@ -173,3 +173,41 @@ def dedup_keep_list(
         "n_members",
         (F.col(id_col) == F.col("component")).cast("bigint").alias("keep"),
     )
+
+
+def dedup_keep_list_by_priority(
+    docs: DataFrame,
+    pairs: DataFrame,
+    priority,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """:func:`dedup_keep_list` with a SOURCE-AWARE keeper rule: the
+    per-cluster representative is argmin (priority, doc_id) instead of
+    plain min id — what a curation job wants when duplicates span
+    sources of different quality ("keep the curated copy, drop the
+    crawl copy"). ``priority`` is a Column over ``docs`` (smaller =
+    preferred; ties fall back to min id, so priority ≡ constant
+    degrades to :func:`dedup_keep_list` exactly).
+
+    Same plan shape: the only additions are the priority column riding
+    the corpus→label join and a struct-min aggregate — the keeper
+    choice costs no extra shuffle over the min-id rule."""
+    comps = connected_components(pairs, src, dst)
+    base = docs.select(F.col(id_col).alias("node"), priority.alias("_prio"))
+    resolved = base.join(comps, "node", "left").select(
+        F.col("node").alias(id_col),
+        F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        "_prio",
+    )
+    keepers = resolved.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(F.struct("_prio", id_col)).alias("_k"),
+    )
+    return resolved.join(keepers, "component").select(
+        id_col,
+        "component",
+        "n_members",
+        (F.col(id_col) == F.col(f"_k.{id_col}")).cast("bigint").alias("keep"),
+    )

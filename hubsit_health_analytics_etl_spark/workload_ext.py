@@ -2856,3 +2856,71 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(nn, "vec_id", "left").select(
         "vec_id", "nn_id", "cosine", keep.alias("keep")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-priority dedup keep-list: among duplicates, keep the copy from
+# the most trusted source (curated > crawl), not the arbitrary min id.
+# Priorities here model a curated-source ranking over the fixture's
+# uniform src0..src19; production passes its own ranking expression.
+# ---------------------------------------------------------------------------
+_SOURCE_PRIORITY_SQL = (
+    "CASE WHEN source = 'src19' THEN 0 WHEN source = 'src7' THEN 1 ELSE 2 END"
+)
+
+
+@query(
+    "dedup_keep_by_source",
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    fp AS (SELECT doc_id,
+                  md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+           FROM documents),
+    freps AS (SELECT fp, MIN(doc_id) AS rep FROM fp GROUP BY fp),
+    edges0 AS (
+        SELECT doc_a, doc_b FROM mh_pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+        UNION
+        SELECT f.rep AS doc_a, p.doc_id AS doc_b
+        FROM fp p JOIN freps f USING (fp) WHERE p.doc_id <> f.rep),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM edges0
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM edges0),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    pr AS (SELECT doc_id, {_SOURCE_PRIORITY_SQL} AS prio FROM documents),
+    j AS (SELECT c.node AS doc_id, c.component, p.prio
+          FROM comp c JOIN pr p ON p.doc_id = c.node),
+    k AS (SELECT doc_id, component, prio,
+                 ROW_NUMBER() OVER (PARTITION BY component
+                                    ORDER BY prio, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY component) AS n_members
+          FROM j)
+    SELECT doc_id, component, n_members::BIGINT AS n_members,
+           (CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM k
+    """,
+)
+def q_dedup_keep_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-list over the SAME duplicate graph as dedup_clusters /
+    corpus_dedup_pipeline (exact-dup edges ∪ MinHash near-dup pairs),
+    but the per-cluster keeper is argmin (source_priority, doc_id)
+    via operators/clusters.py::dedup_keep_list_by_priority — the
+    curated copy survives, the crawl copy is dropped; a constant
+    priority degrades to the min-id rule exactly. The recursive oracle
+    replicates graph, priorities, and tie-break."""
+    from .operators.clusters import dedup_keep_list_by_priority
+
+    docs = load_table(spark, sf_dir, "documents")
+    near = minhash_candidates(
+        docs, bucket_cap=MINHASH_BUCKET_CAP, pre_exact_dedup=True
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    edges = near.unionByName(exact_dup_edges(docs))
+    prio = (
+        F.when(F.col("source") == "src19", 0)
+        .when(F.col("source") == "src7", 1)
+        .otherwise(2)
+    )
+    return dedup_keep_list_by_priority(docs, edges, prio)

@@ -105,3 +105,38 @@ def test_dedup_keep_list_invariants(spark):
         n_members, keeper = summary[r.component]
         assert r.n_members == n_members
         assert (r.doc_id == keeper) == (r.keep == 1)
+
+
+def test_priority_keeper_overrides_min_id(spark):
+    """dedup_keep_list_by_priority must pick argmin (priority, id) per
+    component: the curated copy (prio 0) beats a smaller id from a
+    worse source; ties on priority fall back to min id (and a constant
+    priority therefore reproduces dedup_keep_list exactly)."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.clusters import (
+        dedup_keep_list,
+        dedup_keep_list_by_priority,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "crawl"), (2, "crawl"), (3, "curated"), (10, "crawl"), (11, "crawl"),
+         (20, "curated")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    prio = F.when(F.col("source") == "curated", 0).otherwise(1)
+    out = {r["doc_id"]: r for r in dedup_keep_list_by_priority(docs, pairs, prio).collect()}
+    # cluster {1,2,3}: curated doc 3 wins although 1 is the min id
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [0, 0, 1]
+    assert all(out[i]["component"] == 1 and out[i]["n_members"] == 3 for i in (1, 2, 3))
+    # cluster {10,11}: all crawl -> min id keeps (tie fallback)
+    assert (out[10]["keep"], out[11]["keep"]) == (1, 0)
+    # singleton keeps itself
+    assert out[20]["keep"] == 1 and out[20]["n_members"] == 1
+    # constant priority degrades to the plain min-id keep-list
+    flat = dedup_keep_list_by_priority(docs, pairs, F.lit(0))
+    plain = dedup_keep_list(docs, pairs)
+    assert sorted(map(tuple, flat.collect())) == sorted(map(tuple, plain.collect()))
