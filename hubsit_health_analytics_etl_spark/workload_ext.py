@@ -471,11 +471,14 @@ def _sql_shingles(text: str = "text", k: int = 3) -> str:
     )
 
 
-def _minhash_pairs_ctes() -> str:
+def _minhash_pairs_ctes(bucket_cap: int | None = MINHASH_BUCKET_CAP) -> str:
     """CTE chain replicating ``minhash_candidates`` in its production
     configuration (pre-exact-dedup representatives + bucket cap) —
     ends with a ``mh_pairs(doc_a, doc_b, jaccard)`` CTE.  Shared by the
-    minhash_lsh_pairs and dedup_clusters oracles."""
+    minhash_lsh_pairs / dedup_clusters / dedup_clusters_new_batch
+    oracles; ``bucket_cap=None`` disables capping (the uncapped
+    incremental-clusters contract)."""
+    cap_clause = "" if bucket_cap is None else f" AND COUNT(*) <= {bucket_cap}"
     sig_cols = ", ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME})) AS mh_{j}"
         for j, (a, b) in enumerate(MINHASH_AB[:N_MINHASH])
@@ -503,7 +506,7 @@ def _minhash_pairs_ctes() -> str:
     bands AS ({band_selects}),
     bucket_ok AS (SELECT band_idx, band_key FROM bands
                   GROUP BY band_idx, band_key
-                  HAVING COUNT(*) > 1 AND COUNT(*) <= {MINHASH_BUCKET_CAP}),
+                  HAVING COUNT(*) > 1{cap_clause}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a
              JOIN bucket_ok o
@@ -2924,3 +2927,109 @@ def q_dedup_keep_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(2)
     )
     return dedup_keep_list_by_priority(docs, edges, prio)
+
+
+# ---------------------------------------------------------------------------
+# Incremental cluster maintenance: a new batch's duplicate edges merge
+# into PERSISTED cluster labels — only affected components re-label;
+# the corpus is never re-clustered. Completes the incremental family
+# (exact / MinHash / ANN / clusters). Uncapped LSH on both sides so
+# incremental == full recompute EXACTLY (the cap story is covered by
+# the capped queries; capping would make corpus-time and union-time
+# bucket sizes diverge).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_clusters_new_batch",
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes(bucket_cap=None)},
+    fp AS (SELECT doc_id,
+                  md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+           FROM documents),
+    freps AS (SELECT fp, MIN(doc_id) AS rep FROM fp GROUP BY fp),
+    edges0 AS (
+        SELECT doc_a, doc_b FROM mh_pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+        UNION
+        SELECT f.rep AS doc_a, p.doc_id AS doc_b
+        FROM fp p JOIN freps f USING (fp) WHERE p.doc_id <> f.rep),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM edges0
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM edges0),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    sizes AS (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component)
+    SELECT c.node AS doc_id, c.component,
+           s.n_members::BIGINT AS n_members,
+           (c.node = c.component)::BIGINT AS keep
+    FROM comp c JOIN sizes s USING (component)
+    """,
+)
+def q_dedup_clusters_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance end-to-end: cluster the 90%
+    "corpus" slice (uncapped LSH ∪ exact edges), WRITE the label table
+    to parquet, read it back, then merge the 10% "new batch" in via
+    operators/clusters.py::incremental_dedup_clusters — batch edges
+    come from the incremental exact + MinHash probes, only affected
+    components re-label, untouched labels pass through from the index.
+    Output is the updated keep-list for corpus ∪ batch; the oracle is
+    the FULL-corpus recompute, so the hash match proves
+    incremental == from-scratch."""
+    import os
+
+    from .operators.clusters import connected_components, incremental_dedup_clusters
+    from .operators.dedup import (
+        exact_fingerprint_index,
+        incremental_exact_dedup,
+        incremental_minhash_candidates,
+        minhash_signature_index,
+    )
+    from .operators.sampling import hash_bucket
+    from .sources.sinks import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = hash_bucket("doc_id") < NEW_BATCH_PCT
+    corpus, batch = docs.filter(~is_new), docs.filter(is_new)
+
+    # "persisted" label table for the corpus slice (same graph recipe
+    # as dedup_clusters, uncapped)
+    corpus_near = minhash_candidates(
+        corpus, bucket_cap=None, pre_exact_dedup=True
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    corpus_edges = corpus_near.unionByName(exact_dup_edges(corpus))
+    comps = connected_components(corpus_edges)
+    labels = (
+        corpus.select(F.col("doc_id").alias("node"))
+        .join(comps, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+        )
+    )
+    base = _run_scoped_index_dir("cluster_index")
+    write_parquet(labels, os.path.join(base, "labels"))
+    index_labels = spark.read.parquet(os.path.join(base, "labels"))
+
+    # batch-touching edges from the incremental probes (corpus never
+    # re-shingled beyond the signature index build)
+    bands, shingles = minhash_signature_index(corpus)
+    near_new = incremental_minhash_candidates(
+        batch, bands, shingles, bucket_cap=None
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    exact_new = (
+        incremental_exact_dedup(batch, exact_fingerprint_index(corpus))
+        .filter(F.col("rep_id") != F.col("doc_id"))
+        .select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    updated = incremental_dedup_clusters(
+        index_labels,
+        near_new.select("doc_a", "doc_b").unionByName(exact_new),
+        new_nodes=batch.select(F.col("doc_id").alias("node")),
+    )
+    sizes = updated.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return updated.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        "component",
+        "n_members",
+        (F.col("node") == F.col("component")).cast("bigint").alias("keep"),
+    )

@@ -140,3 +140,56 @@ def test_priority_keeper_overrides_min_id(spark):
     flat = dedup_keep_list_by_priority(docs, pairs, F.lit(0))
     plain = dedup_keep_list(docs, pairs)
     assert sorted(map(tuple, flat.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_incremental_clusters_equal_full_recompute(spark):
+    """incremental_dedup_clusters must reproduce the from-scratch
+    labelling exactly across the hard cases: a batch doc MERGING two
+    existing components, a batch doc with a smaller id taking over a
+    component's label, edge-less batch singletons, and untouched
+    components passing through unrelabelled."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.clusters import (
+        connected_components,
+        incremental_dedup_clusters,
+    )
+
+    corpus_nodes = [1, 2, 5, 6, 9, 20, 21]
+    corpus_edges = spark.createDataFrame(
+        [(1, 2), (5, 6), (20, 21)], "doc_a long, doc_b long"
+    )
+    comps = connected_components(corpus_edges)
+    labels = (
+        spark.createDataFrame([(n,) for n in corpus_nodes], "node long")
+        .join(comps, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
+
+    batch_nodes = spark.createDataFrame([(3,), (0,), (100,)], "node long")
+    new_edges = spark.createDataFrame(
+        [(2, 3), (3, 6),   # doc 3 merges components {1,2} and {5,6}
+         (0, 9)],          # doc 0 (smaller id) takes over component 9
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in incremental_dedup_clusters(labels, new_edges, batch_nodes).collect()
+    }
+    full = connected_components(corpus_edges.union(new_edges))
+    expected = {
+        (r["node"], r["component"])
+        for r in spark.createDataFrame(
+            [(n,) for n in corpus_nodes + [3, 0, 100]], "node long"
+        )
+        .join(full, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+        .collect()
+    }
+    assert got == expected
+    # spot-check the semantics the set equality encodes
+    d = dict(got)
+    assert d[6] == 1 and d[3] == 1          # merged through batch doc 3
+    assert d[9] == 0 and d[0] == 0          # label taken over by smaller batch id
+    assert d[100] == 100                    # edge-less batch singleton
+    assert d[20] == 20 and d[21] == 20      # untouched component passed through
