@@ -250,6 +250,19 @@ def incremental_dedup_clusters(
     the label table; at 100 TB keep ``index_labels`` partitioned by
     component so the affected-side join prunes files.
     """
+    return _incremental_labels(index_labels, new_edges, new_nodes, src, dst)[0]
+
+
+def _incremental_labels(
+    index_labels: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame | None,
+    src: str,
+    dst: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(full updated labels, delta) — delta is just the re-labelled
+    (affected ∪ batch) rows, what an incremental sink persists per
+    micro-batch instead of rewriting the corpus-sized label table."""
     e = new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     touched = e.select(F.col("u").alias("node")).union(
         e.select(F.col("v").alias("node"))
@@ -280,4 +293,5 @@ def incremental_dedup_clusters(
         F.coalesce(F.col("component"), F.col("node")).alias("component"),
     )
     unaffected = index_labels.join(affected_comps, "component", "left_anti")
-    return unaffected.select("node", "component").unionByName(relabelled)
+    full = unaffected.select("node", "component").unionByName(relabelled)
+    return full, relabelled

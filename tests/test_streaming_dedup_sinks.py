@@ -437,3 +437,77 @@ def test_streaming_ivf_sink_matches_batch_and_replays_idempotently(spark, tmp_pa
     sink(b2.select("vec_id", "embedding"), 1)
     again = spark.read.parquet(os.path.join(results_dir, "batch-1"))
     assert rows(again) == rows(expected)
+
+
+def test_streaming_cluster_sink_matches_full_recompute(spark, tmp_path):
+    """Two ordered micro-batches through the cluster-index sink: each
+    batch's duplicate edges merge into the persisted label table; the
+    latest-wins label resolution after both batches must equal the
+    from-scratch connected-components clustering of everything that
+    arrived — the streaming face of dedup_clusters_new_batch's
+    incremental == full equivalence. Replaying a batch must not change
+    the resolved labels (fixpoint + overwrite-own-subdirectory)."""
+    from hubsit_health_analytics_etl_spark.operators.clusters import (
+        connected_components,
+    )
+    from hubsit_health_analytics_etl_spark.operators.dedup import minhash_candidates
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.streaming.incremental_clusters import (
+        cluster_index_sink,
+        read_cluster_labels,
+    )
+
+    thr = 0.3
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    b1 = [(r.doc_id, r.text) for r in docs.filter(F.col("doc_id") < 100).collect()]
+    b2 = [(r.doc_id, r.text) for r in docs.filter(F.col("doc_id") >= 100).collect()]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_file(spark, b1, schema, src, "b1.parquet", 1_700_000_000)
+    _write_file(spark, b2, schema, src, "b2.parquet", 1_700_000_100)
+
+    index_dir, labels_dir = str(tmp_path / "index"), str(tmp_path / "labels")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            cluster_index_sink(index_dir, labels_dir, thr)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.node, r.component)
+        for r in read_cluster_labels(spark, labels_dir).collect()
+    }
+    edges = minhash_candidates(docs, bucket_cap=None, pre_exact_dedup=False).filter(
+        F.col("jaccard") >= thr
+    )
+    comps = connected_components(edges)
+    expected = {
+        (r.node, r.component)
+        for r in docs.select(F.col("doc_id").alias("node"))
+        .join(comps, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+        .collect()
+    }
+    assert len(got) == 200
+    assert got == expected
+    assert any(n != c for n, c in got)  # the fixture does contain dup clusters
+    # replay: re-running batch 1 leaves the resolved labels unchanged
+    sink = cluster_index_sink(index_dir, labels_dir, thr)
+    sink(spark.createDataFrame(b2, schema), 1)
+    again = {
+        (r.node, r.component)
+        for r in read_cluster_labels(spark, labels_dir).collect()
+    }
+    assert again == expected
