@@ -527,3 +527,118 @@ def ivf_topk(
     return ranked.select(
         "query_id", "cell", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-bound ANN path. A D-dim vector
+# is carved into M subvectors; each is replaced by the id of its
+# nearest per-subspace centroid — M small ints instead of D floats
+# (64×float64 → 8 codes here). Search decompresses nothing: asymmetric
+# distances are summed from per-subspace lookup tables.
+# ---------------------------------------------------------------------------
+PQ_M = 8          # subspaces
+PQ_SUB_DIM = EMBED_DIM // PQ_M
+
+
+def pq_codebooks_label_mean(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    m: int = PQ_M,
+    sub_dim: int = PQ_SUB_DIM,
+    scale: int = 6,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: per-subspace centroids are the
+    label-mean subvectors, rounded to ``scale`` dp (same cross-engine
+    posture as label_mean_centroids — partition-order float noise must
+    not move an assignment). Returns ``codebooks[s][k] -> centroid``
+    (k indexes labels in ascending order), collected to the driver:
+    M·K·sub_dim floats are the MODEL, not data — the same contract as
+    kmeans_centroids' cluster centers. Swap in per-subspace KMeans for
+    a trained (engine-specific, rows-only) production codebook."""
+    aggs = [
+        F.round(F.avg(F.col(vec_col)[i]), scale).alias(f"c{i}")
+        for i in range(m * sub_dim)
+    ]
+    rows = corpus.groupBy(label_col).agg(*aggs).orderBy(label_col).collect()
+    return [
+        [[float(r[f"c{s * sub_dim + i}"]) for i in range(sub_dim)] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _pq_sub_dist(vec: str, s: int, centroid: list[float], sub_dim: int) -> str:
+    """SQL text: 9dp-rounded squared L2 distance between subvector s of
+    ``vec`` and a literal centroid (sequential accumulation, matching
+    the DuckDB twin bitwise before the rounding)."""
+    lit = "array(" + ", ".join(f"cast({x} as double)" for x in centroid) + ")"
+    return (
+        f"round(aggregate(zip_with(slice({vec}, {s * sub_dim + 1}, {sub_dim}), {lit}, "
+        f"(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        f"0D, (acc, v) -> acc + v), 9)"
+    )
+
+
+def pq_encode_exprs(
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    sub_dim: int = PQ_SUB_DIM,
+) -> tuple[Column, Column]:
+    """(codes, mse) columns encoding ``vec_col`` against literal
+    codebooks — pure map-side expressions, zero shuffles, fully
+    whole-stage-codegen. Per subspace the code is
+    argmin (9dp squared distance, label index) via lexicographic
+    struct array_min; mse is the mean of the chosen subspace distances
+    over the full dimension (= reconstruction MSE), rounded 6dp."""
+    best = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        F.expr(_pq_sub_dist(vec_col, s, cent, sub_dim)).alias("d"),
+                        F.lit(k).alias("l"),
+                    )
+                    for k, cent in enumerate(cb)
+                ]
+            )
+        )
+        for s, cb in enumerate(codebooks)
+    ]
+    codes = F.array(*[b["l"] for b in best])
+    dim = len(codebooks) * sub_dim
+    mse = F.round(
+        sum((b["d"] for b in best), F.lit(0.0)) / F.lit(float(dim)), 6
+    )
+    return codes, mse
+
+
+def pq_adc_dist_expr(
+    codebooks: list[list[list[float]]],
+    q_vec: str = "q_vec",
+    codes_col: str = "codes",
+    sub_dim: int = PQ_SUB_DIM,
+) -> Column:
+    """Asymmetric PQ distance: exact query subvectors scored against
+    the CODES' centroids — the corpus side never materializes floats,
+    only its M small ints. Per subspace the centroid is looked up from
+    the literal codebook by code id (element_at), distances round 9dp
+    per subspace (matching the encode path) and sum in fixed subspace
+    order. Map-side expression; at scale precompute per-query lookup
+    tables (Q·M·K distances) and this lookup-join shape is unchanged."""
+    terms = []
+    for s, cb in enumerate(codebooks):
+        cb_lit = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"cast({x} as double)" for x in cent) + ")"
+                for cent in cb
+            )
+            + ")"
+        )
+        terms.append(
+            f"round(aggregate(zip_with(slice({q_vec}, {s * sub_dim + 1}, {sub_dim}), "
+            f"element_at({cb_lit}, {codes_col}[{s}] + 1), "
+            f"(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+            f"0D, (acc, v) -> acc + v), 9)"
+        )
+    return F.expr("round(" + " + ".join(terms) + ", 9)")

@@ -3033,3 +3033,147 @@ def q_dedup_clusters_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         (F.col("node") == F.col("component")).cast("bigint").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: 64 floats -> 8 sub-space codes (32x smaller
+# than float64 storage). Codebooks are deterministic label-mean
+# subvector centroids (6dp — same cross-engine posture as the IVF
+# label-mean quantizer); per-subspace assignment is argmin
+# (9dp squared L2, label index). The oracle recomputes codebooks AND
+# assignments from scratch in SQL, so the hash match covers the whole
+# train+encode pipeline. Codes serialize as 'c0-c1-...-c7' (the
+# compare machinery hashes scalar columns).
+# ---------------------------------------------------------------------------
+def _pq_ctes() -> str:
+    """Shared PQ oracle CTE chain (codebooks → scored → chosen);
+    embedding_pq_codes and ann_pq_adc_topk extend it."""
+    from .operators.similarity import PQ_M, PQ_SUB_DIM
+
+    cb_selects = " UNION ALL ".join(
+        f"SELECT {s} AS s, label, ["
+        + ", ".join(
+            f"ROUND(AVG(CAST(embedding[{s * PQ_SUB_DIM + i + 1}] AS DOUBLE)), 6)"
+            for i in range(PQ_SUB_DIM)
+        )
+        + "] AS centroid FROM embeddings GROUP BY label"
+        for s in range(PQ_M)
+    )
+    return f"""
+    WITH cb AS ({cb_selects}),
+    lab AS (SELECT s, label, centroid,
+                   ROW_NUMBER() OVER (PARTITION BY s ORDER BY label) - 1 AS k
+            FROM cb),
+    scored AS (SELECT e.vec_id, c.s, c.k,
+                      ROUND(list_sum(list_transform(range(1, {PQ_SUB_DIM + 1}),
+                            i -> (CAST(e.embedding[CAST(c.s * {PQ_SUB_DIM} AS INT) + CAST(i AS INT)] AS DOUBLE)
+                                  - c.centroid[CAST(i AS INT)]) ^ 2)), 9) AS d
+               FROM embeddings e, lab c),
+    ranked AS (SELECT vec_id, s, k, d,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                         ORDER BY d, k) AS rn
+               FROM scored),
+    chosen AS (SELECT vec_id, s, k AS code, d FROM ranked WHERE rn = 1)"""
+
+
+@query(
+    "embedding_pq_codes",
+    _pq_ctes()
+    + """
+    SELECT vec_id,
+           array_to_string(array_agg(code ORDER BY s), '-') AS codes,
+           ROUND(SUM(d) / 64, 6) AS mse
+    FROM chosen GROUP BY vec_id
+    """,
+)
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ train + encode end-to-end: label-mean codebooks (collected to
+    the driver — M·K·8 floats are the model, same contract as the
+    KMeans centers) inlined into a pure map-side encode expression
+    (operators/similarity.py::pq_encode_exprs — zero shuffles, inside
+    whole-stage codegen). Output: (vec_id, codes 'c0-...-c7', mse).
+    The 8 int codes replace 64 floats — 32× storage cut; mse is the
+    reconstruction error the compression costs, hash-checked so both
+    engines agree on every single assignment."""
+    from .operators.similarity import pq_codebooks_label_mean, pq_encode_exprs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebooks = pq_codebooks_label_mean(emb)
+    codes, mse = pq_encode_exprs(codebooks)
+    return _spread(emb).select(
+        "vec_id",
+        F.concat_ws("-", F.transform(codes, lambda c: c.cast("string"))).alias(
+            "codes"
+        ),
+        mse.alias("mse"),
+    )
+
+
+@query(
+    "ann_pq_adc_topk",
+    _pq_ctes()
+    + f"""
+    , qv AS (SELECT vec_id AS query_id, embedding FROM embeddings
+             WHERE vec_id < {ANN_QUERY_LIMIT}),
+    adc AS (SELECT q.query_id, ch.vec_id AS neighbor_id,
+                   ROUND(SUM(ROUND(list_sum(list_transform(range(1, {{sub_dim_p1}}),
+                         i -> (CAST(q.embedding[CAST(ch.s * {{sub_dim}} AS INT) + CAST(i AS INT)] AS DOUBLE)
+                               - l.centroid[CAST(i AS INT)]) ^ 2)), 9)), 9) AS adc
+            FROM qv q
+            JOIN chosen ch ON q.query_id <> ch.vec_id
+            JOIN lab l ON l.s = ch.s AND l.k = ch.code
+            GROUP BY q.query_id, ch.vec_id),
+    rk AS (SELECT query_id, neighbor_id, adc,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc, neighbor_id) AS rank
+           FROM adc)
+    SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc, rank::BIGINT AS rank
+    FROM rk WHERE rank <= {ANN_K}
+    """.replace("{sub_dim_p1}", "9").replace("{sub_dim}", "8"),
+)
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: the corpus side is ONLY
+    (vec_id, 8 codes) — 32× smaller than the float vectors — and the
+    query's exact subvectors score against the codes' centroids via
+    literal-codebook lookup (operators/similarity.py::pq_adc_dist_expr).
+    Ranking by (adc asc, neighbor id). The oracle recomputes codebooks,
+    assignments, and asymmetric distances from scratch — the hash match
+    covers the entire compressed-search path. At 100 TB the codes table
+    is what lives in memory; this query is the search shape that makes
+    PQ worth training."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import (
+        pq_adc_dist_expr,
+        pq_codebooks_label_mean,
+        pq_encode_exprs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebooks = pq_codebooks_label_mean(emb)
+    codes, _ = pq_encode_exprs(codebooks)
+    corpus_codes = _spread(emb).select("vec_id", codes.alias("codes"))
+    q = emb.filter(F.col("vec_id") < ANN_QUERY_LIMIT).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    pairs = corpus_codes.join(
+        F.broadcast(q), F.col("query_id") != F.col("vec_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        pq_adc_dist_expr(codebooks).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc", 6).alias("adc"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
