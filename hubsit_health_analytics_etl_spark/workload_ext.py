@@ -3177,3 +3177,63 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary: the tokenizer-training prep table — per-token
+# document frequency + occurrence counts, deterministic top-K. Scale
+# shape: explode is map-side; the groupBy benefits from partial
+# (map-side) aggregation, so a hot token ('the' in 80% of docs) is
+# pre-collapsed per partition and never concentrates a reducer the way
+# an un-combined shuffle would.
+# ---------------------------------------------------------------------------
+VOCAB_TOP_K = 200
+
+
+@query(
+    "corpus_vocabulary",
+    f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+               FROM documents),
+    c AS (SELECT token,
+                 COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+                 COUNT(*)::BIGINT AS n_occurrences
+          FROM t WHERE token <> '' GROUP BY token),
+    r AS (SELECT token, n_docs, n_occurrences,
+                 ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS rank
+          FROM c)
+    SELECT token, n_docs, n_occurrences, rank::BIGINT AS rank
+    FROM r WHERE rank <= {VOCAB_TOP_K}
+    """,
+)
+def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{VOCAB_TOP_K} corpus vocabulary by occurrence count (ties by
+    token): (token, n_docs, n_occurrences, rank). One explode + one
+    combined groupBy (count + count-distinct-doc partial-aggregate
+    map-side), then TakeOrderedAndProject for the top-K — no global
+    sort materializes the full vocabulary. The whitespace tokenizer
+    matches tokens()/token_count semantics (empty tokens from repeated
+    spaces dropped)."""
+    from pyspark.sql import Window
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    # orderBy+limit plans TakeOrderedAndProject (distributed per-partition
+    # top-K + merge); ranking a global row_number window instead would
+    # funnel the ENTIRE vocabulary through one partition
+    topk = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return topk.select(
+        "token",
+        "n_docs",
+        "n_occurrences",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
