@@ -3237,3 +3237,87 @@ def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_occurrences",
         F.row_number().over(w).cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval (retrieve -> rerank): the standard RAG/curation
+# search shape. Stage 1 pulls a generous candidate set with cheap ANN;
+# stage 2 re-scores candidates with an expensive model and keeps a
+# short list. The model here is a DETERMINISTIC pseudo-scorer (stable
+# md5 hash fraction of the pair) — the same stub posture as the
+# multimodal decode: the real cross-encoder is a Pandas UDF over the
+# candidate pairs (Arrow-batched, ~K·Q rows, the only Python stage),
+# while everything measured here — bucketed retrieval, candidate
+# cut, blend, re-rank — is the actual Spark plumbing, oracle-checked.
+# ---------------------------------------------------------------------------
+RERANK_CANDIDATES = 20
+RERANK_K = 3
+RERANK_BLEND = 0.7  # weight of the retrieval cosine vs the model score
+
+
+@query(
+    "ann_two_stage_rerank",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {sql_lsh_bucket("embedding")} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < {ANN_QUERY_LIMIT}),
+    p AS (SELECT q.query_id, e.vec_id AS neighbor_id, ROUND({_COS_SQL}, 9) AS cosine
+          FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+    r AS (SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rk1
+          FROM p),
+    cand AS (SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine
+             FROM r WHERE rk1 <= {RERANK_CANDIDATES}),
+    sc AS (SELECT query_id, neighbor_id, cosine,
+                  ROUND({RERANK_BLEND} * cosine + {1 - RERANK_BLEND} *
+                        {sql_hash_frac("query_id || ':' || neighbor_id")}, 9) AS score
+           FROM cand),
+    rr AS (SELECT query_id, neighbor_id, cosine, score,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rank
+           FROM sc)
+    SELECT query_id, neighbor_id, cosine, ROUND(score, 6) AS score,
+           rank::BIGINT AS rank
+    FROM rr WHERE rank <= {RERANK_K}
+    """,
+)
+def q_ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve {RERANK_CANDIDATES} candidates per query via bucketed
+    sign-LSH, re-score with blend = 0.7·cosine + 0.3·model_score, keep
+    the top {RERANK_K}. model_score is the deterministic hash-fraction
+    stand-in (see section comment) — swap in an Arrow-batched
+    cross-encoder Pandas UDF at that exact spot for production; the
+    candidate set it scores is ~K·Q rows, never the corpus."""
+    from pyspark.sql import Window
+
+    from .operators.sampling import hash_frac
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = lsh_bucket_topk(
+        emb, RERANK_CANDIDATES, query_filter=F.col("vec_id") < ANN_QUERY_LIMIT
+    ).select("query_id", "neighbor_id", "cosine")
+    model_score = hash_frac("concat(query_id, ':', neighbor_id)")
+    sc = cand.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.round(
+            RERANK_BLEND * F.col("cosine") + (1 - RERANK_BLEND) * model_score, 9
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RERANK_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
