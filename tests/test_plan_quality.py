@@ -102,6 +102,14 @@ def test_anti_join_is_broadcast(spark):
         "winnow_candidate_pairs",
         "simhash_candidate_pairs",
         "dedup_new_batch",
+        "semantic_dedup_keep",
+        "ann_two_stage_rerank",
+        "embedding_pq_codes",
+        # ann_pq_adc_topk is deliberately the brute-force shape
+        # (broadcast tiny query set, non-equi join over the CODES) —
+        # exempt like brute_force_topk itself
+        "corpus_vocabulary",
+        "corpus_temperature_sample",
     ],
 )
 def test_dedup_never_plans_cartesian(spark, name):
