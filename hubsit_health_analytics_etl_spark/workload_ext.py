@@ -3321,3 +3321,113 @@ def q_ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ — the canonical production ANN composite (FAISS IVFPQ shape):
+# the coarse quantizer prunes to nprobe cells, PQ codes replace the
+# floats inside each cell, ADC scores query subvectors against the
+# codes. Cell pruning bounds candidates (≈ nprobe·N/C per query); PQ
+# bounds memory (8 codes per vector). Both halves are the
+# already-oracle-verified pieces; this query verifies their
+# composition end-to-end.
+# ---------------------------------------------------------------------------
+@query(
+    "ann_ivfpq_topk",
+    _pq_ctes()
+    + f"""
+    , e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT e.label, t.i, ROUND(AVG(e.v[t.i]), 6) AS cval
+             FROM e CROSS JOIN range(1, 65) t(i) GROUP BY e.label, t.i),
+    cents AS (SELECT label AS cell, list(cval ORDER BY i) AS centroid
+              FROM dims GROUP BY label),
+    base AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cellsc AS (SELECT b.vec_id, b.v, b.nrm, c.cell,
+                      ROUND(list_dot_product(b.v, c.centroid)
+                            / (b.nrm * sqrt(list_dot_product(c.centroid, c.centroid))), 9)
+                        AS ccos
+               FROM base b CROSS JOIN cents c),
+    cellrk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY ccos DESC, cell) AS rn
+               FROM cellsc),
+    assigned AS (SELECT vec_id, cell FROM cellrk WHERE rn = 1),
+    probe AS (SELECT vec_id AS query_id, v, cell FROM cellrk
+              WHERE rn <= {ANN_NPROBE} AND vec_id < {ANN_QUERY_LIMIT}),
+    adc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+                   ROUND(SUM(ROUND(list_sum(list_transform(range(1, 9),
+                         i -> (CAST(p.v[CAST(ch.s * 8 AS INT) + CAST(i AS INT)] AS DOUBLE)
+                               - l.centroid[CAST(i AS INT)]) ^ 2)), 9)), 9) AS adc
+            FROM probe p
+            JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+            JOIN chosen ch ON ch.vec_id = a.vec_id
+            JOIN lab l ON l.s = ch.s AND l.k = ch.code
+            GROUP BY p.query_id, a.vec_id),
+    ivfrk AS (SELECT query_id, neighbor_id, adc,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY adc, neighbor_id) AS rank
+              FROM adc)
+    SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc, rank::BIGINT AS rank
+    FROM ivfrk WHERE rank <= {ANN_K}
+    """,
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ search: queries probe their {ANN_NPROBE} nearest cells
+    (coarse label-mean quantizer — the partition-pruning half), and
+    candidates inside those cells are scored by asymmetric PQ distance
+    over their 8 codes (the memory half; the corpus floats never leave
+    the encode stage). At 100 TB this is the architecture: the codes
+    table partitioned by cell is what a query batch reads — nprobe
+    file-pruned, 32× smaller than the vectors. Ranking (adc asc,
+    neighbor id), top {ANN_K}. The oracle recomputes coarse cells,
+    codebooks, assignments, and ADC from scratch."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import (
+        _ranked_cells,
+        label_mean_centroids,
+        pq_adc_dist_expr,
+        pq_codebooks_label_mean,
+        pq_encode_exprs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_mean_centroids(emb).select(
+        F.col("label").alias("cell"), "centroid"
+    )
+    ranked = _ranked_cells(emb, cents)
+    codebooks = pq_codebooks_label_mean(emb)
+    codes, _ = pq_encode_exprs(codebooks)
+    corpus = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "cell", codes.alias("codes")
+    )
+    probe = (
+        ranked.filter(
+            (F.col("rn") <= ANN_NPROBE) & (F.col("vec_id") < ANN_QUERY_LIMIT)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            "cell",
+        )
+    )
+    pairs = corpus.join(F.broadcast(probe), "cell").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        pq_adc_dist_expr(codebooks).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc", 6).alias("adc"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -107,7 +107,10 @@ def test_anti_join_is_broadcast(spark):
         "embedding_pq_codes",
         # ann_pq_adc_topk is deliberately the brute-force shape
         # (broadcast tiny query set, non-equi join over the CODES) —
-        # exempt like brute_force_topk itself
+        # exempt like brute_force_topk itself; ann_ivfpq_topk is exempt
+        # like its IVF siblings (the broadcast-centroid cross in
+        # _ranked_cells is the sanctioned ≤C-row scoring shape — its
+        # candidate join is a BroadcastHashJoin on cell)
         "corpus_vocabulary",
         "corpus_temperature_sample",
     ],
