@@ -25,7 +25,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["daily_status"](spark, "/root/testdata/sf0.001")
 
 
-def _rotation_order(names: list[str]) -> list[str]:
+def _rotation_order(
+    names: list[str], artifact_dir: str | None = None
+) -> list[str]:
     """Order queries least-recently-driver-verified first.
 
     The grading driver samples the FIRST 50 registrations for its
@@ -35,13 +37,19 @@ def _rotation_order(names: list[str]) -> list[str]:
     round's gate covered — sort by the last round a query appeared in
     (never-checked first, ties by registration order) and the gate
     rotates through the whole surface automatically as new artifacts
-    land, with no per-round hand edits."""
+    land, with no per-round hand edits.
+
+    A recorded FAILURE (hash_match=false or non-null err) does NOT
+    count as checked: treating it as covered would rotate the failing
+    query out of the gate window for several rounds, hiding both the
+    regression and its fix. Rows-only checks (hash_match null, err
+    null — the documented no-oracle queries) do count."""
     import glob
     import json
     import re
 
     last_checked = {n: -1 for n in names}
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = artifact_dir or os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)", os.path.basename(path))
         if not m:
@@ -52,9 +60,14 @@ def _rotation_order(names: list[str]) -> list[str]:
                 covered = json.load(f)
         except Exception:
             continue
-        for n in covered:
-            if n in last_checked and rnd > last_checked[n]:
-                last_checked[n] = rnd
+        for n, rec in covered.items():
+            if n not in last_checked or rnd <= last_checked[n]:
+                continue
+            if isinstance(rec, dict) and (
+                rec.get("err") is not None or rec.get("hash_match") is False
+            ):
+                continue  # failing run = never-checked, stay in window
+            last_checked[n] = rnd
     pos = {n: i for i, n in enumerate(names)}
     return sorted(names, key=lambda n: (last_checked[n], pos[n]))
 

@@ -1,7 +1,16 @@
 """Benchmark harness: runs every workload query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+ONE compact JSON line {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {top-10 hotspots: sec}, "sf": ..., "n_queries": N,
+"queries_full": path}.
+
+The stdout line is deliberately SHORT (<1 KB): the grading driver
+captures only the tail of stdout, and a full 83-query grid (~3.3 KB)
+gets truncated mid-line — six rounds of BENCH_r*.json carried
+``"parsed": null`` because of exactly that. The stdout line now holds
+the total plus the 10 most expensive queries; the FULL per-query grid
+is written to ``bench_evidence/latest_full_grid.json`` every run (and
+the per-round snapshots committed there remain the durable record).
 
 Timing = full query execution via ``df.write.format("noop")``: the
 noop sink consumes every InternalRow JVM-side, so every projected
@@ -62,16 +71,40 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    payload = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    grid_path = os.path.join("bench_evidence", "latest_full_grid.json")
+    full = {
         "metric": "workload_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+    }
+    if warm_runs:
+        full["warm_runs"] = warm_runs
+    os.makedirs(os.path.join(here, "bench_evidence"), exist_ok=True)
+    with open(os.path.join(here, grid_path), "w") as f:
+        json.dump(full, f, indent=1)
+
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    payload = {
+        "metric": "workload_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in top10.items()},
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "queries_full": grid_path,
     }
     if warm_runs:
         payload["warm_runs"] = warm_runs
-    print(json.dumps(payload))
+    line = json.dumps(payload, separators=(",", ":"))
+    assert len(line) < 1000, f"stdout line too long ({len(line)}B)"
+    print(line)
     spark.stop()
 
 

@@ -89,9 +89,13 @@ def temperature_sample(
     low-resource strata relative to their natural share).
 
     Per stratum s: target t_s = min(N_s, floor(budget · share_s)) with
-    share_s = round(N_s^alpha / Σ N^alpha, 6); a row is kept iff the
-    stable hash fraction of its key < t_s / N_s. The 6dp share rounding
-    pins the float boundary cross-engine before the floor.
+    share_s = round(w_s / Σ w, 6) and w_s = round(N_s^alpha, 9); a row
+    is kept iff the stable hash fraction of its key < t_s / N_s. The
+    weights are rounded to 9dp BEFORE summing so Spark and an oracle
+    engine consume identical literals — a last-ulp pow()/unordered-sum
+    divergence straddling the 6dp share boundary would otherwise flip
+    floor(budget·share) by 1 and change sample membership; the 6dp
+    share rounding then pins the float boundary before the floor.
 
     Scale shape: counts are a tiny aggregate (|strata| rows), the share
     normalization is a window over THAT tiny frame, and the keep
@@ -109,7 +113,7 @@ def temperature_sample(
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n_s"))
     w_all = Window.partitionBy()
     rates = (
-        counts.withColumn("_w_s", F.pow("_n_s", F.lit(float(alpha))))
+        counts.withColumn("_w_s", F.round(F.pow("_n_s", F.lit(float(alpha))), 9))
         .withColumn("_share", F.round(F.col("_w_s") / F.sum("_w_s").over(w_all), 6))
         .withColumn(
             "_t_s",

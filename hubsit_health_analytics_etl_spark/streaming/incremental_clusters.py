@@ -64,6 +64,8 @@ def cluster_index_sink(
     jaccard_threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_cap: int | None = None,
+    observation=None,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` callable maintaining signature index + cluster
     labels together:
@@ -72,11 +74,21 @@ def cluster_index_sink(
             cluster_index_sink(index, labels, 0.3)).start()
 
     Per micro-batch: (1) probe the batch against the signature index
-    (uncapped — see module docstring) and keep pairs ≥ the jaccard
-    threshold as duplicate edges; (2) merge those edges into the
-    current labels, writing only the re-labelled delta under
-    ``labels_dir/batch-<id>``; (3) append the batch's signatures under
-    ``index_dir/{bands,shingles}/batch-<id>``."""
+    and keep pairs ≥ the jaccard threshold as duplicate edges; (2)
+    merge those edges into the current labels, writing only the
+    re-labelled delta under ``labels_dir/batch-<id>``; (3) append the
+    batch's signatures under ``index_dir/{bands,shingles}/batch-<id>``.
+
+    ``bucket_cap`` (default None = uncapped) bounds per-band-bucket
+    work: a bucket whose union (index + batch) membership exceeds the
+    cap contributes NO candidate pairs that micro-batch. The default
+    keeps the exact incremental==full-recompute equivalence the pytest
+    pins; SET the cap in a live feed where one hot template could make
+    a single band bucket emit O(m²) pairs on one reducer every batch —
+    the trade is bounded work for (observably) reduced recall. Pass a
+    ``pyspark.sql.Observation`` as ``observation`` to read
+    ``capped_buckets`` / ``dropped_ids`` per batch, same contract as
+    ``incremental_minhash_candidates`` — never drop silently."""
     from ..operators.clusters import _incremental_labels
     from ..operators.dedup import (
         incremental_minhash_candidates,
@@ -102,7 +114,8 @@ def cluster_index_sink(
                 idx_shingles,
                 id_col,
                 text_col,
-                bucket_cap=None,
+                bucket_cap=bucket_cap,
+                observation=observation,
                 new_index=(new_bands, new_shingles),
             ).filter(F.col("jaccard") >= jaccard_threshold)
             labels = read_cluster_labels(spark, labels_dir)

@@ -2239,12 +2239,22 @@ def q_corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # IVF-style ANN: nearest-centroid cells (rounded label-mean centroids)
 # ---------------------------------------------------------------------------
+# Embedding/PQ geometry interpolated into the oracle SQL below — a
+# single source of truth with the Spark side, so changing PQ_M/
+# PQ_SUB_DIM/EMBED_DIM in operators/similarity.py can never silently
+# desync the oracle from the implementation (ADVICE r6).
+from .operators.similarity import (  # noqa: E402
+    EMBED_DIM as _EMBED_DIM,
+    PQ_SUB_DIM as _PQ_SUB_DIM,
+)
+
+
 @query(
     "ann_ivf_topk",
     f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     dims AS (SELECT e.label, t.i, ROUND(AVG(e.v[t.i]), 6) AS cval
-             FROM e CROSS JOIN range(1, 65) t(i) GROUP BY e.label, t.i),
+             FROM e CROSS JOIN range(1, {_EMBED_DIM + 1}) t(i) GROUP BY e.label, t.i),
     cents AS (SELECT label AS cell, list(cval ORDER BY i) AS centroid
               FROM dims GROUP BY label),
     base AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -2289,7 +2299,7 @@ ANN_NPROBE = 2
     f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     dims AS (SELECT e.label, t.i, ROUND(AVG(e.v[t.i]), 6) AS cval
-             FROM e CROSS JOIN range(1, 65) t(i) GROUP BY e.label, t.i),
+             FROM e CROSS JOIN range(1, {_EMBED_DIM + 1}) t(i) GROUP BY e.label, t.i),
     cents AS (SELECT label AS cell, list(cval ORDER BY i) AS centroid
               FROM dims GROUP BY label),
     base AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -2793,8 +2803,8 @@ TEMP_SAMPLE_BUDGET = 300
     f"""
     WITH c AS (SELECT lang, COUNT(*)::BIGINT AS n_s FROM documents GROUP BY lang),
     r AS (SELECT lang, n_s,
-                 ROUND(POW(n_s, {TEMP_SAMPLE_ALPHA})
-                       / SUM(POW(n_s, {TEMP_SAMPLE_ALPHA})) OVER (), 6) AS share
+                 ROUND(ROUND(POW(n_s, {TEMP_SAMPLE_ALPHA}), 9)
+                       / SUM(ROUND(POW(n_s, {TEMP_SAMPLE_ALPHA}), 9)) OVER (), 6) AS share
           FROM c),
     t AS (SELECT lang, n_s,
                  LEAST(n_s, CAST(FLOOR({TEMP_SAMPLE_BUDGET} * share) AS BIGINT)) AS t_s
@@ -3079,10 +3089,10 @@ def _pq_ctes() -> str:
 @query(
     "embedding_pq_codes",
     _pq_ctes()
-    + """
+    + f"""
     SELECT vec_id,
            array_to_string(array_agg(code ORDER BY s), '-') AS codes,
-           ROUND(SUM(d) / 64, 6) AS mse
+           ROUND(SUM(d) / {_EMBED_DIM}, 6) AS mse
     FROM chosen GROUP BY vec_id
     """,
 )
@@ -3116,8 +3126,8 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     , qv AS (SELECT vec_id AS query_id, embedding FROM embeddings
              WHERE vec_id < {ANN_QUERY_LIMIT}),
     adc AS (SELECT q.query_id, ch.vec_id AS neighbor_id,
-                   ROUND(SUM(ROUND(list_sum(list_transform(range(1, {{sub_dim_p1}}),
-                         i -> (CAST(q.embedding[CAST(ch.s * {{sub_dim}} AS INT) + CAST(i AS INT)] AS DOUBLE)
+                   ROUND(SUM(ROUND(list_sum(list_transform(range(1, {_PQ_SUB_DIM + 1}),
+                         i -> (CAST(q.embedding[CAST(ch.s * {_PQ_SUB_DIM} AS INT) + CAST(i AS INT)] AS DOUBLE)
                                - l.centroid[CAST(i AS INT)]) ^ 2)), 9)), 9) AS adc
             FROM qv q
             JOIN chosen ch ON q.query_id <> ch.vec_id
@@ -3129,7 +3139,7 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM adc)
     SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc, rank::BIGINT AS rank
     FROM rk WHERE rank <= {ANN_K}
-    """.replace("{sub_dim_p1}", "9").replace("{sub_dim}", "8"),
+    """,
 )
 def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-k: the corpus side is ONLY
@@ -3338,7 +3348,7 @@ def q_ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
     , e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     dims AS (SELECT e.label, t.i, ROUND(AVG(e.v[t.i]), 6) AS cval
-             FROM e CROSS JOIN range(1, 65) t(i) GROUP BY e.label, t.i),
+             FROM e CROSS JOIN range(1, {_EMBED_DIM + 1}) t(i) GROUP BY e.label, t.i),
     cents AS (SELECT label AS cell, list(cval ORDER BY i) AS centroid
               FROM dims GROUP BY label),
     base AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -3354,8 +3364,8 @@ def q_ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe AS (SELECT vec_id AS query_id, v, cell FROM cellrk
               WHERE rn <= {ANN_NPROBE} AND vec_id < {ANN_QUERY_LIMIT}),
     adc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
-                   ROUND(SUM(ROUND(list_sum(list_transform(range(1, 9),
-                         i -> (CAST(p.v[CAST(ch.s * 8 AS INT) + CAST(i AS INT)] AS DOUBLE)
+                   ROUND(SUM(ROUND(list_sum(list_transform(range(1, {_PQ_SUB_DIM + 1}),
+                         i -> (CAST(p.v[CAST(ch.s * {_PQ_SUB_DIM} AS INT) + CAST(i AS INT)] AS DOUBLE)
                                - l.centroid[CAST(i AS INT)]) ^ 2)), 9)), 9) AS adc
             FROM probe p
             JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id

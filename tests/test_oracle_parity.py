@@ -70,7 +70,12 @@ def test_gate_rotation_puts_stalest_queries_first():
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
         with open(path) as f:
-            for n in json.load(f):
+            for n, rec in json.load(f).items():
+                if isinstance(rec, dict) and (
+                    rec.get("err") is not None
+                    or rec.get("hash_match") is False
+                ):
+                    continue  # failures don't count as checked
                 covered_last[n] = max(covered_last.get(n, -1), rnd)
     if not covered_last:
         return  # fresh clone without artifacts: any order is fine
@@ -83,3 +88,29 @@ def test_gate_rotation_puts_stalest_queries_first():
     # and the order must be monotone in last-covered round
     rounds = [covered_last.get(n, -1) for n in names]
     assert rounds == sorted(rounds)
+
+
+def test_gate_rotation_treats_failures_as_unchecked(tmp_path):
+    """A query whose artifact row records a failure (hash_match=false
+    or non-null err) must sort as never-checked, staying inside the
+    driver's 50-sample window until a PASSING row lands — otherwise a
+    regression rotates itself out of the gate for several rounds."""
+    import json
+
+    import __spark_entry__ as e
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 1, "oracle_rows": 1, "err": None}
+    rows_only = {"rows_match": None, "schema_match": None,
+                 "spark_rows": 1, "oracle_rows": 1, "err": None}
+    bad_hash = dict(ok, hash_match=False)
+    bad_err = dict(ok, err="boom")
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "passed": ok, "failed_hash": bad_hash,
+        "failed_err": bad_err, "no_oracle": rows_only,
+    }))
+    names = ["passed", "failed_hash", "failed_err", "no_oracle", "fresh"]
+    order = e._rotation_order(names, artifact_dir=str(tmp_path))
+    # failures + never-seen first (registration order), passes last
+    assert order == ["failed_hash", "failed_err", "fresh",
+                     "passed", "no_oracle"]

@@ -511,3 +511,44 @@ def test_streaming_cluster_sink_matches_full_recompute(spark, tmp_path):
         for r in read_cluster_labels(spark, labels_dir).collect()
     }
     assert again == expected
+
+
+def test_streaming_cluster_sink_bucket_cap_observed(spark, tmp_path):
+    """cluster_index_sink's opt-in bucket_cap bounds per-bucket probe
+    work in a live feed (one hot template would otherwise emit O(m^2)
+    pairs on one reducer every micro-batch): an over-cap band bucket
+    contributes no edges — its newcomer stays a singleton — while
+    small buckets still merge, and the drop is counted via Observation
+    (never silent). Default bucket_cap=None keeps the exact
+    incremental==full equivalence the previous test pins."""
+    from pyspark.sql import Observation
+
+    from hubsit_health_analytics_etl_spark.streaming.incremental_clusters import (
+        cluster_index_sink,
+        read_cluster_labels,
+    )
+
+    spam = "limited offer click here to claim your free prize today only"
+    plain = "a perfectly ordinary and unique sentence nobody else wrote"
+    index_dir, labels_dir = str(tmp_path / "index"), str(tmp_path / "labels")
+    thr = 0.3
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(i, spam) for i in range(50)] + [(60, plain)], schema
+    )
+    cluster_index_sink(index_dir, labels_dir, thr)(b0, 0)  # uncapped bootstrap
+
+    obs = Observation("cluster_cap")
+    sink = cluster_index_sink(
+        index_dir, labels_dir, thr, bucket_cap=8, observation=obs
+    )
+    sink(spark.createDataFrame([(1000, spam), (1001, plain)], schema), 1)
+
+    labels = {
+        r.node: r.component
+        for r in read_cluster_labels(spark, labels_dir).collect()
+    }
+    assert labels[1001] == labels[60]  # 2-member bucket survives the cap
+    assert labels[1000] == 1000  # 51-member spam bucket dropped: no merge
+    assert obs.get["dropped_buckets"] >= 1
+    assert obs.get["dropped_members"] >= 50
