@@ -19,6 +19,7 @@ list_dot_product.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -642,3 +643,34 @@ def pq_adc_dist_expr(
             f"0D, (acc, v) -> acc + v), 9)"
         )
     return F.expr("round(" + " + ".join(terms) + ", 9)")
+
+
+def cross_encoder_hash_udf():
+    """The rerank-model hook, executed for real: an Arrow-batched
+    pandas UDF ``(query_id, neighbor_id) -> double`` scoring candidate
+    pairs — the ONLY Python stage in the two-stage retrieval path, and
+    it runs strictly AFTER the stage-1 candidate cut, so it sees
+    ~RERANK_CANDIDATES·|queries| rows, never the corpus.
+
+    The scorer itself is the same deterministic md5 hash fraction as
+    ``sampling.hash_frac`` (int(md5(qid:nid)[:8], 16) / 2^32) computed
+    in Python, so the SQL oracle covers the UDF's output bit-for-bit —
+    an int < 2^32 divided by 2^32 is exact in double on both engines.
+    A production cross-encoder replaces the body (tokenize + model
+    forward over the Arrow batch); signature, batch shape, and plan
+    position stay identical."""
+    import hashlib
+
+    @F.pandas_udf("double")
+    def _score(query_id: pd.Series, neighbor_id: pd.Series) -> pd.Series:
+        keys = (
+            query_id.astype("int64").astype(str)
+            + ":"
+            + neighbor_id.astype("int64").astype(str)
+        )
+        return keys.map(
+            lambda k: int(hashlib.md5(k.encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+        )
+
+    return _score

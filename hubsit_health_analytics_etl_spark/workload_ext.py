@@ -3264,10 +3264,12 @@ RERANK_CANDIDATES = 20
 RERANK_K = 3
 RERANK_BLEND = 0.7  # weight of the retrieval cosine vs the model score
 
-
-@query(
-    "ann_two_stage_rerank",
-    f"""
+# Shared by ann_two_stage_rerank (SQL-expression scorer) and
+# ann_two_stage_rerank_udf (Arrow pandas-UDF scorer): both engines'
+# model scores are the identical md5 fraction, so ONE oracle covers
+# both — the UDF variant's hash match proves the Python path computes
+# exactly what the SQL path does.
+_TWO_STAGE_RERANK_SQL = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                       {sql_lsh_bucket("embedding")} AS bucket
                FROM embeddings),
@@ -3291,30 +3293,32 @@ RERANK_BLEND = 0.7  # weight of the retrieval cosine vs the model score
     SELECT query_id, neighbor_id, cosine, ROUND(score, 6) AS score,
            rank::BIGINT AS rank
     FROM rr WHERE rank <= {RERANK_K}
-    """,
-)
-def q_ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieve {RERANK_CANDIDATES} candidates per query via bucketed
-    sign-LSH, re-score with blend = 0.7·cosine + 0.3·model_score, keep
-    the top {RERANK_K}. model_score is the deterministic hash-fraction
-    stand-in (see section comment) — swap in an Arrow-batched
-    cross-encoder Pandas UDF at that exact spot for production; the
-    candidate set it scores is ~K·Q rows, never the corpus."""
-    from pyspark.sql import Window
+    """
 
-    from .operators.sampling import hash_frac
+
+def _two_stage_rerank(
+    spark: SparkSession, sf_dir: str, model_score_fn
+) -> DataFrame:
+    """Shared two-stage body: stage-1 bucketed sign-LSH retrieval cuts
+    to {RERANK_CANDIDATES} candidates per query, ``model_score_fn``
+    maps the candidate frame to the model-score Column (SQL expression
+    or pandas UDF — the hook point), stage-2 blends and keeps the top
+    {RERANK_K}. The scorer always runs on the POST-cut frame: ~K·Q
+    rows, never the corpus."""
+    from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
     cand = lsh_bucket_topk(
         emb, RERANK_CANDIDATES, query_filter=F.col("vec_id") < ANN_QUERY_LIMIT
     ).select("query_id", "neighbor_id", "cosine")
-    model_score = hash_frac("concat(query_id, ':', neighbor_id)")
     sc = cand.select(
         "query_id",
         "neighbor_id",
         "cosine",
         F.round(
-            RERANK_BLEND * F.col("cosine") + (1 - RERANK_BLEND) * model_score, 9
+            RERANK_BLEND * F.col("cosine")
+            + (1 - RERANK_BLEND) * model_score_fn(cand),
+            9,
         ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -3330,6 +3334,42 @@ def q_ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("score"),
             F.col("rank").cast("bigint").alias("rank"),
         )
+    )
+
+
+@query("ann_two_stage_rerank", _TWO_STAGE_RERANK_SQL)
+def q_ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve {RERANK_CANDIDATES} candidates per query via bucketed
+    sign-LSH, re-score with blend = 0.7·cosine + 0.3·model_score, keep
+    the top {RERANK_K}. model_score here is the hash-fraction scorer as
+    a JVM-side SQL expression — the zero-Python fast path when the
+    model is expressible; ann_two_stage_rerank_udf runs the SAME scorer
+    through the Arrow pandas-UDF hook a real cross-encoder uses."""
+    from .operators.sampling import hash_frac
+
+    return _two_stage_rerank(
+        spark,
+        sf_dir,
+        lambda cand: hash_frac("concat(query_id, ':', neighbor_id)"),
+    )
+
+
+@query("ann_two_stage_rerank_udf", _TWO_STAGE_RERANK_SQL)
+def q_ann_two_stage_rerank_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage rerank with the model hook EXECUTED as a real
+    Arrow-batched pandas UDF (operators/similarity.py::
+    cross_encoder_hash_udf): candidate pairs cross the JVM→Python
+    boundary in Arrow batches, are scored in pandas, and the blend /
+    re-rank consume the returned column — the exact wiring a production
+    cross-encoder uses, with a deterministic scorer so the SAME SQL
+    oracle hash-checks the Python path bit-for-bit. The UDF sees only
+    the post-cut candidate frame (~{RERANK_CANDIDATES}·|queries| rows;
+    pinned by an accumulator bound in tests/test_plan_quality.py)."""
+    from .operators.similarity import cross_encoder_hash_udf
+
+    scorer = cross_encoder_hash_udf()
+    return _two_stage_rerank(
+        spark, sf_dir, lambda cand: scorer(cand.query_id, cand.neighbor_id)
     )
 
 

@@ -5,6 +5,7 @@ here."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 import pytest
 
@@ -104,6 +105,7 @@ def test_anti_join_is_broadcast(spark):
         "dedup_new_batch",
         "semantic_dedup_keep",
         "ann_two_stage_rerank",
+        "ann_two_stage_rerank_udf",
         "embedding_pq_codes",
         # ann_pq_adc_topk is deliberately the brute-force shape
         # (broadcast tiny query set, non-equi join over the CODES) —
@@ -485,3 +487,57 @@ def test_embedding_quantize_map_only_and_pack_single_shuffle(spark):
     # one hashpartitioning exchange (the shard window) + optional fan-out
     assert body.lower().count("hashpartitioning") <= 1
     assert "rangepartitioning" not in body.lower()  # no global sort
+
+
+def test_rerank_udf_python_stage_bounded_to_candidates(spark):
+    """The Arrow pandas-UDF model hook in the two-stage rerank must run
+    strictly AFTER the stage-1 candidate cut: exactly one Python stage
+    in the plan, and the number of rows crossing the JVM->Python
+    boundary is bounded by RERANK_CANDIDATES x |queries| (counted with
+    an accumulator inside an instrumented scorer) — never the corpus
+    pair space."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.workload_ext import (
+        ANN_QUERY_LIMIT,
+        RERANK_CANDIDATES,
+        _two_stage_rerank,
+    )
+
+    # production query: exactly one Arrow-batched Python stage
+    p = physical_plan(_q("ann_two_stage_rerank_udf")(spark, SF_SMOKE))
+    # formatted plans repeat each node in the detail section — count
+    # tree entries ("ArrowEvalPython (<id>)") for the real node count
+    assert p.count("ArrowEvalPython (") == 1
+    # the SQL-expression twin stays entirely JVM-side
+    p0 = physical_plan(_q("ann_two_stage_rerank")(spark, SF_SMOKE))
+    assert "EvalPython" not in p0
+
+    rows_seen = spark.sparkContext.accumulator(0)
+
+    def counting_scorer(cand):
+        import hashlib
+
+        @F.pandas_udf("double")
+        def _score(query_id: pd.Series, neighbor_id: pd.Series) -> pd.Series:
+            rows_seen.add(len(query_id))
+            keys = (
+                query_id.astype("int64").astype(str)
+                + ":"
+                + neighbor_id.astype("int64").astype(str)
+            )
+            return keys.map(
+                lambda k: int(hashlib.md5(k.encode()).hexdigest()[:8], 16)
+                / 4294967296.0
+            )
+
+        return _score(cand.query_id, cand.neighbor_id)
+
+    out = _two_stage_rerank(spark, SF_SMOKE, counting_scorer)
+    out.write.format("noop").mode("overwrite").save()
+    n_queries = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .filter(F.col("vec_id") < ANN_QUERY_LIMIT)
+        .count()
+    )
+    assert 0 < rows_seen.value <= RERANK_CANDIDATES * n_queries
