@@ -57,6 +57,18 @@ def bucket_cap_for(max_pairs: int = MAX_PAIRS_PER_BUCKET) -> int:
     return max(2, math.floor(math.sqrt(2 * max_pairs)))
 
 
+PQ_MIN_TRAIN_PER_CODEWORD = 39  # FAISS's min-points-per-centroid rule
+
+
+def pq_codewords_for(n_rows: int, max_codewords: int = 256) -> int:
+    """Per-subspace PQ codeword count: 256 (8-bit codes, the standard
+    production choice) once the corpus can train that many, bounded
+    below that by FAISS's ≥39 training points per centroid rule so
+    every codeword's centroid stays estimable. Tiny corpora degrade to
+    k=2 rather than failing."""
+    return max(2, min(max_codewords, n_rows // PQ_MIN_TRAIN_PER_CODEWORD))
+
+
 def derive_scale_params(
     n_rows: int,
     target_bucket: int = TARGET_LSH_BUCKET,

@@ -674,3 +674,68 @@ def cross_encoder_hash_udf():
         )
 
     return _score
+
+
+def pq_codebooks_kmeans(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    sub_dim: int = PQ_SUB_DIM,
+    k: int | None = None,
+    seed: int = 42,
+    max_iter: int = 20,
+    scale: int = 6,
+) -> list[list[list[float]]]:
+    """TRAINED production PQ codebooks — the variant
+    :func:`pq_codebooks_label_mean`'s docstring promises: per-subspace
+    seeded Spark ML KMeans over the subvectors, minimizing exactly the
+    quantization error PQ pays at search time (label means are a
+    proxy; these are the objective). Same ``codebooks[s][k]`` return
+    contract, so :func:`pq_encode_exprs` / :func:`pq_adc_dist_expr`
+    consume them unchanged.
+
+    Engine-specific like :func:`kmeans_centroids` (float reduction
+    order, init sampling) → no DuckDB oracle can exist; quality is
+    pinned in pytest as reconstruction-mse ≤ the label-mean codebooks'
+    and ADC recall ≥ the label-mean PQ path (mirroring
+    ann_kmeans_ivf_recall's posture).
+
+    Centroids are rounded to ``scale`` dp and sorted lexicographically
+    within each subspace, so code ids are stable across runs and
+    independent of Spark ML's internal cluster numbering.
+    ``k=None`` derives the codeword count from the corpus size via
+    ``scaleparams.pq_codewords_for`` (256 = 8-bit codes once trainable;
+    ≥39 train points per codeword below that). At 100 TB, train on a
+    bounded sample (FAISS trains on ~1M vectors) and broadcast the
+    k·M·sub_dim floats — the model, not data; the m fits each scan
+    only their sub_dim slice of the sample, and they run CONCURRENTLY
+    (independent Spark jobs from m driver threads share the scheduler),
+    so wall-clock ≈ one fit, not m."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from .scaleparams import pq_codewords_for
+
+    if k is None:
+        k = pq_codewords_for(corpus.count())
+
+    def _fit(s: int) -> list[list[float]]:
+        feats = corpus.select(
+            array_to_vector(
+                F.expr(f"slice({vec_col}, {s * sub_dim + 1}, {sub_dim})").cast(
+                    "array<double>"
+                )
+            ).alias("features")
+        )
+        model = KMeans(
+            k=k, seed=seed, maxIter=max_iter, featuresCol="features"
+        ).fit(feats)
+        cents = sorted(
+            [round(float(x), scale) for x in c] for c in model.clusterCenters()
+        )
+        return [list(c) for c in cents]
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        return list(pool.map(_fit, range(m)))

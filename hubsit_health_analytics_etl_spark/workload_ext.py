@@ -3481,3 +3481,96 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ with the REAL trainer: per-subspace seeded Spark ML KMeans
+# codebooks plugged into the same encode/ADC machinery, tracked as
+# recall@k vs exact L2 plus reconstruction mse. Registered WITHOUT an
+# SQL oracle by construction (same posture as ann_kmeans_ivf_recall):
+# distributed KMeans centroids are engine-specific, so no DuckDB twin
+# can exist — the driver records the rows-only check, and quality is
+# value-asserted in pytest (trained mse <= label-mean mse, trained ADC
+# recall >= the label-mean PQ path).
+# ---------------------------------------------------------------------------
+# Harness pin: 10 codewords/subspace = |labels|, so trained and
+# label-mean codebooks spend the SAME code budget and the pytest
+# bounds compare like for like. Production derives the codeword count
+# from corpus size via scaleparams.pq_codewords_for (256 = 8-bit codes
+# once trainable).
+PQ_TRAINED_K = 10
+
+
+@query("ann_pq_trained_recall")
+def q_ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-PQ quality scorecard, one row: (method, n_hits, n_total,
+    recall_at_k, mse). Codebooks come from
+    operators/similarity.py::pq_codebooks_kmeans (seeded per-subspace
+    Spark ML KMeans, m concurrent fits); encode and ADC search reuse
+    the exact literal-codebook map-side expressions the label-mean
+    queries run, so the only new moving part is the trainer. recall@
+    {ANN_K} is measured against exact squared-L2 top-{ANN_K} over the
+    float vectors (ties broken by neighbor id on both sides)."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import (
+        pq_adc_dist_expr,
+        pq_codebooks_kmeans,
+        pq_encode_exprs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks_kmeans(emb, k=PQ_TRAINED_K)
+    codes, mse = pq_encode_exprs(cb)
+    corpus_codes = _spread(emb).select(
+        "vec_id", codes.alias("codes"), mse.alias("mse")
+    )
+    q = emb.filter(F.col("vec_id") < ANN_QUERY_LIMIT).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    pairs = corpus_codes.join(
+        F.broadcast(q), F.col("query_id") != F.col("vec_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    approx = (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            pq_adc_dist_expr(cb).alias("adc"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id")
+    )
+    c = _spread(emb).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    l2 = F.expr(
+        "aggregate(zip_with(q_vec, c_vec, (x, y) -> "
+        "(cast(x as double) - cast(y as double)) * "
+        "(cast(x as double) - cast(y as double))), 0D, (acc, v) -> acc + v)"
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(l2, 9).alias("l2"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("n_total"))
+    mse_all = corpus_codes.agg(F.round(F.avg("mse"), 6).alias("mse"))
+    return hits.crossJoin(tot).crossJoin(mse_all).select(
+        F.lit("pq_kmeans_adc").alias("method"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.round(F.col("n_hits") / F.col("n_total"), 6).alias("recall_at_k"),
+        "mse",
+    )

@@ -385,6 +385,24 @@ def test_production_constants_are_helper_derived():
     assert N_PLANES == lsh_planes_for(FIXTURE_EMBED_ROWS, TARGET_ANN_BUCKET) == 4
 
 
+def test_pq_codewords_rule_degrades_and_saturates():
+    """pq_codewords_for: 8-bit codes (256) once the corpus can train
+    them, bounded by FAISS's >=39 train points per codeword below
+    that, floor of 2 for tiny corpora — and pq_codebooks_kmeans(k=None)
+    consumes this rule."""
+    from hubsit_health_analytics_etl_spark.operators.scaleparams import (
+        pq_codewords_for,
+    )
+
+    assert pq_codewords_for(5) == 2
+    assert pq_codewords_for(500) == 12
+    assert pq_codewords_for(256 * 39) == 256
+    assert pq_codewords_for(10**12) == 256  # saturates: code width is fixed
+    sizes = [10**e for e in range(1, 9)]
+    ks = [pq_codewords_for(n) for n in sizes]
+    assert ks == sorted(ks)  # monotone in corpus size
+
+
 def test_lsh_bucket_expr_derives_planes_from_n_rows(spark):
     """lsh_bucket_expr(n_rows=...) must re-derive the plane count: a
     corpus-size estimate 2000x the fixture yields log2-more planes and
