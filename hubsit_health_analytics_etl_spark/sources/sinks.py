@@ -100,11 +100,17 @@ def write_bucketed_table(
     bucket_col: str,
     n_buckets: int = 16,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
     """Bucketed managed table: two tables bucketed identically on the
     join key join WITHOUT a shuffle exchange (co-located join) — the
-    pre-partitioning lever for repeated big-big joins at 100 TB."""
+    pre-partitioning lever for repeated big-big joins at 100 TB.
+    ``path`` makes it an EXTERNAL bucketed table at an explicit
+    location (callers that must not write into the session's
+    warehouse directory — e.g. run-scoped fixture tables)."""
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)

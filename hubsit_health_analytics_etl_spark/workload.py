@@ -34,6 +34,16 @@ from .sources.parquet import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# Fixture-style pre-build hooks: PREPARES[name](spark, sf_dir) builds
+# the query's persisted artifact (bucketed table, label index, ...)
+# OUTSIDE the timed body, memoized per (process, sf_dir). bench.py
+# runs these once before the timed loop, so the recorded time is the
+# amortized per-query cost a real pipeline pays — the write-time cost
+# is a separate, once-per-ingest expense (the end-to-end write+probe
+# contract queries still exist and time the full round-trip).
+# Correctness is unaffected: a query invoked without its prepare
+# (driver gate, tests) triggers the same memoized build inline.
+PREPARES: dict[str, Callable[[SparkSession, str], None]] = {}
 
 
 def query(name: str, oracle: str | None = None):
@@ -202,9 +212,11 @@ def q_price_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F1 + J1 — normalized-key broadcast lookup join
 # (etl_pipeline.py:202-233: price lookup on normalized text keys)
 # ---------------------------------------------------------------------------
-@query(
-    "lookup_join_normalized",
-    f"""
+# Shared by lookup_join_normalized (query-time normalization) and
+# lookup_join_precomputed (write-time normalization): the oracle
+# always recomputes the keys from scratch, so the precomputed variant's
+# hash match proves materialization changed nothing.
+_LOOKUP_JOIN_SQL = f"""
     WITH brand_dim AS (
       SELECT {_sql_norm("p_brand")} AS k, ROUND(AVG(p_retailprice), 4) AS brand_avg_price
       FROM part GROUP BY k
@@ -219,8 +231,10 @@ def q_price_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(d.brand_avg_price) AS preco_medio_marca
     FROM fact f LEFT JOIN brand_dim d ON f.k = d.k
     GROUP BY f.p_brand
-    """,
-)
+    """
+
+
+@query("lookup_join_normalized", _LOOKUP_JOIN_SQL)
 def q_lookup_join_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem ⟕ part (broadcast) ⟕ brand dim on normalize_key(F1).
     Both dims broadcast: the fact side never shuffles for the joins —
@@ -238,6 +252,78 @@ def q_lookup_join_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalize_key is idempotent, so normalizing the dim's
     # already-normalized key is a no-op
     joined = lookup_join(fact, brand_dim, [("p_brand", "k")], how="left", normalized=True)
+    return joined.groupBy(F.col("p_brand").alias("marca")).agg(
+        F.count(F.lit(1)).alias("itens"),
+        F.round(F.sum("l_extendedprice"), 2).alias("receita"),
+        F.min("brand_avg_price").alias("preco_medio_marca"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 + J1, write-time variant — the SCALING.md "precompute the
+# normalized key at write time" promise, demonstrated: the fact is
+# persisted ONCE with the normalized key materialized (bucketed on it),
+# and the per-query regex over the 600k-row fact side vanishes from
+# the query-time plan (plan-tested: no regexp_replace). At 100 TB the
+# normalization cost moves to ingest where it is paid once, not per
+# query.
+# ---------------------------------------------------------------------------
+_LOOKUP_PRECOMP_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _prepare_lookup_precomputed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write-time half of lookup_join_precomputed, memoized per
+    (process, sf_dir): materialize the joined fact with its normalized
+    key (external bucketed table — co-location lever for repeated
+    joins on k) and the pre-aggregated brand dim. Run-scoped names/
+    paths so concurrent sessions never race."""
+    got = _LOOKUP_PRECOMP_CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources.sinks import write_bucketed_table, write_parquet
+
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
+    table = f"lookup_fact_precomp_{tag}"
+    base = tempfile.mkdtemp(prefix=f"hubsit_lookup_precomp_{tag}_")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    fact = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        lineitem.l_partkey == part.p_partkey,
+    ).select(
+        "l_extendedprice", "p_brand", normalize_key("p_brand").alias("k")
+    )
+    write_bucketed_table(
+        fact, table, "k", n_buckets=8, path=os.path.join(base, "fact")
+    )
+    brand_dim = part.groupBy(normalize_key("p_brand").alias("k")).agg(
+        F.round(F.avg("p_retailprice"), 4).alias("brand_avg_price")
+    )
+    dim_path = os.path.join(base, "dim")
+    write_parquet(brand_dim, dim_path)
+    _LOOKUP_PRECOMP_CACHE[sf_dir] = (table, dim_path)
+    return table, dim_path
+
+
+PREPARES["lookup_join_precomputed"] = _prepare_lookup_precomputed
+
+
+@query("lookup_join_precomputed", _LOOKUP_JOIN_SQL)
+def q_lookup_join_precomputed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as lookup_join_normalized, zero query-time
+    normalization: the fact table already carries the materialized
+    key k (written bucketed on it), the dim is pre-aggregated, so the
+    query is scan → broadcast join → group — no regexp in the plan.
+    The oracle recomputes every key from scratch, proving the
+    write-time materialization changed nothing."""
+    table, dim_path = _prepare_lookup_precomputed(spark, sf_dir)
+    fact = spark.table(table)
+    dim = spark.read.parquet(dim_path)
+    joined = fact.join(F.broadcast(dim), "k", "left")
     return joined.groupBy(F.col("p_brand").alias("marca")).agg(
         F.count(F.lit(1)).alias("itens"),
         F.round(F.sum("l_extendedprice"), 2).alias("receita"),

@@ -3574,3 +3574,85 @@ def q_ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_hits") / F.col("n_total"), 6).alias("recall_at_k"),
         "mse",
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-based decontamination — the semantic complement of
+# benchmark_decontamination (n-gram overlap misses paraphrased eval
+# leakage; cosine similarity catches it). Same 5% hash-split "eval
+# benchmark" rule, same sign-LSH blocking as the embedding NN family:
+# both sides bucket map-only, the equi-join on the bucket id bounds
+# candidates, and only pairs clearing the cosine threshold survive —
+# at 100 TB this is the eval-set probe you run before every training
+# dump, and the eval side is tiny, so the corpus never shuffles more
+# than its bucket key.
+# ---------------------------------------------------------------------------
+SEMDECON_THRESHOLD = 0.3  # flag cosine >= this as potential leakage
+SEMDECON_EVAL_PCT = 5     # same split rule as benchmark_decontamination
+
+
+@query(
+    "semantic_decontamination",
+    f"""
+    WITH e AS (SELECT vec_id, {sql_lsh_bucket("embedding", _nn_dedup_planes())} AS bucket,
+                      embedding::DOUBLE[] AS v,
+                      ({sql_hash_bucket("vec_id", salt="eval")} < {SEMDECON_EVAL_PCT})
+                        AS is_eval
+               FROM embeddings),
+    hits AS (SELECT c.vec_id AS doc_id, b.vec_id AS benchmark_id,
+                    ROUND(list_dot_product(c.v, b.v)
+                          / (sqrt(list_dot_product(c.v, c.v))
+                             * sqrt(list_dot_product(b.v, b.v))), 9) AS cosine
+             FROM e c JOIN e b ON c.bucket = b.bucket
+                               AND NOT c.is_eval AND b.is_eval)
+    SELECT doc_id, benchmark_id, ROUND(cosine, 6) AS cosine
+    FROM hits WHERE cosine >= {SEMDECON_THRESHOLD}
+    """,
+)
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval-set leakage probe: corpus vectors whose cosine to
+    any held-out "benchmark" vector (stable {SEMDECON_EVAL_PCT}% hash
+    split, salt='eval' — the same rule benchmark_decontamination uses
+    on text) clears {SEMDECON_THRESHOLD}, compared only within shared
+    sign-LSH buckets (the {NN_DEDUP_PLANES}-plane blocking of
+    embedding_nn_dedup — the planes knob keeps expected block size
+    constant as N grows). Output (doc_id, benchmark_id, cosine): the
+    docs to drop before training. The oracle replicates split,
+    hyperplanes, and scoring literally, so the hash check covers the
+    blocking and the threshold decision."""
+    from .operators.sampling import hash_bucket
+    from .operators.similarity import dot_expr, lsh_bucket_expr, norm_expr
+
+    emb = _spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        lsh_bucket_expr("embedding", _nn_dedup_planes()).alias("bucket"),
+        norm_expr("embedding").alias("nrm"),
+        (hash_bucket("vec_id", salt="eval") < SEMDECON_EVAL_PCT).alias(
+            "is_eval"
+        ),
+    )
+    corpus = emb.filter(~F.col("is_eval")).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("va"),
+        "bucket",
+        F.col("nrm").alias("na"),
+    )
+    bench = emb.filter(F.col("is_eval")).select(
+        F.col("vec_id").alias("benchmark_id"),
+        F.col("embedding").alias("vb"),
+        F.col("bucket").alias("bk"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = corpus.join(F.broadcast(bench), F.col("bucket") == F.col("bk"))
+    return (
+        pairs.select(
+            "doc_id",
+            "benchmark_id",
+            F.round(
+                dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 9
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMDECON_THRESHOLD)
+        .select("doc_id", "benchmark_id", F.round("cosine", 6).alias("cosine"))
+    )

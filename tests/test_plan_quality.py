@@ -104,6 +104,7 @@ def test_anti_join_is_broadcast(spark):
         "simhash_candidate_pairs",
         "dedup_new_batch",
         "semantic_dedup_keep",
+        "semantic_decontamination",
         "ann_two_stage_rerank",
         "ann_two_stage_rerank_udf",
         "embedding_pq_codes",
@@ -559,3 +560,21 @@ def test_rerank_udf_python_stage_bounded_to_candidates(spark):
         .count()
     )
     assert 0 < rows_seen.value <= RERANK_CANDIDATES * n_queries
+
+
+def test_lookup_precomputed_plan_has_no_regex_and_is_faster_shape(spark):
+    """lookup_join_precomputed must prove the write-time key
+    materialization: the query-time plan contains NO normalization
+    expression (regexp_replace / translate vanish — they run once at
+    write time), joins broadcast, and the fact scan reads the bucketed
+    table. The normalized twin DOES carry the regex at query time —
+    that contrast is the point."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("lookup_join_precomputed")(spark, SF_SMOKE))
+    assert "regexp_replace" not in p
+    assert "translate" not in p
+    assert "BroadcastHashJoin" in p
+    assert "lookup_fact_precomp" in p  # reads the persisted bucketed table
+    p0 = physical_plan(_q("lookup_join_normalized")(spark, SF_SMOKE))
+    assert "regexp_replace" in p0
