@@ -28,6 +28,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 20,
     compress: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component = min
     node id of its connected component.
@@ -45,7 +46,28 @@ def connected_components(
       long paths converge in ~log₂(diameter) rounds instead of
       diameter (one extra small self-join per round, on the label
       frame — cheap next to the edge join it saves rounds of).
-    """
+
+    Fault tolerance: the default per-round materialization is
+    ``localCheckpoint`` — executor-local blocks, fast, but LOST if an
+    executor dies, which kills a long iterative job at cluster scale.
+    Pass ``checkpoint_dir`` (an HDFS/S3 path in production) to use
+    RELIABLE ``df.checkpoint()`` instead: each round's labels persist
+    to storage that survives executor loss, so a 100 TB clustering
+    resumes its lineage from the last round rather than recomputing
+    from the raw edge pipeline. Bench/test harnesses keep the default
+    (SCALING.md "Iterative jobs")."""
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        try:
+            return df.localCheckpoint(eager=True)
+        except Exception:
+            return df.cache()
+
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -54,10 +76,7 @@ def connected_components(
     # materialize once: every iteration joins edges — without this the
     # upstream pair-generation pipeline (e.g. the full MinHash LSH) is
     # re-executed per iteration
-    try:
-        edges = edges.localCheckpoint(eager=True)
-    except Exception:
-        edges = edges.cache()
+    edges = _materialize(edges)
     # label starts as min neighbor (including self)
     labels = (
         edges.groupBy("u")
@@ -101,10 +120,7 @@ def connected_components(
         new_labels = new_labels.select(
             "node", "comp", (F.col("comp") != F.col("old")).alias("_changed")
         )
-        try:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        except Exception:
-            new_labels = new_labels.cache()
+        new_labels = _materialize(new_labels)
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.select("node", "comp")
         if changed == 0:

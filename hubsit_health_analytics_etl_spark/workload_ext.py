@@ -50,7 +50,7 @@ from .operators.textanalysis import (
 )
 from .sources.parquet import load_table
 from .streaming.windows import session_agg, sliding_agg, tumbling_agg
-from .workload import query
+from .workload import PREPARES, query
 
 JACCARD_THRESHOLD = 0.3
 ANN_QUERY_LIMIT = 20  # vec_id < 20 are the query vectors
@@ -2948,9 +2948,13 @@ def q_dedup_keep_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the capped queries; capping would make corpus-time and union-time
 # bucket sizes diverge).
 # ---------------------------------------------------------------------------
-@query(
-    "dedup_clusters_new_batch",
-    f"""
+# Shared by dedup_clusters_new_batch (end-to-end: builds the label
+# index INSIDE the timed body — the write+probe round-trip contract)
+# and dedup_clusters_merge_only (fixture-style: index pre-built via
+# PREPARES, the timed body is just the batch-proportional probe+merge).
+# The oracle is always the FULL-corpus recompute, so a hash match on
+# either proves incremental == from-scratch.
+_CLUSTERS_FULL_RECOMPUTE_SQL = f"""
     WITH RECURSIVE {_minhash_pairs_ctes(bucket_cap=None)},
     fp AS (SELECT doc_id,
                   md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
@@ -2974,8 +2978,10 @@ def q_dedup_keep_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            s.n_members::BIGINT AS n_members,
            (c.node = c.component)::BIGINT AS keep
     FROM comp c JOIN sizes s USING (component)
-    """,
-)
+    """
+
+
+@query("dedup_clusters_new_batch", _CLUSTERS_FULL_RECOMPUTE_SQL)
 def q_dedup_clusters_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cluster maintenance end-to-end: cluster the 90%
     "corpus" slice (uncapped LSH ∪ exact edges), WRITE the label table
@@ -3028,6 +3034,107 @@ def q_dedup_clusters_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     exact_new = (
         incremental_exact_dedup(batch, exact_fingerprint_index(corpus))
+        .filter(F.col("rep_id") != F.col("doc_id"))
+        .select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    updated = incremental_dedup_clusters(
+        index_labels,
+        near_new.select("doc_a", "doc_b").unionByName(exact_new),
+        new_nodes=batch.select(F.col("doc_id").alias("node")),
+    )
+    sizes = updated.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return updated.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        "component",
+        "n_members",
+        (F.col("node") == F.col("component")).cast("bigint").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge-only twin of dedup_clusters_new_batch: the corpus label table
+# and signature/fingerprint indexes are built ONCE outside the timed
+# body (PREPARES fixture — in a real pipeline they already exist,
+# amortized across ingests), so the bench shows the per-ingest
+# incremental cost next to the 9-10 s end-to-end contract query.
+# ---------------------------------------------------------------------------
+_CLUSTER_MERGE_FIXTURE: dict[str, dict[str, str]] = {}
+
+
+def _prepare_cluster_merge_index(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Persist the 90%-corpus cluster labels + MinHash signature index
+    + exact fingerprint index, memoized per (process, sf_dir) — the
+    exact artifacts dedup_clusters_new_batch builds inside its timed
+    body."""
+    got = _CLUSTER_MERGE_FIXTURE.get(sf_dir)
+    if got is not None:
+        return got
+    import os
+
+    from .operators.clusters import connected_components
+    from .operators.dedup import exact_fingerprint_index, minhash_signature_index
+    from .operators.sampling import hash_bucket
+    from .sources.sinks import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(~(hash_bucket("doc_id") < NEW_BATCH_PCT))
+    corpus_near = minhash_candidates(
+        corpus, bucket_cap=None, pre_exact_dedup=True
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    corpus_edges = corpus_near.unionByName(exact_dup_edges(corpus))
+    comps = connected_components(corpus_edges)
+    labels = (
+        corpus.select(F.col("doc_id").alias("node"))
+        .join(comps, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+        )
+    )
+    base = _run_scoped_index_dir("cluster_merge_fixture")
+    paths = {k: os.path.join(base, k) for k in ("labels", "bands", "shingles", "fps")}
+    write_parquet(labels, paths["labels"])
+    bands, shingles = minhash_signature_index(corpus)
+    write_parquet(bands, paths["bands"])
+    write_parquet(shingles, paths["shingles"])
+    write_parquet(exact_fingerprint_index(corpus), paths["fps"])
+    _CLUSTER_MERGE_FIXTURE[sf_dir] = paths
+    return paths
+
+
+PREPARES["dedup_clusters_merge_only"] = _prepare_cluster_merge_index
+
+
+@query("dedup_clusters_merge_only", _CLUSTERS_FULL_RECOMPUTE_SQL)
+def q_dedup_clusters_merge_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The amortized incremental-clusters cost: labels + signature +
+    fingerprint indexes come PRE-BUILT from parquet (PREPARES fixture;
+    a real pipeline owns them across ingests), and the query body is
+    only what every ingest pays — sign the 10% batch map-only, probe
+    the persisted indexes (equi-joins), star-edge-contract the affected
+    components (operators/clusters.py::incremental_dedup_clusters),
+    pass untouched labels through. Cost ∝ batch, not corpus. Same
+    full-recompute oracle as dedup_clusters_new_batch: the hash match
+    proves the merge-only path equals from-scratch clustering."""
+    from .operators.clusters import incremental_dedup_clusters
+    from .operators.dedup import (
+        incremental_exact_dedup,
+        incremental_minhash_candidates,
+    )
+    from .operators.sampling import hash_bucket
+
+    paths = _prepare_cluster_merge_index(spark, sf_dir)
+    index_labels = spark.read.parquet(paths["labels"])
+    bands = spark.read.parquet(paths["bands"])
+    shingles = spark.read.parquet(paths["shingles"])
+    fps = spark.read.parquet(paths["fps"])
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(hash_bucket("doc_id") < NEW_BATCH_PCT)
+    near_new = incremental_minhash_candidates(
+        batch, bands, shingles, bucket_cap=None
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    exact_new = (
+        incremental_exact_dedup(batch, fps)
         .filter(F.col("rep_id") != F.col("doc_id"))
         .select(F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )

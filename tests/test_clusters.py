@@ -193,3 +193,40 @@ def test_incremental_clusters_equal_full_recompute(spark):
     assert d[9] == 0 and d[0] == 0          # label taken over by smaller batch id
     assert d[100] == 100                    # edge-less batch singleton
     assert d[20] == 20 and d[21] == 20      # untouched component passed through
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """connected_components(checkpoint_dir=...) must run the loop on
+    RELIABLE df.checkpoint() — per-round label frames persisted under
+    the given directory (what survives executor loss at 100 TB; the
+    localCheckpoint default is bench-only, SCALING.md "Iterative
+    jobs") — and produce exactly the default path's labels."""
+    import os
+
+    from hubsit_health_analytics_etl_spark.operators.clusters import (
+        connected_components,
+    )
+
+    # chain + separate pair + singleton-free component structure
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    expected = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        (r.node, r.component)
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert got == expected
+    assert {(1, 1), (4, 1), (10, 10), (22, 20)} <= got
+    # reliable checkpoints actually landed on disk under the dir
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckpt)
+        for f in fs
+    ]
+    assert files, "no reliable checkpoint files written"
