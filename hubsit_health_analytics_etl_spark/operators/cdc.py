@@ -1,0 +1,73 @@
+"""Snapshot diff — change-data-capture between two versions of a
+table without a log: (key, change_type ∈ insert/update/delete) from a
+full-outer key join of row FINGERPRINTS.
+
+A 100 TB ingest pipeline re-receives full dumps (crawl refreshes,
+vendor drops) far more often than it receives clean change logs;
+diffing snapshot N against N-1 turns the dump into an incremental
+feed the downstream incremental operators (exact/MinHash/cluster
+index maintenance in this package) can consume.
+
+Scale shape — the whole point of the fingerprint: each side is
+reduced MAP-SIDE to (key, md5-of-compared-columns) before the join,
+so the shuffle moves keys + 32 hex chars instead of full rows (for a
+wide documents table that is a ~100× shuffle-payload cut), and the
+join itself is a plain equi full-outer — AQE-sized, skew-splittable,
+and ZERO-shuffle when both snapshots are written bucketed by the key
+(sources/sinks.py::write_bucketed_table). Values never cross the
+join; a consumer that needs the changed rows semi-joins the emitted
+keys back against the new snapshot (partition-pruned at scale).
+
+No reference counterpart (the pandas reference re-reads full CSVs,
+/root/reference/src/etl_pipeline.py:63-88); this is the beyond-
+reference ingest surface the brief's training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Unit separator / NUL — cannot appear in the fixture columns, so the
+# concat is collision-free across column boundaries and null vs ''.
+_SEP = "\u001f"
+_NULL = "\u0000"
+
+
+def row_fingerprint(cols: list[str]) -> Column:
+    """md5 over the compared columns, null-safe and boundary-safe:
+    every column is cast to string (Spark's double→string is shortest
+    round-trip, hence injective on distinct values), nulls become a
+    sentinel that concat_ws would otherwise silently skip (which
+    would collide ('a', null) with (null, 'a'))."""
+    return F.md5(
+        F.concat_ws(
+            _SEP, *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in cols]
+        )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Changed keys between two snapshots: one row per key that was
+    inserted (in ``new`` only), deleted (in ``old`` only), or updated
+    (in both, any compared column differs). Unchanged keys are
+    filtered before the result materializes. ``compare_cols`` defaults
+    to every non-key column of ``old``."""
+    cols = compare_cols or [c for c in old.columns if c not in keys]
+    o = old.select(*keys, row_fingerprint(cols).alias("_fp_old"))
+    n = new.select(*keys, row_fingerprint(cols).alias("_fp_new"))
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("_fp_old").isNull(), F.lit("insert"))
+        .when(F.col("_fp_new").isNull(), F.lit("delete"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("update"))
+    )
+    return (
+        j.select(*keys, change.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
+    )

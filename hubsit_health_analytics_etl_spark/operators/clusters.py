@@ -229,6 +229,53 @@ def dedup_keep_list_by_priority(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    test_pct: int = 10,
+    salt: str = "split",
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Duplicate-cluster-aware train/test split: the split decision is
+    the stable hash of the document's duplicate-CLUSTER id, not of the
+    document id — so exact and near duplicates always land on the same
+    side and the held-out set cannot leak paraphrases of training rows
+    (the contamination mode a plain per-doc hash split cannot prevent:
+    with 10% eval and a duplicate pair split independently, every dup
+    cluster has ~18% odds of straddling the boundary).
+
+    Per-doc output (doc_id, component, split): ``component`` is the
+    connected-component id over the duplicate-pair graph (min member
+    id; singletons label themselves), ``split`` is 'test' iff the
+    stable hash bucket of the component id (sampling.hash_bucket — the
+    md5 rule every split in this engine uses) falls below
+    ``test_pct``.
+
+    Scale shape: everything past the (iterative) components step is one
+    left equi-join of corpus ids onto the (small — only docs WITH
+    duplicates) label frame plus a map-side hash — the split adds no
+    shuffle over the clustering a dedup pipeline already ran. Replay-
+    stable like every hash split here: membership survives reruns,
+    repartitions, and engine changes (oracle replicates it exactly)."""
+    from .sampling import hash_bucket
+
+    comps = connected_components(pairs, src, dst)
+    joined = docs.select(F.col(id_col).alias("node")).join(comps, "node", "left")
+    resolved = joined.select(
+        F.col("node").alias(id_col),
+        F.coalesce(F.col("component"), F.col("node")).alias("component"),
+    )
+    return resolved.select(
+        id_col,
+        "component",
+        F.when(hash_bucket("component", 100, salt) < test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def incremental_dedup_clusters(
     index_labels: DataFrame,
     new_edges: DataFrame,
@@ -267,6 +314,56 @@ def incremental_dedup_clusters(
     component so the affected-side join prunes files.
     """
     return _incremental_labels(index_labels, new_edges, new_nodes, src, dst)[0]
+
+
+def forget_documents(
+    index_labels: DataFrame,
+    index_edges: DataFrame,
+    deleted: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Right-to-be-forgotten propagation through a persisted cluster
+    index: remove ``deleted`` documents (single 'node' id column) from
+    the (node, component) label table, re-clustering ONLY the affected
+    components — deletion is the incremental case star-edge contraction
+    cannot serve, because removing a cut vertex may SPLIT a component
+    (star edges route every member through the label node and would
+    keep the halves spuriously connected, and the label node itself may
+    be the one deleted). The REAL duplicate edges of the affected
+    components are therefore re-read from the persisted pair table
+    ``index_edges`` — the artifact a production dedup pipeline already
+    keeps (it is the LSH probe output it persists anyway).
+
+    Plan shape / 100 TB cost: two equi-joins on the label table find
+    the affected components, two LEFT SEMI joins restrict the edge
+    table to surviving affected members, and only that subgraph (≈ the
+    deleted docs' duplicate clusters, not the corpus) enters the
+    iterative re-label; every untouched component's labels pass through
+    via one LEFT ANTI join without a job touching their text or edges.
+    Keep labels AND edges partitioned by component id so both probe
+    joins prune files. Deletions of docs absent from the index (never
+    ingested, or already forgotten) are no-ops; survivors left with no
+    edge become their own singleton components.
+
+    Returns the updated full (node, component) label table — deleted
+    ids gone, min-id component invariant restored (so a follow-up
+    :func:`incremental_dedup_clusters` merge composes with it)."""
+    d = deleted.select(F.col(deleted.columns[0]).alias("node")).distinct()
+    affected_comps = d.join(index_labels, "node").select("component").distinct()
+    affected = index_labels.join(affected_comps, "component")
+    survivors = affected.select("node").join(d, "node", "left_anti")
+    e = index_edges.select(F.col(src).alias("doc_a"), F.col(dst).alias("doc_b"))
+    e = e.join(
+        survivors.select(F.col("node").alias("doc_a")), "doc_a", "left_semi"
+    ).join(survivors.select(F.col("node").alias("doc_b")), "doc_b", "left_semi")
+    sub_labels = connected_components(e, "doc_a", "doc_b")
+    relabelled = survivors.join(sub_labels, "node", "left").select(
+        "node",
+        F.coalesce(F.col("component"), F.col("node")).alias("component"),
+    )
+    unaffected = index_labels.join(affected_comps, "component", "left_anti")
+    return unaffected.select("node", "component").unionByName(relabelled)
 
 
 def _incremental_labels(

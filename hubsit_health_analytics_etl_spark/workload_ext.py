@@ -471,13 +471,16 @@ def _sql_shingles(text: str = "text", k: int = 3) -> str:
     )
 
 
-def _minhash_pairs_ctes(bucket_cap: int | None = MINHASH_BUCKET_CAP) -> str:
+def _minhash_pairs_ctes(
+    bucket_cap: int | None = MINHASH_BUCKET_CAP, src: str = "documents"
+) -> str:
     """CTE chain replicating ``minhash_candidates`` in its production
     configuration (pre-exact-dedup representatives + bucket cap) —
     ends with a ``mh_pairs(doc_a, doc_b, jaccard)`` CTE.  Shared by the
     minhash_lsh_pairs / dedup_clusters / dedup_clusters_new_batch
     oracles; ``bucket_cap=None`` disables capping (the uncapped
-    incremental-clusters contract)."""
+    incremental-clusters contract); ``src`` swaps the corpus relation
+    (e.g. a filtered CTE for the forget-flow oracle)."""
     cap_clause = "" if bucket_cap is None else f" AND COUNT(*) <= {bucket_cap}"
     sig_cols = ", ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME})) AS mh_{j}"
@@ -496,7 +499,7 @@ def _minhash_pairs_ctes(bucket_cap: int | None = MINHASH_BUCKET_CAP) -> str:
     )
     return f"""
     rep AS (SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
-            FROM documents
+            FROM {src}
             GROUP BY md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))),
     sh AS (SELECT doc_id, {_sql_shingles()} AS sh FROM rep),
     hs AS (SELECT doc_id, sh,
@@ -2954,11 +2957,16 @@ def q_dedup_keep_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PREPARES, the timed body is just the batch-proportional probe+merge).
 # The oracle is always the FULL-corpus recompute, so a hash match on
 # either proves incremental == from-scratch.
-_CLUSTERS_FULL_RECOMPUTE_SQL = f"""
-    WITH RECURSIVE {_minhash_pairs_ctes(bucket_cap=None)},
+def _clusters_full_recompute_sql(src: str = "documents", prelude: str = "") -> str:
+    """Full-corpus keep-list recompute (uncapped exact∪MinHash graph +
+    WITH RECURSIVE reachability) over relation ``src`` — ``prelude``
+    injects extra leading CTEs (e.g. the forget-flow's filtered
+    corpus)."""
+    return f"""
+    WITH RECURSIVE {prelude}{_minhash_pairs_ctes(bucket_cap=None, src=src)},
     fp AS (SELECT doc_id,
                   md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
-           FROM documents),
+           FROM {src}),
     freps AS (SELECT fp, MIN(doc_id) AS rep FROM fp GROUP BY fp),
     edges0 AS (
         SELECT doc_a, doc_b FROM mh_pairs WHERE jaccard >= {JACCARD_THRESHOLD}
@@ -2969,7 +2977,7 @@ _CLUSTERS_FULL_RECOMPUTE_SQL = f"""
               UNION
               SELECT doc_b AS u, doc_a AS v FROM edges0),
     reach(node, r) AS (
-        SELECT doc_id, doc_id FROM documents
+        SELECT doc_id, doc_id FROM {src}
         UNION
         SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
     comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
@@ -2979,6 +2987,9 @@ _CLUSTERS_FULL_RECOMPUTE_SQL = f"""
            (c.node = c.component)::BIGINT AS keep
     FROM comp c JOIN sizes s USING (component)
     """
+
+
+_CLUSTERS_FULL_RECOMPUTE_SQL = _clusters_full_recompute_sql()
 
 
 @query("dedup_clusters_new_batch", _CLUSTERS_FULL_RECOMPUTE_SQL)
@@ -3763,3 +3774,347 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= SEMDECON_THRESHOLD)
         .select("doc_id", "benchmark_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/test split — the eval-set construction step a
+# training pipeline runs AFTER dedup clustering: split by the hash of
+# the duplicate-CLUSTER id, not the doc id, so near-duplicates never
+# straddle train/eval (a per-doc hash split leaks paraphrases of
+# training rows into the held-out set; splitting the cluster closes
+# that contamination mode by construction). Reuses the exact∪MinHash
+# duplicate graph of dedup_clusters, so the oracle's WITH RECURSIVE
+# reachability + the same md5 bucket rule hash-checks the whole flow:
+# pair generation, clustering, and the split decision.
+# ---------------------------------------------------------------------------
+SPLIT_TEST_PCT = 10
+
+
+@query(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    fp AS (SELECT doc_id,
+                  md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+           FROM documents),
+    freps AS (SELECT fp, MIN(doc_id) AS rep FROM fp GROUP BY fp),
+    edges0 AS (
+        SELECT doc_a, doc_b FROM mh_pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+        UNION
+        SELECT f.rep AS doc_a, p.doc_id AS doc_b
+        FROM fp p JOIN freps f USING (fp) WHERE p.doc_id <> f.rep),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM edges0
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM edges0),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT node::BIGINT AS doc_id,
+           component::BIGINT AS component,
+           CASE WHEN {sql_hash_bucket("component", salt="split")} < {SPLIT_TEST_PCT}
+                THEN 'test' ELSE 'train' END AS split
+    FROM comp
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware {SPLIT_TEST_PCT}% held-out split over the
+    documents corpus: exact-dup representatives → MinHash+LSH near-dup
+    pairs → exact-dup edges → connected components → split =
+    hash(component) — operators/clusters.py::leakage_safe_split. Every
+    duplicate pair is guaranteed same-side (pinned by a graph property
+    test); the oracle replicates clustering AND the md5 bucket rule, so
+    the hash match covers the leakage guarantee end-to-end."""
+    from .operators.clusters import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    near = minhash_candidates(
+        docs, bucket_cap=MINHASH_BUCKET_CAP, pre_exact_dedup=True
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    edges = near.unionByName(exact_dup_edges(docs))
+    return leakage_safe_split(docs, edges, test_pct=SPLIT_TEST_PCT)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC): turn two full dumps into an incremental change
+# feed — (key, insert/update/delete). The fixture derives both
+# snapshots from orders with the stable hash-bucket rule so the
+# expected change set is deterministic cross-engine: buckets 0-4 exist
+# only in the OLD snapshot (deletes), 95-99 only in the NEW (inserts),
+# 90-94 get o_totalprice bumped (+1.0 — exact IEEE add, no rounding
+# ambiguity) in the new snapshot (updates); 5-89 are identical and
+# must NOT be emitted. Spark diffs via map-side md5 row fingerprints
+# (operators/cdc.py — the shuffle carries keys + 32 hex chars, never
+# rows); the oracle diffs via per-column IS DISTINCT FROM, so the hash
+# match proves the fingerprint join implements exactly column-wise
+# change semantics.
+# ---------------------------------------------------------------------------
+_CDC_COMPARE = ["o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+@query(
+    "orders_snapshot_diff",
+    f"""
+    WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+                      {sql_hash_bucket("o_orderkey", salt="cdc")} AS bkt
+               FROM orders),
+    oldv AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+             FROM b WHERE bkt < 95),
+    newv AS (SELECT o_orderkey, o_orderstatus,
+                    CASE WHEN bkt >= 90 THEN o_totalprice + 1.0
+                         ELSE o_totalprice END AS o_totalprice,
+                    o_orderpriority
+             FROM b WHERE bkt >= 5),
+    d AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                 CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                      WHEN n.o_orderkey IS NULL THEN 'delete'
+                      WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                           OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                      THEN 'update' END AS change_type
+          FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
+    SELECT o_orderkey::BIGINT AS o_orderkey, change_type
+    FROM d WHERE change_type IS NOT NULL
+    """,
+)
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two deterministic snapshots of orders via
+    operators/cdc.py::snapshot_diff (md5 fingerprint full-outer join;
+    see module docstring for the 100 TB shuffle-payload story)."""
+    from .operators.cdc import snapshot_diff
+    from .operators.sampling import hash_bucket
+
+    b = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", *_CDC_COMPARE, hash_bucket("o_orderkey", 100, "cdc").alias("bkt")
+    )
+    old = b.filter(F.col("bkt") < 95).drop("bkt")
+    new = (
+        b.filter(F.col("bkt") >= 5)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("bkt") >= 90, F.col("o_totalprice") + F.lit(1.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .drop("bkt")
+    )
+    diff = snapshot_diff(old, new, ["o_orderkey"], _CDC_COMPARE)
+    return diff.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"), "change_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten: delete a doc list from the corpus AND from
+# the persisted cluster index, re-labelling only the affected
+# components (operators/clusters.py::forget_documents — deletion can
+# SPLIT a component at a cut vertex, so the real persisted pair table
+# is re-read for the affected subgraph; star contraction can't serve
+# deletes). The fixture's persisted pair table is built WITHOUT the
+# exact-dup representative collapse: with collapse, near-dup edges
+# attach only to the group's min-id rep, and forgetting the rep would
+# orphan its copies (the survivor⋈survivor edge (copy, neighbor) never
+# existed). Uncollapsed, identical copies pair with each other and
+# with every near neighbor directly (identical shingles → identical
+# signatures → same buckets, jaccard 1.0), so the edge set is
+# DELETION-CLOSED and the forget flow equals a from-scratch recompute
+# on the filtered corpus — which is exactly the oracle, so the hash
+# match proves it.
+# ---------------------------------------------------------------------------
+FORGET_PCT = 5  # stable hash-selected 5% of doc ids get forgotten
+
+_FORGET_FIXTURE: dict[str, dict[str, str]] = {}
+
+
+def _prepare_forget_index(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Persist the FULL-corpus cluster labels + deletion-closed
+    duplicate-pair table, memoized per (process, sf_dir) — the index a
+    production pipeline owns before any forget request arrives."""
+    got = _FORGET_FIXTURE.get(sf_dir)
+    if got is not None:
+        return got
+    import os
+
+    from .operators.clusters import connected_components
+    from .sources.sinks import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    near = minhash_candidates(
+        docs, bucket_cap=None, pre_exact_dedup=False
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    edges = near.select("doc_a", "doc_b").unionByName(
+        exact_dup_edges(docs).select("doc_a", "doc_b")
+    )
+    base = _run_scoped_index_dir("forget_fixture")
+    paths = {k: os.path.join(base, k) for k in ("labels", "edges")}
+    write_parquet(edges, paths["edges"])
+    comps = connected_components(spark.read.parquet(paths["edges"]))
+    labels = (
+        docs.select(F.col("doc_id").alias("node"))
+        .join(comps, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+        )
+    )
+    write_parquet(labels, paths["labels"])
+    _FORGET_FIXTURE[sf_dir] = paths
+    return paths
+
+
+PREPARES["dedup_clusters_forget"] = _prepare_forget_index
+
+
+@query(
+    "dedup_clusters_forget",
+    _clusters_full_recompute_sql(
+        src="kept",
+        prelude=(
+            "kept AS (SELECT * FROM documents "
+            f"WHERE {sql_hash_bucket('doc_id', salt='forget')} >= {FORGET_PCT}),\n    "
+        ),
+    ),
+)
+def q_dedup_clusters_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forget-flow keep-list: the stable {FORGET_PCT}% forget-list is
+    deleted from the persisted labels + pair table (PREPARES fixture),
+    only its components re-label from the surviving real edges, and the
+    output is the updated per-document keep-list. Oracle = from-scratch
+    clustering of the corpus minus the forget-list: the hash match
+    proves forget-propagation == full recompute (splits at cut
+    vertices, keeper re-election, singleton fallout and all)."""
+    from .operators.clusters import forget_documents
+    from .operators.sampling import hash_bucket
+
+    paths = _prepare_forget_index(spark, sf_dir)
+    labels = spark.read.parquet(paths["labels"])
+    edges = spark.read.parquet(paths["edges"])
+    docs = load_table(spark, sf_dir, "documents")
+    deleted = docs.filter(
+        hash_bucket("doc_id", salt="forget") < FORGET_PCT
+    ).select(F.col("doc_id").alias("node"))
+    updated = forget_documents(labels, edges, deleted)
+    sizes = updated.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return updated.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        "component",
+        "n_members",
+        (F.col("node") == F.col("component")).cast("bigint").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring (operators/quality_model.py). Two
+# queries, one posture split:
+#   - doc_quality_logit: FIXED literal weights -> fully oracle-hash-
+#     checked. The logit is plain +/* over the feature columns in a
+#     pinned evaluation order (IEEE-deterministic cross-engine) and
+#     the keep rule is z >= 0 (== p >= 0.5) — exp() never runs, so
+#     there is no libm divergence to round away.
+#   - doc_quality_trained_model: the REAL distributed Spark ML
+#     LogisticRegression bootstrapped from the heuristic keep labels,
+#     scored on a held-out hash split via the same literal-logit
+#     map-only expression. Rows-only by construction (float reduction
+#     order makes trained weights engine-specific — the
+#     ann_kmeans_ivf_recall posture); accuracy-vs-baseline bounds are
+#     pinned in pytest.
+# Weights/feature order live HERE once and are interpolated into both
+# engines' expressions — no literal twin to desync.
+# ---------------------------------------------------------------------------
+QUALITY_LOGIT_W = [8.0, 0.1, -12.0, 0.02]  # swr, mwl, pr, ntok_h
+QUALITY_LOGIT_B = -1.5
+_QLR_TEST_PCT = 20  # held-out share for the trained model's scorecard
+# Label threshold for the trained model: the heuristic score's corpus
+# MEDIAN (~0.70 on the fixtures), so both classes are populated and
+# majority-class accuracy is a bar worth clearing — the C4 keep floor
+# (0.5) labels ~99% of the fixture positive, which a constant model
+# matches trivially.
+QUALITY_LABEL_THRESHOLD = 0.70
+
+
+def _sql_logit(cols: list[str]) -> str:
+    """Left-associative parenthesization matching logit_expr's tree."""
+    z = f"{QUALITY_LOGIT_B}"
+    for w, c in zip(QUALITY_LOGIT_W, cols):
+        z = f"({z} + ({w} * {c}))"
+    return z
+
+
+@query(
+    "doc_quality_logit",
+    f"""
+    WITH {_sql_quality_cte()}
+    SELECT doc_id,
+           CAST(floor({_sql_logit(["swr", "mwl", "pr", "(n_tokens / 100.0)"])}
+                      * 1000000.0) AS BIGINT) AS logit_u6,
+           (CASE WHEN {_sql_logit(["swr", "mwl", "pr", "(n_tokens / 100.0)"])} >= 0
+                 THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM f
+    """,
+)
+def q_doc_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-weight linear quality classifier over the raw heuristic
+    features — the exact scoring expression a trained model deploys
+    (quality_model.logit_expr), map-only inside the scan's codegen
+    stage at any corpus size; keep = logit >= 0. The logit is emitted
+    as micro-units (floor(z·1e6), exact on identical doubles) — 6dp
+    ROUND is implemented differently by the two engines (decimal
+    half-up vs scaled-float) and flips boundary rows."""
+    from .operators.quality_model import logit_expr, quality_feature_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_feature_frame(_spread(docs))
+    z = logit_expr(QUALITY_LOGIT_W, QUALITY_LOGIT_B)
+    return feats.select(
+        "doc_id",
+        F.floor(z * F.lit(1000000.0)).cast("bigint").alias("logit_u6"),
+        (z >= 0).cast("bigint").alias("keep"),
+    )
+
+
+@query("doc_quality_trained_model")
+def q_doc_quality_trained_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-classifier scorecard, one row: (method, n_train, n_test,
+    accuracy, baseline_acc). Labels = quality_score >=
+    QUALITY_LABEL_THRESHOLD (the corpus median, so both classes are
+    populated); train on the stable 80% hash split, score the held-out
+    20% with the fitted weights inlined as the literal map-only logit
+    (quality_model module docstring). baseline_acc is the
+    majority-class accuracy on the same held-out rows — the bar the
+    learned weights must clear (pinned in pytest)."""
+    from .operators.quality_model import (
+        logit_expr,
+        quality_feature_frame,
+        train_quality_lr,
+    )
+    from .operators.sampling import hash_bucket
+    from .operators.textanalysis import quality_score
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    feats = quality_feature_frame(docs).join(
+        docs.select(
+            "doc_id",
+            (quality_score("text") >= QUALITY_LABEL_THRESHOLD)
+            .cast("double")
+            .alias("label"),
+        ),
+        "doc_id",
+    )
+    is_test = hash_bucket("doc_id", salt="qlr") < _QLR_TEST_PCT
+    train, test = feats.filter(~is_test), feats.filter(is_test)
+    w, b = train_quality_lr(train)
+    scored = test.select(
+        "label", (logit_expr(w, b) >= 0).cast("double").alias("pred")
+    )
+    return scored.agg(
+        F.lit("logreg_heuristic_bootstrap").alias("method"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.round(F.avg((F.col("pred") == F.col("label")).cast("double")), 4).alias(
+            "accuracy"
+        ),
+        F.round(
+            F.greatest(F.avg("label"), 1 - F.avg("label")), 4
+        ).alias("baseline_acc"),
+    ).crossJoin(
+        train.agg(F.count(F.lit(1)).cast("bigint").alias("n_train"))
+    ).select("method", "n_train", "n_test", "accuracy", "baseline_acc")

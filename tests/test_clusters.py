@@ -230,3 +230,95 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         for f in fs
     ]
     assert files, "no reliable checkpoint files written"
+
+
+def test_leakage_safe_split_keeps_duplicates_same_side(spark):
+    """The split's whole guarantee: no duplicate pair straddles
+    train/test — plus the split is exhaustive, cluster-constant, and a
+    per-doc hash split on the SAME fixture WOULD straddle (so the test
+    can't pass vacuously)."""
+    from hubsit_health_analytics_etl_spark.operators.clusters import (
+        leakage_safe_split,
+    )
+    from hubsit_health_analytics_etl_spark.operators.dedup import (
+        exact_dup_edges,
+        minhash_candidates,
+    )
+    from hubsit_health_analytics_etl_spark.operators.sampling import hash_bucket
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = minhash_candidates(docs, pre_exact_dedup=True).filter(
+        F.col("jaccard") >= 0.3
+    )
+    edges = pairs.unionByName(exact_dup_edges(docs))
+    out = leakage_safe_split(docs, edges, test_pct=30)
+    rows = out.collect()
+    assert len(rows) == docs.count()  # exhaustive: every doc gets a side
+    side = {r["doc_id"]: r["split"] for r in rows}
+    comp = {r["doc_id"]: r["component"] for r in rows}
+    assert set(side.values()) == {"train", "test"}  # both sides non-empty
+    edge_rows = edges.collect()
+    assert edge_rows
+    for r in edge_rows:
+        assert side[r["doc_a"]] == side[r["doc_b"]]
+        assert comp[r["doc_a"]] == comp[r["doc_b"]]
+    # cluster-constant: one split value per component
+    per_comp = out.groupBy("component").agg(
+        F.count_distinct("split").alias("n")
+    )
+    assert per_comp.filter(F.col("n") > 1).count() == 0
+    # the naive per-doc split WOULD leak on this very graph — i.e. the
+    # fixture actually exercises the guarantee
+    naive = {
+        r["doc_id"]: r["b"]
+        for r in docs.select(
+            "doc_id", (hash_bucket("doc_id", 100, "split") < 30).alias("b")
+        ).collect()
+    }
+    assert any(naive[r["doc_a"]] != naive[r["doc_b"]] for r in edge_rows)
+
+
+def test_forget_documents_splits_at_cut_vertex(spark):
+    """Deleting a cut vertex must SPLIT its component — the case star
+    contraction cannot express, hence the real-edge re-read."""
+    from hubsit_health_analytics_etl_spark.operators.clusters import (
+        forget_documents,
+    )
+
+    # chain 1-2-3-4-5 (component 1), pair {10,11}, singleton 20
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10), (20, 20)],
+        "node long, component long",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "doc_a long, doc_b long"
+    )
+    deleted = spark.createDataFrame([(3,)], "node long")
+    out = {r["node"]: r["component"] for r in forget_documents(labels, edges, deleted).collect()}
+    assert 3 not in out
+    assert out[1] == 1 and out[2] == 1          # left half keeps min label
+    assert out[4] == 4 and out[5] == 4          # right half re-elects min
+    assert out[10] == 10 and out[11] == 10      # untouched comp passes through
+    assert out[20] == 20                        # untouched singleton survives
+    assert len(out) == 7
+
+
+def test_forget_documents_reelects_keeper_and_drops_singletons(spark):
+    from hubsit_health_analytics_etl_spark.operators.clusters import (
+        forget_documents,
+    )
+
+    # triangle {1,2,3}; pair {7,8}; singleton 9
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)],
+        "node long, component long",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    # delete the min-id keeper of the triangle, one pair member, the
+    # singleton, and an id the index never saw (no-op)
+    deleted = spark.createDataFrame([(1,), (8,), (9,), (999,)], "node long")
+    out = {r["node"]: r["component"] for r in forget_documents(labels, edges, deleted).collect()}
+    assert out == {2: 2, 3: 2, 7: 7}  # keeper re-elected; 7 now singleton
