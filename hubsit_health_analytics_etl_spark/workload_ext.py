@@ -703,31 +703,41 @@ def q_exact_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_K, DECON_EVAL_PCT, DECON_DF_CAP = 4, 5, 50
 
 
-def _decontamination_oracle() -> str:
+def _decon_ctes() -> str:
+    """CTE chain replicating the n-gram decontamination probe — ends
+    with ``dhits(doc_id, g, eval_id)``; CTE names are prefixed (dsplit,
+    dkeep, …) so the chain composes into the curation-pipeline oracle
+    without colliding with the quality / MinHash chains."""
     from .operators.sampling import sql_hash_bucket
 
     return f"""
-    WITH split AS (SELECT doc_id, text,
-                          ({sql_hash_bucket("doc_id", salt="eval")} < {DECON_EVAL_PCT})
-                            AS is_eval
-                   FROM documents),
+    dsplit AS (SELECT doc_id, text,
+                      ({sql_hash_bucket("doc_id", salt="eval")} < {DECON_EVAL_PCT})
+                        AS is_eval
+               FROM documents),
     cg AS (SELECT doc_id,
                   unnest(list_transform({_sql_shingles("text", DECON_K)},
                                         s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))
                     AS g
-           FROM split WHERE NOT is_eval),
-    keep AS (SELECT g FROM cg GROUP BY g HAVING COUNT(*) <= {DECON_DF_CAP}),
-    cg2 AS (SELECT cg.doc_id, cg.g FROM cg JOIN keep USING (g)),
+           FROM dsplit WHERE NOT is_eval),
+    dkeep AS (SELECT g FROM cg GROUP BY g HAVING COUNT(*) <= {DECON_DF_CAP}),
+    cg2 AS (SELECT cg.doc_id, cg.g FROM cg JOIN dkeep USING (g)),
     bg AS (SELECT doc_id AS eval_id,
                   unnest(list_transform({_sql_shingles("text", DECON_K)},
                                         s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)))
                     AS g
-           FROM split WHERE is_eval),
-    hits AS (SELECT cg2.doc_id, cg2.g, bg.eval_id FROM cg2 JOIN bg ON cg2.g = bg.g)
+           FROM dsplit WHERE is_eval),
+    dhits AS (SELECT cg2.doc_id, cg2.g, bg.eval_id FROM cg2 JOIN bg ON cg2.g = bg.g)
+    """
+
+
+def _decontamination_oracle() -> str:
+    return f"""
+    WITH {_decon_ctes()}
     SELECT doc_id,
            COUNT(DISTINCT g)::BIGINT AS n_shared_grams,
            COUNT(DISTINCT eval_id)::BIGINT AS n_eval_docs_hit
-    FROM hits GROUP BY doc_id
+    FROM dhits GROUP BY doc_id
     """
 
 
@@ -4118,3 +4128,146 @@ def q_doc_quality_trained_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(
         train.agg(F.count(F.lit(1)).cast("bigint").alias("n_train"))
     ).select("method", "n_train", "n_test", "accuracy", "baseline_acc")
+
+
+# ---------------------------------------------------------------------------
+# The END-TO-END corpus curation pipeline in ONE job — the full
+# decision table an LLM data team materializes before a training dump:
+# heuristic quality filter (corpus_keep_list rule) × benchmark
+# exclusion + n-gram decontamination (benchmark_decontamination rule)
+# × duplicate-cluster keep (corpus_dedup_pipeline rule) ×
+# leakage-safe cluster split (leakage_safe_split rule), with the final
+# ``selected`` bit = trains-on-this-doc. Each stage reuses the exact
+# operator the standalone query runs, and the oracle composes the same
+# four CTE chains — so the hash match checks the INTERACTION of the
+# stages (shared graph, shared splits), not just each stage alone.
+# Plan shape: one annotation pass (map-only), one decon probe
+# (broadcast gram join), one clustering (capped LSH + CC), then pure
+# equi-joins of per-doc flags — nothing quadratic, nothing collected.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_curation_pipeline",
+    f"""
+    WITH RECURSIVE {_sql_doc_annotations()},
+    {_decon_ctes()},
+    contaminated AS (SELECT DISTINCT doc_id FROM dhits),
+    {_minhash_pairs_ctes()},
+    xfp AS (SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+            FROM documents),
+    xfreps AS (SELECT fp, MIN(doc_id) AS rep FROM xfp GROUP BY fp),
+    edges0 AS (
+        SELECT doc_a, doc_b FROM mh_pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+        UNION
+        SELECT fr.rep AS doc_a, p.doc_id AS doc_b
+        FROM xfp p JOIN xfreps fr USING (fp) WHERE p.doc_id <> fr.rep),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM edges0
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM edges0),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    flags AS (
+        SELECT a.doc_id,
+               (a.lang_pred = 'en' AND a.quality_score >= {KEEP_MIN_QUALITY}
+                AND a.n_tokens BETWEEN {KEEP_MIN_TOKENS} AND {KEEP_MAX_TOKENS})
+                 AS kq,
+               ds.is_eval AS bm,
+               (c.doc_id IS NOT NULL) AS ct,
+               (m.node = m.component) AS dk,
+               CASE WHEN {sql_hash_bucket("m.component", salt="split")}
+                         < {SPLIT_TEST_PCT}
+                    THEN 'test' ELSE 'train' END AS split
+        FROM ann a
+        JOIN dsplit ds ON ds.doc_id = a.doc_id
+        JOIN comp m ON m.node = a.doc_id
+        LEFT JOIN contaminated c ON c.doc_id = a.doc_id)
+    SELECT doc_id,
+           kq::BIGINT AS keep_quality,
+           bm::BIGINT AS is_benchmark,
+           ct::BIGINT AS is_contaminated,
+           dk::BIGINT AS dup_keep,
+           split,
+           (kq AND NOT bm AND NOT ct AND dk AND split = 'train')::BIGINT
+             AS selected
+    FROM flags
+    """,
+)
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation decision table, one row per corpus document:
+    (doc_id, keep_quality, is_benchmark, is_contaminated, dup_keep,
+    split, selected) — selected=1 exactly for the rows a training dump
+    writes. Composes annotate_documents (quality rule of
+    corpus_keep_list), contamination_report (benchmark_decontamination
+    rule), the capped exact∪MinHash duplicate graph + min-id keeper
+    (corpus_dedup_pipeline rule), and the cluster-hash split
+    (leakage_safe_split rule) over ONE shared clustering pass."""
+    from .operators.clusters import connected_components
+    from .operators.sampling import hash_bucket
+    from .operators.textanalysis import annotate_documents, contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    ann = annotate_documents(_spread(docs))
+    is_bench = hash_bucket("doc_id", salt="eval") < DECON_EVAL_PCT
+    contam = (
+        contamination_report(
+            docs.filter(~is_bench),
+            docs.filter(is_bench),
+            k=DECON_K,
+            df_cap=DECON_DF_CAP,
+        )
+        .select("doc_id")
+        .withColumn("_ct", F.lit(1))
+    )
+    near = minhash_candidates(
+        docs, bucket_cap=MINHASH_BUCKET_CAP, pre_exact_dedup=True
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    edges = near.unionByName(exact_dup_edges(docs))
+    comps = connected_components(edges)
+    resolved = (
+        docs.select(F.col("doc_id").alias("node"))
+        .join(comps, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )
+    kq = (
+        (F.col("lang_pred") == "en")
+        & (F.col("quality_score") >= KEEP_MIN_QUALITY)
+        & F.col("n_tokens").between(KEEP_MIN_TOKENS, KEEP_MAX_TOKENS)
+    )
+    split = F.when(
+        hash_bucket("component", 100, "split") < SPLIT_TEST_PCT, F.lit("test")
+    ).otherwise(F.lit("train"))
+    flags = (
+        ann.join(resolved, "doc_id")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            kq.alias("kq"),
+            is_bench.alias("bm"),
+            F.col("_ct").isNotNull().alias("ct"),
+            (F.col("doc_id") == F.col("component")).alias("dk"),
+            split.alias("split"),
+        )
+    )
+    return flags.select(
+        "doc_id",
+        F.col("kq").cast("bigint").alias("keep_quality"),
+        F.col("bm").cast("bigint").alias("is_benchmark"),
+        F.col("ct").cast("bigint").alias("is_contaminated"),
+        F.col("dk").cast("bigint").alias("dup_keep"),
+        "split",
+        (
+            F.col("kq")
+            & ~F.col("bm")
+            & ~F.col("ct")
+            & F.col("dk")
+            & (F.col("split") == "train")
+        )
+        .cast("bigint")
+        .alias("selected"),
+    )

@@ -297,6 +297,17 @@ def test_corpus_dedup_pipeline_no_cartesian_and_bounded_joins(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_corpus_curation_pipeline_no_cartesian_and_bounded_joins(spark):
+    """The full curation composite (quality x decon x dedup x split)
+    must stay equi-join-only end to end — the decon gram probe, the
+    LSH bucket joins, and the per-doc flag joins are all key joins."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("corpus_curation_pipeline")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_ivf_index_partitioned_by_cell_prunes(spark):
     """The persisted IVF assignments are written partitionBy("cell");
     the batch search must plan DYNAMIC PARTITION PRUNING on the cell
