@@ -393,6 +393,51 @@ def ivf_index(
     return centroids, assigned
 
 
+def ivf_forget_vectors(
+    assignments: DataFrame,
+    deleted: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Right-to-be-forgotten for a persisted, cell-partitioned IVF
+    index: rewrite ONLY the cells containing a deleted vector, via
+    dynamic partition overwrite — the deletion primitive for
+    partitioned indexes (cost ∝ affected cells' postings, never the
+    corpus; untouched cell directories are not read or written).
+    Centroids stay FROZEN (same contract as incremental inserts — the
+    coarse quantizer is a model, not data; deleting members does not
+    move it).
+
+    ``assignments`` must be the LOGICAL frame the index was written
+    from (or a checkpoint) — not a read of ``path`` itself, which
+    Spark cannot overwrite mid-read. Fails loudly if a deletion would
+    EMPTY a cell: dynamic overwrite only replaces partitions present
+    in the write, so an emptied cell would silently keep stale files —
+    callers hitting this rewrite the full index (or tombstone) instead.
+    """
+    spark = assignments.sparkSession
+    d = deleted.select(F.col(deleted.columns[0]).alias(id_col)).distinct()
+    affected = assignments.join(d, id_col, "left_semi").select("cell").distinct()
+    remainder = assignments.join(affected, "cell", "left_semi").join(
+        d, id_col, "left_anti"
+    )
+    n_affected = affected.count()
+    n_kept = remainder.select("cell").distinct().count()
+    if n_kept < n_affected:
+        raise RuntimeError(
+            f"ivf_forget_vectors would empty {n_affected - n_kept} cell(s): "
+            "dynamic partition overwrite cannot delete a partition — "
+            "rewrite the index (or tombstone the cell) instead"
+        )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, "STATIC")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        remainder.write.mode("overwrite").partitionBy("cell").parquet(path)
+    finally:
+        spark.conf.set(conf_key, old)
+
+
 def ivf_search_index(
     index_assignments: DataFrame,
     centroids: DataFrame,

@@ -2441,7 +2441,11 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_NEW_PCT = 10  # vec_id hash bucket < 10 → the "new" query batch
 
 
-def _ann_incremental_oracle() -> str:
+def _ann_incremental_oracle(idx_extra: str = "") -> str:
+    """Incremental-IVF oracle; ``idx_extra`` appends a predicate to the
+    index-membership CTE (e.g. the forget-list exclusion) — centroids
+    stay computed over the FULL pre-forget corpus, matching the frozen
+    coarse quantizer of a maintained index."""
     from .operators.sampling import sql_hash_bucket
 
     return f"""
@@ -2464,7 +2468,8 @@ def _ann_incremental_oracle() -> str:
     ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                             ORDER BY ccos DESC, cell) AS rn
                FROM sc),
-    idx AS (SELECT vec_id, v, nrm, cell FROM ranked WHERE rn = 1 AND NOT is_new),
+    idx AS (SELECT vec_id, v, nrm, cell FROM ranked
+            WHERE rn = 1 AND NOT is_new{idx_extra}),
     q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell
           FROM ranked WHERE rn = 1 AND is_new),
     p AS (SELECT q.query_id, q.cell, i.vec_id AS neighbor_id,
@@ -4271,3 +4276,62 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector-index forget: the ANN complement of dedup_clusters_forget. A
+# persisted cell-partitioned IVF index loses a stable 5% of its
+# vectors via operators/similarity.py::ivf_forget_vectors (dynamic
+# partition overwrite — only affected cell directories rewrite;
+# centroids stay frozen), and the query batch is searched against the
+# maintained index. Forgotten vectors must never surface as
+# neighbors; the oracle recomputes the search from scratch with the
+# forget-list excluded from index membership but INCLUDED in centroid
+# training (the frozen-quantizer contract), so the hash match proves
+# maintained-index == rebuilt-index.
+# ---------------------------------------------------------------------------
+ANN_FORGET_PCT = 5
+
+
+@query(
+    "ann_forget_topk",
+    _ann_incremental_oracle(
+        idx_extra=(
+            f" AND NOT ({sql_hash_bucket('vec_id', salt='forget')}"
+            f" < {ANN_FORGET_PCT})"
+        )
+    ),
+)
+def q_ann_forget_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search the 10% query batch against the IVF index AFTER a 5%
+    forget pass: index built over the 90% corpus, written
+    partitionBy(cell), affected cells rewritten minus the forget-list
+    (dynamic partition overwrite), read back, searched. Same output
+    shape as ann_incremental_topk."""
+    import os
+
+    from .operators.sampling import hash_bucket
+    from .operators.similarity import (
+        ivf_forget_vectors,
+        ivf_index,
+        ivf_search_index,
+    )
+    from .sources.sinks import write_parquet
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_new = hash_bucket("vec_id") < ANN_NEW_PCT
+    corpus, batch = emb.filter(~is_new), emb.filter(is_new)
+
+    base = _run_scoped_index_dir("ivf_forget")
+    cents, assigned = ivf_index(corpus)
+    write_parquet(cents, os.path.join(base, "centroids"))
+    apath = os.path.join(base, "assignments")
+    write_parquet(assigned, apath, partition_by=["cell"])
+    deleted = corpus.filter(
+        hash_bucket("vec_id", salt="forget") < ANN_FORGET_PCT
+    ).select("vec_id")
+    ivf_forget_vectors(assigned, deleted, apath)
+    cents_rb = spark.read.parquet(os.path.join(base, "centroids"))
+    assigned_rb = spark.read.parquet(apath)
+    out = ivf_search_index(assigned_rb, cents_rb, batch, ANN_K)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))

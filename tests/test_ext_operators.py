@@ -1028,3 +1028,44 @@ def test_pq_trained_codebooks_beat_label_mean(spark):
         f"trained recall {row.recall_at_k} < label-mean {recall_label}"
     )
     assert abs(row.mse - mt) < 1e-4  # the query reports the trained mse
+
+
+def test_ivf_forget_rewrites_only_affected_cells(spark, tmp_path):
+    """Deletion must touch only the cells holding a deleted vector
+    (untouched cell files stay byte-identical on disk), must remove
+    the vector from read-back, and must fail loudly rather than empty
+    a cell (dynamic overwrite cannot delete a partition)."""
+    import os
+
+    import pytest
+
+    from hubsit_health_analytics_etl_spark.operators.similarity import (
+        ivf_forget_vectors,
+    )
+
+    assigned = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 2)],
+        "vec_id long, cell int",
+    )
+    path = str(tmp_path / "ivf")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+    def files_of(cell):
+        d = os.path.join(path, f"cell={cell}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_c1 = files_of(1)
+    deleted = spark.createDataFrame([(2,)], "vec_id long")
+    ivf_forget_vectors(assigned, deleted, path)
+    back = {r["vec_id"] for r in spark.read.parquet(path).collect()}
+    assert back == {1, 3, 4, 5, 6}
+    assert files_of(1) == before_c1  # untouched cell not rewritten
+
+    # deleting 6 would empty cell 2 -> loud failure, index unchanged
+    with pytest.raises(RuntimeError, match="empty"):
+        ivf_forget_vectors(assigned, spark.createDataFrame([(6,)], "vec_id long"), path)
+    assert {r["vec_id"] for r in spark.read.parquet(path).collect()} == {1, 3, 4, 5, 6}
