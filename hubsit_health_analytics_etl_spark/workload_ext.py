@@ -4335,3 +4335,274 @@ def q_ann_forget_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned_rb = spark.read.parquet(apath)
     out = ivf_search_index(assigned_rb, cents_rb, batch, ANN_K)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history: collapse a keyed update log (orders as
+# priority-change events per customer) into slowly-changing-dimension
+# type-2 rows (valid_from / valid_to / is_current) via gaps-and-
+# islands. The warehouse twin of latest_order_snapshot: the snapshot
+# keeps only the latest value, SCD2 keeps the full attribute history
+# for point-in-time training-feature joins. Reference has no history
+# table at all (etl_pipeline.py keeps only the current frame) — this
+# is the 100 TB posture where reprocessing the raw log per query is
+# not an option.
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_priority_history",
+    """
+    WITH o AS (SELECT o_custkey, o_orderkey,
+                      o_orderpriority AS priority,
+                      CAST(o_orderdate AS DATE) AS d
+               FROM orders),
+    s AS (SELECT *, CASE WHEN LAG(priority) OVER
+                      (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+                      IS DISTINCT FROM priority THEN 1 ELSE 0 END AS chg
+          FROM o),
+    g AS (SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                                   ORDER BY d, o_orderkey
+                                   ROWS UNBOUNDED PRECEDING) AS seg
+          FROM s),
+    seg AS (SELECT o_custkey, seg, priority,
+                   MIN(d) AS vf, COUNT(*)::BIGINT AS n_orders
+            FROM g GROUP BY o_custkey, seg, priority)
+    SELECT o_custkey, priority,
+           strftime(vf, '%Y-%m-%d') AS valid_from,
+           COALESCE(strftime(LEAD(vf) OVER w, '%Y-%m-%d'),
+                    '9999-12-31') AS valid_to,
+           n_orders,
+           (CASE WHEN LEAD(vf) OVER w IS NULL
+                 THEN 1 ELSE 0 END)::BIGINT AS is_current
+    FROM seg WINDOW w AS (PARTITION BY o_custkey ORDER BY seg)
+    """,
+)
+def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 build in ONE shuffle: every stage — the change-flag lag,
+    the running-sum island id, the per-island groupBy and the
+    valid_to lead — is keyed by (or by a superset of) o_custkey, so
+    Spark reuses the first hash partitioning end-to-end (the groupBy
+    on (custkey, seg, priority) is satisfied by clustering on custkey
+    alone; plan-tested). Open-ended rows carry the standard
+    9999-12-31 sentinel; deterministic tie-break (d, o_orderkey)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    s = o.withColumn(
+        "chg",
+        F.when(
+            F.lag("priority").over(w).eqNullSafe(F.col("priority")), F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    g = s.withColumn(
+        "seg", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    segs = g.groupBy("o_custkey", "seg", "priority").agg(
+        F.min("d").alias("vf"), F.count(F.lit(1)).alias("n_orders")
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("seg")
+    nxt = F.lead("vf").over(w2)
+    return segs.select(
+        "o_custkey",
+        "priority",
+        F.date_format("vf", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")).alias(
+            "valid_to"
+        ),
+        "n_orders",
+        F.when(nxt.isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-shard plan: the export step of every
+# training-data pipeline — assign each document a shard and a stable
+# within-shard position so a 1000-worker trainer reads identical data
+# in identical order on every epoch and every re-run. rand()/zipWithIndex
+# would change membership on retry; the key-hash plan is a pure
+# function of the data. At 100 TB the physical write is
+# repartition(shard) + sortWithinPartitions(hv, doc_id); the
+# row_number here is the oracle-checkable statement of that order.
+# ---------------------------------------------------------------------------
+N_TRAIN_SHARDS = 8
+
+
+@query(
+    "training_shard_plan",
+    f"""
+    WITH h AS (SELECT doc_id, n_chars,
+                      CAST('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) AS hv
+               FROM documents)
+    SELECT doc_id, hv % {N_TRAIN_SHARDS} AS shard,
+           ROW_NUMBER() OVER (PARTITION BY hv % {N_TRAIN_SHARDS}
+                              ORDER BY hv, doc_id)::BIGINT AS shard_pos,
+           n_chars
+    FROM h
+    """,
+)
+def q_training_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shard, shard_pos, n_chars): shard = md5-hash(doc_id)
+    mod N_TRAIN_SHARDS (same engine-portable conv(md5) trick as
+    operators/sampling.py::hash_bucket), position = rank of the hash
+    within the shard — a deterministic global shuffle without a global
+    sort: the window is per-shard (corpus/N rows each, all shards in
+    parallel), never a single-partition total order."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "cast(conv(substr(md5(concat('shard', cast(doc_id as string))), 1, 8),"
+            " 16, 10) as bigint)"
+        ).alias("hv"),
+    )
+    sh = h.withColumn("shard", F.col("hv") % N_TRAIN_SHARDS)
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return sh.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("shard_pos"),
+        "n_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counts: the other half of tokenizer prep next to
+# corpus_vocabulary — the frequency table of ADJACENT token pairs that
+# a byte-pair-encoding trainer consumes for its first merge round.
+# One explode over zip_with(tokens, tokens[1:]) keeps everything
+# JVM-side; the hot pairs collapse in the map-side partial aggregate.
+# ---------------------------------------------------------------------------
+BPE_TOP_K = 40
+
+
+@query(
+    "bpe_pair_counts",
+    f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+               FROM documents),
+    p AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS pair
+          FROM t WHERE len(toks) >= 2),
+    c AS (SELECT pair, COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+                 COUNT(*)::BIGINT AS n_occurrences
+          FROM p GROUP BY pair),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair) AS rank
+          FROM c)
+    SELECT pair, n_docs, n_occurrences, rank::BIGINT AS rank
+    FROM r WHERE rank <= {BPE_TOP_K}
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BPE_TOP_K} adjacent-token-pair table (pair, n_docs,
+    n_occurrences, rank). Tokens are bound to an attribute BEFORE the
+    slice/zip_with so the higher-order exprs never re-evaluate the
+    split (the HOF re-evaluation trap in SKILL.md); top-K via
+    orderBy+limit → TakeOrderedAndProject, the rank window rides the
+    already-limited rows exactly like corpus_vocabulary."""
+    from pyspark.sql import Window
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("toks"),
+    ).filter(F.size("toks") >= 2)
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    topk = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("pair").asc()
+    ).limit(BPE_TOP_K)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return topk.select(
+        "pair",
+        "n_docs",
+        "n_occurrences",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source near-dup matrix: which sources duplicate each other —
+# the corpus-analytics view a curation team reads before deciding
+# source priorities (dedup_keep_by_source consumes exactly this
+# signal). Rides the production MinHash+LSH pair set; the per-pair
+# statistic is MAX(jaccard), order-independent so the float survives
+# the cross-engine hash (a float SUM/AVG over an unordered group
+# would not).
+# ---------------------------------------------------------------------------
+@query(
+    "near_dup_source_matrix",
+    f"""
+    WITH {_minhash_pairs_ctes()},
+    e AS (SELECT LEAST(da.source, db.source) AS source_a,
+                 GREATEST(da.source, db.source) AS source_b,
+                 p.jaccard
+          FROM mh_pairs p
+          JOIN documents da ON da.doc_id = p.doc_a
+          JOIN documents db ON db.doc_id = p.doc_b
+          WHERE p.jaccard >= {JACCARD_THRESHOLD})
+    SELECT source_a, source_b, COUNT(*)::BIGINT AS n_pairs,
+           ROUND(MAX(jaccard), 4) AS max_jaccard
+    FROM e GROUP BY source_a, source_b
+    """,
+)
+def q_near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, n_pairs, max_jaccard) over the capped
+    pre-exact-dedup MinHash pair set — pair volume is bounded by the
+    LSH bucket caps, and the two source lookups join back to the
+    documents table on doc_id (at scale: the pairs frame is tiny next
+    to the corpus, so both joins broadcast the PAIRS side or shuffle
+    only pair rows, never the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidates(
+        docs, bucket_cap=MINHASH_BUCKET_CAP, pre_exact_dedup=True
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    src = docs.select("doc_id", "source")
+    e = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return e.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.max("jaccard"), 4).alias("max_jaccard"),
+    )

@@ -116,6 +116,7 @@ def test_anti_join_is_broadcast(spark):
         # candidate join is a BroadcastHashJoin on cell)
         "corpus_vocabulary",
         "corpus_temperature_sample",
+        "near_dup_source_matrix",
     ],
 )
 def test_dedup_never_plans_cartesian(spark, name):
@@ -589,3 +590,25 @@ def test_lookup_precomputed_plan_has_no_regex_and_is_faster_shape(spark):
     assert "lookup_fact_precomp" in p  # reads the persisted bucketed table
     p0 = physical_plan(_q("lookup_join_normalized")(spark, SF_SMOKE))
     assert "regexp_replace" in p0
+
+
+def test_scd2_and_shard_plan_single_shuffle(spark):
+    """scd2_priority_history: lag, running-sum island id, per-island
+    groupBy and valid_to lead are all keyed by (a superset of)
+    o_custkey, so ONE hash exchange serves the whole SCD2 build.
+    training_shard_plan: one exchange on the shard key — per-shard
+    rank windows, never a single-partition global sort."""
+    from hubsit_health_analytics_etl_spark.plans.explain import count_exchanges
+
+    assert count_exchanges(_q("scd2_priority_history")(spark, SF_SMOKE)) == 1
+    assert count_exchanges(_q("training_shard_plan")(spark, SF_SMOKE)) == 1
+
+
+def test_bpe_pair_counts_distributed_topk(spark):
+    """BPE pair top-K must plan TakeOrderedAndProject (per-partition
+    top-K + merge), not a global-rank window over the full pair
+    vocabulary."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("bpe_pair_counts")(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p
