@@ -4606,3 +4606,120 @@ def q_near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.max("jaccard"), 4).alias("max_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event funnel: ordered-sequence analytics (view -> click -> purchase
+# within a conversion window) — the product-analytics shape
+# MATCH_RECOGNIZE serves elsewhere, expressed as strictly-prior window
+# maxima so one user-hash shuffle serves the whole funnel. A click
+# qualifies iff a view precedes it within FUNNEL_WINDOW_MIN in the
+# user's (ts, event_id) event order; a purchase qualifies iff a
+# QUALIFIED click precedes it within the window (chained window over
+# a window — same partitioning, no extra exchange).
+# ---------------------------------------------------------------------------
+FUNNEL_WINDOW_MIN = 480  # conversion deadline per step, minutes
+
+
+@query(
+    "event_funnel",
+    f"""
+    WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    q AS (SELECT *, MAX(CASE WHEN event_type = 'view' THEN ts END) OVER w AS prior_view
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    q2 AS (SELECT *, MAX(CASE WHEN event_type = 'click' AND prior_view IS NOT NULL
+                              AND prior_view >= ts - INTERVAL {FUNNEL_WINDOW_MIN} MINUTES
+                              THEN ts END) OVER w AS prior_qclick
+           FROM q
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    c AS (SELECT
+            COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS n1,
+            COUNT(DISTINCT CASE WHEN event_type = 'click'
+                                AND prior_view IS NOT NULL
+                                AND prior_view >= ts - INTERVAL {FUNNEL_WINDOW_MIN} MINUTES
+                                THEN user_id END) AS n2,
+            COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                AND prior_qclick IS NOT NULL
+                                AND prior_qclick >= ts - INTERVAL {FUNNEL_WINDOW_MIN} MINUTES
+                                THEN user_id END) AS n3
+          FROM q2),
+    u AS (SELECT 1 AS step_idx, 'view' AS step, n1 AS n_users FROM c
+          UNION ALL SELECT 2, 'click', n2 FROM c
+          UNION ALL SELECT 3, 'purchase', n3 FROM c)
+    SELECT step_idx::BIGINT AS step_idx, step, n_users::BIGINT AS n_users,
+           ROUND(n_users / FIRST_VALUE(CAST(n_users AS DOUBLE))
+                             OVER (ORDER BY step_idx), 4) AS pct_of_step1
+    FROM u
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(step_idx, step, n_users, pct_of_step1): users reaching each
+    funnel step within the FUNNEL_WINDOW_MIN conversion deadline. The
+    strictly-prior frame (ROWS ... 1 PRECEDING) makes "after"
+    well-defined even on ts ties (event_id breaks them identically in
+    both engines); MAX of the prior step's ts = the most recent
+    opportunity, so the deadline test is exact. Both chained windows
+    and the count-distinct agg share the user_id hash partitioning;
+    the final 3-row unpivot + pct window is driver-size."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    deadline = F.expr(f"ts - INTERVAL {FUNNEL_WINDOW_MIN} MINUTES")
+    q = ev.withColumn(
+        "prior_view",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w1),
+    )
+    click_ok = (
+        (F.col("event_type") == "click")
+        & F.col("prior_view").isNotNull()
+        & (F.col("prior_view") >= deadline)
+    )
+    q2 = q.withColumn(
+        "prior_qclick", F.max(F.when(click_ok, F.col("ts"))).over(w1)
+    )
+    purchase_ok = (
+        (F.col("event_type") == "purchase")
+        & F.col("prior_qclick").isNotNull()
+        & (F.col("prior_qclick") >= deadline)
+    )
+    c = q2.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("n1"),
+        F.countDistinct(F.when(click_ok, F.col("user_id"))).alias("n2"),
+        F.countDistinct(F.when(purchase_ok, F.col("user_id"))).alias("n3"),
+    )
+    steps = [("view", "n1"), ("click", "n2"), ("purchase", "n3")]
+    u = c.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).cast("bigint").alias("step_idx"),
+                        F.lit(name).alias("step"),
+                        F.col(col).alias("n_users"),
+                    )
+                    for i, (name, col) in enumerate(steps)
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    w_all = Window.orderBy("step_idx")
+    return u.select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.round(
+            F.col("n_users") / F.first(F.col("n_users").cast("double")).over(w_all),
+            4,
+        ).alias("pct_of_step1"),
+    )

@@ -83,3 +83,33 @@ def test_approx_aggregates_close_to_exact(spark):
     ).collect()[0]
     assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05
     assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.02
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    """A 64-small-file directory compacts to the planned file count
+    with identical content; an already-compact directory is left
+    untouched (no needless rewrite)."""
+    from hubsit_health_analytics_etl_spark.sources.compaction import (
+        compact_parquet,
+        parquet_file_stats,
+        plan_compaction,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)
+    n0, total = parquet_file_stats(path)
+    assert n0 == 64
+    target = max(1, total // 4)  # plan ~4 output files
+    want = plan_compaction(total, target)
+    before = sorted((r["id"], r["v"]) for r in spark.read.parquet(path).collect())
+
+    n1 = compact_parquet(spark, path, target_file_bytes=target)
+    assert n1 <= want + 1 and n1 < n0
+    after = sorted((r["id"], r["v"]) for r in spark.read.parquet(path).collect())
+    assert before == after
+    # no-op branch: a tiny target plans MORE files than exist ->
+    # already compact, returns without rewriting anything
+    assert compact_parquet(spark, path, target_file_bytes=1) == n1
+    assert not (tmp_path / "frag__compacting").exists()
+    assert not (tmp_path / "frag__pre_compact").exists()
