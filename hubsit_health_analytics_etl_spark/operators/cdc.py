@@ -71,3 +71,46 @@ def snapshot_diff(
         j.select(*keys, change.alias("change_type"))
         .filter(F.col("change_type").isNotNull())
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics as a batch operator: WHEN MATCHED take the
+    SOURCE row (the whole row — a legitimately-NULL source value
+    overwrites, which a naive COALESCE(source, target) would silently
+    lose), WHEN NOT MATCHED BY TARGET insert, WHEN NOT MATCHED BY
+    SOURCE keep the target row. Emits the merged table plus a
+    ``merge_action`` column (insert / update / unchanged / kept) so a
+    downstream CDC consumer sees what happened without re-diffing.
+
+    Scale shape: one equi full-outer join on the keys — AQE-sized,
+    skew-splittable, zero-shuffle when both sides are bucketed by the
+    key; a small delta against a bucketed target is the classic
+    nightly-upsert plan. update-vs-unchanged typing reuses
+    row_fingerprint, so wide rows compare as 32 hex chars."""
+    cols = compare_cols or [c for c in target.columns if c not in keys]
+    t = target.select(
+        *keys, *cols, row_fingerprint(cols).alias("_fp_t"), F.lit(1).alias("_t")
+    )
+    s = source.select(
+        *keys,
+        *[F.col(c).alias(f"_s_{c}") for c in cols],
+        row_fingerprint(cols).alias("_fp_s"),
+        F.lit(1).alias("_s"),
+    )
+    j = t.join(s, keys, "full_outer")
+    matched = F.col("_s").isNotNull()
+    merged = [
+        F.when(matched, F.col(f"_s_{c}")).otherwise(F.col(c)).alias(c) for c in cols
+    ]
+    action = (
+        F.when(F.col("_t").isNull(), F.lit("insert"))
+        .when(F.col("_s").isNull(), F.lit("kept"))
+        .when(F.col("_fp_t") != F.col("_fp_s"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(*keys, *merged, action.alias("merge_action"))

@@ -4723,3 +4723,230 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pct_of_step1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (nightly upsert): the write-side complement of
+# orders_snapshot_diff — the same deterministic target (bkt<95) and
+# source delta (bkt>=5, 90+ repriced) merged into one table with
+# WHEN MATCHED → source row, NOT MATCHED BY TARGET → insert,
+# NOT MATCHED BY SOURCE → keep; every row labeled with its
+# merge_action. The oracle types update-vs-unchanged column-wise
+# (IS DISTINCT FROM) while the operator compares md5 fingerprints, so
+# the hash match proves fingerprint == column semantics again, this
+# time through the merge path.
+# ---------------------------------------------------------------------------
+@query(
+    "orders_merge_upsert",
+    f"""
+    WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+                      {sql_hash_bucket("o_orderkey", salt="cdc")} AS bkt
+               FROM orders),
+    t AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+          FROM b WHERE bkt < 95),
+    s AS (SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN bkt >= 90 THEN o_totalprice + 1.0
+                      ELSE o_totalprice END AS o_totalprice,
+                 o_orderpriority
+          FROM b WHERE bkt >= 5),
+    m AS (SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                 CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+                      ELSE t.o_orderstatus END AS o_orderstatus,
+                 CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+                      ELSE t.o_totalprice END AS o_totalprice,
+                 CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority
+                      ELSE t.o_orderpriority END AS o_orderpriority,
+                 CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                      WHEN s.o_orderkey IS NULL THEN 'kept'
+                      WHEN t.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+                           OR t.o_totalprice IS DISTINCT FROM s.o_totalprice
+                           OR t.o_orderpriority IS DISTINCT FROM s.o_orderpriority
+                      THEN 'update' ELSE 'unchanged' END AS merge_action
+          FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey)
+    SELECT o_orderkey::BIGINT AS o_orderkey, o_orderstatus,
+           ROUND(o_totalprice, 2) AS o_totalprice, o_orderpriority, merge_action
+    FROM m
+    """,
+)
+def q_orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/cdc.py::merge_upsert over the snapshot-diff fixture
+    split: merged table + per-row merge_action. One equi full-outer
+    join on the key (zero-shuffle when both sides are bucketed)."""
+    from .operators.cdc import merge_upsert
+    from .operators.sampling import hash_bucket
+
+    b = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        *_CDC_COMPARE,
+        hash_bucket("o_orderkey", 100, "cdc").alias("bkt"),
+    )
+    target = b.filter(F.col("bkt") < 95).drop("bkt")
+    source = (
+        b.filter(F.col("bkt") >= 5)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("bkt") >= 90, F.col("o_totalprice") + F.lit(1.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .drop("bkt")
+    )
+    m = merge_upsert(target, source, ["o_orderkey"], _CDC_COMPARE)
+    return m.withColumn("o_totalprice", F.round("o_totalprice", 2))
+
+
+# ---------------------------------------------------------------------------
+# Session transcript assembly: the SFT/conversation-data shape — turn
+# a user's raw event stream into one ordered sequence string per
+# session (the same assembly that turns chat turns into a training
+# example, or doc chunks back into a document). Ordered-array
+# collection is the engine primitive being exercised:
+# array_sort(collect_list(struct(order_keys..., payload))) is the
+# deterministic distributed ORDER BY ... STRING_AGG — collect_list
+# alone is partition-order-dependent and would flap across runs.
+# ---------------------------------------------------------------------------
+@query(
+    "session_transcripts",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) ts
+               FROM events),
+    m AS (SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*)::BIGINT AS n_eventos,
+           STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS transcript
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_start, n_eventos, transcript): 30-minute-gap
+    sessions with the event-type sequence assembled in (ts, event_id)
+    order. Gaps-and-islands windows, the per-session groupBy and the
+    in-group ordering all ride ONE user_id hash partitioning; the
+    sort happens inside each collected array (bounded by session
+    length), never as a global sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    m = ev.withColumn(
+        "new_s",
+        F.when(
+            prev.isNull()
+            | ((F.col("ts") - prev) >= F.expr("INTERVAL 30 MINUTES")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    s = m.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        s.groupBy("user_id", "sid")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.count(F.lit(1)).alias("n_eventos"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("transcript"),
+        )
+        .select("user_id", "session_start", "n_eventos", "transcript")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental vocabulary maintenance: the token-count index is a
+# MERGEABLE aggregate (disjoint doc slices ⇒ per-token n_docs and
+# n_occurrences just ADD), so a new ingest never re-tokenizes the
+# corpus — the persisted (token, n_docs, n_occurrences) index absorbs
+# the batch's partial counts with one union + re-aggregate over rows
+# proportional to |vocab| + |batch tokens|, not |corpus text|. The
+# oracle is corpus_vocabulary's FULL-RECOMPUTE SQL verbatim, so the
+# hash match proves merge == from-scratch (same posture as
+# exact_dedup_new_batch / dedup_clusters_new_batch).
+# ---------------------------------------------------------------------------
+def _token_counts(docs: DataFrame) -> DataFrame:
+    """(token, n_docs, n_occurrences) partial-count frame — the
+    mergeable unit the vocabulary index persists."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+
+
+@query(
+    "vocab_new_batch",
+    f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+               FROM documents),
+    c AS (SELECT token,
+                 COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+                 COUNT(*)::BIGINT AS n_occurrences
+          FROM t WHERE token <> '' GROUP BY token),
+    r AS (SELECT token, n_docs, n_occurrences,
+                 ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS rank
+          FROM c)
+    SELECT token, n_docs, n_occurrences, rank::BIGINT AS rank
+    FROM r WHERE rank <= {VOCAB_TOP_K}
+    """,
+)
+def q_vocab_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus (90%) token counts written as a parquet index, read
+    back, merged with the 10% batch's partial counts (union + one
+    sum-groupBy — additive because the doc slices are disjoint), then
+    the same TakeOrderedAndProject top-K as corpus_vocabulary. Output
+    identical to the full recompute by construction; the oracle says
+    so cryptographically."""
+    import os
+
+    from pyspark.sql import Window
+
+    from .operators.sampling import hash_bucket
+    from .sources.sinks import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = hash_bucket("doc_id") < NEW_BATCH_PCT
+    corpus, batch = docs.filter(~is_new), docs.filter(is_new)
+
+    base = _run_scoped_index_dir("vocab")
+    idx_path = os.path.join(base, "vocab_index")
+    write_parquet(_token_counts(_spread(corpus)), idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    merged = (
+        idx.unionByName(_token_counts(batch))
+        .groupBy("token")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_occurrences").alias("n_occurrences"),
+        )
+    )
+    topk = merged.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return topk.select(
+        "token",
+        "n_docs",
+        "n_occurrences",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )

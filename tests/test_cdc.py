@@ -53,3 +53,30 @@ def test_snapshot_diff_plan_is_equi_full_outer_with_narrow_shuffle(spark):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
         assert "o_totalprice" not in m.group(1)
         assert "o_orderstatus" not in m.group(1)
+
+
+def test_merge_upsert_source_null_overwrites_and_actions(spark):
+    """WHEN MATCHED must take the WHOLE source row: a legitimately-NULL
+    source value overwrites the target's non-null value (the mistake a
+    COALESCE(source, target) merge makes silently). All four actions
+    typed correctly, including null-vs-null as unchanged."""
+    from hubsit_health_analytics_etl_spark.operators.cdc import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    source = spark.createDataFrame(
+        [(1, None, 10.0), (3, None, 30.0), (5, "e", 50.0)],
+        "k int, s string, v double",
+    )
+    out = {
+        r["k"]: (r["s"], r["v"], r["merge_action"])
+        for r in merge_upsert(target, source, ["k"]).collect()
+    }
+    assert out[1] == (None, 10.0, "update")  # source NULL overwrites 'a'
+    assert out[2] == ("b", 20.0, "kept")
+    assert out[3] == (None, 30.0, "unchanged")  # null == null
+    assert out[4] == ("d", 40.0, "kept")
+    assert out[5] == ("e", 50.0, "insert")
+    assert len(out) == 5
