@@ -612,3 +612,34 @@ def test_bpe_pair_counts_distributed_topk(spark):
 
     p = physical_plan(_q("bpe_pair_counts")(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in p
+
+
+def test_session_transcripts_single_shuffle(spark):
+    """Sessionization windows, per-session groupBy and the in-array
+    ordering all ride ONE user_id exchange — the transcript sort
+    happens inside each collected array, never as a global sort."""
+    from hubsit_health_analytics_etl_spark.plans.explain import count_exchanges
+
+    assert count_exchanges(_q("session_transcripts")(spark, SF_SMOKE)) == 1
+
+
+def test_merge_upsert_equi_full_outer(spark):
+    """MERGE must plan a plain equi FullOuter — no cartesian / nested
+    loop, ever (the 100 TB nightly-upsert contract)."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("orders_merge_upsert")(spark, SF_SMOKE))
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_vocab_new_batch_merge_is_batch_proportional_shape(spark):
+    """The incremental vocab merge must be a union + ONE re-aggregate
+    (plus the index read): no join at all in the merge path, and the
+    top-K still plans TakeOrderedAndProject."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("vocab_new_batch")(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
