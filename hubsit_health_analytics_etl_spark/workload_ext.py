@@ -4950,3 +4950,188 @@ def q_vocab_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_occurrences",
         F.row_number().over(w).cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampling family completion: exact per-stratum quotas and weighted
+# sampling without replacement — the two corpus-mixing shapes
+# hash_sample / temperature_sample don't cover.
+# ---------------------------------------------------------------------------
+QUOTA_K = 10  # docs kept per language stratum
+WSAMPLE_K = 50  # weighted sample size
+TFIDF_TOP = 3  # top terms kept per document
+
+
+@query(
+    "stratified_quota_sample",
+    f"""
+    WITH h AS (SELECT doc_id, lang,
+                      CAST('0x' || substr(md5('quota' || CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) AS hv
+               FROM documents),
+    r AS (SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+          FROM h)
+    SELECT doc_id, lang, rk::BIGINT AS rk
+    FROM r WHERE rk <= {QUOTA_K}
+    """,
+)
+def q_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY {QUOTA_K} docs per language (fewer iff the stratum is
+    smaller) — quota sampling where temperature/hash sampling only hit
+    the budget in expectation. Membership = the {QUOTA_K} smallest key
+    hashes per stratum: deterministic, stable under re-partitioning,
+    and incremental-friendly (a new doc displaces at most one). One
+    shuffle on the stratum key; per-stratum rank windows in parallel —
+    at 100 TB swap the full-stratum window for a per-partition top-K
+    + merge if strata are huge (the TakeOrdered trick, per key)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "cast(conv(substr(md5(concat('quota', cast(doc_id as string))), 1, 8),"
+            " 16, 10) as bigint)"
+        ).alias("hv"),
+    )
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    return (
+        h.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= QUOTA_K)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+@query(
+    "weighted_sample_topk",
+    f"""
+    WITH h AS (SELECT doc_id, n_chars,
+                      (CAST('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) + 1) / 4294967296.0 AS u
+               FROM documents),
+    k AS (SELECT doc_id, n_chars,
+                 CAST(floor(pow(u, 1.0 / n_chars) * 1000000000.0) AS BIGINT) AS key_u9
+          FROM h),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY key_u9 DESC, doc_id) AS rk
+          FROM k)
+    SELECT doc_id, n_chars, key_u9, rk::BIGINT AS rk
+    FROM r WHERE rk <= {WSAMPLE_K}
+    """,
+)
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-RES): key = u^(1/w) with u a stable hash fraction and w =
+    n_chars, top-{WSAMPLE_K} keys win — inclusion probability ∝
+    weight, membership a pure function of the data (A-RES with rand()
+    is the textbook version; the hash makes it replayable). The key is
+    ranked as floor(key·1e9) micro-units so the ordering is integer
+    (cross-engine-exact given identical doubles — the logit_u6
+    precedent); top-K via orderBy+limit → TakeOrderedAndProject, the
+    rank window rides the {WSAMPLE_K} survivors."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "n_chars",
+        (
+            (
+                F.expr(
+                    "cast(conv(substr(md5(concat('wsample', cast(doc_id as string))),"
+                    " 1, 8), 16, 10) as bigint)"
+                )
+                + F.lit(1)
+            )
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    k = h.select(
+        "doc_id",
+        "n_chars",
+        F.floor(
+            F.pow("u", F.lit(1.0) / F.col("n_chars")) * F.lit(1000000000.0)
+        )
+        .cast("bigint")
+        .alias("key_u9"),
+    )
+    topk = k.orderBy(F.col("key_u9").desc(), F.col("doc_id").asc()).limit(
+        WSAMPLE_K
+    )
+    w = Window.orderBy(F.col("key_u9").desc(), F.col("doc_id").asc())
+    return topk.select(
+        "doc_id",
+        "n_chars",
+        "key_u9",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document: the text-analytics staple the
+# vocabulary table feeds — term weight = tf · ln(N/df). The document
+# frequency table is the SAME mergeable aggregate vocab_new_batch
+# maintains incrementally; at scale the df side is the persisted
+# index, not a recompute. Weight emitted as integer micro-units so
+# the per-doc ranking is integer arithmetic (logit_u6 precedent —
+# cross-engine ROUND on doubles flips boundary rows, floor on
+# identical doubles cannot).
+# ---------------------------------------------------------------------------
+@query(
+    "doc_tfidf_top_terms",
+    f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+               FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf
+           FROM t WHERE token <> '' GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id)::BIGINT AS df
+           FROM t WHERE token <> '' GROUP BY token),
+    n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+    s AS (SELECT tf.doc_id, tf.token,
+                 CAST(floor(tf.tf * ln(n.n_docs / df.df) * 1000000.0) AS BIGINT)
+                   AS tfidf_u6
+          FROM tf JOIN df USING (token) CROSS JOIN n),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf_u6 DESC, token) AS rk
+          FROM s)
+    SELECT doc_id, token, tfidf_u6, rk::BIGINT AS rk
+    FROM r WHERE rk <= {TFIDF_TOP}
+    """,
+)
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP} distinguishing terms per document by tf·idf.
+    One explode feeds BOTH aggregates (tf per (doc,token), df per
+    token); the df table joins back on the token key (shuffle carries
+    (token, df) pairs — at scale this is the persisted vocabulary
+    index, broadcast if it fits); the per-doc rank window is bounded
+    by document length. ln via each engine's libm on identical
+    doubles; ranking is on the integer micro-units."""
+    from pyspark.sql import Window
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    s = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.floor(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("tfidf_u6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_u6").desc(), F.col("token"))
+    return (
+        s.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TFIDF_TOP)
+        .select("doc_id", "token", "tfidf_u6", "rk")
+    )

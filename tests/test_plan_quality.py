@@ -643,3 +643,30 @@ def test_vocab_new_batch_merge_is_batch_proportional_shape(spark):
     p = physical_plan(_q("vocab_new_batch")(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_quota_and_weighted_sample_plan_shapes(spark):
+    """stratified_quota_sample: one exchange (per-stratum rank
+    windows). weighted_sample_topk: the A-RES winners come from
+    TakeOrderedAndProject, never a global sort of the corpus."""
+    from hubsit_health_analytics_etl_spark.plans.explain import (
+        count_exchanges,
+        physical_plan,
+    )
+
+    assert count_exchanges(_q("stratified_quota_sample")(spark, SF_SMOKE)) == 1
+    p = physical_plan(_q("weighted_sample_topk")(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tfidf_join_is_equi_and_count_is_broadcast(spark):
+    """The tf⋈df join must be an equi-join on token; the only
+    nested-loop allowed is the sanctioned broadcast one-row corpus
+    count."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("doc_tfidf_top_terms")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    for seg in p.split("BroadcastNestedLoopJoin")[1:]:
+        head = seg.splitlines()[0].strip()
+        assert head == "" or head.startswith("Cross BuildRight")
