@@ -5135,3 +5135,51 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TFIDF_TOP)
         .select("doc_id", "token", "tfidf_u6", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Percentile winsorization: the standard training-feature cleanup —
+# clip a numeric feature at its exact p1/p99 so outliers can't blow
+# up normalization. Two-pass shape: one percentile aggregate collapses
+# to a single broadcast row (the sanctioned one-row cross join), then
+# the clip is pure map-side codegen over the fact — the same plan at
+# 100 TB, where the percentile pass swaps to approx_percentile
+# (t-digest, mergeable) per the priority_price_percentiles note.
+# ---------------------------------------------------------------------------
+@query(
+    "winsorized_prices",
+    """
+    WITH q AS (SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+                      quantile_cont(o_totalprice, 0.99) AS hi
+               FROM orders)
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 2) AS price,
+           ROUND(LEAST(GREATEST(o_totalprice, lo), hi), 2) AS price_clipped,
+           (CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                 THEN 1 ELSE 0 END)::BIGINT AS clipped
+    FROM orders CROSS JOIN q
+    """,
+)
+def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderkey, price, price_clipped, clipped): exact-percentile
+    clip bounds (Spark percentile == DuckDB quantile_cont) broadcast
+    as one row; LEAST/GREATEST clipping stays inside the scan's
+    whole-stage codegen."""
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.agg(
+        F.expr("percentile(o_totalprice, 0.01)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("hi"),
+    )
+    return orders.crossJoin(F.broadcast(q)).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(
+            F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")), 2
+        ).alias("price_clipped"),
+        (
+            (F.col("o_totalprice") < F.col("lo"))
+            | (F.col("o_totalprice") > F.col("hi"))
+        )
+        .cast("bigint")
+        .alias("clipped"),
+    )

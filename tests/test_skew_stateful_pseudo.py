@@ -168,3 +168,72 @@ def test_parquet_roundtrip_and_encoding_matrix(spark, tmp_path):
             spark.read.option("header", True).option("encoding", enc).csv(out)
         )
         assert sorted(r["txt"] for r in back.collect()) == ["ação josé", "plain"]
+
+
+class _FakeValueState:
+    """Minimal ValueState double for kernel-level verification."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_stateful_v2_kernel_matches_batch_twin(spark):
+    """The transformWithStateInPandas kernel (UserProfileProcessor)
+    must produce user_profile_batch's numbers when fed the same rows —
+    verified at the kernel level because the v2 runtime needs protobuf
+    (absent here; user_profile_stream_v2 fails loudly instead)."""
+    import pandas as pd
+    import pytest
+
+    from hubsit_health_analytics_etl_spark.streaming.stateful import (
+        user_profile_batch,
+    )
+    from hubsit_health_analytics_etl_spark.streaming.stateful_v2 import (
+        UserProfileProcessor,
+        state_v2_available,
+        user_profile_stream_v2,
+    )
+
+    from .conftest import fix_event_ts
+
+    batch = fix_event_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    expected = {
+        r["user_id"]: (r["n_events"], r["valor_total"], r["last_seen"])
+        for r in user_profile_batch(batch).collect()
+    }
+
+    pdf = batch.select("user_id", "ts", "value").toPandas()
+    got = {}
+    for user_id, grp in pdf.groupby("user_id"):
+        proc = UserProfileProcessor()
+        proc._state = _FakeValueState()
+        # two chunks per key: exercises state carry-over across calls
+        half = max(1, len(grp) // 2)
+        for chunk in (grp.iloc[:half], grp.iloc[half:]):
+            if len(chunk) == 0:
+                continue
+            out = pd.concat(
+                list(proc.handleInputRows((user_id,), iter([chunk]), None))
+            )
+        got[int(out["user_id"].iloc[0])] = (
+            int(out["n_events"].iloc[0]),
+            round(float(out["valor_total"].iloc[0]), 2),
+            str(out["last_seen"].iloc[0]),
+        )
+    assert got == {
+        k: (v[0], round(v[1], 2), v[2]) for k, v in expected.items()
+    }
+
+    if not state_v2_available():
+        stream = spark.readStream.schema(batch.schema).parquet(SF_SMOKE)
+        with pytest.raises(RuntimeError, match="protobuf"):
+            user_profile_stream_v2(stream.select("user_id", "ts", "value"))
