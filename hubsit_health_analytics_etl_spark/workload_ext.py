@@ -5183,3 +5183,137 @@ def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("clipped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Waiting suppliers (TPC-H Q21 shape, adapted to this schema: "late" =
+# shipped > 90 days after order date): suppliers who were the SOLE
+# late shipper on multi-supplier orders. The oracle states the
+# textbook correlated EXISTS / NOT EXISTS; the engine runs the
+# DECORRELATED form — one grouped pass computing per-order
+# (distinct suppliers, distinct late suppliers), joined back — so the
+# hash match proves the rewrite that makes Q21 tractable at scale
+# (correlated per-row subqueries re-scan lineitem per candidate; the
+# decorrelated plan scans it a bounded number of times).
+# ---------------------------------------------------------------------------
+WAITING_TOP = 10
+
+
+@query(
+    "waiting_suppliers",
+    f"""
+    WITH l AS (SELECT l.l_orderkey, l.l_suppkey,
+                      (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+               FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    late AS (SELECT * FROM l WHERE late),
+    w AS (SELECT l1.l_suppkey AS suppkey, COUNT(*)::BIGINT AS numwait
+          FROM late l1
+          WHERE EXISTS (SELECT 1 FROM l l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM late l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey)
+          GROUP BY l1.l_suppkey),
+    r AS (SELECT suppkey, numwait,
+                 ROW_NUMBER() OVER (ORDER BY numwait DESC, suppkey) AS rank
+          FROM w)
+    SELECT suppkey, numwait, rank::BIGINT AS rank
+    FROM r WHERE rank <= {WAITING_TOP}
+    """,
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{WAITING_TOP} sole-late-shipper counts. Decorrelated: one
+    per-order aggregate (n_supp, n_late_supp) replaces both correlated
+    subqueries — EXISTS(other supplier) == n_supp >= 2, NOT
+    EXISTS(other LATE supplier) == n_late_supp == 1 for a late row.
+    Both the aggregate and the join-back key on l_orderkey, so the
+    partitioning is reused; top-K via TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    cand = (
+        l.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    w = cand.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+    topk = w.orderBy(F.col("numwait").desc(), F.col("suppkey").asc()).limit(
+        WAITING_TOP
+    )
+    win = Window.orderBy(F.col("numwait").desc(), F.col("suppkey").asc())
+    return topk.select(
+        "suppkey",
+        "numwait",
+        F.row_number().over(win).cast("bigint").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-quantity revenue per brand (TPC-H Q17 shape): lineitems below
+# 30% of their part's average quantity. Second correlated-subquery
+# rewrite demo (next to waiting_suppliers' EXISTS pair): the oracle
+# states the textbook correlated scalar subquery (re-aggregates
+# lineitem per probed part); the engine runs the decorrelated form —
+# ONE per-part average joined back — which scans lineitem twice total
+# instead of once per part. Per-part avg is deterministic cross-engine
+# because quantities are integral (exact double sums in any order).
+# ---------------------------------------------------------------------------
+Q17_QTY_FRACTION = 0.3
+
+
+@query(
+    "small_quantity_revenue",
+    f"""
+    SELECT p.p_brand,
+           COUNT(*)::BIGINT AS n_lines,
+           ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity < {Q17_QTY_FRACTION} * (
+        SELECT AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_brand, n_lines, avg_yearly) over below-threshold lineitems.
+    Decorrelated: per-part AVG(l_quantity) computed once (groupBy) and
+    equi-joined back; the part dim is broadcast. Both lineitem passes
+    and the join key on l_partkey — AQE reuses the partitioning."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    avg_qty = li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("_avg_qty")
+    )
+    small = li.join(avg_qty, "l_partkey").filter(
+        F.col("l_quantity") < F.lit(Q17_QTY_FRACTION) * F.col("_avg_qty")
+    )
+    return (
+        small.join(F.broadcast(part), small.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
