@@ -5317,3 +5317,109 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Set-operation retention: INTERSECT / EXCEPT as first-class operators
+# (SURVEY §2.6 covers UNION; these are its distinct-set siblings,
+# planned by Spark as semi-/anti-join + distinct aggregates). Customer
+# retention across a date split: retained = active-early ∩
+# active-late, churned = active-early ∖ active-late.
+# ---------------------------------------------------------------------------
+RETENTION_SPLIT = "1998-01-01"
+
+
+@query(
+    "customer_retention_setops",
+    f"""
+    WITH early AS (SELECT o_custkey FROM orders
+                   WHERE o_orderdate < TIMESTAMP '{RETENTION_SPLIT} 00:00:00'),
+    late AS (SELECT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '{RETENTION_SPLIT} 00:00:00'),
+    retained AS (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late),
+    churned AS (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late)
+    SELECT 'retained' AS status, COUNT(*)::BIGINT AS n_customers FROM retained
+    UNION ALL
+    SELECT 'churned', COUNT(*)::BIGINT FROM churned
+    """,
+)
+def q_customer_retention_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(status, n_customers) via DataFrame intersect()/exceptAll-free
+    except(): both plan as hash semi/anti joins over the distinct key
+    sets — the key-only shuffle payload a retention job wants at
+    scale (never the order rows)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    split = F.lit(RETENTION_SPLIT + " 00:00:00").cast("timestamp_ntz")
+    early = orders.filter(F.col("o_orderdate") < split).select("o_custkey")
+    late = orders.filter(F.col("o_orderdate") >= split).select("o_custkey")
+    retained = early.intersect(late)
+    churned = early.distinct().subtract(late)
+    return retained.agg(
+        F.lit("retained").alias("status"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+    ).unionByName(
+        churned.agg(
+            F.lit("churned").alias("status"),
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE month spine (Spark 4's WITH RECURSIVE — SPARK-24497):
+# the warehouse calendar-dimension utility. The spine recursion runs
+# NATIVELY in Spark SQL and in DuckDB (same shape the dedup_clusters
+# oracle uses for transitive closure); months with zero orders
+# surface as explicit 0 rows, which a plain GROUP BY can never emit.
+# Depth = #months, comfortably under spark.sql.cteRecursionLevelLimit.
+# ---------------------------------------------------------------------------
+@query(
+    "order_month_spine",
+    """
+    WITH RECURSIVE spine(m) AS (
+        SELECT date_trunc('month', (SELECT MIN(o_orderdate) FROM orders))
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM spine
+        WHERE m < date_trunc('month', (SELECT MAX(o_orderdate) FROM orders))
+    ),
+    per_month AS (SELECT date_trunc('month', o_orderdate) AS m,
+                         COUNT(*)::BIGINT AS n
+                  FROM orders GROUP BY 1)
+    SELECT strftime(s.m, '%Y-%m') AS mes,
+           COALESCE(p.n, 0)::BIGINT AS n_orders
+    FROM spine s LEFT JOIN per_month p ON s.m = p.m
+    """,
+)
+def q_order_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(mes, n_orders) for EVERY month between the first and last
+    order — native WITH RECURSIVE on both engines. The recursion
+    builds the tiny spine (one row per month, broadcast); orders
+    aggregate once and left-join in."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_spine_orders")
+    spine = spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+            SELECT date_trunc('month',
+                              (SELECT MIN(o_orderdate) FROM _spine_orders))
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM spine
+            WHERE m < date_trunc('month',
+                                 (SELECT MAX(o_orderdate) FROM _spine_orders))
+        )
+        SELECT m FROM spine
+        """
+    )
+    per_month = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        F.broadcast(spine)
+        .join(per_month, "m", "left")
+        .select(
+            F.date_format("m", "yyyy-MM").alias("mes"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+        )
+    )
