@@ -5423,3 +5423,84 @@ def q_order_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: the cross-TABLE data-quality complement
+# of quality_profile's per-column audit — orphan foreign keys counted
+# with broadcast/anti joins, one row per relationship. An ingest gate
+# at 100 TB runs exactly this before promoting a snapshot: every
+# check is an anti-join whose shuffle carries only the key column,
+# and dims (nation, part at fixture ratios) broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "referential_integrity_audit",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS check_name,
+           (SELECT COUNT(*) FROM lineitem)::BIGINT AS n_rows,
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+             ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL)::BIGINT AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders)::BIGINT,
+           (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+             ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL)::BIGINT
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT COUNT(*) FROM customer)::BIGINT,
+           (SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+             ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_nationkey IS NULL)::BIGINT
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(*) FROM lineitem)::BIGINT,
+           (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+             ON l.l_partkey = p.p_partkey
+            WHERE p.p_partkey IS NULL)::BIGINT
+    UNION ALL
+    SELECT 'embeddings.vec_id->documents',
+           (SELECT COUNT(*) FROM embeddings)::BIGINT,
+           (SELECT COUNT(*) FROM embeddings e LEFT JOIN documents d
+             ON e.vec_id = d.doc_id
+            WHERE d.doc_id IS NULL)::BIGINT
+    """,
+)
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(check_name, n_rows, n_orphans) per FK relationship — each
+    orphan count is an anti-join on the key projection only."""
+    from .operators.joins import anti_join
+
+    def check(name: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str):
+        orphans = anti_join(
+            fact.select(fk), dim.select(F.col(pk).alias(fk)), [fk]
+        )
+        return (
+            fact.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                F.lit(name).alias("check_name"),
+                F.col("n_rows").cast("bigint"),
+                F.col("n_orphans").cast("bigint"),
+            )
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    checks = [
+        check("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        check("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        check("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        check("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        check("embeddings.vec_id->documents", emb, "vec_id", docs, "doc_id"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -125,3 +125,47 @@ def test_session_agg_is_streaming_plannable(spark):
     )
     q.awaitTermination(120)
     assert spark.sql("SELECT count(*) FROM session_smoke").collect()[0][0] > 0
+
+
+def test_query_health_and_state_pressure(spark, tmp_path):
+    """monitor.query_health / state_pressure report the five on-call
+    numbers from a real windowed aggregation run, and return all-None
+    (never crash) before any progress exists."""
+    from hubsit_health_analytics_etl_spark.streaming.monitor import (
+        query_health,
+        state_pressure,
+    )
+    from hubsit_health_analytics_etl_spark.streaming.windows import tumbling_agg
+
+    from .conftest import SF_SMOKE, fix_event_ts
+
+    schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    stream = fix_event_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_SMOKE)
+    )
+    agg = tumbling_agg(
+        stream, "ts", "1 hour", aggs=[F.count(F.lit(1)).alias("n")], watermark="2 hours"
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    h, s = query_health(q), state_pressure(q)
+    q.stop()
+    assert h["batch_id"] is not None
+    assert h["batch_duration_ms"] is not None and h["batch_duration_ms"] > 0
+    assert s["n_state_operators"] >= 1
+    assert s["state_rows"] is not None and s["state_rows"] >= 0
+
+    # no-progress path: a fresh query object never crashes the monitor
+    class _NoProgress:
+        lastProgress = None
+
+    assert query_health(_NoProgress())["batch_id"] is None
+    assert state_pressure(_NoProgress())["n_state_operators"] == 0
