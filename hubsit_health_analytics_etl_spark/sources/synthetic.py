@@ -1,0 +1,87 @@
+"""Synthetic corpus source — Spark 4 Python Data Source API.
+
+`spark.read.format("synthetic_docs").option("rows", N)` generates a
+deterministic documents-shaped corpus DISTRIBUTED (each input
+partition generates its own slice in the executor — no driver
+materialization, no stored fixture), which is how you load-test a
+100 TB pipeline shape without 100 TB of storage: the generator is the
+scan. Determinism: every field is a pure function of doc_id (md5-
+seeded), so two reads — or a retried task — produce identical rows.
+
+This is the engine-extension face of SURVEY §2.1's source family: the
+same DataSource V2 surface a real connector (warehouse export, feed
+API) plugs into, exercised end-to-end through Spark's planner rather
+than mocked.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+_LANGS = ["en", "es", "de", "fr"]
+_WORDS = [
+    "data", "model", "spark", "query", "join", "filter", "token",
+    "vector", "index", "batch", "stream", "shard", "merge", "scan",
+]
+
+
+def _h(doc_id: int, salt: str) -> int:
+    """Stable integer from (salt, doc_id) — same md5 trick as
+    operators/sampling.hash_bucket, driver- and executor-agnostic."""
+    return int(
+        hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:8], 16
+    )
+
+
+def synth_row(doc_id: int) -> tuple:
+    n_words = 5 + _h(doc_id, "len") % 20
+    words = [_WORDS[_h(doc_id * 1000 + i, "w") % len(_WORDS)] for i in range(n_words)]
+    text = " ".join(words)
+    lang = _LANGS[_h(doc_id, "lang") % len(_LANGS)]
+    source = f"src{_h(doc_id, 'src') % 5}"
+    return (doc_id, text, lang, source, len(text))
+
+
+class _Slice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 8))
+
+    def partitions(self):
+        per = max(1, -(-self.rows // self.n_parts))  # ceil
+        return [
+            _Slice(i, min(i + per, self.rows))
+            for i in range(0, self.rows, per)
+        ]
+
+    def read(self, partition: _Slice):
+        for doc_id in range(partition.start, partition.end):
+            yield synth_row(doc_id)
+
+
+class SyntheticDocsDataSource(DataSource):
+    """format("synthetic_docs"): options rows (default 1000) and
+    partitions (default 8 — at scale, one per target task)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> SyntheticDocsReader:
+        return SyntheticDocsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the synthetic_docs format."""
+    spark.dataSource.register(SyntheticDocsDataSource)

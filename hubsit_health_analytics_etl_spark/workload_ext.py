@@ -5504,3 +5504,50 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured path (Spark 4 VariantType): parse the JSON
+# props ONCE into the binary variant encoding, then every access is a
+# typed O(1) field get — at 100 TB the parse-per-access of
+# get_json_object (events_json_extract keeps that classic path) is
+# the difference between one Jackson pass and one per extracted
+# field, and variant columns persist to parquet for shredded reads.
+# Same analytics as the JSON twin + a typed-presence count, so the
+# DuckDB JSON oracle checks the whole variant pipeline end-to-end.
+# ---------------------------------------------------------------------------
+@query(
+    "events_variant_extract",
+    """
+    WITH e AS (SELECT event_type, value,
+                      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+               FROM events)
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_eventos,
+           COUNT(k)::BIGINT AS n_with_k,
+           ROUND(AVG(k), 4) AS k_medio,
+           ROUND(SUM(CASE WHEN k > 50 THEN value ELSE 0 END), 2) AS valor_k_alto
+    FROM e GROUP BY event_type
+    """,
+)
+def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_json → variant_get: the props string becomes one binary
+    VARIANT value per row; ``try_variant_get(v, '$.k', 'int')`` is a
+    typed field access on the encoded form (no re-parse, null on
+    type/path miss). Aggregates identical to events_json_extract's
+    oracle, so the hash match verifies the variant encode/decode
+    round-trip, not just the JSON semantics."""
+    from .operators.aggregate import sum_if
+
+    events = load_table(spark, sf_dir, "events")
+    e = events.withColumn("_v", F.parse_json("props")).withColumn(
+        "k", F.try_variant_get("_v", "$.k", "int")
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_eventos"),
+        F.count("k").alias("n_with_k"),
+        F.round(F.avg("k"), 4).alias("k_medio"),
+        F.round(sum_if(F.col("value"), F.col("k") > 50), 2).alias(
+            "valor_k_alto"
+        ),
+    )
