@@ -647,14 +647,22 @@ def test_vocab_new_batch_merge_is_batch_proportional_shape(spark):
 
 def test_quota_and_weighted_sample_plan_shapes(spark):
     """stratified_quota_sample: one exchange (per-stratum rank
-    windows). weighted_sample_topk: the A-RES winners come from
+    windows) AND WindowGroupLimit — Spark's partial per-group top-k
+    drops non-quota rows BEFORE the shuffle, so a 100 TB stratum
+    ships ~K rows per map task, not the stratum.
+    weighted_sample_topk: the A-RES winners come from
     TakeOrderedAndProject, never a global sort of the corpus."""
     from hubsit_health_analytics_etl_spark.plans.explain import (
         count_exchanges,
         physical_plan,
     )
 
-    assert count_exchanges(_q("stratified_quota_sample")(spark, SF_SMOKE)) == 1
+    q = _q("stratified_quota_sample")(spark, SF_SMOKE)
+    assert count_exchanges(q) == 1
+    assert "WindowGroupLimit" in physical_plan(q)
+    assert "WindowGroupLimit" in physical_plan(
+        _q("doc_tfidf_top_terms")(spark, SF_SMOKE)
+    )
     p = physical_plan(_q("weighted_sample_topk")(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in p
 
