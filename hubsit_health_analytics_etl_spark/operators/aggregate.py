@@ -71,3 +71,34 @@ def approx_quantiles(
     return df.groupBy(*keys).agg(
         F2.percentile_approx(col, probs, accuracy).alias(f"approx_q_{col}")
     )
+
+
+def hll_sketch_index(df, keys: list[str], col: str):
+    """Per-key HyperLogLog sketch frame (key..., hll binary) — the
+    MERGEABLE distinct-count index. Unlike approx_distinct's scalar,
+    the sketch itself is the persisted state: each ingest sketches
+    only its batch, `merge_hll_indexes` unions the binaries, and the
+    estimate never re-reads raw data. KB of state per key vs a full
+    distinct shuffle — the same incremental posture as the vocabulary
+    and MinHash signature indexes (datasketches HLL, Spark 3.5+)."""
+    return df.groupBy(*keys).agg(F.hll_sketch_agg(col).alias("hll"))
+
+
+def merge_hll_indexes(*indexes):
+    """Union per-key sketch frames from N ingests into one index:
+    union-all + one hll_union_agg groupBy — rows ∝ Σ|keys|, never the
+    raw data. Estimates come from hll_sketch_estimate over the merged
+    binary."""
+    out = indexes[0]
+    for idx in indexes[1:]:
+        out = out.unionByName(idx)
+    keys = [c for c in out.columns if c != "hll"]
+    return out.groupBy(*keys).agg(F.hll_union_agg("hll").alias("hll"))
+
+
+def hll_estimate(index):
+    """(key..., n_distinct) from a sketch index."""
+    keys = [c for c in index.columns if c != "hll"]
+    return index.select(
+        *keys, F.hll_sketch_estimate("hll").alias("n_distinct")
+    )

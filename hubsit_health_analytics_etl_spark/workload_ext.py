@@ -10,6 +10,7 @@ value-hash check verifies the ACTUAL algorithm, not a lookalike.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -5575,4 +5576,50 @@ def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sum_if(F.col("value"), F.col("k") > 50), 2).alias(
             "valor_k_alto"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF (ArrowAggregatePython): the third Arrow
+# eval mode after scalar pandas UDFs (ann_two_stage_rerank_udf) and
+# mapInPandas (multimodal) — per-group Series → scalar in Python,
+# Arrow-batched per group. The medians have an exact SQL twin
+# (percentile == numpy interpolated median), so the oracle hash
+# checks the Arrow grouped path bit-for-bit; a custom Python-only
+# estimator (trimmed scorer, scipy stat) plugs into exactly this
+# slot. Partial aggregation does NOT apply to grouped pandas UDFs —
+# every row shuffles to its group (plan-visible) — so at 100 TB keep
+# these for group-bounded data or pre-reduced inputs, never raw-fact
+# medians (percentile_approx is that path).
+# ---------------------------------------------------------------------------
+@query(
+    "priority_median_pandas_agg",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS mediana,
+           COUNT(*)::BIGINT AS pedidos
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_priority_median_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority median via a GROUPED_AGG pandas UDF, hash-matched
+    against DuckDB quantile_cont (numpy's interpolated median is the
+    same estimator)."""
+    @F.pandas_udf("double")
+    def _median(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.median(v))
+
+    # JVM aggregates cannot mix with grouped pandas UDFs in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count rides the same Arrow
+    # group as a second pandas UDF
+    @F.pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        return len(v)
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(_median("o_totalprice"), 4).alias("mediana"),
+        _n("o_totalprice").alias("pedidos"),
     )

@@ -113,3 +113,38 @@ def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
     assert compact_parquet(spark, path, target_file_bytes=1) == n1
     assert not (tmp_path / "frag__compacting").exists()
     assert not (tmp_path / "frag__pre_compact").exists()
+
+
+def test_hll_sketch_index_persists_and_merges(spark, tmp_path):
+    """The HLL distinct-count index round-trips through parquet and
+    merges across disjoint ingests: estimate(merge(sketch(90%),
+    sketch(10%))) ≈ exact distinct of the full data (≤2% error at HLL
+    default lgK), with the merge touching only sketch rows."""
+    from hubsit_health_analytics_etl_spark.operators.aggregate import (
+        hll_estimate,
+        hll_sketch_index,
+        merge_hll_indexes,
+    )
+    from hubsit_health_analytics_etl_spark.operators.sampling import hash_bucket
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    is_new = hash_bucket("event_id") < 10
+    corpus, batch = events.filter(~is_new), events.filter(is_new)
+
+    idx_path = str(tmp_path / "hll_idx")
+    hll_sketch_index(corpus, ["event_type"], "user_id").write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)  # binary sketch survives parquet
+
+    merged = merge_hll_indexes(idx, hll_sketch_index(batch, ["event_type"], "user_id"))
+    got = {r["event_type"]: r["n_distinct"] for r in hll_estimate(merged).collect()}
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(2, 0.02 * n), (k, got[k], n)

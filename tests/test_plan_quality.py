@@ -678,3 +678,14 @@ def test_tfidf_join_is_equi_and_count_is_broadcast(spark):
     for seg in p.split("BroadcastNestedLoopJoin")[1:]:
         head = seg.splitlines()[0].strip()
         assert head == "" or head.startswith("Cross BuildRight")
+
+
+def test_grouped_pandas_agg_plans_arrow_aggregate(spark):
+    """priority_median_pandas_agg must run its two pandas UDFs in ONE
+    ArrowAggregatePython stage (grouped Arrow eval), with the keyed
+    shuffle below it — no row-at-a-time BatchEvalPython anywhere."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("priority_median_pandas_agg")(spark, SF_SMOKE))
+    assert p.count("ArrowAggregatePython") >= 1
+    assert "BatchEvalPython" not in p
