@@ -5623,3 +5623,86 @@ def q_priority_median_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_median("o_totalprice"), 4).alias("mediana"),
         _n("o_totalprice").alias("pedidos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-grouped applyInPandas (FlatMapCoGroupsInPandas): the fourth and
+# last Arrow eval mode (scalar UDF: rerank; mapInPandas: multimodal;
+# grouped agg: median). Per-user distribution drift between two
+# deterministic event halves as a Kolmogorov–Smirnov statistic — the
+# training-data monitoring question "did this user/source's value
+# distribution shift between snapshots". Both halves of one user
+# arrive as two aligned pandas frames in one Python call; the oracle
+# recomputes the KS sup-distance in pure SQL (per-value cumulative
+# counts), so the co-grouped Arrow path is hash-checked bit-for-bit
+# (micro-unit floor, integer-division-exact CDFs).
+# ---------------------------------------------------------------------------
+@query(
+    "user_value_drift_ks",
+    f"""
+    WITH t AS (SELECT user_id, value,
+                      CASE WHEN {sql_hash_bucket("event_id", salt="drift")} < 50
+                           THEN 'a' ELSE 'b' END AS side
+               FROM events),
+    p AS (SELECT user_id, value,
+                 SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
+                 SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
+          FROM t GROUP BY user_id, value),
+    n AS (SELECT user_id, SUM(ca) AS na, SUM(cb) AS nb FROM p GROUP BY user_id),
+    c AS (SELECT p.user_id, value,
+                 SUM(ca) OVER (PARTITION BY p.user_id ORDER BY value) AS cuma,
+                 SUM(cb) OVER (PARTITION BY p.user_id ORDER BY value) AS cumb,
+                 na, nb
+          FROM p JOIN n USING (user_id)),
+    d AS (SELECT user_id, na, nb,
+                 MAX(abs(cuma / CAST(na AS DOUBLE) - cumb / CAST(nb AS DOUBLE)))
+                   AS ks
+          FROM c WHERE na > 0 AND nb > 0 GROUP BY user_id, na, nb)
+    SELECT user_id, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           CAST(floor(ks * 1000000.0) AS BIGINT) AS ks_u6
+    FROM d
+    """,
+)
+def q_user_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_a, n_b, ks_u6): KS sup-distance between the two
+    hash-split halves of each user's value distribution. cogroup
+    shuffles each side once on user_id and hands BOTH frames of one
+    key to a single Arrow call — the join-free alignment that
+    two-snapshot comparisons want (vs materializing a values join).
+    Users missing either half are dropped (KS undefined)."""
+    from .operators.sampling import hash_bucket
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    side_a = hash_bucket("event_id", 100, "drift") < 50
+    a = events.filter(side_a).select("user_id", "value")
+    b = events.filter(~side_a).select("user_id", "value")
+
+    def ks(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"user_id": [], "n_a": [], "n_b": [], "ks_u6": []}
+            ).astype({"user_id": "int64", "n_a": "int64", "n_b": "int64",
+                      "ks_u6": "int64"})
+        va = np.sort(left["value"].to_numpy())
+        vb = np.sort(right["value"].to_numpy())
+        pts = np.unique(np.concatenate([va, vb]))
+        cdfa = np.searchsorted(va, pts, side="right") / len(va)
+        cdfb = np.searchsorted(vb, pts, side="right") / len(vb)
+        d = float(np.max(np.abs(cdfa - cdfb)))
+        uid = int(left["user_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_a": [len(va)],
+                "n_b": [len(vb)],
+                "ks_u6": [int(np.floor(d * 1000000.0))],
+            }
+        )
+
+    return a.groupBy("user_id").cogroup(b.groupBy("user_id")).applyInPandas(
+        ks, "user_id long, n_a long, n_b long, ks_u6 long"
+    )

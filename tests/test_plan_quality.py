@@ -689,3 +689,13 @@ def test_grouped_pandas_agg_plans_arrow_aggregate(spark):
     p = physical_plan(_q("priority_median_pandas_agg")(spark, SF_SMOKE))
     assert p.count("ArrowAggregatePython") >= 1
     assert "BatchEvalPython" not in p
+
+
+def test_cogroup_ks_single_arrow_stage(spark):
+    """user_value_drift_ks: exactly one co-grouped Arrow stage; each
+    side shuffles once on user_id; no row-at-a-time Python."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("user_value_drift_ks")(spark, SF_SMOKE))
+    assert p.count("FlatMapCoGroupsInPandas") == 1
+    assert "BatchEvalPython" not in p
