@@ -697,5 +697,9 @@ def test_cogroup_ks_single_arrow_stage(spark):
     from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
 
     p = physical_plan(_q("user_value_drift_ks")(spark, SF_SMOKE))
-    assert p.count("FlatMapCoGroupsInPandas") == 1
+    # formatted plans repeat the node in tree + detail sections: one
+    # operator == exactly one numbered detail block
+    import re
+
+    assert len(re.findall(r"\(\d+\) FlatMapCoGroupsInPandas", p)) == 1
     assert "BatchEvalPython" not in p
