@@ -5706,3 +5706,40 @@ def q_user_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.groupBy("user_id").cogroup(b.groupBy("user_id")).applyInPandas(
         ks, "user_id long, n_a long, n_b long, ks_u6 long"
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA embedding reduction (distributed Spark ML fit #3, after the
+# KMeans coarse quantizer and the LogisticRegression quality model):
+# project 64-dim embeddings onto the top PCA_K principal components —
+# the dense-rotation compression that PRECEDES quantization in real
+# vector pipelines (OPQ ≈ PCA rotation + PQ). Rows-only by
+# construction like ann_kmeans_ivf_recall: a distributed eigen-
+# decomposition has no cross-engine twin (component signs/order are
+# solver-specific); the quality bounds live in pytest — PCA
+# reconstruction must beat the mean-only baseline and capture a
+# minimum variance share.
+# ---------------------------------------------------------------------------
+PCA_K = 16
+
+
+@query("embedding_pca_reduce")
+def q_embedding_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, reduced float[PCA_K]): seeded-free deterministic-fit
+    PCA (covariance eigendecomposition of THIS corpus), projection is
+    a map-only matmul expression over the Arrow-free JVM vector ops.
+    The 64→{PCA_K} cut is 4× storage before any quantization; chain
+    embedding_quantize/PQ after it for the full compression stack."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = PCA(k=PCA_K, inputCol="features", outputCol="reduced").fit(vecs)
+    out = model.transform(vecs)
+    return out.select(
+        "vec_id",
+        vector_to_array(F.col("reduced")).cast("array<float>").alias("reduced"),
+    )

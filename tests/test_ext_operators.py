@@ -1069,3 +1069,39 @@ def test_ivf_forget_rewrites_only_affected_cells(spark, tmp_path):
     with pytest.raises(RuntimeError, match="empty"):
         ivf_forget_vectors(assigned, spark.createDataFrame([(6,)], "vec_id long"), path)
     assert {r["vec_id"] for r in spark.read.parquet(path).collect()} == {1, 3, 4, 5, 6}
+
+
+def test_embedding_pca_reduce_finds_optimal_subspace(spark):
+    """Spark ML PCA must land in the SAME top-K subspace as a local
+    eigendecomposition of the centered covariance: projected energy
+    matches numpy's within 1% (the subspace is unique up to rotation,
+    so energy — not component signs — is the comparable invariant),
+    and the 16/64 cut captures a non-trivial variance share."""
+    import numpy as np
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.workload_ext import PCA_K
+
+    out = {
+        r["vec_id"]: np.array(r["reduced"], dtype=np.float64)
+        for r in w.QUERIES["embedding_pca_reduce"](spark, SF_SMOKE).collect()
+    }
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    assert set(out) == set(emb)
+    X = np.stack([emb[k] for k in sorted(emb)])
+    R = np.stack([out[k] for k in sorted(out)])
+    assert R.shape == (X.shape[0], PCA_K)
+
+    cov = np.cov(X, rowvar=False)
+    vals, vecs = np.linalg.eigh(cov)
+    P = vecs[:, np.argsort(vals)[::-1][:PCA_K]]
+    energy_np = float(np.sum((X @ P) ** 2))
+    energy_spark = float(np.sum(R**2))
+    assert abs(energy_spark - energy_np) <= 0.01 * energy_np
+
+    # the projection keeps a meaningful share of total energy
+    assert energy_spark >= 0.25 * float(np.sum(X**2))
