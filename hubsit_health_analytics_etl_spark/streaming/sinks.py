@@ -97,3 +97,28 @@ def upsert_sink(
         upsert_batch(batch, path, key_cols, ts_col)
 
     return _apply
+
+
+def fanout_sink(paths: Sequence[str]) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` callable fanning each micro-batch out to N
+    parquet targets (the lake + the serving copy + the audit trail —
+    multi-sink writes Structured Streaming has no primitive for).
+
+    Replay safety: foreachBatch re-delivers a batch after a crash, so
+    a naive append duplicates rows in whichever sinks finished before
+    the failure. Each sink therefore writes the batch into its OWN
+    ``_batch_id`` partition with dynamic partition overwrite: a replay
+    rewrites exactly that partition in place — at-least-once delivery,
+    exactly-once state, per sink, no cross-sink transaction needed."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        stamped = batch.withColumn("_batch_id", F.lit(batch_id))
+        for path in paths:
+            (
+                stamped.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
+
+    return _apply

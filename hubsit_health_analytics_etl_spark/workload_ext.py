@@ -5743,3 +5743,59 @@ def q_embedding_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         vector_to_array(F.col("reduced")).cast("array<float>").alias("reduced"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size histogram: the curation dashboard number —
+# "how duplicated is this corpus" as a count-of-counts over the same
+# exact∪MinHash duplicate graph. Singletons included (cluster_size=1
+# = unique docs), dedup rate derivable as 1 - Σkeepers/Σdocs. Two
+# nested aggregations ride the clustering output; the heavy lifting
+# is the shared CC pass dedup_clusters already pins.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_cluster_size_histogram",
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    fp AS (SELECT doc_id,
+                  md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+           FROM documents),
+    freps AS (SELECT fp, MIN(doc_id) AS rep FROM fp GROUP BY fp),
+    edges0 AS (
+        SELECT doc_a, doc_b FROM mh_pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+        UNION
+        SELECT f.rep AS doc_a, p.doc_id AS doc_b
+        FROM fp p JOIN freps f USING (fp) WHERE p.doc_id <> f.rep),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM edges0
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM edges0),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp
+              GROUP BY component)
+    SELECT cluster_size::BIGINT AS cluster_size,
+           COUNT(*)::BIGINT AS n_clusters,
+           (cluster_size * COUNT(*))::BIGINT AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs): count-of-counts over the
+    duplicate clusters, singletons included."""
+    from .operators.clusters import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    near = minhash_candidates(
+        docs, bucket_cap=MINHASH_BUCKET_CAP, pre_exact_dedup=True
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    edges = near.unionByName(exact_dup_edges(docs))
+    clusters = dedup_clusters(docs, edges)  # (component, n_members, keeper)
+    return clusters.groupBy(
+        F.col("n_members").cast("bigint").alias("cluster_size")
+    ).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )

@@ -552,3 +552,43 @@ def test_streaming_cluster_sink_bucket_cap_observed(spark, tmp_path):
     assert labels[1000] == 1000  # 51-member spam bucket dropped: no merge
     assert obs.get["dropped_buckets"] >= 1
     assert obs.get["dropped_members"] >= 50
+
+
+def test_fanout_sink_multi_target_and_replay_idempotent(spark, tmp_path):
+    """One stream, two parquet sinks: both receive every row, and
+    re-delivering the same batch (crash replay) rewrites its
+    _batch_id partition instead of duplicating."""
+    from hubsit_health_analytics_etl_spark.streaming.sinks import fanout_sink
+
+    from .conftest import SF_SMOKE, fix_event_ts
+
+    schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    p1, p2 = str(tmp_path / "lake"), str(tmp_path / "serve")
+    stream = fix_event_ts(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_SMOKE)
+    ).select("event_id", "user_id", "value")
+    sink = fanout_sink([p1, p2])
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    n_src = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    ids1 = sorted(r["event_id"] for r in spark.read.parquet(p1).collect())
+    ids2 = sorted(r["event_id"] for r in spark.read.parquet(p2).collect())
+    assert len(ids1) == n_src and ids1 == ids2
+
+    # crash replay: re-deliver batch 0 by hand FROM THE SOURCE (a real
+    # replay re-reads the input, never the sink) — partition
+    # overwrite, not append, so counts are unchanged
+    batch0 = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    sink(batch0, 0)
+    assert spark.read.parquet(p1).count() == n_src
+    assert spark.read.parquet(p2).count() == n_src
