@@ -1105,3 +1105,52 @@ def test_embedding_pca_reduce_finds_optimal_subspace(spark):
 
     # the projection keeps a meaningful share of total energy
     assert energy_spark >= 0.25 * float(np.sum(X**2))
+
+
+def test_event_funnel_tie_and_deadline_semantics(spark, tmp_path):
+    """Crafted stream pins the funnel contract: same-timestamp steps
+    qualify only in event_id order (the strictly-prior ROWS frame),
+    and a step past the conversion deadline does not count."""
+    import datetime
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.workload_ext import FUNNEL_WINDOW_MIN
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, typ, minutes):
+        return (
+            eid,
+            t0 + datetime.timedelta(minutes=minutes),
+            uid,
+            typ,
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        # user 1: view -> click SAME ts, event_id after -> qualifies;
+        # purchase inside deadline -> full funnel
+        ev(1, 1, "view", 0),
+        ev(2, 1, "click", 0),
+        ev(3, 1, "purchase", 10),
+        # user 2: click BEFORE its view in event order (same ts) ->
+        # click does not qualify
+        ev(4, 2, "click", 0),
+        ev(5, 2, "view", 0),
+        # user 3: click past the deadline -> does not qualify
+        ev(6, 3, "view", 0),
+        ev(7, 3, "click", FUNNEL_WINDOW_MIN + 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r["step"]: r["n_users"]
+        for r in w.QUERIES["event_funnel"](spark, d).collect()
+    }
+    assert got == {"view": 3, "click": 1, "purchase": 1}

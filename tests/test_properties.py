@@ -255,3 +255,129 @@ def test_repetition_fraction_bounds_and_python_twin(spark, texts):
         expect = round(1.0 - len(set(grams)) / len(grams), 4)
         assert 0.0 <= got[i] < 1.0
         assert abs(got[i] - expect) < 1e-9
+
+
+@given(
+    st.lists(  # target rows: (key, s, v)
+        st.tuples(
+            st.integers(0, 15),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+            st.one_of(st.none(), st.integers(0, 5).map(float)),
+        ),
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(  # source rows
+        st.tuples(
+            st.integers(0, 15),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "x"])),
+            st.one_of(st.none(), st.integers(0, 5).map(float)),
+        ),
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+)
+@SET
+def test_merge_upsert_matches_python_model(spark, target_rows, source_rows):
+    """merge_upsert == the dict-model merge (source row wins whole,
+    unmatched target kept) with exact action typing, across random
+    null patterns."""
+    from hubsit_health_analytics_etl_spark.operators.cdc import merge_upsert
+
+    schema = "k int, s string, v double"
+    target = spark.createDataFrame(target_rows, schema)
+    source = spark.createDataFrame(source_rows, schema)
+    got = {
+        r["k"]: (r["s"], r["v"], r["merge_action"])
+        for r in merge_upsert(target, source, ["k"]).collect()
+    }
+
+    t, s_ = {r[0]: r[1:] for r in target_rows}, {r[0]: r[1:] for r in source_rows}
+    exp = {}
+    for k in set(t) | set(s_):
+        if k not in t:
+            exp[k] = (*s_[k], "insert")
+        elif k not in s_:
+            exp[k] = (*t[k], "kept")
+        elif s_[k] == t[k]:
+            exp[k] = (*s_[k], "unchanged")
+        else:
+            exp[k] = (*s_[k], "update")
+    assert got == exp
+
+
+@given(
+    st.lists(  # orders: (custkey, day, orderkey-suffix, priority)
+        st.tuples(
+            st.integers(1, 3),
+            st.integers(1, 20),
+            st.integers(0, 99),
+            st.sampled_from(["1-URGENT", "2-HIGH", "3-LOW"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SET
+def test_scd2_islands_match_python_model(spark, rows):
+    """The SCD2 gaps-and-islands build == a sequential scan model:
+    per customer, ordered by (date, orderkey), runs of equal priority
+    collapse to one row with the next run's start as valid_to."""
+    import datetime
+
+    from hubsit_health_analytics_etl_spark import workload as w
+
+    data = [
+        (
+            ck,
+            1000 * ck + i,  # unique orderkey, ordered by insertion
+            prio,
+            datetime.datetime(2024, 1, day),
+            100.0,
+            "F",
+        )
+        for i, (ck, day, _sfx, prio) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "o_custkey long, o_orderkey long, o_orderpriority string,"
+        " o_orderdate timestamp_ntz, o_totalprice double, o_orderstatus string",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    # multiset compare: alternating priorities within one day create
+    # several runs sharing (custkey, valid_from, priority)
+    got = sorted(
+        (
+            r["o_custkey"],
+            r["valid_from"],
+            r["priority"],
+            r["valid_to"],
+            r["n_orders"],
+            r["is_current"],
+        )
+        for r in w.QUERIES["scd2_priority_history"](spark, d).collect()
+    )
+
+    exp = []
+    bycust: dict = {}
+    for ck, okey, prio, dt, _p, _s in data:
+        bycust.setdefault(ck, []).append((dt.date(), okey, prio))
+    for ck, evs in bycust.items():
+        evs.sort()
+        runs = []  # (prio, start_date, n)
+        for dte, _ok, prio in evs:
+            if runs and runs[-1][0] == prio:
+                runs[-1][2] += 1
+            else:
+                runs.append([prio, dte, 1])
+        for i, (prio, start, n) in enumerate(runs):
+            vt = (
+                runs[i + 1][1].isoformat() if i + 1 < len(runs) else "9999-12-31"
+            )
+            exp.append(
+                (ck, start.isoformat(), prio, vt, n, 1 if i + 1 == len(runs) else 0)
+            )
+    assert got == sorted(exp)
