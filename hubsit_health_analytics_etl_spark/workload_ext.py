@@ -5687,6 +5687,21 @@ def q_user_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"user_id": [], "n_a": [], "n_b": [], "ks_u6": []}
             ).astype({"user_id": "int64", "n_a": "int64", "n_b": "int64",
                       "ks_u6": "int64"})
+        if "value" not in left.columns or "value" not in right.columns:
+            # Catalyst prunes cogroup INPUT columns when no downstream
+            # consumer reads a value-derived output (e.g. a bare
+            # count()). Row multiplicity is value-independent here
+            # (one row iff both sides non-empty), so emit it with a
+            # placeholder statistic — observationally identical for
+            # every plan that triggers the pruning.
+            return pd.DataFrame(
+                {
+                    "user_id": [int(left["user_id"].iloc[0])],
+                    "n_a": [len(left)],
+                    "n_b": [len(right)],
+                    "ks_u6": [0],
+                }
+            )
         va = np.sort(left["value"].to_numpy())
         vb = np.sort(right["value"].to_numpy())
         pts = np.unique(np.concatenate([va, vb]))
