@@ -1,0 +1,104 @@
+"""Training-data export with integrity manifests.
+
+The last step of every curation pipeline is a dump a TRAINER reads —
+and the first question after a bad run is "did the trainer read
+exactly what the pipeline wrote?". This module writes hash-sharded
+parquet plus a per-shard manifest (row count + order-independent
+content fingerprint) and re-verifies a dump against its manifest
+without re-reading the pipeline.
+
+Fingerprint = SUM over rows of the first-8-hex md5 of the row's JSON
+serialization (struct field order fixed by the schema): commutative,
+so it is partition- and order-independent — two honest reads always
+agree, any dropped/duplicated/altered row changes the sum. The same
+map-side md5-integer trick as operators/sampling.py; at 100 TB the
+fingerprint pass is one map + one per-shard partial sum riding the
+export shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_NAME = "_manifest.json"
+
+
+def _fingerprint_cols(df: DataFrame, shard_col: str) -> DataFrame:
+    cols = [c for c in df.columns if c != shard_col]
+    row_fp = F.expr(
+        "cast(conv(substr(md5(to_json(struct("
+        + ", ".join(cols)
+        + "))), 1, 8), 16, 10) as bigint)"
+    )
+    return df.groupBy(shard_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_fp).alias("content_fp"),
+    )
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key: str,
+    salt: str = "shard",
+) -> dict:
+    """Write ``df`` into ``n_shards`` deterministic hash shards
+    (partitioned parquet) plus ``_manifest.json``; returns the
+    manifest dict. Shard membership is a pure function of the key —
+    the same contract as training_shard_plan."""
+    shard = F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', cast({key} as string))), 1, 8),"
+        f" 16, 10) as bigint) % {n_shards}"
+    )
+    sharded = df.withColumn("_shard", shard)
+    sharded.write.mode("overwrite").partitionBy("_shard").parquet(path)
+
+    stats = _fingerprint_cols(sharded, "_shard").collect()
+    manifest = {
+        "n_shards": n_shards,
+        "key": key,
+        "salt": salt,
+        "shards": {
+            str(r["_shard"]): {
+                "n_rows": r["n_rows"],
+                "content_fp": r["content_fp"],
+            }
+            for r in stats
+        },
+    }
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def verify_export(spark: SparkSession, path: str) -> list[str]:
+    """Re-read a dump and compare against its manifest. Returns the
+    list of problems (empty = verified); never raises on mismatch so
+    an ingest gate can report all failures at once."""
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    df = spark.read.parquet(path)
+    got = {
+        str(r["_shard"]): (r["n_rows"], r["content_fp"])
+        for r in _fingerprint_cols(df, "_shard").collect()
+    }
+    problems = []
+    for shard, exp in sorted(manifest["shards"].items()):
+        if shard not in got:
+            problems.append(f"shard {shard}: missing from dump")
+            continue
+        n, fp = got[shard]
+        if n != exp["n_rows"]:
+            problems.append(
+                f"shard {shard}: n_rows {n} != manifest {exp['n_rows']}"
+            )
+        elif fp != exp["content_fp"]:
+            problems.append(f"shard {shard}: content fingerprint mismatch")
+    for shard in sorted(set(got) - set(manifest["shards"])):
+        problems.append(f"shard {shard}: not in manifest")
+    return problems
