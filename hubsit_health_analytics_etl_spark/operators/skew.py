@@ -70,3 +70,40 @@ def salted_join_skewed_left(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted_fact.join(exploded_dim, [key, "_salt"]).drop("_salt")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key: str,
+    top: int = 10,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Skew diagnosis BEFORE the salting decision: the ``top`` heaviest
+    keys with their row share and the salt factor that would bring
+    each back under ``target_rows_per_task`` rows per task —
+    ceil(n_rows / target), 1 = no salting needed. One count-groupBy +
+    TakeOrderedAndProject; run it on a sample or the key column only
+    at 100 TB (the scan prunes to one column). The output feeds
+    with_salt/salted_agg/salted_join_skewed_left directly."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key).alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    topk = counts.orderBy(
+        F.col("n_rows").desc(), F.col("key_value").asc()
+    ).limit(top)
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key_value").asc())
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "key_value",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("row_share"),
+            F.ceil(F.col("n_rows") / F.lit(target_rows_per_task))
+            .cast("bigint")
+            .alias("salt_factor"),
+        )
+    )

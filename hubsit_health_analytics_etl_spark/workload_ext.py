@@ -5814,3 +5814,39 @@ def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnosis: the report you run BEFORE choosing a salting
+# strategy — the top heavy keys, their row share, and the derived
+# salt factor that brings each under the per-task row target.
+# Completes the skew family's detect→mitigate story next to
+# salted_event_totals / salted_priority_join.
+# ---------------------------------------------------------------------------
+SKEW_TOP = 10
+SKEW_TARGET_ROWS = 500  # per-task row target at fixture scale
+
+
+@query(
+    "event_user_skew_report",
+    f"""
+    WITH c AS (SELECT user_id AS key_value, COUNT(*)::BIGINT AS n_rows
+               FROM events GROUP BY user_id),
+    t AS (SELECT SUM(n_rows) AS total FROM c),
+    r AS (SELECT key_value, n_rows,
+                 ROW_NUMBER() OVER (ORDER BY n_rows DESC, key_value) AS rank
+          FROM c)
+    SELECT rank::BIGINT AS rank, key_value, n_rows,
+           ROUND(n_rows / CAST(t.total AS DOUBLE), 6) AS row_share,
+           CAST(ceil(n_rows / {SKEW_TARGET_ROWS}.0) AS BIGINT) AS salt_factor
+    FROM r CROSS JOIN t WHERE rank <= {SKEW_TOP}
+    """,
+)
+def q_event_user_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/skew.py::key_skew_report over events.user_id."""
+    from .operators.skew import key_skew_report
+
+    events = load_table(spark, sf_dir, "events")
+    return key_skew_report(
+        events, "user_id", top=SKEW_TOP, target_rows_per_task=SKEW_TARGET_ROWS
+    )
