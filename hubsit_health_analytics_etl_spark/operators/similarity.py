@@ -784,3 +784,245 @@ def pq_codebooks_kmeans(
 
     with ThreadPoolExecutor(max_workers=m) as pool:
         return list(pool.map(_fit, range(m)))
+
+
+# ---------------------------------------------------------------------------
+# PCA rotation/reduction: the dense-rotation stage that PRECEDES
+# quantization in real vector pipelines (OPQ ≈ rotation + PQ). The
+# FIT is a distributed Spark ML job (covariance Gramian + local
+# eigendecomposition); the collected k×D component matrix is the
+# MODEL — the same literals-not-data contract as PQ codebooks — and
+# the projection is a map-only literal matmul, fully whole-stage
+# codegen, zero Python, zero shuffles.
+# ---------------------------------------------------------------------------
+def pca_components(
+    corpus: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> list[list[float]]:
+    """Fit PCA on ``vec_col`` and return the top-``k`` principal
+    components as ``components[j][i]`` (component j, input dim i) —
+    rounded literals collected to the driver (k·D floats are the
+    MODEL, not data; the :func:`pq_codebooks_label_mean` contract).
+
+    Eigensolvers fix components only up to sign, so each component is
+    canonicalized: the entry with the largest |weight| (first such
+    index on ties) is made positive. That makes the collected matrix
+    stable across solver sign flips; ORDER still follows Spark ML's
+    descending-eigenvalue convention. Like the other distributed fits
+    (kmeans_centroids, pq_codebooks_kmeans) the fit itself is
+    engine-specific → rows-only posture for any driver query built on
+    it; quality bounds live in pytest. Note Spark ML's PCA projects
+    RAW (uncentered) vectors — :func:`pca_project_expr` matches that.
+
+    At 100 TB: fit on a bounded sample (1M vectors saturate a 64-dim
+    covariance estimate) and broadcast the k·D literals; the
+    projection stage scans the corpus exactly once, map-only."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = PCA(k=int(k), inputCol="features", outputCol="pca").fit(vecs)
+    pc = np.array(model.pc.toArray())  # (D, k); column j = component j
+    for j in range(pc.shape[1]):
+        i = int(np.argmax(np.abs(pc[:, j])))
+        if pc[i, j] < 0:
+            pc[:, j] = -pc[:, j]
+    return [
+        [round(float(pc[i, j]), scale) for i in range(pc.shape[0])]
+        for j in range(pc.shape[1])
+    ]
+
+
+def pca_project_expr(
+    components: list[list[float]], vec_col: str = "embedding", scale: int = 6
+) -> Column:
+    """``array<double>`` column: ``vec_col`` projected onto literal
+    ``components`` (from :func:`pca_components` or any fixed rotation).
+    reduced[j] = Σ_i v[i]·P[j][i], sequential double accumulation
+    (the :func:`dot_expr` posture), each coordinate rounded ``scale``
+    dp. Pure map-side expression — composes with pq_encode_exprs /
+    pq_adc_dist_expr for the rotate→quantize (OPQ-shape) stack."""
+    terms = []
+    for comp in components:
+        lit = "array(" + ", ".join(f"cast({w} as double)" for w in comp) + ")"
+        terms.append(
+            f"round(aggregate(zip_with(cast({vec_col} as array<double>), {lit}, "
+            f"(x, y) -> x * y), 0D, (acc, v) -> acc + v), {scale})"
+        )
+    return F.expr("array(" + ", ".join(terms) + ")")
+
+
+def hadamard_rotation(dim: int = EMBED_DIM) -> list[list[float]]:
+    """Deterministic data-independent orthonormal rotation: the
+    Sylvester Hadamard matrix H_dim scaled by 1/sqrt(dim). ``dim``
+    must be a power of two; for dim=64 every entry is ±0.125 —
+    EXACTLY representable in binary, so the rotation adds zero float
+    noise of its own and the full rotate→PQ→ADC stack stays
+    cross-engine hash-checkable (the randomized-rotation + PQ recipe
+    of FAISS's pre-rotation / structured OPQ init — a fixed rotation
+    decorrelates coordinates without a data-dependent fit)."""
+    if dim & (dim - 1) or dim <= 0:
+        raise ValueError(f"hadamard_rotation: dim must be a power of 2, got {dim}")
+    h = [[1.0]]
+    while len(h) < dim:
+        n = len(h)
+        h = [
+            [h[i % n][j % n] * (-1.0 if (i >= n and j >= n) else 1.0)
+             for j in range(2 * n)]
+            for i in range(2 * n)
+        ]
+    s = 1.0 / float(np.sqrt(dim))
+    return [[x * s for x in row] for row in h]
+
+
+def opq_balance_components(
+    components: list[list[float]], m: int = PQ_M
+) -> list[list[float]]:
+    """Round-robin-deal PCA components across ``m`` PQ subspaces —
+    the non-parametric OPQ initialization (Ge et al., CVPR 2013 §4:
+    eigenvalue allocation). ``components`` arrive sorted by
+    descending eigenvalue (Spark ML's convention); a CONTIGUOUS
+    slice-by-subspace would give subspace 0 all the high-variance
+    directions and subspace m-1 noise, starving the codebooks.
+    Dealing component c to subspace c % m balances the variance
+    spectrum so every subspace's codebook carries comparable energy.
+    Output order: position s*sub_dim + i holds component i*m + s,
+    matching pq_encode_exprs' contiguous slice convention."""
+    if len(components) % m:
+        raise ValueError(f"{len(components)} components not divisible by m={m}")
+    sub_dim = len(components) // m
+    return [components[i * m + s] for s in range(m) for i in range(sub_dim)]
+
+
+# ---------------------------------------------------------------------------
+# Integer micro-unit PQ: the cross-engine-exact variant of the
+# label-mean PQ chain, for pipelines whose INPUT vectors are already
+# on a decimal lattice (e.g. a rotation stage that rounded its output
+# — ann_rot_pq_adc_topk). Averaging lattice values puts centroids
+# exactly ON round-half boundaries (an exact multiple of 1e-6/n lands
+# on the 5e-7 boundary for ~2% of coordinates at n=50), where Spark's
+# BigDecimal-HALF_UP and DuckDB's double-multiply round() disagree by
+# 1 ulp — so instead of fighting float rounding, the chain leaves
+# floats entirely: coordinates become BIGINT micro-units (one
+# measure-zero-boundary round of a CONTINUOUS dot product, the same
+# class of round every green float query performs), centroids are
+# floor-of-average (exact: the rational mean is either an exact
+# integer or ≥ 1/n away from one, dwarfing double error), and every
+# distance/assignment/ADC after that is exact int64 arithmetic —
+# bitwise identical on any engine, no rounding anywhere.
+# ---------------------------------------------------------------------------
+U6 = 1_000_000
+
+
+def project_u6_expr(
+    components: list[list[float]], vec_col: str = "embedding"
+) -> Column:
+    """``array<bigint>``: ``vec_col`` projected onto literal
+    ``components``, each coordinate scaled to micro-units —
+    round(dot·1e6) as int64. The dot is continuous (raw float32 data ×
+    literal weights), so the single round sits on a half-boundary only
+    on a measure-zero set; everything downstream is exact integers."""
+    terms = []
+    for comp in components:
+        lit = "array(" + ", ".join(f"cast({w} as double)" for w in comp) + ")"
+        terms.append(
+            f"cast(round(aggregate(zip_with(cast({vec_col} as array<double>), {lit}, "
+            f"(x, y) -> x * y), 0D, (acc, v) -> acc + v) * {U6}.0D, 0) as bigint)"
+        )
+    return F.expr("array(" + ", ".join(terms) + ")")
+
+
+def pq_codebooks_floor_u6(
+    corpus: DataFrame,
+    vec_col: str,
+    label_col: str = "label",
+    m: int = PQ_M,
+    sub_dim: int = PQ_SUB_DIM,
+) -> list[list[list[int]]]:
+    """Label-mean codebooks over an ``array<bigint>`` micro-unit
+    column, centroid coordinate = floor(avg) as int64. floor, not
+    round: avg of int64s is the exact rational Σ/n, which is either an
+    exact integer (floor exact on both engines) or ≥ 1/n from one —
+    never within double error of the discontinuity, unlike round's
+    half-boundary which the lattice hits ~1/n of the time. Returns
+    ``codebooks[s][k]`` (k = ascending label order), collected to the
+    driver: M·K·sub_dim ints are the MODEL (pq_codebooks_label_mean
+    contract)."""
+    aggs = [
+        F.floor(F.avg(F.col(vec_col)[i])).cast("bigint").alias(f"c{i}")
+        for i in range(m * sub_dim)
+    ]
+    rows = corpus.groupBy(label_col).agg(*aggs).orderBy(label_col).collect()
+    return [
+        [[int(r[f"c{s * sub_dim + i}"]) for i in range(sub_dim)] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _pq_sub_dist_u6(vec: str, s: int, centroid: list[int], sub_dim: int) -> str:
+    """SQL text: exact int64 squared L2 between subvector s of a
+    micro-unit ``vec`` and a literal integer centroid."""
+    lit = "array(" + ", ".join(f"{x}L" for x in centroid) + ")"
+    return (
+        f"aggregate(zip_with(slice({vec}, {s * sub_dim + 1}, {sub_dim}), {lit}, "
+        f"(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    )
+
+
+def pq_encode_u6_exprs(
+    codebooks: list[list[list[int]]],
+    vec_col: str,
+    sub_dim: int = PQ_SUB_DIM,
+) -> tuple[Column, Column]:
+    """(codes, sq_err_u) columns encoding a micro-unit vector against
+    literal integer codebooks — argmin per subspace via (distance,
+    label-index) struct array_min, all arithmetic exact int64.
+    sq_err_u = Σ chosen subspace distances (µ²-units, bigint)."""
+    best = [
+        F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        F.expr(_pq_sub_dist_u6(vec_col, s, cent, sub_dim)).alias("d"),
+                        F.lit(k).alias("l"),
+                    )
+                    for k, cent in enumerate(cb)
+                ]
+            )
+        )
+        for s, cb in enumerate(codebooks)
+    ]
+    codes = F.array(*[b["l"] for b in best])
+    sq_err = sum((b["d"] for b in best), F.lit(0).cast("bigint"))
+    return codes, sq_err.cast("bigint")
+
+
+def pq_adc_u6_dist_expr(
+    codebooks: list[list[list[int]]],
+    q_vec: str = "q_vec",
+    codes_col: str = "codes",
+    sub_dim: int = PQ_SUB_DIM,
+) -> Column:
+    """Exact-int64 asymmetric PQ distance: micro-unit query subvectors
+    vs the CODES' integer centroids (element_at lookup on a literal
+    int codebook). Zero rounding anywhere — the adc value is bitwise
+    engine-independent by construction."""
+    terms = []
+    for s, cb in enumerate(codebooks):
+        cb_lit = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{x}L" for x in cent) + ")" for cent in cb
+            )
+            + ")"
+        )
+        terms.append(
+            f"aggregate(zip_with(slice({q_vec}, {s * sub_dim + 1}, {sub_dim}), "
+            f"element_at({cb_lit}, {codes_col}[{s}] + 1), "
+            f"(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+        )
+    return F.expr("(" + " + ".join(terms) + ")").cast("bigint")

@@ -159,3 +159,34 @@ def lint_plan(df: DataFrame) -> list[Finding]:
 
     order = {s: i for i, s in enumerate(SEVERITIES)}
     return sorted(f, key=lambda x: order[x.severity])
+
+
+def lint_driver_output(df: DataFrame) -> list[Finding]:
+    """Schema contract for driver-facing query results: every
+    top-level column must be a hashable SCALAR.
+
+    The correctness gate canonicalizes results by sorting a pandas
+    frame and hashing its values; a top-level ``array``/``map``/
+    ``struct`` column arrives as ``numpy.ndarray``/``dict``/``Row``
+    and crashes that canonicalizer (``TypeError: unhashable type`` —
+    the r7 ``embedding_pca_reduce`` failure). Nested data belongs
+    behind a deterministic scalar signature instead: md5 of the
+    rounded, comma-joined array (the ``embedding_quantize`` /
+    ``embedding_pca_reduce`` pattern), plus whatever scalar metrics
+    (min/max/energy) the consumer needs to reason about the payload."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    f: list[Finding] = []
+    for field in df.schema.fields:
+        if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+            f.append(
+                Finding(
+                    "error",
+                    "nested-output-column",
+                    f"column '{field.name}' is {field.dataType.simpleString()}: "
+                    "unhashable in the gate's pandas canonicalizer — emit a "
+                    "scalar md5 signature of the rounded payload instead "
+                    "(embedding_quantize pattern).",
+                )
+            )
+    return f

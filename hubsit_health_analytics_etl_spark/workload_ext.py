@@ -3189,30 +3189,35 @@ def q_dedup_clusters_merge_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 # train+encode pipeline. Codes serialize as 'c0-c1-...-c7' (the
 # compare machinery hashes scalar columns).
 # ---------------------------------------------------------------------------
-def _pq_ctes() -> str:
+def _pq_ctes(src: str = "embeddings", vec: str = "embedding", head: str = "") -> str:
     """Shared PQ oracle CTE chain (codebooks → scored → chosen);
-    embedding_pq_codes and ann_pq_adc_topk extend it."""
+    embedding_pq_codes and ann_pq_adc_topk extend it over the raw
+    ``embeddings`` table; ``src``/``vec`` re-target it at another CTE
+    (``head`` = extra leading CTEs, trailing comma included). NOTE:
+    this float chain is only cross-engine-safe over CONTINUOUS input
+    coordinates — after a rounding stage (a rotation), use the
+    micro-unit integer chain (ann_rot_pq_adc_topk) instead."""
     from .operators.similarity import PQ_M, PQ_SUB_DIM
 
     cb_selects = " UNION ALL ".join(
         f"SELECT {s} AS s, label, ["
         + ", ".join(
-            f"ROUND(AVG(CAST(embedding[{s * PQ_SUB_DIM + i + 1}] AS DOUBLE)), 6)"
+            f"ROUND(AVG(CAST({vec}[{s * PQ_SUB_DIM + i + 1}] AS DOUBLE)), 6)"
             for i in range(PQ_SUB_DIM)
         )
-        + "] AS centroid FROM embeddings GROUP BY label"
+        + f"] AS centroid FROM {src} GROUP BY label"
         for s in range(PQ_M)
     )
     return f"""
-    WITH cb AS ({cb_selects}),
+    WITH {head}cb AS ({cb_selects}),
     lab AS (SELECT s, label, centroid,
                    ROW_NUMBER() OVER (PARTITION BY s ORDER BY label) - 1 AS k
             FROM cb),
     scored AS (SELECT e.vec_id, c.s, c.k,
                       ROUND(list_sum(list_transform(range(1, {PQ_SUB_DIM + 1}),
-                            i -> (CAST(e.embedding[CAST(c.s * {PQ_SUB_DIM} AS INT) + CAST(i AS INT)] AS DOUBLE)
+                            i -> (CAST(e.{vec}[CAST(c.s * {PQ_SUB_DIM} AS INT) + CAST(i AS INT)] AS DOUBLE)
                                   - c.centroid[CAST(i AS INT)]) ^ 2)), 9) AS d
-               FROM embeddings e, lab c),
+               FROM {src} e, lab c),
     ranked AS (SELECT vec_id, s, k, d,
                       ROW_NUMBER() OVER (PARTITION BY vec_id, s
                                          ORDER BY d, k) AS rn
@@ -5733,31 +5738,258 @@ def q_user_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decomposition has no cross-engine twin (component signs/order are
 # solver-specific); the quality bounds live in pytest — PCA
 # reconstruction must beat the mean-only baseline and capture a
-# minimum variance share.
+# minimum variance share. The OUTPUT is driver-canonicalizable by
+# contract (VERDICT r7 #1): scalar columns only — the md5 signature
+# of the rounded reduced vector (the embedding_quantize pattern)
+# instead of a raw array<float> the gate's canonicalizer cannot hash.
 # ---------------------------------------------------------------------------
 PCA_K = 16
 
 
 @query("embedding_pca_reduce")
 def q_embedding_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, reduced float[PCA_K]): seeded-free deterministic-fit
-    PCA (covariance eigendecomposition of THIS corpus), projection is
-    a map-only matmul expression over the Arrow-free JVM vector ops.
-    The 64→{PCA_K} cut is 4× storage before any quantization; chain
-    embedding_quantize/PQ after it for the full compression stack."""
-    from pyspark.ml.feature import PCA
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    """(vec_id, reduced_sig, energy_kept_u6, recon_err_u6): distributed
+    Spark ML PCA fit → k×64 component matrix collected as rounded,
+    sign-canonicalized LITERALS (operators/similarity.py::
+    pca_components, the PQ-codebook model contract) → map-only
+    literal-matmul projection (pca_project_expr, zero Python / zero
+    shuffles). Per vector: md5 signature of the 6dp reduced vector,
+    kept-energy share |r|²/|x|² in micro-units, and mean reconstruction
+    error (|x|²-|r|²)/dim in micro-units — exact via Pythagoras for an
+    orthonormal-projection, no second matmul. The 64→16 cut is 4×
+    storage before any quantization; ann_opq_adc_topk chains PQ after
+    this rotation for the full compression stack. Rows-only by
+    construction (the fit); projection/energy bounds in
+    tests/test_ext_operators.py."""
+    from .operators.similarity import pca_components, pca_project_expr
 
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    pc = pca_components(emb, PCA_K)
+    dim = len(pc[0])
+    v = "cast(embedding as array<double>)"
+    out = emb.select(
+        "vec_id",
+        pca_project_expr(pc).alias("r"),
+        F.expr(
+            f"aggregate(transform({v}, x -> x * x), 0D, (acc, w) -> acc + w)"
+        ).alias("tot"),
     )
-    model = PCA(k=PCA_K, inputCol="features", outputCol="reduced").fit(vecs)
-    out = model.transform(vecs)
+    kept = "aggregate(transform(r, x -> x * x), 0D, (acc, w) -> acc + w)"
     return out.select(
         "vec_id",
-        vector_to_array(F.col("reduced")).cast("array<float>").alias("reduced"),
+        F.md5(F.concat_ws(",", F.col("r").cast("array<string>"))).alias(
+            "reduced_sig"
+        ),
+        F.expr(f"cast(floor(1000000.0D * {kept} / tot) as bigint)").alias(
+            "energy_kept_u6"
+        ),
+        F.expr(
+            f"cast(floor(greatest(0D, tot - {kept}) * 1000000.0D / {dim}D) "
+            "as bigint)"
+        ).alias("recon_err_u6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed compression stack (OPQ shape): rotate → PQ encode → ADC
+# top-k, the full pipeline a real vector store runs. Two variants:
+#
+# - ann_rot_pq_adc_topk: deterministic Hadamard rotation (entries
+#   ±0.125, exact in binary) — the structured-rotation + PQ recipe.
+#   Because the rotation is a data-independent literal, the ENTIRE
+#   stack (rotate, codebook train, encode, asymmetric search) is
+#   recomputed from scratch by the DuckDB oracle and hash-matched —
+#   the composition (sign/order/rounding subtleties of chaining a
+#   rotation into quantization) is what the hash covers.
+# - ann_opq_adc_topk: PCA-fitted rotation with eigenvalue allocation
+#   (round-robin component deal, Ge et al. CVPR'13 §4) — the OPQ
+#   initialization proper. The fit is a distributed Spark ML job →
+#   rows-only by construction (same posture as ann_pq_trained_recall);
+#   pytest pins quantization MSE below the unrotated path and recall
+#   floors.
+#
+# Determinism design: a rotation stage ROUNDS its output, so the
+# downstream codebook averages sit on a decimal lattice — label-means
+# of lattice values land exactly ON round-half boundaries for ~1/n of
+# coordinates, where Spark (BigDecimal HALF_UP on the shortest-repr
+# decimal) and DuckDB (double-multiply std::round) disagree by 1 ulp.
+# The float PQ chain is therefore NOT composable cross-engine after a
+# rounded rotation; this stack instead switches to exact int64
+# micro-units right at the rotation (operators/similarity.py
+# project_u6_expr + pq_*_u6 family): one measure-zero-boundary round
+# of a continuous dot product, then floor-of-average centroids and
+# pure integer distances — bitwise engine-independent with zero
+# rounding anywhere downstream, which is exactly what the oracle hash
+# proves.
+# ---------------------------------------------------------------------------
+def _rot_pq_u6_oracle() -> str:
+    """Full DuckDB rebuild of the Hadamard → micro-unit PQ → ADC
+    stack: literal ±0.125 rotation rows, rot coords as
+    round(dot·1e6)::BIGINT, floor-of-average integer centroids,
+    exact-int64 encode + asymmetric distances, top-{ANN_K}."""
+    from .operators.similarity import (
+        EMBED_DIM,
+        PQ_M,
+        PQ_SUB_DIM,
+        U6,
+        hadamard_rotation,
+    )
+
+    rows = ", ".join(
+        f"({j + 1}, [" + ", ".join(str(x) for x in row) + "])"
+        for j, row in enumerate(hadamard_rotation())
+    )
+    cb_selects = " UNION ALL ".join(
+        f"SELECT {s} AS s, label, ["
+        + ", ".join(
+            f"CAST(FLOOR(AVG(rot[{s * PQ_SUB_DIM + i + 1}])) AS BIGINT)"
+            for i in range(PQ_SUB_DIM)
+        )
+        + "] AS centroid FROM rotu GROUP BY label"
+        for s in range(PQ_M)
+    )
+    sq = (
+        f"(x.rot[CAST(y.s * {PQ_SUB_DIM} AS INT) + CAST(i AS INT)]"
+        f" - y.centroid[CAST(i AS INT)])"
+    )
+    return f"""
+    WITH hm(j, hrow) AS (SELECT * FROM (VALUES {rows}) AS t(j, hrow)),
+    rotu AS (SELECT e.vec_id, e.label,
+                    list(CAST(ROUND(list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                         i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                              * hm.hrow[CAST(i AS INT)])) * {U6}.0, 0) AS BIGINT)
+                         ORDER BY hm.j) AS rot
+             FROM embeddings e CROSS JOIN hm
+             GROUP BY e.vec_id, e.label),
+    cb AS ({cb_selects}),
+    lab AS (SELECT s, label, centroid,
+                   ROW_NUMBER() OVER (PARTITION BY s ORDER BY label) - 1 AS k
+            FROM cb),
+    scored AS (SELECT x.vec_id, y.s, y.k,
+                      list_sum(list_transform(range(1, {PQ_SUB_DIM + 1}),
+                            i -> {sq} * {sq})) AS d
+               FROM rotu x, lab y),
+    ranked AS (SELECT vec_id, s, k, d,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                         ORDER BY d, k) AS rn
+               FROM scored),
+    chosen AS (SELECT vec_id, s, k AS code FROM ranked WHERE rn = 1),
+    qv AS (SELECT vec_id AS query_id, rot FROM rotu
+           WHERE vec_id < {ANN_QUERY_LIMIT}),
+    adc AS (SELECT x.query_id, ch.vec_id AS neighbor_id,
+                   CAST(SUM(list_sum(list_transform(range(1, {PQ_SUB_DIM + 1}),
+                         i -> (x.rot[CAST(ch.s * {PQ_SUB_DIM} AS INT) + CAST(i AS INT)]
+                               - y.centroid[CAST(i AS INT)])
+                              * (x.rot[CAST(ch.s * {PQ_SUB_DIM} AS INT) + CAST(i AS INT)]
+                                 - y.centroid[CAST(i AS INT)])))) AS BIGINT) AS adc_u
+            FROM qv x
+            JOIN chosen ch ON x.query_id <> ch.vec_id
+            JOIN lab y ON y.s = ch.s AND y.k = ch.code
+            GROUP BY x.query_id, ch.vec_id),
+    rk AS (SELECT query_id, neighbor_id, adc_u,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_u, neighbor_id) AS rank
+           FROM adc)
+    SELECT query_id, neighbor_id, adc_u, rank::BIGINT AS rank
+    FROM rk WHERE rank <= {ANN_K}
+    """
+
+
+def _rot_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    components: list[list[float]],
+    k: int = ANN_K,
+) -> DataFrame:
+    """Shared Spark body for both rotation variants: project onto
+    literal ``components`` straight into int64 micro-units, train
+    floor-of-average integer codebooks on the ROTATED corpus, encode,
+    then exact-int64 asymmetric top-{ANN_K} with broadcast rotated
+    queries. One shuffle (codebook groupBy) + one window; the ADC scan
+    is map-only over (vec_id, 8 codes). At 100 TB the rotated
+    micro-unit corpus is written once at ingest (map-only) and only
+    the codes table is ever scanned at query time."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import (
+        pq_adc_u6_dist_expr,
+        pq_codebooks_floor_u6,
+        pq_encode_u6_exprs,
+        project_u6_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rot = _spread(emb).select(
+        "vec_id", "label", project_u6_expr(components, "embedding").alias("rot")
+    )
+    cb = pq_codebooks_floor_u6(rot, vec_col="rot")
+    codes, _ = pq_encode_u6_exprs(cb, vec_col="rot")
+    corpus_codes = rot.select("vec_id", codes.alias("codes"))
+    q = rot.filter(F.col("vec_id") < ANN_QUERY_LIMIT).select(
+        F.col("vec_id").alias("query_id"), F.col("rot").alias("q_vec")
+    )
+    pairs = corpus_codes.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        pq_adc_u6_dist_expr(cb).alias("adc_u"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_u").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_u",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+@query("ann_rot_pq_adc_topk", _rot_pq_u6_oracle())
+def q_ann_rot_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hadamard-rotation → PQ → ADC top-k, FULLY hash-checked: the
+    oracle rebuilds the rotation (literal ±0.125 Hadamard rows —
+    operators/similarity.py::hadamard_rotation), the micro-unit
+    rotated corpus, the integer codebooks, every code assignment, and
+    the exact-int64 asymmetric distances from scratch in SQL — so the
+    cross-engine hash pins the whole rotate→quantize composition, not
+    just one stage. The rotation is orthonormal, so ADC distances
+    approximate the SAME original-space L2 geometry as the unrotated
+    ann_pq_adc_topk path (adc_u ≈ L2²·1e12) while decorrelating
+    coordinates before the per-subspace quantizer."""
+    from .operators.similarity import hadamard_rotation
+
+    return _rot_pq_topk(spark, sf_dir, hadamard_rotation())
+
+
+@query("ann_opq_adc_topk")  # rows-only by construction: PCA fit (see docstring)
+def q_ann_opq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-initialization ANN: full-rank PCA rotation (Spark ML fit,
+    sign-canonicalized literal components) with eigenvalue allocation
+    — components dealt round-robin across the PQ subspaces so each
+    codebook sees a balanced slice of the variance spectrum
+    (operators/similarity.py::opq_balance_components) — then the same
+    micro-unit PQ encode → ADC top-k body as ann_rot_pq_adc_topk.
+    Closes the docstring promise at embedding_pca_reduce: the full
+    rotate→quantize compression stack in one query. No DuckDB oracle
+    BY CONSTRUCTION (the distributed eigensolver fit, same posture as
+    ann_pq_trained_recall); pytest pins the OPQ quantization MSE below
+    the unrotated AND the contiguous-slice PCA paths plus recall
+    floors, and plan tests forbid cartesians."""
+    from .operators.similarity import (
+        EMBED_DIM,
+        opq_balance_components,
+        pca_components,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = pca_components(emb, EMBED_DIM)
+    return _rot_pq_topk(spark, sf_dir, opq_balance_components(comps))
+
 
 
 # ---------------------------------------------------------------------------

@@ -35,11 +35,39 @@ def test_query_matches_oracle(spark, con, name):
     assert not problems, "\n".join(problems)
 
 
-def test_all_queries_return_rows(spark):
+def test_all_queries_return_rows_and_driver_contract(spark):
+    """Every registered query must (a) evaluate, and (b) satisfy the
+    driver-output contract: top-level columns are hashable scalars
+    only (plans/lint.py::lint_driver_output) — a raw array/map/struct
+    column crashes the gate's pandas canonicalizer (the r7
+    embedding_pca_reduce failure; VERDICT r7 next-item #2)."""
+    from hubsit_health_analytics_etl_spark.plans.lint import lint_driver_output
+
     w = _workload()
     for name, fn in w.QUERIES.items():
-        n = fn(spark, SF_SMOKE).count()
+        df = fn(spark, SF_SMOKE)
+        findings = lint_driver_output(df)
+        assert not findings, f"{name}: {[x.detail for x in findings]}"
+        n = df.count()
         assert n >= 0, name
+
+
+def test_driver_contract_rejects_nested_columns(spark):
+    """The contract checker itself must flag every nested top-level
+    type (so reintroducing the r7 embedding_pca_reduce shape fails the
+    ride-along above) and pass scalar signature columns."""
+    from hubsit_health_analytics_etl_spark.plans.lint import lint_driver_output
+
+    bad = spark.sql(
+        "SELECT 1 AS id, array(1.0f, 2.0f) AS reduced, "
+        "map('a', 1) AS m, named_struct('x', 1) AS s"
+    )
+    codes = {f.code for f in lint_driver_output(bad)}
+    assert codes == {"nested-output-column"}
+    assert len(lint_driver_output(bad)) == 3
+
+    good = spark.sql("SELECT 1 AS id, md5('x') AS sig, 0.5D AS score")
+    assert lint_driver_output(good) == []
 
 
 def test_entry_smoke(spark):

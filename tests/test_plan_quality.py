@@ -703,3 +703,19 @@ def test_cogroup_ks_single_arrow_stage(spark):
 
     assert len(re.findall(r"\(\d+\) FlatMapCoGroupsInPandas", p)) == 1
     assert "BatchEvalPython" not in p
+
+
+@pytest.mark.parametrize("name", ["ann_rot_pq_adc_topk", "ann_opq_adc_topk"])
+def test_rot_pq_stack_plans_broadcast_adc(spark, name):
+    """The rotate→PQ→ADC stack is deliberately the ann_pq_adc_topk
+    brute-force shape: the only nested loop allowed is the non-equi
+    self-exclusion join against the TINY broadcast rotated-query set
+    (Cross BuildRight); an unbounded CartesianProduct must never
+    appear, and the corpus side carries only (vec_id, codes)."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q(name)(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    for seg in p.split("BroadcastNestedLoopJoin")[1:]:
+        head = seg.splitlines()[0].strip()
+        assert head == "" or "BuildRight" in head.split("(")[0], head
