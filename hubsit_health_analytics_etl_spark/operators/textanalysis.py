@@ -368,3 +368,134 @@ def chunk_tokens(
         f"i -> struct(i as chunk_idx, "
         f"concat_ws(' ', slice({toks}, i * {stride} + 1, {chunk_size})) as chunk))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE trainer. The driver-sequenced merge loop (the
+# connected_components shape): each round is ONE distributed pair-count
+# aggregation + a 1-row argmax collect (the merge decision is the
+# MODEL, like codebook centroids), then a map-only merge rewrite.
+#
+# Sequence encoding that makes the merge rewrite a plain string
+# replace with EXACT textbook-BPE semantics on any engine: every
+# symbol is terminated by a sentinel (chr(1), outside the [a-z]
+# alphabet) with no shared boundary characters — so
+# replace(seq, 'a␁b␁' → 'ab␁') is greedy leftmost non-overlapping
+# WITH restart-after-match, which is precisely the tokenizer-library
+# merge rule (a space-delimited encoding would instead consume the
+# next match's boundary and mis-merge runs like 'aaaa'). Identical
+# replace() semantics in Spark, DuckDB, and Python let the DuckDB
+# oracle rebuild the whole k-round loop as unrolled CTEs and
+# hash-match every merge decision.
+# ---------------------------------------------------------------------------
+BPE_SEP = "\x01"  # symbol terminator, never in the [a-z]+ word alphabet
+BPE_PAIR_SEP = "\n"  # (left, right) key separator for counting/tie-break
+
+
+def bpe_word_table(docs, text_col: str = "text"):
+    """(word, n) frequency table over lowercased ``[a-z]+`` tokens —
+    the only corpus-sized aggregation in BPE training; every merge
+    round after it runs over DISTINCT WORDS (orders of magnitude
+    smaller). At 100 TB this table is the persisted artifact a
+    tokenizer team re-trains from without re-reading the corpus."""
+    return (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_seq_table(wf):
+    """(seq, n): each word as its character symbols, each terminated
+    by the chr(1) sentinel — 'low' → 'l␁o␁w␁'."""
+    seq = F.concat(
+        F.concat_ws(BPE_SEP, F.split(F.col("word"), "")), F.lit(BPE_SEP)
+    )
+    return wf.select(seq.alias("seq"), "n")
+
+
+def bpe_pair_counts_round(cur):
+    """One merge round's statistics: (pr, cnt) = adjacent-symbol pair
+    (left + chr(10) + right) with its corpus-weighted occurrence
+    count. Symbols are bound to an attribute BEFORE the slice/zip_with
+    HOFs (the re-evaluation trap); exactly one shuffle (the partial →
+    final pair aggregation) — plan-asserted in pytest."""
+    toks = F.expr("filter(split(seq, char(1)), x -> x <> '')")
+    tk = cur.select("n", toks.alias("toks")).filter(F.size("toks") >= 2)
+    pairs = tk.select(
+        "n",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (x, y) -> concat(x, char(10), y))"
+            )
+        ).alias("pr"),
+    )
+    return pairs.groupBy("pr").agg(F.sum("n").cast("bigint").alias("cnt"))
+
+
+def bpe_train_merges(
+    docs, n_merges: int, text_col: str = "text"
+) -> list[tuple[int, str, str, str, int]]:
+    """Train the first ``n_merges`` BPE merges over ``docs``; returns
+    [(merge_rank, left_sym, right_sym, merged, n_occurrences)]. Ties
+    break on the (left + chr(10) + right) pair string ascending —
+    integer counts + binary collation make every decision
+    engine-exact. Per round: one shuffle (pair counts over distinct
+    words), a 1-row collect (the decision), and a map-only replace.
+    Each round's word table is persisted; the PARENT is unpersisted
+    only after the child materializes inside the next round's collect
+    (one Spark job per round, lineage one round deep — the
+    connected_components recipe). Stops early when no adjacent pair
+    remains."""
+    wf = bpe_word_table(docs, text_col)
+    cur = bpe_seq_table(wf).persist()
+    live = [cur]
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for r in range(1, n_merges + 1):
+            best = (
+                bpe_pair_counts_round(cur)
+                .orderBy(F.col("cnt").desc(), F.col("pr").asc())
+                .limit(1)
+                .collect()
+            )
+            # ``cur`` materialized during the collect → its parent's
+            # cache is no longer needed
+            while len(live) > 1:
+                live.pop(0).unpersist()
+            if not best:
+                break
+            a, b = best[0]["pr"].split(BPE_PAIR_SEP)
+            merges.append((r, a, b, a + b, int(best[0]["cnt"])))
+            cur = cur.select(
+                F.replace(
+                    F.col("seq"),
+                    F.lit(a + BPE_SEP + b + BPE_SEP),
+                    F.lit(a + b + BPE_SEP),
+                ).alias("seq"),
+                "n",
+            ).persist()
+            live.append(cur)
+    finally:
+        for df in live:
+            df.unpersist()
+    return merges
+
+
+def bpe_apply_merges(cur, merges) -> "object":
+    """Map-only application of an already-trained merge list to a
+    (seq, n) table: the full replace chain composes into ONE projection
+    (no per-round actions) — how a trained tokenizer re-encodes new
+    text at scale."""
+    col = F.col("seq")
+    for _, a, b, _, _ in merges:
+        col = F.replace(
+            col, F.lit(a + BPE_SEP + b + BPE_SEP), F.lit(a + b + BPE_SEP)
+        )
+    return cur.select(col.alias("seq"), "n")

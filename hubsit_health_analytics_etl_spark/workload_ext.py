@@ -4553,6 +4553,159 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Iterative BPE trainer — the operator a tokenizer team actually runs
+# (bpe_pair_counts stops at round-1 statistics; this is the k-round
+# merge LOOP, the connected_components driver-sequenced shape). Each
+# round: ONE shuffle (pair counts over DISTINCT WORDS, not the
+# corpus), a 1-row argmax collect (the merge decision = the model),
+# and a map-only merge rewrite. Sequences encode each symbol with a
+# chr(1) terminator, making the rewrite a single replace() with exact
+# textbook greedy-leftmost semantics on Spark, DuckDB, AND Python —
+# so the oracle below unrolls the entire data-dependent loop as CTEs
+# (round r's CTEs reference round r-1's winning pair via a cross join
+# with its 1-row argmax) and hash-matches every merge decision.
+# Integer counts + binary-collation tie-breaks: no float anywhere.
+# ---------------------------------------------------------------------------
+BPE_MERGES = 12
+
+
+def _bpe_ctes(k: int) -> str:
+    """Unrolled k-round DuckDB replica of bpe_train_merges: wf (word
+    freq) → w1 (chr(1)-terminated char sequences) → per round r:
+    pair explode p{r} → counts pc{r} → 1-row argmax b{r} → rewritten
+    w{r+1}. Every CTE is MATERIALIZED: w{r+1} references w{r} twice
+    (directly and through b{r}'s argmax), so inlining would expand the
+    plan 2^k-fold."""
+    ctes = [
+        """wf AS (SELECT w AS word, COUNT(*)::BIGINT AS n
+           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                 FROM documents)
+           GROUP BY w),
+    w1 AS (SELECT array_to_string(list_transform(range(1, length(word) + 1),
+                  i -> word[CAST(i AS INT)]), chr(1)) || chr(1) AS seq, n
+           FROM wf)"""
+    ]
+    for r in range(1, k + 1):
+        ctes.append(
+            f"""t{r} AS (SELECT list_filter(string_split(seq, chr(1)), x -> x <> '') AS toks, n
+            FROM w{r}),
+    p{r} AS (SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> toks[CAST(i AS INT)] || chr(10) || toks[CAST(i AS INT) + 1])) AS pr, n
+            FROM t{r} WHERE len(toks) >= 2),
+    pc{r} AS (SELECT pr, SUM(n)::BIGINT AS cnt FROM p{r} GROUP BY pr),
+    b{r} AS (SELECT {r}::BIGINT AS merge_rank,
+                    split_part(pr, chr(10), 1) AS left_sym,
+                    split_part(pr, chr(10), 2) AS right_sym,
+                    split_part(pr, chr(10), 1) || split_part(pr, chr(10), 2) AS merged,
+                    cnt AS n_occurrences
+             FROM pc{r} ORDER BY cnt DESC, pr LIMIT 1),
+    w{r + 1} AS (SELECT replace(w.seq,
+                        bb.left_sym || chr(1) || bb.right_sym || chr(1),
+                        bb.merged || chr(1)) AS seq, w.n
+                 FROM w{r} w CROSS JOIN b{r} bb)"""
+        )
+    return "WITH " + ",\n    ".join(ctes).replace(
+        " AS (SELECT", " AS MATERIALIZED (SELECT"
+    )
+
+
+_BPE_MERGE_CACHE: dict[str, list] = {}
+
+
+def _bpe_merges_for(spark: SparkSession, sf_dir: str) -> list:
+    """bpe_train_merges over documents, memoized per (process,
+    sf_dir) — the trained merge list is a k-row MODEL both queries
+    below share."""
+    got = _BPE_MERGE_CACHE.get(sf_dir)
+    if got is None:
+        from .operators.textanalysis import bpe_train_merges
+
+        docs = load_table(spark, sf_dir, "documents")
+        got = bpe_train_merges(_spread(docs), BPE_MERGES)
+        _BPE_MERGE_CACHE[sf_dir] = got
+    return got
+
+
+@query(
+    "bpe_train_merges",
+    _bpe_ctes(BPE_MERGES)
+    + "\n    "
+    + " UNION ALL ".join(f"SELECT * FROM b{r}" for r in range(1, BPE_MERGES + 1)),
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first {BPE_MERGES} trained BPE merges: (merge_rank,
+    left_sym, right_sym, merged, n_occurrences). The hash match vs the
+    unrolled-CTE oracle proves every data-dependent merge DECISION —
+    pair statistics, argmax tie-breaks, and the greedy rewrite each
+    round feeds the next — is identical cross-engine. pytest
+    additionally pins the loop against an independent pure-Python
+    symbol-list BPE reference on a crafted corpus (including 'aaaa'
+    run semantics) and plan-asserts one shuffle per round."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    merges = _bpe_merges_for(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("merge_rank", LongType()),
+            StructField("left_sym", StringType()),
+            StructField("right_sym", StringType()),
+            StructField("merged", StringType()),
+            StructField("n_occurrences", LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(r, a, b, m, n) for r, a, b, m, n in merges], schema
+    )
+
+
+@query(
+    "bpe_symbol_vocab",
+    _bpe_ctes(BPE_MERGES)
+    + f""",
+    sym AS (SELECT unnest(list_filter(string_split(seq, chr(1)), x -> x <> '')) AS symbol, n
+            FROM w{BPE_MERGES + 1}),
+    sc AS (SELECT symbol, SUM(n)::BIGINT AS n_occurrences FROM sym GROUP BY symbol)
+    SELECT symbol, n_occurrences,
+           ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, symbol)::BIGINT AS rank
+    FROM sc
+    """,
+)
+def q_bpe_symbol_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resulting symbol vocabulary after the {BPE_MERGES} trained
+    merges: (symbol, n_occurrences, rank) — base characters that
+    survived plus every merged symbol, corpus-weighted. Applying the
+    trained merge list is bpe_apply_merges' ONE map-only projection
+    (the whole replace chain composes — no per-round actions): how a
+    frozen tokenizer re-encodes new text at scale. The rank window
+    rides a ≤(26 + k)-row aggregate — bounded by construction."""
+    from pyspark.sql import Window
+
+    from .operators.textanalysis import bpe_apply_merges, bpe_seq_table, bpe_word_table
+
+    merges = _bpe_merges_for(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    final = bpe_apply_merges(bpe_seq_table(bpe_word_table(_spread(docs))), merges)
+    sym = final.select(
+        "n",
+        F.explode(F.expr("filter(split(seq, char(1)), x -> x <> '')")).alias(
+            "symbol"
+        ),
+    )
+    sc = sym.groupBy("symbol").agg(F.sum("n").cast("bigint").alias("n_occurrences"))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("symbol").asc())
+    return sc.select(
+        "symbol",
+        "n_occurrences",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-source near-dup matrix: which sources duplicate each other —
 # the corpus-analytics view a curation team reads before deciding
 # source priorities (dedup_keep_by_source consumes exactly this

@@ -1360,3 +1360,102 @@ def test_rot_pq_adc_matches_independent_integer_replica(spark):
             d = R[qi, s * sd : (s + 1) * sd] - cent
             adc += int((d * d).sum())
         assert adc == r.adc_u, (r.query_id, r.neighbor_id, adc, r.adc_u)
+
+
+def _py_bpe_reference(words: dict, k: int):
+    """Independent textbook BPE on symbol LISTS (no string tricks):
+    count adjacent pairs corpus-weighted, merge the (count desc,
+    pair asc) argmax greedily left-to-right restarting after each
+    merge, repeat."""
+    seqs = {w: list(w) for w in words}
+    merges = []
+    for r in range(1, k + 1):
+        counts: dict = {}
+        for w, n in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + n
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + "\n" + kv[0][1])
+        )
+        merges.append((r, a, b, a + b, cnt))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+def test_bpe_train_matches_python_reference_on_crafted_corpus(spark):
+    """The driver-sequenced merge loop vs an independent pure-Python
+    symbol-list BPE on a crafted corpus that includes the self-overlap
+    run case ('aaaa' → [aa, aa], restart-after-merge — the spot where
+    naive space-delimited replace encodings diverge from textbook
+    BPE), tie-break cases, and multi-round cascades (er → low+er)."""
+    from collections import Counter
+
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        bpe_apply_merges,
+        bpe_seq_table,
+        bpe_train_merges,
+        bpe_word_table,
+    )
+
+    texts = [
+        "low low low lower lower lowest",
+        "aaaa aaaa aaa newer newest wider",
+        "low lower Newer! WIDER, wide wide4wide",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    words = Counter()
+    for t in texts:
+        import re
+
+        words.update(re.findall(r"[a-z]+", t.lower()))
+    k = 8
+    expected_merges, expected_seqs = _py_bpe_reference(dict(words), k)
+    got = bpe_train_merges(docs, k)
+    assert got == expected_merges, (got, expected_merges)
+
+    # applying the trained merges reproduces the reference's final
+    # symbol sequences for every word
+    final = bpe_apply_merges(bpe_seq_table(bpe_word_table(docs)), got)
+    got_seqs = {
+        tuple(x for x in r.seq.split("\x01") if x != "") for r in final.collect()
+    }
+    assert got_seqs == {tuple(s) for s in expected_seqs.values()}
+
+
+def test_bpe_round_plans_single_shuffle(spark):
+    """One merge round = ONE exchange (the partial→final pair-count
+    aggregation); the argmax rides TakeOrderedAndProject, never a
+    global sort."""
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        bpe_pair_counts_round,
+        bpe_seq_table,
+        bpe_word_table,
+    )
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cur = bpe_seq_table(bpe_word_table(docs))
+    pc = bpe_pair_counts_round(cur)
+    # the word-table groupBy is the input artifact (persisted across
+    # rounds in the loop); the ROUND itself adds exactly one exchange
+    import re
+
+    p = physical_plan(pc)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p  # word agg + pair agg
+    best = pc.orderBy(F.col("cnt").desc(), F.col("pr").asc()).limit(1)
+    assert "TakeOrderedAndProject" in physical_plan(best)
