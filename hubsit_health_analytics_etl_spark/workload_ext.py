@@ -5795,6 +5795,12 @@ def q_priority_median_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counts), so the co-grouped Arrow path is hash-checked bit-for-bit
 # (micro-unit floor, integer-division-exact CDFs).
 # ---------------------------------------------------------------------------
+# One cogrouped key's two frames must fit a single pandas call; fail
+# loudly instead of OOMing (each row ~16 B in the value frame — 5M
+# rows ≈ 80 MB per call, comfortable; tune per executor memory).
+DRIFT_KS_MAX_ROWS_PER_KEY = 5_000_000
+
+
 @query(
     "user_value_drift_ks",
     f"""
@@ -5827,7 +5833,11 @@ def q_user_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles each side once on user_id and hands BOTH frames of one
     key to a single Arrow call — the join-free alignment that
     two-snapshot comparisons want (vs materializing a values join).
-    Users missing either half are dropped (KS undefined)."""
+    Users missing either half are dropped (KS undefined). SCALE GUARD:
+    one key's full history must fit a single pandas cogroup call, so
+    the kernel fails LOUDLY past DRIFT_KS_MAX_ROWS_PER_KEY instead of
+    OOMing an executor — past that, pre-bin and use the pure-JVM
+    user_value_drift_psi twin below."""
     from .operators.sampling import hash_bucket
 
     events = load_table(spark, sf_dir, "events").select(
@@ -5840,6 +5850,16 @@ def q_user_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ks(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        if len(left) + len(right) > DRIFT_KS_MAX_ROWS_PER_KEY:
+            raise ValueError(
+                "user_value_drift_ks: one key carries "
+                f"{len(left) + len(right)} rows, past the single-"
+                f"cogroup-call guard ({DRIFT_KS_MAX_ROWS_PER_KEY}). "
+                "A pathological key's full history must fit one pandas "
+                "call — pre-bin and use user_value_drift_psi (pure-JVM "
+                "histogram PSI) for keys at this volume, or raise the "
+                "guard if executor memory allows."
+            )
         if len(left) == 0 or len(right) == 0:
             return pd.DataFrame(
                 {"user_id": [], "n_a": [], "n_b": [], "ks_u6": []}
@@ -5878,6 +5898,155 @@ def q_user_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return a.groupBy("user_id").cogroup(b.groupBy("user_id")).applyInPandas(
         ks, "user_id long, n_a long, n_b long, ks_u6 long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PSI drift — the pure-JVM twin of user_value_drift_ks (whose own
+# docstring names this as what a no-Python pipeline would run): per
+# user, Population Stability Index between the two hash-split halves
+# over B fixed-width value bins. Everything is whole-stage-codegen
+# SQL — zero Python stages, plan-asserted — and fully oracle-checked.
+#
+# Determinism engineering: (a) the per-user PSI is a FLOAT SUM, which
+# over an unordered group would not survive the cross-engine hash —
+# so bins are collected as a sorted array and folded SEQUENTIALLY
+# (aggregate HOF / list_sum over list(... ORDER BY bin)): identical
+# addition order, identical doubles; (b) bins empty on BOTH sides all
+# contribute the same closed-form smoothing term, so they are COUNTED
+# (B - bins_present) instead of materialized — no user×B grid join;
+# (c) Laplace smoothing (c+1)/(n+B) keeps every log argument an exact
+# ratio of integers, so the only cross-engine float risk is ln()'s
+# final ulp (the doc_tfidf_top_terms precedent), absorbed by the
+# micro-unit floor.
+# ---------------------------------------------------------------------------
+DRIFT_PSI_BINS = 10
+DRIFT_PSI_ALERT_U6 = 200_000  # the conventional PSI > 0.2 'major shift'
+
+
+@query(
+    "user_value_drift_psi",
+    f"""
+    WITH t AS (SELECT user_id, value,
+                      CASE WHEN {sql_hash_bucket("event_id", salt="drift")} < 50
+                           THEN 'a' ELSE 'b' END AS side
+               FROM events),
+    g AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM t),
+    bb AS (SELECT user_id, side,
+                  CASE WHEN vmax = vmin THEN 0
+                       ELSE CAST(LEAST(FLOOR((value - vmin) * {DRIFT_PSI_BINS}.0
+                                             / (vmax - vmin)),
+                                       {DRIFT_PSI_BINS - 1}) AS INT) END AS bin
+           FROM t CROSS JOIN g),
+    p AS (SELECT user_id, bin,
+                 SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END)::BIGINT AS ca,
+                 SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END)::BIGINT AS cb
+          FROM bb GROUP BY user_id, bin),
+    u AS (SELECT user_id,
+                 SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb,
+                 COUNT(*)::BIGINT AS nbins,
+                 list({{'ca': ca, 'cb': cb}} ORDER BY bin) AS bins
+          FROM p GROUP BY user_id),
+    s AS (SELECT user_id, na, nb,
+                 list_sum(list_transform(bins, x ->
+                     ((x.ca + 1) / CAST(na + {DRIFT_PSI_BINS} AS DOUBLE)
+                      - (x.cb + 1) / CAST(nb + {DRIFT_PSI_BINS} AS DOUBLE))
+                     * ln(((x.ca + 1) * (nb + {DRIFT_PSI_BINS}))
+                          / CAST((x.cb + 1) * (na + {DRIFT_PSI_BINS}) AS DOUBLE))))
+                 + ({DRIFT_PSI_BINS} - nbins)
+                   * ((1.0 / (na + {DRIFT_PSI_BINS}) - 1.0 / (nb + {DRIFT_PSI_BINS}))
+                      * ln((nb + {DRIFT_PSI_BINS})
+                           / CAST(na + {DRIFT_PSI_BINS} AS DOUBLE))) AS psi
+          FROM u WHERE na > 0 AND nb > 0)
+    SELECT user_id, na AS n_a, nb AS n_b,
+           CAST(FLOOR(psi * 1000000.0) AS BIGINT) AS psi_u6,
+           (CAST(FLOOR(psi * 1000000.0) AS BIGINT)
+            >= {DRIFT_PSI_ALERT_U6})::BIGINT AS drifted
+    FROM s
+    """,
+)
+def q_user_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_a, n_b, psi_u6, drifted): per-user PSI over
+    {DRIFT_PSI_BINS} fixed-width global bins between the same two
+    hash-split halves user_value_drift_ks compares — histogram
+    pre-aggregation first, so at 100 TB the statistic rides
+    \\|users\\|×B pre-binned counts (mergeable across ingests) instead
+    of shipping every event row across an Arrow boundary. Two
+    shuffles total: (user,bin) counts, then the per-user sorted-bin
+    fold. Users missing either half are dropped (PSI undefined, KS
+    parity); drifted = psi ≥ 0.2 in micro-units."""
+    from .operators.sampling import hash_bucket
+
+    B = DRIFT_PSI_BINS
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+    t = events.select(
+        "user_id",
+        "value",
+        F.when(hash_bucket("event_id", 100, "drift") < 50, "a")
+        .otherwise("b")
+        .alias("side"),
+    )
+    g = t.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    bb = t.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        "side",
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * float(B)
+                    / (F.col("vmax") - F.col("vmin"))
+                ),
+                F.lit(B - 1),
+            ).cast("int")
+        )
+        .alias("bin"),
+    )
+    p = bb.groupBy("user_id", "bin").agg(
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    u = p.groupBy("user_id").agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("nbins"),
+        F.array_sort(
+            F.collect_list(F.struct("bin", "ca", "cb"))
+        ).alias("bins"),
+    )
+    term = (
+        f"(x.ca + 1) / cast(na + {B} as double)"
+        f" - (x.cb + 1) / cast(nb + {B} as double)"
+    )
+    lg = (
+        f"ln(((x.ca + 1) * (nb + {B}))"
+        f" / cast((x.cb + 1) * (na + {B}) as double))"
+    )
+    empty = (
+        f"(1.0D / (na + {B}) - 1.0D / (nb + {B}))"
+        f" * ln((nb + {B}) / cast(na + {B} as double))"
+    )
+    psi = F.expr(
+        f"aggregate(bins, 0D, (acc, x) -> acc + ({term}) * ({lg}))"
+        f" + ({B} - nbins) * ({empty})"
+    )
+    s = u.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        "user_id", "na", "nb", psi.alias("psi")
+    )
+    psi_u6 = F.floor(F.col("psi") * 1000000.0).cast("bigint")
+    return s.select(
+        F.col("user_id"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        psi_u6.alias("psi_u6"),
+        (psi_u6 >= F.lit(DRIFT_PSI_ALERT_U6)).cast("bigint").alias("drifted"),
     )
 
 

@@ -1459,3 +1459,74 @@ def test_bpe_round_plans_single_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2, p  # word agg + pair agg
     best = pc.orderBy(F.col("cnt").desc(), F.col("pr").asc()).limit(1)
     assert "TakeOrderedAndProject" in physical_plan(best)
+
+
+def test_user_value_drift_psi_semantics_and_plan(spark, tmp_path):
+    """Crafted corpus pins PSI drift semantics end-to-end through the
+    registered query: a user whose two hash-halves share one
+    distribution scores psi ~ 0 (drifted=0), a user whose halves sit
+    in opposite value bins crosses the 0.2 alert (drifted=1). Also
+    pins the no-Python claim: zero Arrow/Python eval stages in the
+    physical plan (the whole point of the KS query's JVM twin)."""
+    import pandas as pd
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.operators.sampling import hash_bucket
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    ids = spark.range(0, 400).select(F.col("id").alias("event_id"))
+    side = (hash_bucket("event_id", 100, "drift") < 50).cast("int")
+    ev = ids.select(
+        "event_id",
+        F.expr("timestamp_micros(cast(event_id * 1000000 as bigint))").alias("ts"),
+        (F.col("event_id") % 2).cast("bigint").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        side.alias("side"),
+        F.lit("{}").alias("props"),
+    ).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        # user 0: value independent of side (no drift); user 1: side a
+        # lives at the bottom of the range, side b at the top
+        F.when(F.col("user_id") == 0, (F.col("event_id") % 100).cast("double"))
+        .otherwise(
+            F.when(F.col("side") == 1, (F.col("event_id") % 10).cast("double"))
+            .otherwise(90.0 + (F.col("event_id") % 10).cast("double"))
+        )
+        .alias("value"),
+        "props",
+    )
+    ev.coalesce(1).write.parquet(f"{tmp_path}/events.parquet")
+    out = {r.user_id: r for r in w.QUERIES["user_value_drift_psi"](
+        spark, str(tmp_path)
+    ).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].drifted == 0 and out[0].psi_u6 < 200_000
+    assert out[1].drifted == 1 and out[1].psi_u6 >= 200_000
+    assert out[1].psi_u6 > out[0].psi_u6
+    for r in out.values():
+        assert r.n_a > 0 and r.n_b > 0 and r.psi_u6 >= 0
+
+    p = physical_plan(w.QUERIES["user_value_drift_psi"](spark, SF_SMOKE))
+    assert "EvalPython" not in p and "Python" not in p
+
+
+def test_user_value_drift_ks_per_key_guard(spark):
+    """The KS cogroup kernel must fail LOUDLY (not OOM) when one key's
+    history exceeds the single-pandas-call guard."""
+    import pandas as pd
+    import pytest as _pytest
+
+    import hubsit_health_analytics_etl_spark.workload_ext as wx
+
+    old = wx.DRIFT_KS_MAX_ROWS_PER_KEY
+    wx.DRIFT_KS_MAX_ROWS_PER_KEY = 10
+    try:
+        from hubsit_health_analytics_etl_spark import workload as w
+
+        with _pytest.raises(Exception, match="single-.?cogroup"):
+            w.QUERIES["user_value_drift_ks"](spark, SF_SMOKE).collect()
+    finally:
+        wx.DRIFT_KS_MAX_ROWS_PER_KEY = old
