@@ -86,20 +86,25 @@ def merge_upsert(
     SOURCE keep the target row. Emits the merged table plus a
     ``merge_action`` column (insert / update / unchanged / kept) so a
     downstream CDC consumer sees what happened without re-diffing.
+    Every non-key target column is carried through the merge;
+    ``compare_cols`` narrows ONLY the update-vs-unchanged typing (a
+    matched row whose differences are all outside ``compare_cols``
+    reports 'unchanged' — but still takes the source values).
 
     Scale shape: one equi full-outer join on the keys — AQE-sized,
     skew-splittable, zero-shuffle when both sides are bucketed by the
     key; a small delta against a bucketed target is the classic
     nightly-upsert plan. update-vs-unchanged typing reuses
     row_fingerprint, so wide rows compare as 32 hex chars."""
-    cols = compare_cols or [c for c in target.columns if c not in keys]
+    cols = [c for c in target.columns if c not in keys]
+    fp_cols = compare_cols or cols
     t = target.select(
-        *keys, *cols, row_fingerprint(cols).alias("_fp_t"), F.lit(1).alias("_t")
+        *keys, *cols, row_fingerprint(fp_cols).alias("_fp_t"), F.lit(1).alias("_t")
     )
     s = source.select(
         *keys,
         *[F.col(c).alias(f"_s_{c}") for c in cols],
-        row_fingerprint(cols).alias("_fp_s"),
+        row_fingerprint(fp_cols).alias("_fp_s"),
         F.lit(1).alias("_s"),
     )
     j = t.join(s, keys, "full_outer")

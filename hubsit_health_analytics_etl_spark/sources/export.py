@@ -10,10 +10,19 @@ without re-reading the pipeline.
 Fingerprint = SUM over rows of the first-8-hex md5 of the row's JSON
 serialization (struct field order fixed by the schema): commutative,
 so it is partition- and order-independent — two honest reads always
-agree, any dropped/duplicated/altered row changes the sum. The same
-map-side md5-integer trick as operators/sampling.py; at 100 TB the
-fingerprint pass is one map + one per-shard partial sum riding the
-export shuffle.
+agree. Detection scope (honest-failure, NOT adversarial): any SINGLE
+dropped, duplicated, or altered row changes the sum, and independent
+random corruption escapes with probability ~2^-32 per shard; a
+deliberately compensating multi-row edit (or a drop+inject pair whose
+truncated-hash deltas cancel) passes verification — use md5 over the
+sorted row hashes if tamper-evidence is required. The int64 SUM wraps
+(mod 2^64) past ~2^31 rows/shard; this engine runs non-ANSI, where
+the silent wrap IS a valid commutative fingerprint — under
+spark.sql.ansi.enabled the overflow would throw instead, so cap shard
+sizes or wrap the hash term in pmod there. The same map-side
+md5-integer trick as operators/sampling.py; at 100 TB the fingerprint
+pass is one map + one per-shard partial sum riding the export
+shuffle.
 """
 
 from __future__ import annotations

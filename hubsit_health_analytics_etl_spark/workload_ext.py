@@ -6404,3 +6404,90 @@ def q_event_user_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(
         events, "user_id", top=SKEW_TOP, target_rows_per_task=SKEW_TARGET_ROWS
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-visible rows for the I/O maintenance ops (previously
+# pytest-only; VERDICT r7 #6): each query performs the REAL
+# side-effecting round-trip in a run-private directory and emits the
+# oracle-checkable read-back facts. The hash match covers what SQL
+# can re-derive (shard membership, row counts); byte-level assertions
+# (file counts, manifest tamper detection, crash recovery) stay in
+# tests/test_export_manifest.py and tests/test_bucketing_partitioning.py.
+# ---------------------------------------------------------------------------
+EXPORT_SHARDS = 8
+
+
+@query(
+    "export_manifest_roundtrip",
+    f"""
+    SELECT {sql_hash_bucket("doc_id", EXPORT_SHARDS, "shard")}::BIGINT AS shard,
+           COUNT(*)::BIGINT AS n_rows,
+           1::BIGINT AS verified
+    FROM documents GROUP BY 1
+    """,
+)
+def q_export_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full export→manifest→re-read→verify round-trip: documents
+    (id/source/lang projection) hash-sharded into {EXPORT_SHARDS}
+    parquet shards with an order-independent content manifest
+    (sources/export.py), then verify_export re-reads the dump and
+    checks every shard. Output: one row per shard (shard, n_rows,
+    verified) — the oracle independently recomputes shard membership
+    and counts from the source table, so a hash match proves the dump
+    on disk holds exactly the rows the table says it should; verified
+    flips to 0 (hash mismatch vs the oracle's constant 1) if the
+    manifest check finds ANY problem."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .sources.export import export_training_shards, verify_export
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    out_dir = _run_scoped_index_dir("export") + "/dump"
+    export_training_shards(docs, out_dir, EXPORT_SHARDS, "doc_id")
+    ok = 1 if not verify_export(spark, out_dir) else 0
+    dump = spark.read.parquet(out_dir)
+    return dump.groupBy(F.col("_shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.lit(ok).cast("bigint").alias("verified"),
+    )
+
+
+@query(
+    "compaction_roundtrip",
+    """
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           1::BIGINT AS rows_preserved,
+           1::BIGINT AS files_reduced
+    FROM orders
+    """,
+)
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fragment→compact→read-back round-trip: orders written as
+    64 deliberately small files, compacted via
+    sources/compaction.py::compact_parquet (crash-recoverable
+    verify-before-swap), then re-read. One row: (n_rows,
+    rows_preserved, files_reduced) — n_rows hash-matches the oracle's
+    source count only if the compacted directory still holds every
+    row; the two flags flip to 0 on row loss or a rewrite that failed
+    to shrink the file count."""
+    from .sources.compaction import compact_parquet, parquet_file_stats
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = _run_scoped_index_dir("compact") + "/orders"
+    orders.repartition(64).write.parquet(path)
+    n_before = parquet_file_stats(path)[0]
+    n_src = orders.count()
+    compact_parquet(spark, path)
+    n_after = parquet_file_stats(path)[0]
+    back = spark.read.parquet(path)
+    n_back = back.count()
+    return spark.range(1).select(
+        F.lit(n_back).cast("bigint").alias("n_rows"),
+        F.lit(1 if n_back == n_src else 0).cast("bigint").alias("rows_preserved"),
+        F.lit(1 if n_after < n_before else 0).cast("bigint").alias("files_reduced"),
+    )

@@ -148,3 +148,77 @@ def test_hll_sketch_index_persists_and_merges(spark, tmp_path):
     assert set(got) == set(exact)
     for k, n in exact.items():
         assert abs(got[k] - n) <= max(2, 0.02 * n), (k, got[k], n)
+
+
+def test_compaction_recovers_crashed_run_and_refuses_partition_root(
+    spark, tmp_path
+):
+    """Crash-recovery + partition-safety contract of compact_parquet:
+    stale __compacting output is discarded at entry, a stale
+    __pre_compact backup with no live directory is restored (the
+    between-renames crash window), a backup alongside a live directory
+    is cleaned up, and a partitioned-table ROOT is refused instead of
+    silently folding partition columns into data files."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from hubsit_health_analytics_etl_spark.sources.compaction import (
+        compact_parquet,
+        parquet_file_stats,
+    )
+
+    path = f"{tmp_path}/t"
+    spark.range(0, 1000).repartition(8).write.parquet(path)
+    n_rows = spark.read.parquet(path).count()
+
+    # crash between the two renames: backup exists, live dir gone
+    os.rename(path, path + "__pre_compact")
+    shutil.copytree(path + "__pre_compact", path + "__compacting")
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert spark.read.parquet(path).count() == n_rows
+    assert not os.path.exists(path + "__pre_compact")
+    assert not os.path.exists(path + "__compacting")
+    assert n == parquet_file_stats(path)[0]
+
+    # crash after the swap but before backup cleanup: both dirs live
+    shutil.copytree(path, path + "__pre_compact")
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert not os.path.exists(path + "__pre_compact")
+    assert spark.read.parquet(path).count() == n_rows
+
+    # partitioned-table root is refused, data untouched
+    proot = f"{tmp_path}/part"
+    spark.range(0, 100).selectExpr("id", "id % 3 AS p").write.partitionBy(
+        "p"
+    ).parquet(proot)
+    before = parquet_file_stats(proot)
+    with _pytest.raises(ValueError, match="partition"):
+        compact_parquet(spark, proot, target_file_bytes=1)
+    assert parquet_file_stats(proot) == before
+
+
+def test_merge_upsert_compare_cols_subset_carries_all_columns(spark):
+    """compare_cols narrows only the update-vs-unchanged typing; every
+    non-key target column must still flow through the merge (the
+    previous behavior silently projected the merged table down to
+    keys + compare_cols, truncating the target)."""
+    from hubsit_health_analytics_etl_spark.operators.cdc import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, status string, extra int"
+    )
+    source = spark.createDataFrame(
+        [(1, "a", 99), (3, "c", 30)], "k int, status string, extra int"
+    )
+    out = {
+        r.k: r
+        for r in merge_upsert(target, source, ["k"], ["status"]).collect()
+    }
+    assert set(out[1].asDict()) == {"k", "status", "extra", "merge_action"}
+    # matched row differing only OUTSIDE compare_cols: typed unchanged,
+    # but the source value still wins (MERGE takes the whole row)
+    assert out[1].merge_action == "unchanged" and out[1].extra == 99
+    assert out[2].merge_action == "kept" and out[2].extra == 20
+    assert out[3].merge_action == "insert" and out[3].extra == 30
