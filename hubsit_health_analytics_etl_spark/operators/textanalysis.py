@@ -490,12 +490,13 @@ def bpe_train_merges(
 
 def bpe_apply_merges(cur, merges) -> "object":
     """Map-only application of an already-trained merge list to a
-    (seq, n) table: the full replace chain composes into ONE projection
-    (no per-round actions) — how a trained tokenizer re-encodes new
-    text at scale."""
+    table with a ``seq`` column: the full replace chain composes into
+    ONE projection (no per-round actions) — how a trained tokenizer
+    re-encodes new text at scale. All other columns pass through."""
     col = F.col("seq")
     for _, a, b, _, _ in merges:
         col = F.replace(
             col, F.lit(a + BPE_SEP + b + BPE_SEP), F.lit(a + b + BPE_SEP)
         )
-    return cur.select(col.alias("seq"), "n")
+    rest = [c for c in cur.columns if c != "seq"]
+    return cur.select(col.alias("seq"), *rest)

@@ -4581,7 +4581,7 @@ def _bpe_ctes(k: int) -> str:
            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
                  FROM documents)
            GROUP BY w),
-    w1 AS (SELECT array_to_string(list_transform(range(1, length(word) + 1),
+    w1 AS (SELECT word, array_to_string(list_transform(range(1, length(word) + 1),
                   i -> word[CAST(i AS INT)]), chr(1)) || chr(1) AS seq, n
            FROM wf)"""
     ]
@@ -4599,7 +4599,7 @@ def _bpe_ctes(k: int) -> str:
                     split_part(pr, chr(10), 1) || split_part(pr, chr(10), 2) AS merged,
                     cnt AS n_occurrences
              FROM pc{r} ORDER BY cnt DESC, pr LIMIT 1),
-    w{r + 1} AS (SELECT replace(w.seq,
+    w{r + 1} AS (SELECT w.word, replace(w.seq,
                         bb.left_sym || chr(1) || bb.right_sym || chr(1),
                         bb.merged || chr(1)) AS seq, w.n
                  FROM w{r} w CROSS JOIN b{r} bb)"""
@@ -4702,6 +4702,61 @@ def q_bpe_symbol_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "n_occurrences",
         F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
+@query(
+    "bpe_doc_token_counts",
+    _bpe_ctes(BPE_MERGES)
+    + f""",
+    wsym AS (SELECT word,
+                    len(list_filter(string_split(seq, chr(1)), x -> x <> ''))::BIGINT AS n_syms
+             FROM w{BPE_MERGES + 1}),
+    dt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           FROM documents)
+    SELECT d.doc_id, COUNT(*)::BIGINT AS n_words,
+           SUM(w.n_syms)::BIGINT AS n_bpe_tokens
+    FROM dt d JOIN wsym w USING (word)
+    GROUP BY d.doc_id
+    """,
+)
+def q_bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens): per-document token counts
+    under the TRAINED tokenizer — the real version of the regex
+    estimate token budgeting uses (operators/textanalysis.py::
+    token_count_bpe_ish). The corpus is never re-segmented: the
+    trained merges collapse into one map-only projection over the
+    DISTINCT-WORD table (word → symbol count), and each document's
+    count is a sum over its words through an equi-join on word —
+    at 100 TB that word table is the broadcast/bucketed dimension,
+    and the only corpus-sized work is the regexp explode riding the
+    scan. Oracle replays training AND counting from scratch."""
+    from .operators.textanalysis import BPE_SEP, bpe_apply_merges, bpe_word_table
+
+    merges = _bpe_merges_for(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    wf = bpe_word_table(_spread(docs))
+    seq = F.concat(F.concat_ws(BPE_SEP, F.split(F.col("word"), "")), F.lit(BPE_SEP))
+    wseq = bpe_apply_merges(wf.select("word", seq.alias("seq")), merges)
+    wsym = wseq.select(
+        "word",
+        F.size(F.expr("filter(split(seq, char(1)), x -> x <> '')"))
+        .cast("bigint")
+        .alias("n_syms"),
+    )
+    dt = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    return (
+        dt.join(wsym, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+        )
     )
 
 
