@@ -6106,6 +6106,102 @@ def q_user_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Continuous drift: the STREAMING deployment shape of the PSI monitor
+# (streaming/drift.py) verified in batch — per-day value histograms
+# scored against a frozen reference distribution. The histogram is
+# additive, so the same builder runs as a stateful streaming windowed
+# agg (watermark + late data) and as this batch query; the reference
+# bounds/histogram are collected ONCE (literal model, like codebooks)
+# because a monitor must not let its reference drift with the data it
+# judges. Oracle recomputes bounds, reference, per-window histograms
+# and the full-B-bin sequential PSI fold from scratch.
+# ---------------------------------------------------------------------------
+WDRIFT_BINS = 10
+
+
+@query(
+    "windowed_drift_psi",
+    f"""
+    WITH t AS (SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS tb,
+                      value
+               FROM events),
+    g AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax,
+                 COUNT(*)::BIGINT AS nr FROM t),
+    b AS (SELECT tb,
+                 CASE WHEN vmax = vmin THEN 0
+                      ELSE CAST(LEAST(GREATEST(FLOOR((value - vmin) * {WDRIFT_BINS}.0
+                                                     / (vmax - vmin)), 0),
+                                      {WDRIFT_BINS - 1}) AS INT) END AS bin
+          FROM t CROSS JOIN g),
+    ref AS (SELECT bin, COUNT(*)::BIGINT AS r FROM b GROUP BY bin),
+    refg AS (SELECT t2.bin, COALESCE(ref.r, 0) AS r
+             FROM (SELECT unnest(range({WDRIFT_BINS})) AS bin) t2
+             LEFT JOIN ref ON ref.bin = t2.bin),
+    cur AS (SELECT tb, bin, COUNT(*)::BIGINT AS c FROM b GROUP BY tb, bin),
+    wins AS (SELECT tb, SUM(c)::BIGINT AS n_cur FROM cur GROUP BY tb),
+    grid AS (SELECT w.tb, w.n_cur, rg.bin, rg.r, COALESCE(cur.c, 0) AS c
+             FROM wins w CROSS JOIN refg rg
+             LEFT JOIN cur ON cur.tb = w.tb AND cur.bin = rg.bin),
+    folded AS (SELECT tb, n_cur,
+                      list({{'c': c, 'r': r}} ORDER BY bin) AS lst
+               FROM grid GROUP BY tb, n_cur),
+    s AS (SELECT tb, n_cur,
+                 list_sum(list_transform(lst, x ->
+                     ((x.c + 1) / CAST(n_cur + {WDRIFT_BINS} AS DOUBLE)
+                      - (x.r + 1) / CAST(g.nr + {WDRIFT_BINS} AS DOUBLE))
+                     * ln(((x.c + 1) * (g.nr + {WDRIFT_BINS}))
+                          / CAST((x.r + 1) * (n_cur + {WDRIFT_BINS}) AS DOUBLE))))
+                 AS psi
+          FROM folded CROSS JOIN g)
+    SELECT strftime(tb, '%Y-%m-%d %H:%M:%S') AS window_start,
+           n_cur,
+           CAST(FLOOR(psi * 1000000.0) AS BIGINT) AS psi_u6,
+           (CAST(FLOOR(psi * 1000000.0) AS BIGINT) >= {DRIFT_PSI_ALERT_U6})::BIGINT
+             AS drifted
+    FROM s
+    """,
+)
+def q_windowed_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(window_start, n_cur, psi_u6, drifted): each day's value
+    histogram scored by PSI against the frozen whole-corpus reference
+    — which calendar days deviate from the norm. The builder pair
+    (streaming/drift.py::windowed_value_histogram + psi_vs_reference)
+    is streaming-ready: pass a readStream frame + watermark and the
+    SAME code becomes the continuous monitor; reference bounds and
+    histogram are collected literals (the model), per-window current
+    counts ride a map lookup so the window side ships only non-empty
+    bins."""
+    from .streaming.drift import (
+        psi_vs_reference,
+        value_bin_expr,
+        windowed_value_histogram,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    gb = events.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    ).collect()[0]
+    vmin, vmax = float(gb["vmin"]), float(gb["vmax"])
+    ref_rows = (
+        events.select(
+            value_bin_expr("value", vmin, vmax, WDRIFT_BINS).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+        .collect()
+    )
+    reference = [0] * WDRIFT_BINS
+    for r in ref_rows:
+        reference[int(r["bin"])] = int(r["r"])
+    hist = windowed_value_histogram(
+        events, "ts", "1 day", "value", vmin, vmax, WDRIFT_BINS
+    )
+    return psi_vs_reference(
+        hist, reference, ("window_start",), WDRIFT_BINS, DRIFT_PSI_ALERT_U6
+    )
+
+
+# ---------------------------------------------------------------------------
 # PCA embedding reduction (distributed Spark ML fit #3, after the
 # KMeans coarse quantizer and the LogisticRegression quality model):
 # project 64-dim embeddings onto the top PCA_K principal components —

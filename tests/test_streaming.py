@@ -169,3 +169,47 @@ def test_query_health_and_state_pressure(spark, tmp_path):
 
     assert query_health(_NoProgress())["batch_id"] is None
     assert state_pressure(_NoProgress())["n_state_operators"] == 0
+
+
+def test_windowed_drift_histogram_streaming_matches_batch(spark):
+    """The drift monitor's histogram stage (streaming/drift.py) runs
+    under readStream with a watermark and produces the identical
+    per-(window,bin) counts as the batch path, and psi_vs_reference
+    over the streamed histogram reproduces the batch PSI scores —
+    the continuous-deployment claim of windowed_drift_psi."""
+    from hubsit_health_analytics_etl_spark.streaming.drift import (
+        psi_vs_reference,
+        windowed_value_histogram,
+    )
+
+    batch, stream = _events_stream(spark)
+    kw = dict(
+        ts="ts", duration="1 day", value_col="value",
+        vmin=0.0, vmax=330.0, bins=8,
+    )
+    expected_hist = sorted(
+        map(tuple, windowed_value_histogram(batch, **kw).collect())
+    )
+    out = windowed_value_histogram(stream, watermark="2 days", **kw)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("drift_hist_smoke")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_hist_df = spark.sql("SELECT * FROM drift_hist_smoke")
+    got_hist = sorted(map(tuple, got_hist_df.collect()))
+    assert got_hist == expected_hist and len(got_hist) > 0
+
+    reference = [10] * 8
+    expected_psi = sorted(
+        map(tuple, psi_vs_reference(
+            windowed_value_histogram(batch, **kw), reference, bins=8
+        ).collect())
+    )
+    got_psi = sorted(
+        map(tuple, psi_vs_reference(got_hist_df, reference, bins=8).collect())
+    )
+    assert got_psi == expected_psi
