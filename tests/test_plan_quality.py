@@ -719,3 +719,29 @@ def test_rot_pq_stack_plans_broadcast_adc(spark, name):
     for seg in p.split("BroadcastNestedLoopJoin")[1:]:
         head = seg.splitlines()[0].strip()
         assert head == "" or "BuildRight" in head.split("(")[0], head
+
+
+def test_bpe_doc_token_counts_broadcasts_word_dimension(spark):
+    """Per-doc trained-tokenizer counting: the word→symbol-count table
+    is the DIMENSION — it must reach the corpus-sized exploded side as
+    a broadcast hash equi-join, never a nested loop or cartesian."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("bpe_doc_token_counts")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_windowed_drift_psi_plans_jvm_only_two_shuffles(spark):
+    """The continuous drift monitor's batch form: zero Python stages
+    (the whole point of the histogram/PSI path) and exactly two
+    exchanges — (window,bin) counts then the per-window fold; the
+    frozen reference is literals, so no join and no third shuffle."""
+    import re
+
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("windowed_drift_psi")(spark, SF_SMOKE))
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
