@@ -452,7 +452,13 @@ def bpe_train_merges(
     only after the child materializes inside the next round's collect
     (one Spark job per round, lineage one round deep — the
     connected_components recipe). Stops early when no adjacent pair
-    remains."""
+    remains.
+
+    At 100 TB: tokenizer statistics saturate far below full-corpus
+    scale — feed a hash-sample of documents (operators/sampling.py::
+    hash_sample) so the per-round shuffle runs over a bounded word
+    table; the trained merges then apply to the FULL corpus as one
+    map-only projection (bpe_apply_merges)."""
     wf = bpe_word_table(docs, text_col)
     cur = bpe_seq_table(wf).persist()
     live = [cur]
