@@ -378,17 +378,24 @@ def chunk_tokens(
 #
 # Sequence encoding that makes the merge rewrite a plain string
 # replace with EXACT textbook-BPE semantics on any engine: every
-# symbol is terminated by a sentinel (chr(1), outside the [a-z]
-# alphabet) with no shared boundary characters — so
-# replace(seq, 'a␁b␁' → 'ab␁') is greedy leftmost non-overlapping
-# WITH restart-after-match, which is precisely the tokenizer-library
-# merge rule (a space-delimited encoding would instead consume the
-# next match's boundary and mis-merge runs like 'aaaa'). Identical
+# symbol is WRAPPED in sentinels (chr(1), outside the [a-z] alphabet)
+# — 'low' → '␁l␁␁o␁␁w␁' — so replace(seq, '␁a␁␁b␁' → '␁ab␁') is
+# greedy leftmost non-overlapping WITH restart-after-match, which is
+# precisely the tokenizer-library merge rule. Soundness: a match must
+# start at an OPENING sentinel (the pattern starts with ␁ and symbol
+# bodies contain none), and a CLOSING sentinel is always followed by
+# another sentinel, never a letter — so no mid-token or cross-token
+# false match exists. The weaker encodings both fail: space-DELIMITED
+# consumes the next match's boundary and mis-merges runs ('aaaa'),
+# and terminator-ONLY ('a␁b␁') lets the pattern match a SUFFIX of a
+# longer symbol ('aa␁b␁' ⊃ 'a␁b␁' — caught by the hypothesis
+# property test; both engines agreed on the wrong answer, so only the
+# independent symbol-list reference could see it). Identical
 # replace() semantics in Spark, DuckDB, and Python let the DuckDB
 # oracle rebuild the whole k-round loop as unrolled CTEs and
 # hash-match every merge decision.
 # ---------------------------------------------------------------------------
-BPE_SEP = "\x01"  # symbol terminator, never in the [a-z]+ word alphabet
+BPE_SEP = "\x01"  # symbol wrapper, never in the [a-z]+ word alphabet
 BPE_PAIR_SEP = "\n"  # (left, right) key separator for counting/tie-break
 
 
@@ -410,10 +417,12 @@ def bpe_word_table(docs, text_col: str = "text"):
 
 
 def bpe_seq_table(wf):
-    """(seq, n): each word as its character symbols, each terminated
-    by the chr(1) sentinel — 'low' → 'l␁o␁w␁'."""
+    """(seq, n): each word as its character symbols, each wrapped in
+    the chr(1) sentinel — 'low' → '␁l␁␁o␁␁w␁'."""
     seq = F.concat(
-        F.concat_ws(BPE_SEP, F.split(F.col("word"), "")), F.lit(BPE_SEP)
+        F.lit(BPE_SEP),
+        F.concat_ws(BPE_SEP + BPE_SEP, F.split(F.col("word"), "")),
+        F.lit(BPE_SEP),
     )
     return wf.select(seq.alias("seq"), "n")
 
@@ -482,8 +491,8 @@ def bpe_train_merges(
             cur = cur.select(
                 F.replace(
                     F.col("seq"),
-                    F.lit(a + BPE_SEP + b + BPE_SEP),
-                    F.lit(a + b + BPE_SEP),
+                    F.lit(BPE_SEP + a + BPE_SEP + BPE_SEP + b + BPE_SEP),
+                    F.lit(BPE_SEP + a + b + BPE_SEP),
                 ).alias("seq"),
                 "n",
             ).persist()
@@ -502,7 +511,9 @@ def bpe_apply_merges(cur, merges) -> "object":
     col = F.col("seq")
     for _, a, b, _, _ in merges:
         col = F.replace(
-            col, F.lit(a + BPE_SEP + b + BPE_SEP), F.lit(a + b + BPE_SEP)
+            col,
+            F.lit(BPE_SEP + a + BPE_SEP + BPE_SEP + b + BPE_SEP),
+            F.lit(BPE_SEP + a + b + BPE_SEP),
         )
     rest = [c for c in cur.columns if c != "seq"]
     return cur.select(col.alias("seq"), *rest)

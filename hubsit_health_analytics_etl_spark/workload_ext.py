@@ -4558,9 +4558,11 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # merge LOOP, the connected_components driver-sequenced shape). Each
 # round: ONE shuffle (pair counts over DISTINCT WORDS, not the
 # corpus), a 1-row argmax collect (the merge decision = the model),
-# and a map-only merge rewrite. Sequences encode each symbol with a
-# chr(1) terminator, making the rewrite a single replace() with exact
+# and a map-only merge rewrite. Sequences WRAP each symbol in chr(1)
+# sentinels, making the rewrite a single replace() with exact
 # textbook greedy-leftmost semantics on Spark, DuckDB, AND Python —
+# (wrapped, not just terminated: a terminator-only pattern can match
+# a longer symbol's SUFFIX — hypothesis-property-tested) —
 # so the oracle below unrolls the entire data-dependent loop as CTEs
 # (round r's CTEs reference round r-1's winning pair via a cross join
 # with its 1-row argmax) and hash-matches every merge decision.
@@ -4581,8 +4583,8 @@ def _bpe_ctes(k: int) -> str:
            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
                  FROM documents)
            GROUP BY w),
-    w1 AS (SELECT word, array_to_string(list_transform(range(1, length(word) + 1),
-                  i -> word[CAST(i AS INT)]), chr(1)) || chr(1) AS seq, n
+    w1 AS (SELECT word, chr(1) || array_to_string(list_transform(range(1, length(word) + 1),
+                  i -> word[CAST(i AS INT)]), chr(1) || chr(1)) || chr(1) AS seq, n
            FROM wf)"""
     ]
     for r in range(1, k + 1):
@@ -4600,8 +4602,8 @@ def _bpe_ctes(k: int) -> str:
                     cnt AS n_occurrences
              FROM pc{r} ORDER BY cnt DESC, pr LIMIT 1),
     w{r + 1} AS (SELECT w.word, replace(w.seq,
-                        bb.left_sym || chr(1) || bb.right_sym || chr(1),
-                        bb.merged || chr(1)) AS seq, w.n
+                        chr(1) || bb.left_sym || chr(1) || chr(1) || bb.right_sym || chr(1),
+                        chr(1) || bb.merged || chr(1)) AS seq, w.n
                  FROM w{r} w CROSS JOIN b{r} bb)"""
         )
     return "WITH " + ",\n    ".join(ctes).replace(
@@ -4736,7 +4738,11 @@ def q_bpe_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = _bpe_merges_for(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     wf = bpe_word_table(_spread(docs))
-    seq = F.concat(F.concat_ws(BPE_SEP, F.split(F.col("word"), "")), F.lit(BPE_SEP))
+    seq = F.concat(
+        F.lit(BPE_SEP),
+        F.concat_ws(BPE_SEP + BPE_SEP, F.split(F.col("word"), "")),
+        F.lit(BPE_SEP),
+    )
     wseq = bpe_apply_merges(wf.select("word", seq.alias("seq")), merges)
     wsym = wseq.select(
         "word",

@@ -381,3 +381,70 @@ def test_scd2_islands_match_python_model(spark, rows):
                 (ck, start.isoformat(), prio, vt, n, 1 if i + 1 == len(runs) else 0)
             )
     assert got == sorted(exp)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=60, deadline=None)
+def test_bpe_sentinel_replace_equals_symbol_list_merge(words, k):
+    """The theorem the whole BPE oracle design rests on: with every
+    symbol WRAPPED in sentinels, a single string ``replace(␁a␁␁b␁ →
+    ␁ab␁)`` equals the textbook symbol-list greedy merge (leftmost,
+    non-overlapping, restart AFTER the merged token) — including on
+    self-overlapping runs ('aaaa') and suffix-sharing symbols. The two
+    weaker encodings FAIL this test: space-delimited consumes the next
+    match's boundary; terminator-only lets the pattern match a longer
+    symbol's suffix (falsified at words=['aab','aaab'], k=2 — the bug
+    this test caught in the shipped encoding). Random 2-letter corpora
+    and k merge rounds; training decisions (pair counts + (count desc,
+    pair asc) argmax) replayed independently per representation."""
+    SEP = "\x01"
+    from collections import Counter
+
+    freq = Counter(words)
+
+    # representation A: symbol lists, textbook merge
+    seqs_l = {w: list(w) for w in freq}
+    # representation B: sentinel-terminated strings, replace() merge
+    seqs_s = {w: "".join(SEP + c + SEP for c in w) for w in freq}
+
+    for _ in range(k):
+        counts = Counter()
+        for w, n in freq.items():
+            s = seqs_l[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += n
+        # the string side must see the SAME pair statistics
+        counts_s = Counter()
+        for w, n in freq.items():
+            toks = [x for x in seqs_s[w].split(SEP) if x]
+            for i in range(len(toks) - 1):
+                counts_s[(toks[i], toks[i + 1])] += n
+        assert counts == counts_s
+        if not counts:
+            break
+        (a, b), _n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + "\n" + kv[0][1])
+        )
+        for w in freq:
+            s, out, i = seqs_l[w], [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs_l[w] = out
+            seqs_s[w] = seqs_s[w].replace(
+                SEP + a + SEP + SEP + b + SEP, SEP + a + b + SEP
+            )
+
+    for w in freq:
+        assert [x for x in seqs_s[w].split(SEP) if x] == seqs_l[w], w
