@@ -213,3 +213,47 @@ def test_windowed_drift_histogram_streaming_matches_batch(spark):
         map(tuple, psi_vs_reference(got_hist_df, reference, bins=8).collect())
     )
     assert got_psi == expected_psi
+
+
+def test_psi_vs_reference_matches_independent_python_replica(spark):
+    """Shared-bug guard (the BPE lesson: an oracle that replays the
+    same formula cannot catch a wrong formula): PSI scores from
+    psi_vs_reference are re-derived independently in pure Python from
+    the histogram rows — Laplace smoothing, closed-form empty bins,
+    micro-unit floor — and must agree within 1 micro-unit (float fold
+    association is the only legitimate difference)."""
+    import math
+
+    from hubsit_health_analytics_etl_spark.streaming.drift import (
+        psi_vs_reference,
+        windowed_value_histogram,
+    )
+
+    batch, _ = _events_stream(spark)
+    B = 8
+    reference = [5, 10, 20, 40, 20, 10, 5, 2]
+    n_ref = sum(reference)
+    hist = windowed_value_histogram(
+        batch, ts="ts", duration="1 day", value_col="value",
+        vmin=0.0, vmax=330.0, bins=B,
+    )
+    rows = hist.collect()
+    got = {
+        r.window_start: (r.n_cur, r.psi_u6, r.drifted)
+        for r in psi_vs_reference(hist, reference, bins=B).collect()
+    }
+    by_win: dict = {}
+    for r in rows:
+        by_win.setdefault(r.window_start, {})[r.bin] = r.n
+    assert set(got) == set(by_win)
+    for win, bins in by_win.items():
+        n_cur = sum(bins.values())
+        psi = 0.0
+        for b in range(B):
+            c, rf = bins.get(b, 0), reference[b]
+            pa = (c + 1) / (n_cur + B)
+            pb = (rf + 1) / (n_ref + B)
+            psi += (pa - pb) * math.log(((c + 1) * (n_ref + B)) / ((rf + 1) * (n_cur + B)))
+        assert got[win][0] == n_cur
+        assert abs(got[win][1] - math.floor(psi * 1e6)) <= 1, win
+        assert got[win][2] == (1 if got[win][1] >= 200_000 else 0)
