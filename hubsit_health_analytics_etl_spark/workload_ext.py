@@ -4093,6 +4093,104 @@ def q_doc_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Calibration constants: fixed literal logit range (clamped edges
+# catch out-of-range scores -- they ARE the signal) binned in exact
+# int64 micro-unit arithmetic; the per-bin predicted probability is
+# the sigmoid of the BIN MIDPOINT (a literal), not a float mean over
+# an unordered group -- the one formulation whose only cross-engine
+# float risk is libm exp's final ulp under the micro-unit floor.
+CALIB_BINS = 20
+CALIB_Z_MIN_U6 = -5_000_000
+CALIB_Z_MAX_U6 = 5_000_000
+_CALIB_SPAN = CALIB_Z_MAX_U6 - CALIB_Z_MIN_U6
+_CALIB_ZSQL = _sql_logit(["swr", "mwl", "pr", "(n_tokens / 100.0)"])
+_CALIB_MID = (
+    f"({CALIB_Z_MIN_U6 / 1000000.0} + (bin + 0.5) "
+    f"* {_CALIB_SPAN / 1000000.0 / CALIB_BINS})"
+)
+
+
+@query(
+    "doc_quality_calibration",
+    f"""
+    WITH {_sql_quality_cte()}
+    , z AS (SELECT doc_id,
+                 CAST(floor({_CALIB_ZSQL} * 1000000.0) AS BIGINT) AS z_u6,
+                 (CASE WHEN {_SQL_QUALITY_SCORE} >= {QUALITY_LABEL_THRESHOLD}
+                       THEN 1 ELSE 0 END) AS pos
+          FROM f),
+    b AS (SELECT LEAST(GREATEST(z_u6, {CALIB_Z_MIN_U6}), {CALIB_Z_MAX_U6 - 1}) AS zc,
+                 pos FROM z),
+    g AS (SELECT (zc - ({CALIB_Z_MIN_U6})) * {CALIB_BINS} // {_CALIB_SPAN} AS bin,
+                 COUNT(*)::BIGINT AS n, SUM(pos)::BIGINT AS n_pos
+          FROM b GROUP BY 1),
+    o AS (SELECT bin::BIGINT AS bin, n, n_pos,
+                 (n_pos * 1000000 // n)::BIGINT AS obs_rate_u6,
+                 CAST(FLOOR((1.0 / (1.0 + exp(-{_CALIB_MID}))) * 1000000.0)
+                      AS BIGINT) AS pred_mid_u6
+          FROM g)
+    SELECT bin, n, n_pos, obs_rate_u6, pred_mid_u6,
+           ABS(obs_rate_u6 - pred_mid_u6)::BIGINT AS gap_u6
+    FROM o
+    """,
+)
+def q_doc_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bin, n, n_pos, obs_rate_u6, pred_mid_u6, gap_u6): reliability
+    table of the deployed literal-logit quality classifier -- the
+    ML-ops check that a score of 0.8 means 80%. Docs bin by LOGIT in
+    exact int64 micro-unit arithmetic (clamped fixed range, integer
+    floor-division -- no float binning to diverge); per bin the
+    observed positive rate (exact integer ratio against the heuristic
+    label, the same labels the trained model bootstraps from) sits
+    next to the predicted probability at the bin midpoint (sigmoid of
+    a literal -- the only libm call, absorbed by the micro-unit floor)
+    and their gap. A calibrated model shows gap_u6 near 0 in the
+    populated bins; the gaps ARE the recalibration curve
+    (Platt/isotonic input). Map-only until the single (bin) aggregate."""
+    from .operators.quality_model import logit_expr
+    from .operators.textanalysis import quality_features, quality_score
+
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    f = quality_features("text")
+    base = d.select(
+        f["stopword_ratio"].cast("double").alias("swr"),
+        f["mean_word_len"].cast("double").alias("mwl"),
+        f["punct_ratio"].cast("double").alias("pr"),
+        (f["n_tokens"] / F.lit(100.0)).cast("double").alias("ntok_h"),
+        (quality_score("text") >= QUALITY_LABEL_THRESHOLD)
+        .cast("int")
+        .alias("pos"),
+    )
+    z = logit_expr(QUALITY_LOGIT_W, QUALITY_LOGIT_B)
+    z_u6 = F.floor(z * F.lit(1000000.0)).cast("bigint")
+    zc = F.least(
+        F.greatest(z_u6, F.lit(CALIB_Z_MIN_U6)), F.lit(CALIB_Z_MAX_U6 - 1)
+    )
+    binned = base.select(
+        ((zc - F.lit(CALIB_Z_MIN_U6)) * F.lit(CALIB_BINS)).alias("num"), "pos"
+    ).select(F.expr(f"num div {_CALIB_SPAN}").cast("bigint").alias("bin"), "pos")
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    mid = F.lit(CALIB_Z_MIN_U6 / 1000000.0) + (
+        F.col("bin") + F.lit(0.5)
+    ) * F.lit(_CALIB_SPAN / 1000000.0 / CALIB_BINS)
+    pred = F.floor(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-mid))) * F.lit(1000000.0)
+    ).cast("bigint")
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr("(n_pos * 1000000) div n").cast("bigint").alias("obs_rate_u6"),
+        pred.alias("pred_mid_u6"),
+    ).withColumn(
+        "gap_u6",
+        F.abs(F.col("obs_rate_u6") - F.col("pred_mid_u6")).cast("bigint"),
+    )
+
+
 @query("doc_quality_trained_model")
 def q_doc_quality_trained_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-classifier scorecard, one row: (method, n_train, n_test,

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+from .conftest import SF_SMOKE
+
 
 def test_logit_expr_matches_manual_arithmetic(spark):
     from hubsit_health_analytics_etl_spark.operators.quality_model import logit_expr
@@ -77,3 +79,31 @@ def test_train_quality_lr_weights_are_finite(spark):
         F.avg((F.col("pred") == F.col("label")).cast("double"))
     ).first()[0]
     assert acc == 1.0
+
+
+def test_doc_quality_calibration_reliability_invariants(spark):
+    """Reliability-table contract: bins inside [0, CALIB_BINS), totals
+    cover every document, observed rate is the exact integer ratio,
+    predicted midpoints strictly increase with bin (sigmoid is
+    monotone), and the observed keep-rate rises from the lowest to the
+    highest populated logit bin (the classifier orders the corpus even
+    where its absolute calibration is off — which gap_u6 quantifies)."""
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.workload_ext import CALIB_BINS
+
+    rows = sorted(
+        w.QUERIES["doc_quality_calibration"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.bin,
+    )
+    assert rows
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    preds = [r.pred_mid_u6 for r in rows]
+    assert preds == sorted(preds) and len(set(preds)) == len(preds)
+    for r in rows:
+        assert 0 <= r.bin < CALIB_BINS
+        assert 0 <= r.n_pos <= r.n
+        assert r.obs_rate_u6 == (r.n_pos * 1_000_000) // r.n
+        assert r.gap_u6 == abs(r.obs_rate_u6 - r.pred_mid_u6)
+    assert rows[-1].obs_rate_u6 >= rows[0].obs_rate_u6
