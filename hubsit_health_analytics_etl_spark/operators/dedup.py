@@ -371,11 +371,33 @@ def ngram_jaccard_pairs(
     ``dropped_shingles`` / ``dropped_postings`` after the action runs,
     so the recall loss the cap buys is auditable.
     """
+    inter = _shingle_intersections(docs, id_col, text_col, df_cap, observation)
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _shingle_intersections(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    df_cap: int | None,
+    observation,
+) -> DataFrame:
+    """(doc_a, doc_b, na, nb, n_inter) for every UNDIRECTED pair
+    (doc_a < doc_b) sharing ≥1 distinct shingle — the shared core of
+    the exact Jaccard and containment operators. Inverted-index
+    equi-join on a 60-bit md5-prefix int (bigint keys shuffle/compare
+    far cheaper than ~30-char shingle strings; ~2^61 space makes the
+    collision expectation ~0, and the oracle hashes identically so
+    parity is exact either way); optional ``df_cap`` drops postings
+    for boilerplate shingles shared by more than cap docs (O(m²) join
+    rows on one reducer otherwise), with Observation-auditable drop
+    counts."""
     sh = _spread(docs).select(F.col(id_col), shingles_from_text(text_col).alias("sh"))
-    # join the inverted index on a 60-bit md5-prefix int: bigint keys
-    # shuffle/compare far cheaper than ~30-char shingle strings; with
-    # ~2^61 space the collision expectation is ~0 (and the oracle
-    # hashes identically, so parity is exact either way)
     inv = sh.select(
         id_col,
         F.size("sh").alias("n_sh"),
@@ -397,18 +419,57 @@ def ngram_jaccard_pairs(
         inv = inv.join(dfreq.filter(~oversized).select("s"), "s")
     a = inv.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"), "s")
     b = inv.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"), "s")
-    inter = (
+    return (
         a.join(b, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
-    return (
-        inter.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold_u6: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = None,
+    observation=None,
+) -> DataFrame:
+    """DIRECTED containment pairs: (src_id, dst_id, n_inter,
+    containment_u6) where containment(src→dst) = |sh(src) ∩ sh(dst)|
+    / |sh(src)| ≥ threshold — the ASYMMETRIC near-dup relation Jaccard
+    misses: a document quoted or fully embedded inside a much larger
+    one scores containment ≈ 1 while its Jaccard ≈ |small|/|large| ≈ 0
+    (the quote-inclusion / wrapper-page case curation actually hunts).
+    Both directions are scored from ONE undirected intersection pass.
+
+    containment is emitted in exact int64 micro-units
+    ((n_inter·1e6) div n_src): small-denominator rationals land
+    exactly ON 6dp round-half boundaries (1/640 = 0.0015625), where
+    the engines' ROUND implementations split by 1 ulp — integer
+    floor-division cannot."""
+    inter = _shingle_intersections(docs, id_col, text_col, df_cap, observation)
+    d1 = inter.select(
+        F.col("doc_a").alias("src_id"),
+        F.col("doc_b").alias("dst_id"),
+        F.col("na").alias("n_src"),
+        "n_inter",
     )
+    d2 = inter.select(
+        F.col("doc_b").alias("src_id"),
+        F.col("doc_a").alias("dst_id"),
+        F.col("nb").alias("n_src"),
+        "n_inter",
+    )
+    directed = d1.unionByName(d2).select(
+        "src_id",
+        "dst_id",
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        F.expr("(n_inter * 1000000) div n_src").cast("bigint").alias(
+            "containment_u6"
+        ),
+    )
+    return directed.filter(F.col("containment_u6") >= int(threshold_u6))
 
 
 def simhash32(text_col: str = "text") -> Column:

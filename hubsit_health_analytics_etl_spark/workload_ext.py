@@ -29,6 +29,7 @@ from .operators.dedup import (
     exact_dup_edges,
     _spread,
     minhash_candidates,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash32,
     simhash_candidate_pairs,
@@ -783,6 +784,49 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index — ground truth for the LSH path."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment: the near-dup relation Jaccard misses. A doc
+# quoted or embedded inside a much larger one has Jaccard ~ 0 but
+# containment ~ 1 — the wrapper-page / quote-inclusion case curation
+# hunts. Directed pairs from ONE undirected intersection pass;
+# containment in exact integer micro-units (small-denominator
+# rationals land ON 6dp round-half boundaries, e.g. 1/640).
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD_U6 = 600_000
+
+
+@query(
+    "ngram_containment_pairs",
+    f"""
+    WITH sh AS (SELECT doc_id,
+                       list_transform({_sql_shingles()},
+                                      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS sh
+                FROM documents),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+                     COUNT(*)::BIGINT AS n_inter
+              FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id, a.n, b.n),
+    d AS (SELECT doc_a AS src_id, doc_b AS dst_id, na AS n_src, n_inter FROM inter
+          UNION ALL
+          SELECT doc_b AS src_id, doc_a AS dst_id, nb AS n_src, n_inter FROM inter)
+    SELECT src_id, dst_id, n_inter,
+           (n_inter * 1000000 // n_src)::BIGINT AS containment_u6
+    FROM d
+    WHERE n_inter * 1000000 // n_src >= {CONTAINMENT_THRESHOLD_U6}
+    """,
+)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.py::ngram_containment_pairs at threshold 0.6 —
+    directed (src_id, dst_id, n_inter, containment_u6) where ≥60% of
+    src's distinct shingles appear in dst. Same inverted-index /
+    df-cap scale machinery as the exact-Jaccard path (one shared
+    intersection pass scores both directions); oracle rebuilds the
+    index and both directions from scratch."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, CONTAINMENT_THRESHOLD_U6)
 
 
 # ---------------------------------------------------------------------------

@@ -1530,3 +1530,59 @@ def test_user_value_drift_ks_per_key_guard(spark):
             w.QUERIES["user_value_drift_ks"](spark, SF_SMOKE).collect()
     finally:
         wx.DRIFT_KS_MAX_ROWS_PER_KEY = old
+
+
+def test_ngram_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """The asymmetry claim, pinned on a crafted corpus: a small doc
+    fully embedded inside a much larger one scores containment 1.0
+    (emitted as exactly 1_000_000 µ) while its Jaccard is far below
+    the dedup threshold — plus an exhaustive pure-Python shingle
+    reference over the whole crafted corpus (the BPE lesson: the
+    oracle replays the same formula, so an independent implementation
+    must pin the semantics)."""
+    from hubsit_health_analytics_etl_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"word{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler.replace("word", "tail")),
+            (3, "an unrelated tiny document entirely"),
+        ],
+        "doc_id int, text string",
+    )
+    cont = {
+        (r.src_id, r.dst_id): r.containment_u6
+        for r in ngram_containment_pairs(docs, 600_000).collect()
+    }
+    assert cont[(1, 2)] == 1_000_000  # quote fully contained
+    assert (2, 1) not in cont  # big doc not contained in the quote
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, 0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.1  # Jaccard blind to the inclusion
+
+    # independent exhaustive reference over every directed pair
+    def sh(t, k=3):
+        toks = t.lower().split(" ")
+        return {
+            " ".join(toks[i : i + k])
+            for i in range(max(len(toks) - k + 1, 1))
+        }
+
+    texts = {1: quote, 2: docs.collect()[1].text, 3: "an unrelated tiny document entirely"}
+    shs = {i: sh(t) for i, t in texts.items()}
+    expected = {}
+    for a in shs:
+        for b in shs:
+            if a == b:
+                continue
+            inter = len(shs[a] & shs[b])
+            if inter and (inter * 1_000_000) // len(shs[a]) >= 600_000:
+                expected[(a, b)] = (inter * 1_000_000) // len(shs[a])
+    assert cont == expected
