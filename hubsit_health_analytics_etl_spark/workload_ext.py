@@ -6254,6 +6254,89 @@ def q_user_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Co-located (bucketed) big-big join — the physical-layout lever for
+# joins where NEITHER side broadcasts: both tables written bucketed on
+# the join key once at ingest, every subsequent join skips its
+# exchanges entirely. At 100 TB this is the difference between a
+# nightly orders⋈customer costing two full shuffles and costing none;
+# the PREPARES fixture is the ingest-time write, the timed body is
+# the recurring query (the amortization the bucketing buys), and the
+# plan test pins ZERO exchanges below the join.
+# ---------------------------------------------------------------------------
+_BUCKETED_JOIN_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _prepare_bucketed_join(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders and customer as external tables bucketed (8) on
+    the customer key — memoized per (process, sf_dir); run-scoped
+    names/locations so concurrent sessions never collide."""
+    got = _BUCKETED_JOIN_CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    import hashlib
+    import os
+    import tempfile
+
+    from .sources.sinks import write_bucketed_table
+
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
+    base = tempfile.mkdtemp(prefix=f"hubsit_bucketed_{tag}_")
+    t_orders, t_cust = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    write_bucketed_table(
+        orders, t_orders, "o_custkey", n_buckets=8, sort_col="o_custkey",
+        path=os.path.join(base, "orders"),
+    )
+    write_bucketed_table(
+        cust, t_cust, "c_custkey", n_buckets=8, sort_col="c_custkey",
+        path=os.path.join(base, "customer"),
+    )
+    _BUCKETED_JOIN_CACHE[sf_dir] = (t_orders, t_cust)
+    return t_orders, t_cust
+
+
+PREPARES["bucketed_segment_revenue"] = _prepare_bucketed_join
+
+
+@query(
+    "bucketed_segment_revenue",
+    """
+    SELECT c_mktsegment,
+           COUNT(*)::BIGINT AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS receita
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_bucketed_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through a ZERO-SHUFFLE big-big join:
+    both sides pre-bucketed (8) on the customer key, so the sort-merge
+    join reads co-located buckets directly — no exchange below the
+    join, plan-asserted; the only shuffle is the final segment
+    aggregate. The oracle joins the raw tables, proving the bucketed
+    layout changed nothing. The PREPARES write is the once-per-ingest
+    cost; this query is the shape every later consumer pays. The MERGE
+    hint pins the at-scale strategy: at fixture scale the dim fits a
+    broadcast so Catalyst would pick BHJ and the layout never
+    exercises — at 100 TB neither side broadcasts and this co-located
+    sort-merge (buckets pre-sorted on the key, so not even a Sort
+    node) is exactly what runs."""
+    t_orders, t_cust = _prepare_bucketed_join(spark, sf_dir)
+    orders = spark.table(t_orders)
+    cust = spark.table(t_cust).hint("merge")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("receita"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Continuous drift: the STREAMING deployment shape of the PSI monitor
 # (streaming/drift.py) verified in batch — per-day value histograms
 # scored against a frozen reference distribution. The histogram is

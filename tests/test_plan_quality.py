@@ -745,3 +745,21 @@ def test_windowed_drift_psi_plans_jvm_only_two_shuffles(spark):
     p = physical_plan(_q("windowed_drift_psi")(spark, SF_SMOKE))
     assert "EvalPython" not in p and "CartesianProduct" not in p
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+
+
+def test_bucketed_segment_revenue_join_never_shuffles(spark):
+    """The co-located big-big join contract, driver-visible: both
+    sides pre-bucketed on the customer key, so the sort-merge join
+    runs with ZERO exchanges below it — the plan's ONLY exchange is
+    the final segment aggregate (hash-partitioned on c_mktsegment),
+    and both scans report their bucket layout."""
+    import re
+
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("bucketed_segment_revenue")(spark, SF_SMOKE))
+    assert "SortMergeJoin" in p
+    ex = re.findall(r"\(\d+\) Exchange\n(.*?)\n\n", p, flags=re.S)
+    assert len(ex) == 1, p
+    assert "c_mktsegment" in ex[0]
+    assert p.count("Bucketed: true") == 2
