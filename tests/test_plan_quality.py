@@ -100,6 +100,7 @@ def test_anti_join_is_broadcast(spark):
     [
         "minhash_lsh_pairs",
         "ngram_jaccard_pairs",
+        "ngram_containment_pairs",
         "winnow_candidate_pairs",
         "simhash_candidate_pairs",
         "dedup_new_batch",
