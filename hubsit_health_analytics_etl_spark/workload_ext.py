@@ -3240,7 +3240,14 @@ def _pq_ctes(src: str = "embeddings", vec: str = "embedding", head: str = "") ->
     (``head`` = extra leading CTEs, trailing comma included). NOTE:
     this float chain is only cross-engine-safe over CONTINUOUS input
     coordinates — after a rounding stage (a rotation), use the
-    micro-unit integer chain (ann_rot_pq_adc_topk) instead."""
+    micro-unit integer chain (ann_rot_pq_adc_topk) instead. A second,
+    milder latent class: the DISPLAY rounds (adc 9dp→6dp, mse /64 then
+    6dp) re-round values that already live on a 1e-9 lattice, which
+    sits on a 6dp half-boundary for ~0.1% of values; the shipped
+    fixtures are byte-stable across rounds (hash-verified green every
+    round), so this cannot flake here, but a regenerated dataset
+    should move these outputs to raw-9dp / integer nano-units exactly
+    as the rot/containment/calibration queries already do."""
     from .operators.similarity import PQ_M, PQ_SUB_DIM
 
     cb_selects = " UNION ALL ".join(
