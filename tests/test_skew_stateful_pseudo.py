@@ -237,3 +237,46 @@ def test_stateful_v2_kernel_matches_batch_twin(spark):
         stream = spark.readStream.schema(batch.schema).parquet(SF_SMOKE)
         with pytest.raises(RuntimeError, match="protobuf"):
             user_profile_stream_v2(stream.select("user_id", "ts", "value"))
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The AQE half of the skew story (salting is the manual half,
+    pinned above): with the session's skewJoin enabled, a hot key that
+    dwarfs every other partition is SPLIT at runtime — the final
+    adaptive plan marks the sort-merge join skew=true and the shuffle
+    read 'coalesced and skewed'. Thresholds are lowered to fire at
+    fixture scale and restored after; at 100 TB the defaults (256 MB
+    partitions) catch the same shape with zero query changes."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(0, 200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        )
+        cold = spark.range(0, 10_000).select(
+            (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(0, 51).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        j = hot.unionByName(cold).join(right.hint("shuffle_merge"), "k")
+        assert len(j.collect()) == 210_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan.lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
