@@ -655,3 +655,56 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+def incremental_containment(
+    new_docs: DataFrame,
+    index_shingles: DataFrame,
+    threshold_u6: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time containment probe: is each NEW document already
+    (mostly) inside something the corpus holds? Directed containment
+    of batch docs in INDEXED docs — only the batch is shingled; the
+    corpus contributes its persisted (doc_id, hs) shingle-hash index
+    (minhash_signature_index's second relation). Deliberately NO LSH
+    banding pre-filter: banding keys on Jaccard, which is
+    ~|small|/|large| for exactly the embedded-doc pairs this operator
+    exists to catch — the probe joins the raw shingle-hash postings
+    (at 100 TB: store the postings EXPLODED and bucketed/partitioned
+    by hash so the equi-join prunes to the batch's buckets instead of
+    scanning the index). Output: (doc_id, contained_in, n_inter,
+    containment_u6) with containment = |sh(new) ∩ sh(old)| / |sh(new)|
+    in exact int64 micro-units (ngram_containment_pairs posture)."""
+    sh = _spread(new_docs).select(
+        F.col(id_col), shingles_from_text(text_col).alias("sh")
+    )
+    batch = sh.select(
+        id_col,
+        F.size("sh").alias("n_new"),
+        F.explode(
+            F.expr(
+                "transform(sh, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))"
+            )
+        ).alias("s"),
+    )
+    idx = index_shingles.select(
+        F.col(id_col).alias("contained_in"), F.explode("hs").alias("s")
+    )
+    inter = (
+        batch.join(idx, "s")
+        .groupBy(id_col, "contained_in", "n_new")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.select(
+            id_col,
+            "contained_in",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.expr("(n_inter * 1000000) div n_new")
+            .cast("bigint")
+            .alias("containment_u6"),
+        )
+        .filter(F.col("containment_u6") >= int(threshold_u6))
+    )

@@ -830,6 +830,55 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Containment at INGEST: the dedup-before-accept question ("is this
+# incoming doc already inside something we hold?") answered against
+# the PERSISTED shingle index — the batch is shingled map-only, the
+# corpus is never re-read. Shares the 90%-corpus index fixture with
+# the incremental-cluster queries (PREPARES); oracle = full recompute
+# restricted to (batch → corpus) pairs, so the hash match proves
+# incremental == from-scratch.
+# ---------------------------------------------------------------------------
+def _containment_new_batch_oracle() -> str:
+    from .operators.sampling import sql_hash_bucket
+
+    return f"""
+    WITH sh AS (SELECT doc_id,
+                       {sql_hash_bucket("doc_id")} < {NEW_BATCH_PCT} AS is_new,
+                       list_transform({_sql_shingles()},
+                                      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS sh
+                FROM documents),
+    b AS (SELECT doc_id, len(sh) AS n_new, unnest(sh) AS s FROM sh WHERE is_new),
+    c AS (SELECT doc_id AS contained_in, unnest(sh) AS s FROM sh WHERE NOT is_new),
+    inter AS (SELECT b.doc_id, c.contained_in, b.n_new, COUNT(*)::BIGINT AS n_inter
+              FROM b JOIN c USING (s)
+              GROUP BY b.doc_id, c.contained_in, b.n_new)
+    SELECT doc_id, contained_in, n_inter,
+           (n_inter * 1000000 // n_new)::BIGINT AS containment_u6
+    FROM inter
+    WHERE n_inter * 1000000 // n_new >= {CONTAINMENT_THRESHOLD_U6}
+    """
+
+
+@query("containment_new_batch", _containment_new_batch_oracle())
+def q_containment_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.py::incremental_containment over the persisted
+    90%-corpus shingle index (shared PREPARES fixture): each new-batch
+    doc reporting every corpus doc that already contains ≥60% of its
+    shingles. No LSH pre-filter BY DESIGN (banding keys on Jaccard,
+    blind to the embedded-doc case); the scale lever is the exploded,
+    hash-bucketed postings layout. Oracle shingles both sides from
+    scratch — incremental == full recompute, hash-proved."""
+    from .operators.dedup import incremental_containment
+    from .operators.sampling import hash_bucket
+
+    paths = _prepare_cluster_merge_index(spark, sf_dir)
+    shingles = spark.read.parquet(paths["shingles"])
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(hash_bucket("doc_id") < NEW_BATCH_PCT)
+    return incremental_containment(batch, shingles, CONTAINMENT_THRESHOLD_U6)
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprints (Schleimer et al., SIGMOD 2003): rolling
 # window of k-gram hashes, min per window. K=4-token grams, W=8
 # windows — shared runs of ≥ 11 tokens always collide.

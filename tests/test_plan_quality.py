@@ -101,6 +101,7 @@ def test_anti_join_is_broadcast(spark):
         "minhash_lsh_pairs",
         "ngram_jaccard_pairs",
         "ngram_containment_pairs",
+        "containment_new_batch",
         "winnow_candidate_pairs",
         "simhash_candidate_pairs",
         "dedup_new_batch",
