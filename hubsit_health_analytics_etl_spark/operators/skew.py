@@ -107,3 +107,57 @@ def key_skew_report(
             .alias("salt_factor"),
         )
     )
+
+
+def join_explosion_report(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    top: int = 10,
+) -> DataFrame:
+    """Pre-join cardinality diagnosis: for the ``top`` keys by OUTPUT
+    amplification, the per-side row counts and their product (= the
+    rows this key alone will emit from an inner equi-join). The
+    100 TB failure this prevents: a key assumed unique on one side
+    that isn't (a 'dimension' with duplicate business keys) turns a
+    join into a quadratic blow-up that surfaces only as a job that
+    never finishes — two cheap count-aggregations surface it BEFORE
+    the join runs. Diagnostic, not enforcement: feed it to
+    assert_join_safe for the loud-failure form."""
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_left"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_right"))
+    both = lc.join(rc, keys)
+    out = both.select(
+        *keys,
+        F.col("n_left").cast("bigint").alias("n_left"),
+        F.col("n_right").cast("bigint").alias("n_right"),
+        (F.col("n_left") * F.col("n_right")).cast("bigint").alias("n_out"),
+    )
+    return out.orderBy(F.col("n_out").desc(), *keys).limit(top)
+
+
+def assert_join_safe(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    max_rows_per_key: int = 10_000_000,
+) -> None:
+    """Loud pre-join guard: raises with the offending keys when any
+    single join key would emit more than ``max_rows_per_key`` output
+    rows. Costs two count-aggregations + a top-k collect (cheap next
+    to the join it protects); call it before any join whose key
+    uniqueness is an ASSUMPTION rather than a constraint."""
+    worst = join_explosion_report(left, right, keys, top=5).collect()
+    bad = [r for r in worst if r["n_out"] > max_rows_per_key]
+    if bad:
+        detail = ", ".join(
+            f"{tuple(r[k] for k in keys)}: {r['n_left']}x{r['n_right']}"
+            f"={r['n_out']}"
+            for r in bad
+        )
+        raise ValueError(
+            f"assert_join_safe: {len(bad)} join key(s) exceed "
+            f"{max_rows_per_key} output rows — {detail}. The join would "
+            "explode; dedup the offending side, aggregate before "
+            "joining, or raise the guard deliberately."
+        )

@@ -280,3 +280,32 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_explosion_guard_flags_duplicate_dimension_keys(spark):
+    """The pre-join guard catches the classic 100 TB killer — a
+    'dimension' with duplicate business keys — BEFORE the join runs,
+    naming the offending key and per-side counts; a clean join passes
+    silently, and the report ranks keys by output amplification."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from hubsit_health_analytics_etl_spark.operators.skew import (
+        assert_join_safe,
+        join_explosion_report,
+    )
+
+    fact = spark.range(0, 10_000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    clean_dim = spark.range(0, 100).select(F.col("id").alias("k"))
+    assert_join_safe(fact, clean_dim, ["k"], max_rows_per_key=1_000)
+
+    dup_dim = clean_dim.unionByName(
+        spark.range(0, 500).select(F.lit(7).alias("k"))
+    )
+    rep = {r.k: r for r in join_explosion_report(fact, dup_dim, ["k"]).collect()}
+    assert rep[7].n_left == 100 and rep[7].n_right == 501
+    assert rep[7].n_out == 100 * 501
+    with _pytest.raises(ValueError, match="explode"):
+        assert_join_safe(fact, dup_dim, ["k"], max_rows_per_key=1_000)
