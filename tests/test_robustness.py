@@ -143,3 +143,48 @@ def test_jsonl_roundtrip_and_corrupt_record_audit(spark, tmp_path):
     back_clean, back_audit = split_audit(back)
     assert {r.doc_id: r.text for r in back_clean.collect()} == got
     assert len(back_audit.collect()) == 0
+
+
+def test_xml_tolerant_audits_malformed_elements_and_roundtrips(spark, tmp_path):
+    """The XML ingest edge honors the shared tolerant-ingest contract:
+    well-formed row elements parse, a malformed element lands in the
+    _corrupt_record audit (never dropped, never fatal), split_audit
+    separates clean/quarantine from ONE scan, the ingest report counts
+    both, and write_xml→read round-trips the clean rows."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.sources.jsonl import split_audit
+    from hubsit_health_analytics_etl_spark.sources.xml_tolerant import (
+        read_xml_tolerant,
+        write_xml,
+        xml_ingest_report,
+    )
+
+    src = tmp_path / "feed.xml"
+    src.write_text(
+        "<consultas>"
+        "<c><id>1</id><paciente>ana</paciente><valor>10.5</valor></c>"
+        "<c><id>2</id><paciente>bruno</paciente><valor>20.0</valor></c>"
+        "<c><id>oops</id><paciente>caio</paciente><valor>not_a_number</valor></c>"
+        "</consultas>"
+    )
+    df = read_xml_tolerant(
+        spark, str(src), row_tag="c",
+        schema="id bigint, paciente string, valor double",
+    ).cache()
+    clean, audit = split_audit(df)
+    assert {r.id for r in clean.collect()} == {1, 2}
+    bad = audit.collect()
+    assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt_record"]
+    rep = xml_ingest_report(df).collect()[0]
+    assert (rep.n_rows, rep.n_clean, rep.n_corrupt) == (3, 2, 1)
+
+    out = tmp_path / "out"
+    write_xml(clean, str(out), row_tag="c", root_tag="consultas")
+    back = read_xml_tolerant(
+        spark, str(out), row_tag="c",
+        schema="id bigint, paciente string, valor double",
+    )
+    assert sorted((r.id, r.paciente, r.valor) for r in split_audit(back)[0].collect()) \
+        == [(1, "ana", 10.5), (2, "bruno", 20.0)]
+    df.unpersist()
