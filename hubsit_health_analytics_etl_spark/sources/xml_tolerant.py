@@ -35,10 +35,13 @@ def read_xml_tolerant(
     With an explicit ``schema`` (DDL string — pass one in production:
     inference is an extra full scan), malformed elements land in
     ``corrupt_col`` with every schema column null; with ``schema=None``
-    the reader infers and the corrupt column rides along. Split the
-    result with :func:`~.jsonl.split_audit` — the audit contract is
-    shared with the CSV/JSONL readers, so quarantine plumbing is
-    format-agnostic."""
+    the reader infers — and because Spark's XML inference only emits
+    the corrupt column when the sampled file actually CONTAINS
+    malformed elements, a clean feed would come back without it, so
+    the audit column is added (all-null) when absent to keep the
+    contract unconditional. Split the result with
+    :func:`~.jsonl.split_audit` — the audit contract is shared with
+    the CSV/JSONL readers, so quarantine plumbing is format-agnostic."""
     reader = (
         spark.read.option("rowTag", row_tag)
         .option("mode", "PERMISSIVE")
@@ -46,7 +49,10 @@ def read_xml_tolerant(
     )
     if schema is not None:
         reader = reader.schema(f"{schema}, {corrupt_col} string")
-    return reader.xml(path)
+    df = reader.xml(path)
+    if corrupt_col not in df.columns:
+        df = df.withColumn(corrupt_col, F.lit(None).cast("string"))
+    return df
 
 
 def write_xml(

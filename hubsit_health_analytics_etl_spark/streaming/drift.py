@@ -109,7 +109,14 @@ def psi_vs_reference(
     n_ref = int(sum(reference))
     ref_lit = "array(" + ", ".join(f"{int(c)}L" for c in reference) + ")"
     g = list(group_cols)
-    u = hist.groupBy(*g).agg(
+    # Pre-collapse duplicate (group, bin) rows BEFORE building the map:
+    # merged/unioned histograms (two triggers, two ingests) are valid
+    # input per the module contract, and map_from_entries under the
+    # default mapKeyDedupPolicy=EXCEPTION would crash on a repeated
+    # bin key. Counts are additive, so sum() is the merge. Cheap: the
+    # extra agg rides on |groups|×B rows, map-side combine first.
+    merged = hist.groupBy(*g, "bin").agg(F.sum("n").cast("bigint").alias("n"))
+    u = merged.groupBy(*g).agg(
         F.sum("n").cast("bigint").alias("n_cur"),
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("bin", "n")))

@@ -188,3 +188,33 @@ def test_xml_tolerant_audits_malformed_elements_and_roundtrips(spark, tmp_path):
     assert sorted((r.id, r.paciente, r.valor) for r in split_audit(back)[0].collect()) \
         == [(1, "ana", 10.5), (2, "bruno", 20.0)]
     df.unpersist()
+
+
+def test_xml_inference_read_of_clean_feed_keeps_audit_contract(spark, tmp_path):
+    """schema=None inference on a CLEAN feed: Spark's XML inference
+    omits _corrupt_record when the sampled file has no malformed
+    elements, so the reader must add the (all-null) audit column
+    itself — otherwise xml_ingest_report / split_audit fail with
+    UNRESOLVED_COLUMN on exactly the healthy-feed path. Regression
+    pin for that edge."""
+    from hubsit_health_analytics_etl_spark.sources.jsonl import split_audit
+    from hubsit_health_analytics_etl_spark.sources.xml_tolerant import (
+        read_xml_tolerant,
+        xml_ingest_report,
+    )
+
+    src = tmp_path / "clean.xml"
+    src.write_text(
+        "<consultas>"
+        "<c><id>1</id><paciente>ana</paciente></c>"
+        "<c><id>2</id><paciente>bruno</paciente></c>"
+        "</consultas>"
+    )
+    df = read_xml_tolerant(spark, str(src), row_tag="c").cache()
+    assert "_corrupt_record" in df.columns
+    clean, audit = split_audit(df)
+    assert {r.id for r in clean.collect()} == {1, 2}
+    assert audit.count() == 0
+    rep = xml_ingest_report(df).collect()[0]
+    assert (rep.n_rows, rep.n_clean, rep.n_corrupt) == (2, 2, 0)
+    df.unpersist()

@@ -215,6 +215,48 @@ def test_windowed_drift_histogram_streaming_matches_batch(spark):
     assert got_psi == expected_psi
 
 
+def test_psi_vs_reference_accepts_merged_histograms(spark):
+    """The module contract says per-(window,bin) counts 'merge across
+    triggers, partitions and ingests' — so psi_vs_reference must accept
+    a UNION of histogram batches, where the same (window, bin) key
+    appears once per batch. Regression pin for the DUPLICATED_MAP_KEY
+    crash (map_from_entries under mapKeyDedupPolicy=EXCEPTION): the
+    PSI of two unioned half-corpus histograms must equal the PSI of
+    the single full-corpus histogram."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.streaming.drift import (
+        psi_vs_reference,
+        windowed_value_histogram,
+    )
+
+    batch, _ = _events_stream(spark)
+    kw = dict(
+        ts="ts", duration="1 day", value_col="value",
+        vmin=0.0, vmax=330.0, bins=8,
+    )
+    reference = [10] * 8
+    whole = windowed_value_histogram(batch, **kw)
+    # two ingests of the same window: split on a value parity so both
+    # halves populate overlapping (window, bin) keys
+    h1 = windowed_value_histogram(batch.filter(F.col("value") < 150), **kw)
+    h2 = windowed_value_histogram(batch.filter(F.col("value") >= 150), **kw)
+    merged = h1.unionByName(h2)
+    # sanity: the union really does carry duplicate (window, bin) keys
+    dup = (
+        merged.groupBy("window_start", "bin").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert dup > 0, "fixture failed to produce overlapping histogram keys"
+    expected = sorted(
+        map(tuple, psi_vs_reference(whole, reference, bins=8).collect())
+    )
+    got = sorted(
+        map(tuple, psi_vs_reference(merged, reference, bins=8).collect())
+    )
+    assert got == expected and len(got) > 0
+
+
 def test_psi_vs_reference_matches_independent_python_replica(spark):
     """Shared-bug guard (the BPE lesson: an oracle that replays the
     same formula cannot catch a wrong formula): PSI scores from
