@@ -2636,7 +2636,11 @@ def q_ann_kmeans_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd iterations, centroids rounded to 6dp) against exact brute
     force. One row: (method, n_hits, n_total, recall_at_k). Training
     touches only the embedding column; the k centers collected to the
-    driver are the model, not data."""
+    driver are the model, not data. Hash-grade verification (no oracle
+    by construction): fresh-JVM two-session determinism pin + a pure-
+    Python third implementation of everything downstream of the fit
+    (assignment, probe, top-k, recall — exact match) in
+    tests/test_rows_only_verification.py."""
     from .operators.similarity import ivf_topk, kmeans_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3749,7 +3753,11 @@ def q_ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact literal-codebook map-side expressions the label-mean
     queries run, so the only new moving part is the trainer. recall@
     {ANN_K} is measured against exact squared-L2 top-{ANN_K} over the
-    float vectors (ties broken by neighbor id on both sides)."""
+    float vectors (ties broken by neighbor id on both sides).
+    Hash-grade verification (no oracle by construction): fresh-JVM
+    two-session determinism pin + a pure-Python third implementation
+    of encode/ADC/exact-L2/recall from the collected codebooks (counts
+    exact, mse within 1e-6) in tests/test_rows_only_verification.py."""
     from pyspark.sql import Window
 
     from .operators.similarity import (
@@ -4300,7 +4308,12 @@ def q_doc_quality_trained_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     20% with the fitted weights inlined as the literal map-only logit
     (quality_model module docstring). baseline_acc is the
     majority-class accuracy on the same held-out rows — the bar the
-    learned weights must clear (pinned in pytest)."""
+    learned weights must clear (pinned in pytest). Hash-grade
+    verification (no oracle by construction): fresh-JVM two-session
+    determinism pin + an independent numpy Newton solver of the same
+    strictly-convex objective reproducing the Spark ML weights to
+    1e-3 and the scorecard accuracy to 1e-4
+    (tests/test_rows_only_verification.py)."""
     from .operators.quality_model import (
         logit_expr,
         quality_feature_frame,
@@ -6520,7 +6533,11 @@ def q_embedding_pca_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage before any quantization; ann_opq_adc_topk chains PQ after
     this rotation for the full compression stack. Rows-only by
     construction (the fit); projection/energy bounds in
-    tests/test_ext_operators.py."""
+    tests/test_ext_operators.py. Hash-grade verification: fresh-JVM
+    two-session determinism pin + a pure-Python bit-for-bit replay of
+    every energy_kept_u6/recon_err_u6 from the component literals
+    (tests/test_rows_only_verification.py; subspace optimality vs
+    numpy eigendecomposition in test_ext_operators.py)."""
     from .operators.similarity import pca_components, pca_project_expr
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -6739,7 +6756,10 @@ def q_ann_opq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BY CONSTRUCTION (the distributed eigensolver fit, same posture as
     ann_pq_trained_recall); pytest pins the OPQ quantization MSE below
     the unrotated AND the contiguous-slice PCA paths plus recall
-    floors, and plan tests forbid cartesians."""
+    floors, and plan tests forbid cartesians. Hash-grade verification:
+    fresh-JVM two-session determinism pin + the ann_rot_pq_adc_topk-
+    precedent numpy int64 replica (every adc_u bit-for-bit from the
+    collected OPQ components) in tests/test_rows_only_verification.py."""
     from .operators.similarity import (
         EMBED_DIM,
         opq_balance_components,
