@@ -370,6 +370,52 @@ def chunk_tokens(
     )
 
 
+def chunk_docs_udtf(chunk_size: int = 50, stride: int = 40):
+    """Python UDTF twin of :func:`chunk_tokens` — the Spark 4
+    ``@udtf`` structured 1→k fan-out (the fifth and last Python eval
+    surface after scalar pandas UDF, grouped-agg, mapInPandas and
+    cogroup). Same chunking contract, emitted with its own output
+    schema: (doc_id, chunk_idx, n_tokens, chunk_hash), one row per
+    non-empty chunk.
+
+    Call with a TABLE argument — ``chunk_docs_udtf(s, t)(df.asTable())``
+    — so the whole (doc_id, text) row crosses the JVM→Python boundary
+    in Arrow batches (``useArrow=True`` → one ArrowEvalPythonUDTF
+    stage, plan-pinned). A real chunker that needs a Python tokenizer
+    library (tiktoken/sentencepiece) drops into ``eval`` unchanged;
+    for this pure string windowing the NATIVE chunk_tokens path is
+    the production choice (zero Python), which is why both are
+    registered against the SAME DuckDB oracle — the two
+    implementations prove each other."""
+    import hashlib
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, chunk_idx int, n_tokens bigint, "
+        "chunk_hash string",
+        useArrow=True,
+    )
+    class ChunkDocs:
+        def eval(self, row):
+            toks = (row.text or "").lower().split(" ")
+            n = max(
+                math.ceil((len(toks) - chunk_size) / float(stride)) + 1, 1
+            )
+            for i in range(n):
+                chunk = " ".join(toks[i * stride : i * stride + chunk_size])
+                if chunk != "":
+                    yield (
+                        row.doc_id,
+                        i,
+                        len(chunk.split(" ")),
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest(),
+                    )
+
+    return ChunkDocs
+
+
 # ---------------------------------------------------------------------------
 # Iterative BPE trainer. The driver-sequenced merge loop (the
 # connected_components shape): each round is ONE distributed pair-count

@@ -2799,10 +2799,9 @@ def q_lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 CHUNK_SIZE, CHUNK_STRIDE = 50, 40
 
-
-@query(
-    "document_chunks",
-    f"""
+# Shared by document_chunks (native explode) AND document_chunks_udtf
+# (Python UDTF): two independent implementations against one oracle.
+_CHUNKS_ORACLE = f"""
     WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
     c AS (
       SELECT doc_id,
@@ -2818,8 +2817,10 @@ CHUNK_SIZE, CHUNK_STRIDE = 50, 40
            len(string_split(chunk, ' '))::BIGINT AS n_tokens,
            md5(chunk) AS chunk_hash
     FROM c WHERE chunk <> ''
-    """,
-)
+    """
+
+
+@query("document_chunks", _CHUNKS_ORACLE)
 def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping 50-token chunks every 40 tokens per document —
     native sequence/slice, exploded JVM-side (no Python)."""
@@ -2836,6 +2837,28 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("c.chunk", " ")).cast("bigint").alias("n_tokens"),
         F.md5("c.chunk").alias("chunk_hash"),
     )
+
+
+@query("document_chunks_udtf", _CHUNKS_ORACLE)
+def q_document_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME chunk fan-out as document_chunks, re-expressed as a
+    Spark 4 Python UDTF (operators/textanalysis.py::chunk_docs_udtf)
+    consuming the documents TABLE argument — the structured 1→k
+    Python-eval surface with its own output schema. Registered against
+    the identical DuckDB oracle as the native path, so the Catalyst
+    explode implementation and the Arrow-batched Python implementation
+    prove each other (+ the oracle makes it three). Production
+    guidance lives in the UDTF docstring: native wins when the chunker
+    is expressible in SQL; the UDTF is the drop-in slot for a real
+    Python tokenizer. Plan: exactly one ArrowEvalPythonUDTF stage,
+    pinned in tests/test_plan_quality.py; input is column-pruned to
+    (doc_id, text) BEFORE the Python boundary."""
+    from .operators.textanalysis import chunk_docs_udtf
+
+    docs = _spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    return chunk_docs_udtf(CHUNK_SIZE, CHUNK_STRIDE)(docs.asTable())
 
 
 # ---------------------------------------------------------------------------

@@ -522,6 +522,25 @@ def test_embedding_quantize_map_only_and_pack_single_shuffle(spark):
     assert "rangepartitioning" not in body.lower()  # no global sort
 
 
+def test_document_chunks_udtf_single_python_stage_pruned_input(spark):
+    """The UDTF chunking twin: exactly one ArrowEvalPythonUDTF stage
+    (the fifth Python-eval surface), the parquet scan column-pruned to
+    (doc_id, text) BEFORE the Python boundary, and the native
+    document_chunks twin stays entirely JVM-side — the two
+    implementations of one oracle differ only in eval engine."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("document_chunks_udtf")(spark, SF_SMOKE))
+    assert p.count("ArrowEvalPythonUDTF (") == 1
+    assert "BatchEvalPython" not in p  # Arrow, never row-at-a-time
+    # column pruning reached the scan: only the two consumed columns
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs and "doc_id" in rs[0] and "text" in rs[0] and "lang" not in rs[0]
+
+    p0 = physical_plan(_q("document_chunks")(spark, SF_SMOKE))
+    assert "EvalPython" not in p0
+
+
 def test_rerank_udf_python_stage_bounded_to_candidates(spark):
     """The Arrow pandas-UDF model hook in the two-stage rerank must run
     strictly AFTER the stage-1 candidate cut: exactly one Python stage
