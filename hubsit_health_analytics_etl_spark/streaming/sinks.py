@@ -12,7 +12,12 @@ Delta/Iceberg ``MERGE INTO`` would receive at scale; swap
 ``_rewrite_snapshot`` for the table format's merge and everything
 else stands. The full-snapshot rewrite itself is the documented
 non-scalable edge (fine for dimension-sized state, not for 100 TB
-fact state — that wants a partitioned merge target).
+fact state — that wants a partitioned merge target). The engine now
+SHIPS the manifest-pointer upgrade: ``sources/versioned.py`` gives
+readers snapshot isolation and atomic commits (commit the merged
+frame with ``commit_version`` instead of ``_rewrite_snapshot`` when
+concurrent readers matter — tests/test_versioned.py pins the
+isolation property this rewrite lacks).
 
 Idempotence: resolution is latest-wins on (ts, tiebreak key order),
 a pure function of the DATA, not of batch boundaries — so replaying

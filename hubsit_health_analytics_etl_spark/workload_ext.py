@@ -4004,10 +4004,12 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _CDC_COMPARE = ["o_orderstatus", "o_totalprice", "o_orderpriority"]
 
-
-@query(
-    "orders_snapshot_diff",
-    f"""
+# Shared by orders_snapshot_diff (in-memory snapshots) AND
+# orders_version_diff (snapshots committed to the versioned table
+# layout and read back via time travel): same change semantics, so
+# the hash match on the second proves the commit→pointer→manifest→
+# time-travel round-trip is lossless.
+_SNAPSHOT_DIFF_ORACLE = f"""
     WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
                       {sql_hash_bucket("o_orderkey", salt="cdc")} AS bkt
                FROM orders),
@@ -4028,13 +4030,11 @@ _CDC_COMPARE = ["o_orderstatus", "o_totalprice", "o_orderpriority"]
           FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
     SELECT o_orderkey::BIGINT AS o_orderkey, change_type
     FROM d WHERE change_type IS NOT NULL
-    """,
-)
-def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC between two deterministic snapshots of orders via
-    operators/cdc.py::snapshot_diff (md5 fingerprint full-outer join;
-    see module docstring for the 100 TB shuffle-payload story)."""
-    from .operators.cdc import snapshot_diff
+    """
+
+
+def _cdc_snapshots(spark: SparkSession, sf_dir: str):
+    """The two deterministic orders snapshots the CDC queries diff."""
     from .operators.sampling import hash_bucket
 
     b = load_table(spark, sf_dir, "orders").select(
@@ -4051,10 +4051,112 @@ def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("bkt")
     )
+    return old, new
+
+
+@query("orders_snapshot_diff", _SNAPSHOT_DIFF_ORACLE)
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two deterministic snapshots of orders via
+    operators/cdc.py::snapshot_diff (md5 fingerprint full-outer join;
+    see module docstring for the 100 TB shuffle-payload story)."""
+    from .operators.cdc import snapshot_diff
+
+    old, new = _cdc_snapshots(spark, sf_dir)
     diff = snapshot_diff(old, new, ["o_orderkey"], _CDC_COMPARE)
     return diff.select(
         F.col("o_orderkey").cast("bigint").alias("o_orderkey"), "change_type"
     )
+
+
+@query("orders_version_diff", _SNAPSHOT_DIFF_ORACLE)
+def q_orders_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME CDC diff, but through the versioned table layout
+    (sources/versioned.py): the old snapshot is committed as version
+    0 and the new as version 1 (immutable data files + manifest +
+    atomic pointer swap), then BOTH sides are read back via time
+    travel (read_version 0 vs 1) and diffed with the identical
+    snapshot_diff operator. Sharing orders_snapshot_diff's oracle
+    verbatim means the hash match proves the commit → manifest →
+    pointer → time-travel round-trip loses and invents nothing —
+    the versioned layout is pure routing. The end-to-end write cost
+    is inside the timed query by design (the compaction_roundtrip /
+    dedup_clusters_new_batch contract-query posture); real pipelines
+    own a long-lived table and pay only commits. Snapshot isolation,
+    crash recovery, append file-reuse and retention are pinned in
+    tests/test_versioned.py."""
+    from .operators.cdc import snapshot_diff
+    from .sources.versioned import commit_version, read_version
+
+    root = _run_scoped_index_dir("versioned_cdc")
+    old, new = _cdc_snapshots(spark, sf_dir)
+    assert commit_version(old, root) == 0
+    assert commit_version(new, root) == 1
+    diff = snapshot_diff(
+        read_version(spark, root, 0),
+        read_version(spark, root, 1),
+        ["o_orderkey"],
+        _CDC_COMPARE,
+    )
+    return diff.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"), "change_type"
+    )
+
+
+@query(
+    "orders_version_history",
+    f"""
+    WITH b AS (SELECT o_orderkey,
+                      {sql_hash_bucket("o_orderkey", salt="vhist")} AS bkt
+               FROM orders)
+    SELECT 0::BIGINT AS version,
+           (SELECT COUNT(*) FROM b WHERE bkt < 50)::BIGINT AS n_rows,
+           (SELECT COUNT(DISTINCT o_orderkey) FROM b WHERE bkt < 50)::BIGINT
+             AS n_keys
+    UNION ALL
+    SELECT 1, (SELECT COUNT(*) FROM b WHERE bkt < 95)::BIGINT,
+           (SELECT COUNT(DISTINCT o_orderkey) FROM b WHERE bkt < 95)::BIGINT
+    UNION ALL
+    SELECT 2, (SELECT COUNT(*) FROM b)::BIGINT,
+           (SELECT COUNT(DISTINCT o_orderkey) FROM b)::BIGINT
+    """,
+)
+def q_orders_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode version history: three commits build the table —
+    v0 = overwrite (hash buckets < 50), v1 = APPEND buckets [50, 95),
+    v2 = APPEND buckets >= 95 — and the query time-travels to EVERY
+    version, emitting (version, n_rows, n_keys). Append commits reuse
+    the parent's immutable files untouched (commit cost ∝ batch, the
+    incremental-index posture; file reuse pinned in
+    tests/test_versioned.py), so v2's manifest references v0's and
+    v1's data files without a byte rewritten. The oracle recomputes
+    each version's membership from the bucket rule, proving the
+    manifest chain composes appends losslessly."""
+    from .operators.sampling import hash_bucket
+    from .sources.versioned import commit_version, read_version
+
+    root = _run_scoped_index_dir("versioned_hist")
+    b = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", hash_bucket("o_orderkey", 100, "vhist").alias("bkt")
+    )
+    commit_version(b.filter(F.col("bkt") < 50).drop("bkt"), root)
+    commit_version(
+        (b.filter((F.col("bkt") >= 50) & (F.col("bkt") < 95)).drop("bkt")),
+        root,
+        mode="append",
+    )
+    commit_version(b.filter(F.col("bkt") >= 95).drop("bkt"), root, mode="append")
+    parts = [
+        read_version(spark, root, v).agg(
+            F.lit(v).cast("bigint").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_keys"),
+        )
+        for v in (0, 1, 2)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # ---------------------------------------------------------------------------

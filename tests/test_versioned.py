@@ -1,0 +1,169 @@
+"""sources/versioned.py — the manifest-pointer snapshot layout:
+commit/time-travel round-trip, append file reuse, snapshot isolation
+for concurrent readers, crash recovery, and retention semantics."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from hubsit_health_analytics_etl_spark.sources.versioned import (
+    commit_version,
+    current_version,
+    expire_versions,
+    list_versions,
+    read_manifest,
+    read_version,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+def test_commit_and_time_travel_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    assert current_version(root) is None
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, root)
+
+    assert commit_version(_mk(spark, [(1, "a"), (2, "b")]), root) == 0
+    assert commit_version(
+        _mk(spark, [(3, "c")]), root, mode="append"
+    ) == 1
+    assert commit_version(_mk(spark, [(9, "z")]), root) == 2  # overwrite
+
+    assert current_version(root) == 2
+    assert list_versions(root) == [0, 1, 2]
+    get = lambda n: sorted(
+        (r.k, r.v) for r in read_version(spark, root, n).collect()
+    )
+    assert get(0) == [(1, "a"), (2, "b")]
+    assert get(1) == [(1, "a"), (2, "b"), (3, "c")]
+    assert get(2) == [(9, "z")]
+    # default read = current
+    assert sorted(
+        (r.k, r.v) for r in read_version(spark, root).collect()
+    ) == [(9, "z")]
+
+
+def test_append_reuses_parent_files_untouched(spark, tmp_path):
+    """An append commit must not rewrite or re-reference-by-copy the
+    parent's data: v1's manifest contains v0's exact file paths, and
+    those files' bytes are untouched on disk."""
+    root = str(tmp_path / "tbl")
+    commit_version(_mk(spark, [(1, "a"), (2, "b")]), root)
+    v0_files = read_manifest(root, 0)["files"]
+    stamps = {f: (os.path.getmtime(f), os.path.getsize(f)) for f in v0_files}
+    commit_version(_mk(spark, [(3, "c")]), root, mode="append")
+    m1 = read_manifest(root, 1)
+    assert set(v0_files) <= set(m1["files"])
+    for f, (mt, sz) in stamps.items():
+        assert (os.path.getmtime(f), os.path.getsize(f)) == (mt, sz)
+    assert m1["n_rows"] == 3 and m1["parent"] == 0
+
+
+def test_concurrent_reader_is_snapshot_isolated(spark, tmp_path):
+    """A reader that resolved a version BEFORE a new commit keeps
+    seeing exactly its version's rows afterwards — the property the
+    plain full-snapshot-rewrite sink cannot give (its readers race
+    the directory swap)."""
+    root = str(tmp_path / "tbl")
+    commit_version(_mk(spark, [(1, "old")]), root)
+    reader = read_version(spark, root)  # lazy plan, resolved against v0
+    commit_version(_mk(spark, [(2, "new")]), root)  # overwrite → v1
+    assert [(r.k, r.v) for r in reader.collect()] == [(1, "old")]
+    assert [(r.k, r.v) for r in read_version(spark, root).collect()] == [
+        (2, "new")
+    ]
+
+
+def test_crashed_commit_is_invisible_and_repaired(spark, tmp_path):
+    """A crash after data+manifest but BEFORE the pointer swap leaves
+    the table at its old version; the next commit deletes the stale
+    leftovers and takes the version number cleanly."""
+    root = str(tmp_path / "tbl")
+    commit_version(_mk(spark, [(1, "a")]), root)
+
+    # simulate the crashed commit: data dir + manifest for v1 exist,
+    # pointer still says 0
+    stale_data = os.path.join(root, "data", "v000001")
+    os.makedirs(stale_data)
+    with open(os.path.join(stale_data, "garbage.parquet"), "w") as f:
+        f.write("not parquet")
+    with open(os.path.join(root, "manifests", "v000001.json"), "w") as f:
+        json.dump({"version": 1, "parent": 0, "mode": "overwrite",
+                   "files": [os.path.join(stale_data, "garbage.parquet")],
+                   "n_rows": 99, "n_new_files": 1}, f)
+
+    assert current_version(root) == 0
+    assert list_versions(root) == [0]  # stale manifest not reachable
+    # table still reads fine at v0
+    assert [(r.k, r.v) for r in read_version(spark, root).collect()] == [
+        (1, "a")
+    ]
+    # next commit repairs and becomes the real v1
+    assert commit_version(_mk(spark, [(2, "b")]), root) == 1
+    assert [(r.k, r.v) for r in read_version(spark, root, 1).collect()] == [
+        (2, "b")
+    ]
+    assert not os.path.exists(os.path.join(stale_data, "garbage.parquet"))
+
+
+def test_expire_versions_keeps_shared_files(spark, tmp_path):
+    """Retention drops old manifests and unreferenced files ONLY:
+    expiring v0 while v1 (an append) still references v0's data files
+    must keep those files; reading the expired version fails loudly;
+    kept versions read unchanged."""
+    root = str(tmp_path / "tbl")
+    commit_version(_mk(spark, [(1, "a")]), root)
+    commit_version(_mk(spark, [(2, "b")]), root, mode="append")
+    commit_version(_mk(spark, [(3, "c")]), root, mode="append")
+    v0_files = read_manifest(root, 0)["files"]
+
+    assert expire_versions(root, keep_last=2) == [0]
+    assert list_versions(root) == [1, 2]
+    for f in v0_files:  # shared with v1/v2 → must survive
+        assert os.path.exists(f)
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, root, 0)
+    assert sorted(
+        (r.k, r.v) for r in read_version(spark, root, 2).collect()
+    ) == [(1, "a"), (2, "b"), (3, "c")]
+
+    # expiring down to the overwritten head DOES delete orphaned files
+    commit_version(_mk(spark, [(9, "z")]), root)  # v3 overwrite
+    assert expire_versions(root, keep_last=1) == [1, 2]
+    remaining = glob.glob(os.path.join(root, "data", "*", "*.parquet"))
+    assert set(remaining) == set(read_manifest(root, 3)["files"])
+    assert [(r.k, r.v) for r in read_version(spark, root).collect()] == [
+        (9, "z")
+    ]
+
+
+def test_short_write_never_becomes_a_version(spark, tmp_path, monkeypatch):
+    """commit_version verifies the written row count before the
+    manifest exists: a write that lands fewer rows than the batch
+    aborts loudly and the table stays at its previous version."""
+    import hubsit_health_analytics_etl_spark.sources.versioned as V
+
+    root = str(tmp_path / "tbl")
+    commit_version(_mk(spark, [(1, "a")]), root)
+
+    real_read = type(spark.read).parquet
+
+    def short_read(self, *paths):
+        df = real_read(self, *paths)
+        return df.limit(0) if "v000001" in paths[0] else df
+
+    monkeypatch.setattr(type(spark.read), "parquet", short_read)
+    with pytest.raises(IOError, match="expected"):
+        commit_version(_mk(spark, [(2, "b")]), root)
+    monkeypatch.undo()
+    assert current_version(root) == 0
+    assert [(r.k, r.v) for r in read_version(spark, root).collect()] == [
+        (1, "a")
+    ]
