@@ -38,17 +38,17 @@ def test_small_absolute_movers_are_noise_not_suspects():
 
 
 def test_big_mover_escalates_unless_allowlisted():
-    anchor = _grid({"a": 2.0, "b": 50.0})
+    anchor = _grid({"a": 2.0, "b": 100.0})
     # 4x and +6s on a non-allowlisted query: PASS-by-total escalates
-    verdict, lines = compare_grids(anchor, _grid({"a": 8.0, "b": 50.0}))
+    verdict, lines = compare_grids(anchor, _grid({"a": 8.0, "b": 100.0}))
     assert verdict == "WARN"
     assert any("suspect: a" in ln for ln in lines)
 
     # the same movement on an allowlisted iterative query: reported
     # as noise-class, verdict untouched
     it = next(iter(ITERATIVE_ALLOWLIST))
-    anchor2 = _grid({it: 2.0, "b": 50.0})
-    verdict2, lines2 = compare_grids(anchor2, _grid({it: 8.0, "b": 50.0}))
+    anchor2 = _grid({it: 2.0, "b": 100.0})
+    verdict2, lines2 = compare_grids(anchor2, _grid({it: 8.0, "b": 100.0}))
     assert verdict2 == "PASS"
     assert any("noise-class" in ln for ln in lines2)
     assert not any("suspect" in ln for ln in lines2)
