@@ -370,6 +370,70 @@ def chunk_tokens(
     )
 
 
+def duplicate_span_report(docs, k: int = 8, text_col: str = "text"):
+    """SUBSTRING-level exact dedup (the Lee et al. 2022 granularity —
+    'Deduplicating Training Data Makes Language Models Better' removes
+    repeated SPANS, not whole documents): for every document, the
+    maximal runs of consecutive ``k``-token grams that also appear in
+    at least one OTHER document. Output one row per run:
+    (doc_id, span_start [1-based token position], span_tokens,
+    n_grams) — the "cut these token ranges" decision table that
+    doc-level (exact_dedup), near-dup (MinHash) and containment
+    queries cannot express: a boilerplate header shared by thousands
+    of otherwise-unique pages never clears a document-level threshold.
+
+    Plan shape (nothing pairwise — cost scales with corpus tokens,
+    never with the quadratic pair space):
+      1. map-only: positions 1..len-k+1 exploded with the gram's md5
+         (the token array is BOUND to a column before the HOF slices
+         it — the re-evaluation gotcha in SKILL.md);
+      2. gram document-frequency: dedupe (gram_hash, doc_id) then one
+         count agg — at 100 TB this (gram_hash, df) table IS the
+         persistable index (mergeable counts, the vocab_new_batch
+         posture), and only hashes ever shuffle (16 bytes/gram);
+      3. equi-join positions to shared grams (df >= 2), then a
+         per-document gaps-and-islands window (pos - row_number) and
+         one groupBy to collapse runs — both on the doc_id key, one
+         exchange.
+    """
+    toks = docs.select(
+        "doc_id", F.expr(f"split(lower({text_col}), ' ')").alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {k} THEN "
+                f"transform(sequence(1, size(toks) - {k} + 1), "
+                f"i -> struct(i AS pos, "
+                f"md5(concat_ws(' ', slice(toks, i, {k}))) AS gh)) "
+                f"ELSE array() END"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    df_tbl = (
+        grams.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+    )
+    shared = grams.join(df_tbl.select("gh"), "gh")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = shared.withColumn(
+        "island", F.col("pos") - F.row_number().over(w)
+    )
+    return runs.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") - F.min("pos") + F.lit(k))
+        .cast("bigint")
+        .alias("span_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+    ).drop("island")
+
+
 def chunk_docs_udtf(chunk_size: int = 50, stride: int = 40):
     """Python UDTF twin of :func:`chunk_tokens` — the Spark 4
     ``@udtf`` structured 1→k fan-out (the fifth and last Python eval

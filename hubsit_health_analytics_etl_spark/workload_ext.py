@@ -950,6 +950,56 @@ def q_winnow_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup (Lee et al. 2022): repeated SPANS, not
+# repeated documents. The decision table substring dedup consumes is
+# per-document token ranges whose k-gram content also exists in some
+# OTHER document — boilerplate headers/footers/licenses shared by
+# thousands of otherwise-unique pages, invisible to every document-
+# granularity query (exact_dedup, MinHash, containment). Nothing
+# pairwise anywhere: gram document-frequency is ONE mergeable count
+# (the persistable index at 100 TB), and runs collapse per document.
+# ---------------------------------------------------------------------------
+SPAN_GRAM = 8  # tokens per gram; a span is >= SPAN_GRAM shared tokens
+
+
+@query(
+    "duplicate_text_spans",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, i AS pos,
+                 md5(array_to_string(toks[i : i + {SPAN_GRAM - 1}], ' ')) AS gh
+          FROM t, LATERAL (
+            SELECT unnest(range(1, greatest(len(toks) - {SPAN_GRAM - 2}, 1))) AS i
+          ) u),
+    df AS (SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM g)
+           GROUP BY gh HAVING COUNT(*) >= 2),
+    shared AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (gh)),
+    runs AS (SELECT doc_id, pos,
+                    pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS island
+             FROM shared)
+    SELECT doc_id,
+           MIN(pos)::BIGINT AS span_start,
+           (MAX(pos) - MIN(pos) + {SPAN_GRAM})::BIGINT AS span_tokens,
+           COUNT(*)::BIGINT AS n_grams
+    FROM runs GROUP BY doc_id, island
+    """,
+)
+def q_duplicate_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document maximal runs of {SPAN_GRAM}-token grams shared
+    with at least one other document
+    (operators/textanalysis.py::duplicate_span_report — see its
+    docstring for the three-stage, never-pairwise plan). Crafted
+    boilerplate-injection semantics pinned in
+    tests/test_ext_operators.py."""
+    from .operators.textanalysis import duplicate_span_report
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return duplicate_span_report(docs, k=SPAN_GRAM)
+
+
 def _simhash_ctes(src: str = "documents") -> str:
     """CTE chain ``toks → bits → sim(doc_id, simhash)`` replicating
     ``simhash32`` nibble-for-nibble over table/CTE ``src``."""
