@@ -91,6 +91,7 @@ def psi_vs_reference(
     group_cols: Sequence[str] = ("window_start",),
     bins: int | None = None,
     alert_u6: int = 200_000,
+    assume_merged: bool = False,
 ) -> DataFrame:
     """PSI of each group's histogram against a frozen ``reference``
     histogram (list of per-bin counts, collected ONCE at deployment —
@@ -102,20 +103,33 @@ def psi_vs_reference(
     for bins empty in the CURRENT window (reference bins are literal,
     so the fold enumerates all B bins via the reference and looks the
     current count up with element_at on a collected map — the window
-    side therefore needs only its non-empty bins)."""
+    side therefore needs only its non-empty bins).
+
+    ``assume_merged``: pass True when the caller GUARANTEES at most
+    one row per (*group_cols, bin) — e.g. ``hist`` is the direct
+    output of windowed_value_histogram, whose groupBy key IS
+    (window, bin). That skips the defensive pre-merge shuffle and
+    keeps the end-to-end monitor at two exchanges (counts + fold).
+    The default (False) is safe for merged/unioned histograms (two
+    triggers, two ingests): counts are additive, so a sum() collapse
+    runs first — map_from_entries under the default
+    mapKeyDedupPolicy=EXCEPTION would crash on a repeated bin key."""
     B = bins if bins is not None else len(reference)
     if len(reference) != B:
         raise ValueError(f"reference has {len(reference)} bins, expected {B}")
     n_ref = int(sum(reference))
     ref_lit = "array(" + ", ".join(f"{int(c)}L" for c in reference) + ")"
     g = list(group_cols)
-    # Pre-collapse duplicate (group, bin) rows BEFORE building the map:
-    # merged/unioned histograms (two triggers, two ingests) are valid
-    # input per the module contract, and map_from_entries under the
-    # default mapKeyDedupPolicy=EXCEPTION would crash on a repeated
-    # bin key. Counts are additive, so sum() is the merge. Cheap: the
-    # extra agg rides on |groups|×B rows, map-side combine first.
-    merged = hist.groupBy(*g, "bin").agg(F.sum("n").cast("bigint").alias("n"))
+    if assume_merged:
+        merged = hist.select(*g, "bin", F.col("n").cast("bigint").alias("n"))
+    else:
+        # Pre-collapse duplicate (group, bin) rows BEFORE building the
+        # map. Cheap: the extra agg rides on |groups|×B rows, map-side
+        # combine first — but it IS a third Exchange, so callers with
+        # already-unique keys should pass assume_merged=True.
+        merged = hist.groupBy(*g, "bin").agg(
+            F.sum("n").cast("bigint").alias("n")
+        )
     u = merged.groupBy(*g).agg(
         F.sum("n").cast("bigint").alias("n_cur"),
         F.map_from_entries(

@@ -6671,8 +6671,16 @@ def q_windowed_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = windowed_value_histogram(
         events, "ts", "1 day", "value", vmin, vmax, WDRIFT_BINS
     )
+    # assume_merged: windowed_value_histogram's groupBy key IS
+    # (window, bin), so rows are unique — skip the defensive merge
+    # shuffle and keep the monitor's 2-exchange plan (plan-pinned).
     return psi_vs_reference(
-        hist, reference, ("window_start",), WDRIFT_BINS, DRIFT_PSI_ALERT_U6
+        hist,
+        reference,
+        ("window_start",),
+        WDRIFT_BINS,
+        DRIFT_PSI_ALERT_U6,
+        assume_merged=True,
     )
 
 

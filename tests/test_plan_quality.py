@@ -768,6 +768,33 @@ def test_windowed_drift_psi_plans_jvm_only_two_shuffles(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
 
 
+def test_psi_merge_path_costs_exactly_one_extra_exchange(spark):
+    """The safe default (assume_merged=False) pre-collapses duplicate
+    (group, bin) rows for unioned histograms — that defensive sum is
+    EXACTLY one extra Exchange over the trusted path on identical
+    input, riding histogram-sized rows (|groups|×B), and both paths
+    stay JVM-only."""
+    import re
+
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+    from hubsit_health_analytics_etl_spark.streaming.drift import (
+        psi_vs_reference,
+        windowed_value_histogram,
+    )
+    from hubsit_health_analytics_etl_spark.workload import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    hist = windowed_value_histogram(events, "ts", "1 day", "value", 0.0, 1.0, 8)
+    n_ex = {}
+    for flag in (True, False):
+        p = physical_plan(psi_vs_reference(hist, [1] * 8, bins=8,
+                                           assume_merged=flag))
+        assert "EvalPython" not in p and "CartesianProduct" not in p
+        n_ex[flag] = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_ex[True] == 2, n_ex
+    assert n_ex[False] == 3, n_ex
+
+
 def test_bucketed_segment_revenue_join_never_shuffles(spark):
     """The co-located big-big join contract, driver-visible: both
     sides pre-bucketed on the customer key, so the sort-merge join
