@@ -1586,3 +1586,72 @@ def test_ngram_containment_catches_quote_inclusion_jaccard_misses(spark):
             if inter and (inter * 1_000_000) // len(shs[a]) >= 600_000:
                 expected[(a, b)] = (inter * 1_000_000) // len(shs[a])
     assert cont == expected
+
+
+def test_duplicate_span_report_crafted_boilerplate_injection(spark):
+    """Substring-level dedup semantics on a crafted corpus: a 6-token
+    boilerplate header and a 4-token tail block injected into two
+    otherwise-unique documents (at DIFFERENT positions) must each
+    surface as one maximal run per document — correct 1-based start,
+    span_tokens = run extent + k - 1 grams collapsed — while a fully
+    unique doc emits nothing and a WITHIN-doc repetition (gram df = 1,
+    distinct-doc count) is invisible, pinning that the decision table
+    keys on cross-document sharing only."""
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        duplicate_span_report,
+    )
+
+    header = "c1 c2 c3 c4 c5 c6"  # 6 tokens -> 3 grams at k=4
+    tail = "t1 t2 t3 t4"  # 4 tokens -> 1 gram at k=4
+    docs = spark.createDataFrame(
+        [
+            (1, f"{header} u1 u2 u3 {tail}"),
+            (2, f"v1 v2 {header} v3 v4 {tail}"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (5, "x1 x2 x3 x4 x1 x2 x3 x4"),  # self-repeat only: df=1
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        (r.doc_id, r.span_start): (r.span_tokens, r.n_grams)
+        for r in duplicate_span_report(docs, k=4).collect()
+    }
+    assert rows == {
+        # doc 1: header at token 1 (grams 1-3), tail at token 10
+        (1, 1): (6, 3),
+        (1, 10): (4, 1),
+        # doc 2: same blocks shifted -- header at 3 (grams 3-5), tail at 11
+        (2, 3): (6, 3),
+        (2, 11): (4, 1),
+        # docs 3 and 5 emit nothing
+    }
+
+
+def test_duplicate_span_report_short_doc_and_adjacent_runs(spark):
+    """Docs shorter than k grams emit nothing (guard branch), and two
+    shared blocks separated by ONE unique token stay separate islands
+    (the gaps-and-islands window must not bridge a 1-gram gap)."""
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        duplicate_span_report,
+    )
+
+    a = "s1 s2 s3 s4"
+    b = "z1 z2 z3 z4"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} gap {b}"),  # blocks at 1 and 6; grams 1 and 6 shared, 2-5 unique
+            (2, f"{a} other filler {b}"),
+            (3, "too short"),  # < k tokens
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        (r.doc_id, r.span_start): (r.span_tokens, r.n_grams)
+        for r in duplicate_span_report(docs, k=4).collect()
+    }
+    assert rows == {
+        (1, 1): (4, 1),
+        (1, 6): (4, 1),
+        (2, 1): (4, 1),
+        (2, 7): (4, 1),
+    }

@@ -791,8 +791,12 @@ def test_psi_merge_path_costs_exactly_one_extra_exchange(spark):
                                            assume_merged=flag))
         assert "EvalPython" not in p and "CartesianProduct" not in p
         n_ex[flag] = len(re.findall(r"\(\d+\) Exchange", p))
-    assert n_ex[True] == 2, n_ex
-    assert n_ex[False] == 3, n_ex
+    # relative pin (ADVICE r10): the defensive path costs EXACTLY one
+    # extra exchange over the trusted path, and the trusted path stays
+    # within the two-shuffle contract — without hardcoding absolute
+    # counts that drift across Spark/AQE versions.
+    assert n_ex[False] == n_ex[True] + 1, n_ex
+    assert n_ex[True] <= 2, n_ex
 
 
 def test_bucketed_segment_revenue_join_never_shuffles(spark):
@@ -811,3 +815,17 @@ def test_bucketed_segment_revenue_join_never_shuffles(spark):
     assert len(ex) == 1, p
     assert "c_mktsegment" in ex[0]
     assert p.count("Bucketed: true") == 2
+
+
+def test_duplicate_text_spans_never_pairwise(spark):
+    """Substring-span dedup must stay linear in corpus tokens: the
+    gram-df table reaches positions as a hash EQUI-join on the gram
+    hash — never a cartesian/nested-loop pair expansion — and the
+    whole pipeline is JVM-only (no Python eval stage)."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("duplicate_text_spans")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
