@@ -370,6 +370,67 @@ def chunk_tokens(
     )
 
 
+def _doc_grams(docs, k: int, text_col: str = "text"):
+    """(doc_id, pos, gh): every ``k``-token gram of every document,
+    1-based token position + md5 of the space-joined gram — the
+    map-only explode stage shared by the whole substring-dedup family
+    (report / scrub / incremental). The token array is BOUND to a
+    column before the HOF slices it (the re-evaluation gotcha); docs
+    shorter than ``k`` tokens emit nothing."""
+    toks = docs.select(
+        "doc_id", F.expr(f"split(lower({text_col}), ' ')").alias("toks")
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {k} THEN "
+                f"transform(sequence(1, size(toks) - {k} + 1), "
+                f"i -> struct(i AS pos, "
+                f"md5(concat_ws(' ', slice(toks, i, {k}))) AS gh)) "
+                f"ELSE array() END"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+
+
+def gram_document_frequency(grams):
+    """(gh, df): per-gram distinct-document count — ALL grams, df >= 1.
+    This table IS the persistable substring-dedup index at 100 TB:
+    mergeable counts over disjoint doc slices (the vocab_new_batch
+    posture — a new ingest's partial counts just ADD), and only
+    16-byte hashes ever shuffle. Keep df = 1 rows: a future batch's
+    second occurrence is what promotes them to shared."""
+    return (
+        grams.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def spans_from_shared(shared, k: int):
+    """Collapse shared gram positions into maximal runs per document
+    (gaps-and-islands: pos - row_number over the per-doc pos order),
+    emitting (doc_id, span_start, span_tokens, n_grams) — one exchange
+    on the doc key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = shared.withColumn("island", F.col("pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(k))
+            .cast("bigint")
+            .alias("span_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+        .drop("island")
+    )
+
+
 def duplicate_span_report(docs, k: int = 8, text_col: str = "text"):
     """SUBSTRING-level exact dedup (the Lee et al. 2022 granularity —
     'Deduplicating Training Data Makes Language Models Better' removes
@@ -396,42 +457,75 @@ def duplicate_span_report(docs, k: int = 8, text_col: str = "text"):
          one groupBy to collapse runs — both on the doc_id key, one
          exchange.
     """
-    toks = docs.select(
-        "doc_id", F.expr(f"split(lower({text_col}), ' ')").alias("toks")
-    )
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(toks) >= {k} THEN "
-                f"transform(sequence(1, size(toks) - {k} + 1), "
-                f"i -> struct(i AS pos, "
-                f"md5(concat_ws(' ', slice(toks, i, {k}))) AS gh)) "
-                f"ELSE array() END"
-            )
-        ).alias("g"),
-    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
-    df_tbl = (
+    grams = _doc_grams(docs, k, text_col)
+    df_tbl = gram_document_frequency(grams).filter(F.col("df") >= 2)
+    shared = grams.join(df_tbl.select("gh"), "gh")
+    return spans_from_shared(shared, k)
+
+
+def scrub_duplicate_spans(docs, k: int = 8, text_col: str = "text"):
+    """APPLY the substring-dedup decision table (the actual Lee et al.
+    2022 deliverable duplicate_span_report stops short of): rewrite
+    every document's text with cross-document duplicated token ranges
+    CUT OUT, keeping exactly one canonical occurrence of each
+    duplicated gram in the whole corpus — the owner document
+    (min doc_id over the docs containing the gram) keeps its text
+    untouched for that gram; every other document drops the k tokens
+    the gram covers. Deterministic, order-free, and
+    content-preserving: each duplicated gram provably survives in its
+    owner, so no corpus content is lost — only repetitions.
+
+    Output one row per INPUT document (untouched docs ride through):
+    (doc_id, scrubbed_text, n_tokens_kept, n_tokens_removed), text
+    lowercased (the gram normalization, applied consistently).
+
+    Plan shape — nothing pairwise, same contract as the report:
+      1. map-only gram explode (shared _doc_grams stage);
+      2. per-gram (owner, df) aggregate — hash-only shuffle;
+      3. equi-join grams→owners, keep occurrences the doc does NOT
+         own, explode each to its k covered token positions, distinct;
+      4. collect the per-doc cut-position set (bounded by the doc's
+         own token count) and one indexed-lambda `filter` HOF rebuilds
+         the kept text map-side — the rewrite never shuffles text, only
+         (doc_id, int) position pairs."""
+    grams = _doc_grams(docs, k, text_col)
+    owners = (
         grams.select("gh", "doc_id")
         .distinct()
         .groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.min("doc_id").alias("owner"),
+            F.count(F.lit(1)).alias("df"),
+        )
         .filter(F.col("df") >= 2)
+        .select("gh", "owner")
     )
-    shared = grams.join(df_tbl.select("gh"), "gh")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    runs = shared.withColumn(
-        "island", F.col("pos") - F.row_number().over(w)
+    cut = grams.join(owners, "gh").filter(F.col("doc_id") != F.col("owner"))
+    covered = cut.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("tp"),
+    ).distinct()
+    cutset = covered.groupBy("doc_id").agg(
+        F.collect_set("tp").alias("_cut")
     )
-    return runs.groupBy("doc_id", "island").agg(
-        F.min("pos").cast("bigint").alias("span_start"),
-        (F.max("pos") - F.min("pos") + F.lit(k))
+    toks = docs.select(
+        "doc_id", F.expr(f"split(lower({text_col}), ' ')").alias("toks")
+    )
+    out = toks.join(cutset, "doc_id", "left").withColumn(
+        "kept",
+        F.expr(
+            "CASE WHEN _cut IS NULL THEN toks "
+            "ELSE filter(toks, (t, i) -> NOT array_contains(_cut, i + 1)) END"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", "kept").alias("scrubbed_text"),
+        F.size("kept").cast("bigint").alias("n_tokens_kept"),
+        (F.size("toks") - F.size("kept"))
         .cast("bigint")
-        .alias("span_tokens"),
-        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-    ).drop("island")
+        .alias("n_tokens_removed"),
+    )
 
 
 def chunk_docs_udtf(chunk_size: int = 50, stride: int = 40):

@@ -1000,6 +1000,138 @@ def q_duplicate_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_report(docs, k=SPAN_GRAM)
 
 
+@query(
+    "scrub_duplicate_spans",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, i AS pos,
+                 md5(array_to_string(toks[i : i + {SPAN_GRAM - 1}], ' ')) AS gh
+          FROM t, LATERAL (
+            SELECT unnest(range(1, greatest(len(toks) - {SPAN_GRAM - 2}, 1))) AS i
+          ) u),
+    own AS (SELECT gh, MIN(doc_id) AS owner
+            FROM (SELECT DISTINCT gh, doc_id FROM g)
+            GROUP BY gh HAVING COUNT(*) >= 2),
+    cut AS (SELECT g.doc_id, g.pos FROM g JOIN own USING (gh)
+            WHERE g.doc_id <> own.owner),
+    cov AS (SELECT DISTINCT doc_id, pos + o.off AS tp
+            FROM cut, LATERAL (
+              SELECT unnest(range(0, {SPAN_GRAM})) AS off) o),
+    tok AS (SELECT doc_id, i AS tp, toks[i] AS tok
+            FROM t, LATERAL (
+              SELECT unnest(range(1, len(toks) + 1)) AS i) u),
+    kept AS (SELECT tok.doc_id,
+                    string_agg(tok.tok, ' ' ORDER BY tok.tp) AS scrubbed_text,
+                    COUNT(*) AS n_kept
+             FROM tok LEFT JOIN cov
+               ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp
+             WHERE cov.tp IS NULL GROUP BY tok.doc_id)
+    SELECT t.doc_id,
+           COALESCE(k.scrubbed_text, '') AS scrubbed_text,
+           COALESCE(k.n_kept, 0)::BIGINT AS n_tokens_kept,
+           (len(t.toks) - COALESCE(k.n_kept, 0))::BIGINT AS n_tokens_removed
+    FROM t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def q_scrub_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup REWRITE — duplicate_text_spans' decision
+    table APPLIED (operators/textanalysis.py::scrub_duplicate_spans):
+    every cross-document duplicated token range is cut from all but
+    its canonical owner document (min doc_id per gram), producing the
+    deduplicated corpus text — the actual Lee et al. 2022 deliverable.
+    The oracle composes the span query's own gram/df CTE chain with
+    the owner rule and a position anti-join token rebuild, so the
+    hash match checks detection AND rewrite end-to-end."""
+    from .operators.textanalysis import scrub_duplicate_spans
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return scrub_duplicate_spans(docs, k=SPAN_GRAM)
+
+
+# ---------------------------------------------------------------------------
+# Incremental substring dedup: the (gh, df) gram table IS the
+# persistable index duplicate_text_spans' docstring promises — gram
+# document-frequency is a MERGEABLE count over disjoint doc slices
+# (the vocab_new_batch posture), so a new ingest grams ONLY its batch,
+# adds its partial counts to the persisted index, and reports spans
+# for batch docs alone. The corpus is never re-grammed. Oracle = the
+# full-recompute span SQL restricted to batch docs — the literal
+# statement of incremental == from-scratch.
+# ---------------------------------------------------------------------------
+def _span_batch_oracle() -> str:
+    from .operators.sampling import sql_hash_bucket
+
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, i AS pos,
+                 md5(array_to_string(toks[i : i + {SPAN_GRAM - 1}], ' ')) AS gh
+          FROM t, LATERAL (
+            SELECT unnest(range(1, greatest(len(toks) - {SPAN_GRAM - 2}, 1))) AS i
+          ) u),
+    df AS (SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM g)
+           GROUP BY gh HAVING COUNT(*) >= 2),
+    shared AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (gh)
+               WHERE {sql_hash_bucket("g.doc_id")} < {NEW_BATCH_PCT}),
+    runs AS (SELECT doc_id, pos,
+                    pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS island
+             FROM shared)
+    SELECT doc_id,
+           MIN(pos)::BIGINT AS span_start,
+           (MAX(pos) - MIN(pos) + {SPAN_GRAM})::BIGINT AS span_tokens,
+           COUNT(*)::BIGINT AS n_grams
+    FROM runs GROUP BY doc_id, island
+    """
+
+
+@query("spans_new_batch", _span_batch_oracle())
+def q_spans_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-span dedup at INGEST: the corpus (90%) gram
+    document-frequency table is written as a parquet index
+    (gram_document_frequency — ALL grams kept, df >= 1, because a
+    batch's second occurrence is what promotes a df=1 gram to shared),
+    read back, and merged with the batch's partial counts by one
+    sum-groupBy on the 16-byte gram hash — disjoint doc slices make
+    df ADDITIVE, so merged df == full-corpus df exactly. Batch grams
+    (map-only, batch-sized) join the merged df >= 2 keys and collapse
+    to runs. The corpus text is scanned once to BUILD the index and
+    never re-grammed afterwards (plan-pinned); a real pipeline owns
+    the index across ingests and pays only the probe+merge."""
+    import os
+
+    from .operators.sampling import hash_bucket
+    from .operators.textanalysis import (
+        _doc_grams,
+        gram_document_frequency,
+        spans_from_shared,
+    )
+    from .sources.sinks import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = hash_bucket("doc_id") < NEW_BATCH_PCT
+    corpus, batch = docs.filter(~is_new), docs.filter(is_new)
+
+    base = _run_scoped_index_dir("span_gram")
+    idx_path = os.path.join(base, "gram_df_index")
+    write_parquet(
+        gram_document_frequency(_doc_grams(_spread(corpus), SPAN_GRAM)),
+        idx_path,
+    )
+    idx = spark.read.parquet(idx_path)
+
+    batch_grams = _doc_grams(batch, SPAN_GRAM)
+    merged = (
+        idx.unionByName(gram_document_frequency(batch_grams))
+        .groupBy("gh")
+        .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gh")
+    )
+    return spans_from_shared(batch_grams.join(merged, "gh"), SPAN_GRAM)
+
+
 def _simhash_ctes(src: str = "documents") -> str:
     """CTE chain ``toks → bits → sim(doc_id, simhash)`` replicating
     ``simhash32`` nibble-for-nibble over table/CTE ``src``."""

@@ -1655,3 +1655,39 @@ def test_duplicate_span_report_short_doc_and_adjacent_runs(spark):
         (2, 1): (4, 1),
         (2, 7): (4, 1),
     }
+
+
+def test_scrub_duplicate_spans_owner_keeps_content(spark):
+    """The rewrite rule, pinned on the same crafted corpus as the span
+    report: the canonical owner (min doc_id per gram) keeps its text
+    untouched, every other doc cuts the covered token ranges, unique
+    and self-repeating docs ride through — and no corpus content is
+    lost (every duplicated gram survives in its owner)."""
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        scrub_duplicate_spans,
+    )
+
+    header = "c1 c2 c3 c4 c5 c6"
+    tail = "t1 t2 t3 t4"
+    d1 = f"{header} u1 u2 u3 {tail}"
+    d2 = f"v1 v2 {header} v3 v4 {tail}"
+    docs = spark.createDataFrame(
+        [
+            (1, d1),
+            (2, d2),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (5, "x1 x2 x3 x4 x1 x2 x3 x4"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: (r.scrubbed_text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in scrub_duplicate_spans(docs, k=4).collect()
+    }
+    assert out[1] == (d1, 13, 0)  # owner of every shared gram: untouched
+    # doc 2 cuts header (tokens 3-8) and tail (tokens 11-14)
+    assert out[2] == ("v1 v2 v3 v4", 4, 10)
+    assert out[3] == ("w1 w2 w3 w4 w5 w6 w7 w8", 8, 0)
+    assert out[5] == ("x1 x2 x3 x4 x1 x2 x3 x4", 8, 0)  # df=1: not shared
+    # content preservation: the duplicated blocks still exist in doc 1
+    assert header in out[1][0] and tail in out[1][0]

@@ -829,3 +829,43 @@ def test_duplicate_text_spans_never_pairwise(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p
     assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_scrub_duplicate_spans_never_pairwise_text_never_shuffled(spark):
+    """The substring REWRITE inherits the report's never-pairwise
+    contract, JVM-only; and the text column itself must never ride a
+    KEYED shuffle — every hash-partitioned Exchange moves only
+    (doc_id, pos/gh/tp) keys, the token rebuild is map-side after the
+    cut-set join. (_spread's RoundRobin fixture-parallelism
+    repartition of the raw scan is exempt — it is not a keyed
+    data-movement stage and disappears on real multi-file input.)"""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("scrub_duplicate_spans")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+    import re
+
+    segs = re.findall(r"\(\d+\) Exchange\n(.*?)\n\n", p, flags=re.S)
+    keyed = [s for s in segs if "hashpartitioning" in s]
+    assert keyed, p
+    for seg in keyed:
+        assert "text#" not in seg and "toks#" not in seg, seg
+
+
+def test_spans_new_batch_corpus_never_regrammed(spark):
+    """Incremental substring dedup: the merged-path plan reads the
+    persisted (gh, df) parquet index exactly once, and EVERY documents
+    scan is batch-filtered (hash bucket < NEW_BATCH_PCT) — the corpus
+    text is never re-read, let alone re-grammed, by the probe+merge."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("spans_new_batch")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("gram_df_index") == 1
+    n_doc_scans = p.count("documents.parquet")
+    assert n_doc_scans >= 1
+    # one "% 100) < 10" batch-bucket condition per documents scan
+    assert p.count("% 100) < 10") == n_doc_scans, p
