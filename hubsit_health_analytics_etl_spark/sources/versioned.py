@@ -16,6 +16,12 @@ CDC/compaction/export family COHERENT MULTI-VERSION SEMANTICS:
   an ingest's commit cost is its batch, never the corpus.
 
 Scale/posture notes:
+- Manifests store ROOT-RELATIVE file paths (a moved table root keeps
+  every version readable), the version's SCHEMA (explicit-schema
+  reads + by-name evolution across commits), and optional per-file
+  min/max stats for declared columns — ``read_version(predicate=)``
+  prunes files before the scan, the read-side half of a table format
+  that matters most at 100 TB.
 - The manifest lists FILES, not rows: commit metadata is O(files).
   At 100 TB keep per-commit file counts bounded (compact with
   sources/compaction.py against a fresh ``data/`` subdirectory, then
@@ -52,6 +58,22 @@ _POINTER = "_VERSION"
 
 def _manifest_path(root: str, n: int) -> str:
     return os.path.join(root, "manifests", f"v{n:06d}.json")
+
+
+def _abs_file(root: str, f: str) -> str:
+    """Resolve a manifest file entry: entries are ROOT-RELATIVE
+    (Iceberg-style — a moved/renamed table root keeps every manifest
+    valid), with absolute paths still honored for manifests written
+    before this scheme."""
+    return f if os.path.isabs(f) else os.path.join(root, f)
+
+
+def _json_safe(v):
+    """Stats values must survive JSON round-trips losslessly: keep the
+    types whose Python/JSON mapping is exact, stringify the rest
+    (dates/timestamps/decimals — pruning on those compares their ISO
+    strings, which order correctly)."""
+    return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
 
 
 def current_version(root: str) -> int | None:
@@ -100,6 +122,8 @@ def commit_version(
     df: DataFrame,
     root: str,
     mode: str = "overwrite",
+    stats_cols: "list[str] | None" = None,
+    extra: "dict | None" = None,
 ) -> int:
     """Commit ``df`` as the next version of the table at ``root`` and
     return the new version number.
@@ -109,14 +133,38 @@ def commit_version(
     files — the parent's data is REUSED, never rewritten or re-read,
     so an ingest commit costs O(batch).
 
+    ``stats_cols``: record per-file min/max for these columns in the
+    manifest — the half of a table format that matters at 100 TB
+    reads: ``read_version(..., predicate=)`` prunes files on them
+    before the scan ever starts. Numeric/string columns order
+    natively; date/timestamp stats are stored as ISO strings (which
+    order correctly). Costs nothing extra: the stats ride the same
+    verification re-read the commit already pays.
+
+    ``extra``: JSON-serializable metadata recorded verbatim under the
+    manifest's ``extra`` key (e.g. the streaming sink's ``batch_id``
+    for replay idempotence).
+
+    The manifest also records ``df``'s SCHEMA (by-name union with the
+    parent's on append), so ``read_version`` reads every version with
+    one explicit schema — files from before an added column yield
+    nulls for it, no footer-merging pass needed.
+
     Protocol (single writer): repair stale leftovers → write data
-    files under ``data/v{n}`` → row-count-verify the written files by
-    re-reading them (the compact_parquet posture: a short write never
-    becomes a version) → write the manifest → atomically swap the
-    pointer. A crash anywhere before the final ``os.replace`` leaves
-    the previous version intact and current."""
+    files under ``data/v{n}`` (the expected row count observed on the
+    write itself — ONE evaluation of ``df``, so a non-deterministic
+    input can never diverge between the count and the data) →
+    row-count-verify the written files by re-reading them (the
+    compact_parquet posture: a short write never becomes a version) →
+    write the manifest → atomically swap the pointer. A crash anywhere
+    before the final ``os.replace`` leaves the previous version intact
+    and current."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
     if mode not in ("overwrite", "append"):
         raise ValueError(f"commit_version: unknown mode {mode!r}")
+    stats_cols = list(stats_cols or [])
     os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
     _repair(root)
@@ -127,24 +175,66 @@ def commit_version(
 
     spark = df.sparkSession
     data_dir = os.path.join(root, "data", f"v{n:06d}")
-    expected = df.count()
-    df.write.mode("overwrite").parquet(data_dir)
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(data_dir)
+    expected = obs.get["n"]
     new_files = sorted(
         glob.glob(os.path.join(data_dir, "*.parquet"))
     )
-    n_new = spark.read.parquet(data_dir).count() if new_files else 0
+    n_new, stats = 0, {}
+    if new_files:
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"_min_{c}"))
+            aggs.append(F.max(c).alias(f"_max_{c}"))
+        per_file = (
+            spark.read.parquet(data_dir)
+            .groupBy(F.input_file_name().alias("_file"))
+            .agg(*aggs)
+            .collect()
+        )
+        for r in per_file:
+            n_new += r["_n"]
+            rel = os.path.relpath(
+                r["_file"].removeprefix("file:"), root
+            )
+            stats[rel] = {
+                c: [_json_safe(r[f"_min_{c}"]), _json_safe(r[f"_max_{c}"])]
+                for c in stats_cols
+            }
     if n_new != expected:
         shutil.rmtree(data_dir)
         raise IOError(
             f"commit_version: wrote {n_new} rows to {data_dir}, expected "
             f"{expected}; commit aborted, table still at version {cur}."
         )
-    files = list(new_files)
+    new_rel = [os.path.relpath(f, root) for f in new_files]
+    files = list(new_rel)
     n_rows = n_new
+    schema = df.schema
     if mode == "append":
+        from pyspark.sql.types import StructType
+
         parent = read_manifest(root, cur)
-        files = parent["files"] + new_files
+        files = parent["files"] + new_rel
         n_rows = parent["n_rows"] + n_new
+        stats = {**parent.get("stats", {}), **stats}
+        if "schema" in parent:
+            # by-name union: parent columns first, the batch's type
+            # wins on a shared name, batch-only columns append — old
+            # files read back with nulls for columns they predate
+            pfields = list(
+                StructType.fromJson(json.loads(parent["schema"])).fields
+            )
+            idx = {f.name: i for i, f in enumerate(pfields)}
+            for f in schema.fields:
+                if f.name in idx:
+                    pfields[idx[f.name]] = f
+                else:
+                    pfields.append(f)
+            schema = StructType(pfields)
 
     manifest = {
         "version": n,
@@ -153,6 +243,9 @@ def commit_version(
         "files": files,
         "n_rows": n_rows,
         "n_new_files": len(new_files),
+        "schema": schema.json(),
+        "stats": stats,
+        "extra": dict(extra or {}),
     }
     mpath = _manifest_path(root, n)
     tmp = mpath + ".tmp"
@@ -167,14 +260,47 @@ def commit_version(
     return n
 
 
+def _stats_overlap(st, lo, hi) -> bool:
+    """Can a file whose [min, max] is ``st`` contain rows in
+    [lo, hi]? Missing/partial stats never prune (safe default)."""
+    if st is None:
+        return True
+    mn, mx = st
+    if mn is None or mx is None:
+        return True
+    if lo is not None and mx < lo:
+        return False
+    if hi is not None and mn > hi:
+        return False
+    return True
+
+
 def read_version(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    predicate: "tuple | None" = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: current). Resolves the
     pointer/manifest once, then scans only the manifest's immutable
     files — snapshot-isolated against concurrent commits by
     construction. Raises loudly on a never-committed table or an
-    expired/unknown version."""
+    expired/unknown version.
+
+    ``predicate=(col, lo, hi)`` (either bound may be None for an open
+    range): files whose manifest min/max stats for ``col`` cannot
+    intersect [lo, hi] are dropped BEFORE the scan — manifest-level
+    partition pruning, the read-side payoff of ``stats_cols`` — and
+    the row-level filter is applied on top, so the result equals
+    ``read_version(...).filter(lo <= col <= hi)`` exactly. Files
+    without stats for ``col`` are always read (safe).
+
+    Versions committed with a manifest schema are read with that
+    EXPLICIT schema (one schema resolution, no footer merging; files
+    predating an added column return nulls for it). Legacy manifests
+    fall back to mergeSchema inference."""
+    import pyspark.sql.functions as F
+
     n = current_version(root) if version is None else int(version)
     if n is None:
         raise FileNotFoundError(f"versioned table at {root} has no commits")
@@ -185,9 +311,39 @@ def read_version(
             f"committed); available: {list_versions(root)}"
         )
     manifest = read_manifest(root, n)
-    if not manifest["files"]:
+    rel_files = manifest["files"]
+    if not rel_files:
         raise ValueError(f"version {n} of {root} lists no files")
-    return spark.read.parquet(*manifest["files"])
+    if predicate is not None:
+        col, lo, hi = predicate
+        stats = manifest.get("stats", {})
+        kept = [
+            f
+            for f in rel_files
+            if _stats_overlap(stats.get(f, {}).get(col), lo, hi)
+        ]
+        # every file pruned → keep the full list behind an impossible
+        # row filter below (footer-only cost) so the schema survives
+        rel_files = kept or rel_files
+    reader = spark.read
+    if "schema" in manifest:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(
+            StructType.fromJson(json.loads(manifest["schema"]))
+        )
+    else:
+        reader = reader.option("mergeSchema", "true")
+    out = reader.parquet(*[_abs_file(root, f) for f in rel_files])
+    if predicate is not None:
+        col, lo, hi = predicate
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+        out = out.filter(cond)
+    return out
 
 
 def expire_versions(root: str, keep_last: int) -> list[int]:
@@ -205,10 +361,14 @@ def expire_versions(root: str, keep_last: int) -> list[int]:
         return []
     kept_files: set[str] = set()
     for n in versions[-keep_last:]:
-        kept_files.update(read_manifest(root, n)["files"])
+        kept_files.update(
+            _abs_file(root, f) for f in read_manifest(root, n)["files"]
+        )
     doomed_files: set[str] = set()
     for n in expired:
-        doomed_files.update(read_manifest(root, n)["files"])
+        doomed_files.update(
+            _abs_file(root, f) for f in read_manifest(root, n)["files"]
+        )
     for f in sorted(doomed_files - kept_files):
         if os.path.exists(f):
             os.remove(f)

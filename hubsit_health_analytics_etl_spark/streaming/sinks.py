@@ -12,12 +12,13 @@ Delta/Iceberg ``MERGE INTO`` would receive at scale; swap
 ``_rewrite_snapshot`` for the table format's merge and everything
 else stands. The full-snapshot rewrite itself is the documented
 non-scalable edge (fine for dimension-sized state, not for 100 TB
-fact state — that wants a partitioned merge target). The engine now
-SHIPS the manifest-pointer upgrade: ``sources/versioned.py`` gives
-readers snapshot isolation and atomic commits (commit the merged
-frame with ``commit_version`` instead of ``_rewrite_snapshot`` when
-concurrent readers matter — tests/test_versioned.py pins the
-isolation property this rewrite lacks).
+fact state — that wants a partitioned merge target). The
+manifest-pointer upgrade is WIRED IN as
+:func:`versioned_upsert_sink`: each micro-batch commits a version via
+``sources/versioned.py::commit_version`` with its batch_id in the
+manifest — snapshot-isolated concurrent readers, atomic commits, and
+batch-id replay idempotence (tests/test_streaming_dedup_sinks.py +
+tests/test_versioned.py pin all three).
 
 Idempotence: resolution is latest-wins on (ts, tiebreak key order),
 a pure function of the DATA, not of batch boundaries — so replaying
@@ -100,6 +101,64 @@ def upsert_sink(
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         upsert_batch(batch, path, key_cols, ts_col)
+
+    return _apply
+
+
+def versioned_upsert_sink(
+    root: str, key_cols: Sequence[str], ts_col: str
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` callable maintaining the SAME latest-wins state
+    as :func:`upsert_sink`, but committing every micro-batch as a new
+    VERSION of the manifest-pointer table at ``root``
+    (sources/versioned.py) — the upgrade upsert_sink's docstring
+    points at, wired in:
+
+    - concurrent readers are snapshot-isolated: a reader that resolved
+      version n keeps reading n's immutable files while commits land
+      (the full-snapshot directory swap's documented gap, closed);
+    - replay idempotence by BATCH ID, not just by data: foreachBatch
+      re-delivers a batch after a crash, so each commit records its
+      ``batch_id`` in the manifest's ``extra`` — a re-delivered batch
+      whose id matches the CURRENT version's is skipped outright
+      (the Delta/Iceberg txn-version check), and a batch that crashed
+      mid-commit left the pointer untouched (commit_version's repair
+      protocol), so the replay simply commits again;
+    - every micro-batch version stays time-travelable/diffable
+      (read_version / snapshot_diff) until expire_versions retires it.
+
+    The merged state is re-resolved per batch (read current + union +
+    latest_wins) — dimension-sized state by contract, like upsert_sink;
+    100 TB fact state wants the partitioned-merge layout instead.
+
+        stream.writeStream.foreachBatch(
+            versioned_upsert_sink(root, ["k"], "ts"))
+    """
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        from ..sources.versioned import (
+            commit_version,
+            current_version,
+            read_manifest,
+            read_version,
+        )
+
+        cur = current_version(root)
+        if cur is not None:
+            if read_manifest(root, cur).get("extra", {}).get(
+                "batch_id"
+            ) == batch_id:
+                return  # replayed, already-committed batch
+            merged = read_version(batch.sparkSession, root).unionByName(
+                batch
+            )
+        else:
+            merged = batch
+        commit_version(
+            latest_wins(merged, key_cols, ts_col),
+            root,
+            extra={"batch_id": batch_id},
+        )
 
     return _apply
 

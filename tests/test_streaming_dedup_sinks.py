@@ -592,3 +592,78 @@ def test_fanout_sink_multi_target_and_replay_idempotent(spark, tmp_path):
     sink(batch0, 0)
     assert spark.read.parquet(p1).count() == n_src
     assert spark.read.parquet(p2).count() == n_src
+
+
+def test_versioned_upsert_sink_stream_batch_isolation_replay(spark, tmp_path):
+    """The versioned streaming sink end-to-end:
+
+    1. a 2-micro-batch availableNow stream produces the same
+       latest-wins state as the plain upsert sink on the same data;
+    2. every micro-batch became a version with its batch_id in the
+       manifest (time travel to the mid-stream state works);
+    3. a reader resolved BEFORE a later commit keeps its snapshot
+       (the isolation the directory-swap sink cannot give);
+    4. re-delivering the current batch (crash replay) is a no-op —
+       no new version, same state."""
+    from hubsit_health_analytics_etl_spark.sources.versioned import (
+        current_version,
+        read_manifest,
+        read_version,
+    )
+    from hubsit_health_analytics_etl_spark.streaming.sinks import (
+        versioned_upsert_sink,
+    )
+
+    schema = "k long, v string, ts timestamp"
+    b1 = spark.createDataFrame(
+        [(1, "one-v1", _ts("10:00")), (2, "two-v1", _ts("10:00"))], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, "one-v2", _ts("11:00")), (3, "three-v1", _ts("10:30"))], schema
+    )
+    final = {1: "one-v2", 2: "two-v1", 3: "three-v1"}
+
+    # end-to-end through a real stream, one file per micro-batch
+    src = str(tmp_path / "vsrc")
+    os.makedirs(src)
+    _write_file(spark, [tuple(r) for r in b1.collect()], schema, src,
+                "a.parquet", 1_700_000_000)
+    _write_file(spark, [tuple(r) for r in b2.collect()], schema, src,
+                "b.parquet", 1_700_000_100)
+    root = str(tmp_path / "vtbl")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(versioned_upsert_sink(root, ["k"], "ts"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert current_version(root) == 1  # one version per micro-batch
+    assert read_manifest(root, 0)["extra"] == {"batch_id": 0}
+    assert read_manifest(root, 1)["extra"] == {"batch_id": 1}
+    got = {r.k: r.v for r in read_version(spark, root).collect()}
+    assert got == final
+    # time travel to the mid-stream state
+    mid = {r.k: r.v for r in read_version(spark, root, 0).collect()}
+    assert mid == {1: "one-v1", 2: "two-v1"}
+
+    # snapshot isolation: a reader pinned before the next commit
+    sink = versioned_upsert_sink(root, ["k"], "ts")
+    pinned = read_version(spark, root)  # resolves v1's files now
+    b3 = spark.createDataFrame([(2, "two-v2", _ts("12:00"))], schema)
+    sink(b3, 2)
+    assert current_version(root) == 2
+    assert {r.k: r.v for r in pinned.collect()} == final  # unchanged
+
+    # replay of the already-committed batch: no-op, no new version
+    sink(b3, 2)
+    assert current_version(root) == 2
+    assert {r.k: r.v for r in read_version(spark, root).collect()} == {
+        1: "one-v2",
+        2: "two-v2",
+        3: "three-v1",
+    }

@@ -11,6 +11,7 @@ import os
 import pytest
 
 from hubsit_health_analytics_etl_spark.sources.versioned import (
+    _abs_file,
     commit_version,
     current_version,
     expire_versions,
@@ -56,13 +57,19 @@ def test_append_reuses_parent_files_untouched(spark, tmp_path):
     those files' bytes are untouched on disk."""
     root = str(tmp_path / "tbl")
     commit_version(_mk(spark, [(1, "a"), (2, "b")]), root)
+    # manifest entries are ROOT-RELATIVE (Iceberg-style)
     v0_files = read_manifest(root, 0)["files"]
-    stamps = {f: (os.path.getmtime(f), os.path.getsize(f)) for f in v0_files}
+    assert all(not os.path.isabs(f) for f in v0_files)
+    stamps = {
+        f: (os.path.getmtime(_abs_file(root, f)), os.path.getsize(_abs_file(root, f)))
+        for f in v0_files
+    }
     commit_version(_mk(spark, [(3, "c")]), root, mode="append")
     m1 = read_manifest(root, 1)
     assert set(v0_files) <= set(m1["files"])
     for f, (mt, sz) in stamps.items():
-        assert (os.path.getmtime(f), os.path.getsize(f)) == (mt, sz)
+        a = _abs_file(root, f)
+        assert (os.path.getmtime(a), os.path.getsize(a)) == (mt, sz)
     assert m1["n_rows"] == 3 and m1["parent"] == 0
 
 
@@ -127,7 +134,7 @@ def test_expire_versions_keeps_shared_files(spark, tmp_path):
     assert expire_versions(root, keep_last=2) == [0]
     assert list_versions(root) == [1, 2]
     for f in v0_files:  # shared with v1/v2 → must survive
-        assert os.path.exists(f)
+        assert os.path.exists(_abs_file(root, f))
     with pytest.raises(FileNotFoundError):
         read_version(spark, root, 0)
     assert sorted(
@@ -138,7 +145,9 @@ def test_expire_versions_keeps_shared_files(spark, tmp_path):
     commit_version(_mk(spark, [(9, "z")]), root)  # v3 overwrite
     assert expire_versions(root, keep_last=1) == [1, 2]
     remaining = glob.glob(os.path.join(root, "data", "*", "*.parquet"))
-    assert set(remaining) == set(read_manifest(root, 3)["files"])
+    assert set(remaining) == {
+        _abs_file(root, f) for f in read_manifest(root, 3)["files"]
+    }
     assert [(r.k, r.v) for r in read_version(spark, root).collect()] == [
         (9, "z")
     ]
@@ -167,3 +176,69 @@ def test_short_write_never_becomes_a_version(spark, tmp_path, monkeypatch):
     assert [(r.k, r.v) for r in read_version(spark, root).collect()] == [
         (1, "a")
     ]
+
+
+def test_manifest_stats_prune_file_reads(spark, tmp_path):
+    """Per-file min/max stats in the manifest turn a selective range
+    predicate into manifest-level file pruning: with the table range-
+    partitioned on k, read_version(..., predicate=) must scan FEWER
+    files than the manifest lists, and the result must equal the
+    unpruned read with the same row filter."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).selectExpr("id AS k", "cast(id as string) AS v")
+    commit_version(
+        df.repartitionByRange(4, "k"), root, stats_cols=["k"]
+    )
+    m = read_manifest(root, 0)
+    assert len(m["files"]) == 4
+    assert all("k" in st for st in m["stats"].values())
+
+    pruned = read_version(spark, root, predicate=("k", 100, 120))
+    assert len(pruned.inputFiles()) < len(m["files"])
+    expected = sorted(
+        (r.k, r.v)
+        for r in read_version(spark, root)
+        .filter("k BETWEEN 100 AND 120")
+        .collect()
+    )
+    assert sorted((r.k, r.v) for r in pruned.collect()) == expected
+
+    # open-ended ranges prune too; a file without stats is never pruned
+    assert len(
+        read_version(spark, root, predicate=("k", 900, None)).inputFiles()
+    ) < 4
+    assert len(
+        read_version(spark, root, predicate=("v", 0, 1)).inputFiles()
+    ) == 4  # no stats collected for v → safe, nothing pruned
+
+    # fully-disjoint predicate returns zero rows without losing schema
+    empty = read_version(spark, root, predicate=("k", 5000, 6000))
+    assert empty.count() == 0
+    assert empty.columns == ["k", "v"]
+
+
+def test_root_relative_manifests_survive_table_move(spark, tmp_path):
+    """Manifests store root-relative file paths: physically moving the
+    whole table root must not invalidate a single version."""
+    import shutil
+
+    root = str(tmp_path / "tbl")
+    commit_version(_mk(spark, [(1, "a")]), root)
+    commit_version(_mk(spark, [(2, "b")]), root, mode="append")
+    moved = str(tmp_path / "elsewhere" / "tbl2")
+    os.makedirs(os.path.dirname(moved))
+    shutil.move(root, moved)
+    assert sorted(
+        (r.k, r.v) for r in read_version(spark, moved).collect()
+    ) == [(1, "a"), (2, "b")]
+    assert [(r.k, r.v) for r in read_version(spark, moved, 0).collect()] == [
+        (1, "a")
+    ]
+
+
+def test_commit_records_extra_metadata(spark, tmp_path):
+    """`extra` lands verbatim in the manifest (the streaming sink's
+    batch-id replay check reads it back)."""
+    root = str(tmp_path / "tbl")
+    commit_version(_mk(spark, [(1, "a")]), root, extra={"batch_id": 7})
+    assert read_manifest(root, 0)["extra"] == {"batch_id": 7}
