@@ -4347,6 +4347,57 @@ def q_orders_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# o_orderkey is DENSE from 0 at every scale factor, so a low fixed
+# slice stays selective (1 of 8 range-clustered files) from sf0.001
+# through sf0.1 — a mid-range slice would cover every file at small SF
+PRUNE_LO, PRUNE_HI = 0, 150
+
+
+@query(
+    "versioned_pruned_read",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*)::BIGINT AS n_orders,
+           MIN(o_orderkey)::BIGINT AS min_key,
+           MAX(o_orderkey)::BIGINT AS max_key
+    FROM orders
+    WHERE o_orderkey BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+    GROUP BY o_orderpriority
+    """,
+)
+def q_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file pruning end-to-end: orders is committed as
+    a versioned table RANGE-CLUSTERED on o_orderkey with per-file
+    min/max stats in the manifest (sources/versioned.py), then read
+    back through `read_version(predicate=(o_orderkey, lo, hi))` —
+    non-overlapping files are dropped before the scan starts (the
+    Iceberg-style read path; files-read < files-in-manifest is
+    plan-pinned in tests) — and aggregated. The oracle is the plain
+    filtered aggregate over the raw table, so the hash match proves
+    pruning loses and invents no rows. Commit cost is inside the
+    timed query by the contract-query posture (orders_version_diff);
+    a real pipeline owns the table and pays only the pruned read."""
+    from .sources.versioned import commit_version, read_version
+
+    root = _run_scoped_index_dir("versioned_prune")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    commit_version(
+        orders.repartitionByRange(8, "o_orderkey"),
+        root,
+        stats_cols=["o_orderkey"],
+    )
+    pruned = read_version(
+        spark, root, predicate=("o_orderkey", PRUNE_LO, PRUNE_HI)
+    )
+    return pruned.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Right-to-be-forgotten: delete a doc list from the corpus AND from
 # the persisted cluster index, re-labelling only the affected

@@ -242,3 +242,15 @@ def test_commit_records_extra_metadata(spark, tmp_path):
     root = str(tmp_path / "tbl")
     commit_version(_mk(spark, [(1, "a")]), root, extra={"batch_id": 7})
     assert read_manifest(root, 0)["extra"] == {"batch_id": 7}
+
+
+def test_versioned_pruned_read_query_scans_fewer_files(spark):
+    """The registered versioned_pruned_read query actually prunes: its
+    result plan reads fewer parquet files than the committed table's 8
+    range-clustered files."""
+    from .conftest import SF_SMOKE
+    from hubsit_health_analytics_etl_spark.workload import QUERIES
+
+    out = QUERIES["versioned_pruned_read"](spark, SF_SMOKE)
+    n_in = len(out.inputFiles())
+    assert 1 <= n_in < 8, n_in
