@@ -73,6 +73,9 @@ ITERATIVE_ALLOWLIST = {
     "export_manifest_roundtrip",
     "orders_version_diff",
     "orders_version_history",
+    "versioned_pruned_read",  # commit (write+verify read) inside the timed query
+    "spans_new_batch",  # gram-df index write+read round-trip inside the query
+    "vocab_new_batch",  # same posture: index write+read inside the query
 }
 
 PASS_RATIO, WARN_RATIO = 1.10, 1.25
