@@ -12,7 +12,8 @@ Delta/Iceberg ``MERGE INTO`` would receive at scale; swap
 ``_rewrite_snapshot`` for the table format's merge and everything
 else stands. The full-snapshot rewrite itself is the documented
 non-scalable edge (fine for dimension-sized state, not for 100 TB
-fact state — that wants a partitioned merge target). The
+fact state — :func:`partitioned_upsert_sink` is that path: hash-bucket
+directory partitions, only touched buckets rewritten per batch). The
 manifest-pointer upgrade is WIRED IN as
 :func:`versioned_upsert_sink`: each micro-batch commits a version via
 ``sources/versioned.py::commit_version`` with its batch_id in the
@@ -105,6 +106,93 @@ def upsert_sink(
     return _apply
 
 
+def partitioned_upsert_sink(
+    path: str,
+    key_cols: Sequence[str],
+    ts_col: str,
+    n_buckets: int = 32,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` merge for FACT-sized state — the partitioned
+    merge target :func:`upsert_sink`'s full-snapshot rewrite documents
+    itself as lacking. The snapshot is a hash-bucketed parquet table
+    (``_bucket = xxhash64(keys) pmod n_buckets`` directory partitions);
+    a micro-batch rewrites ONLY the buckets its keys land in:
+
+      1. stamp the batch with its bucket (map-side);
+      2. read back JUST those bucket partitions (partition-pruned scan
+         — the other ``n_buckets - len(touched)`` partitions are never
+         listed, let alone read);
+      3. latest-wins within the union (per key, pure function of the
+         data — replay-idempotent);
+      4. dynamic-partition-overwrite the touched buckets in place.
+
+    Per-batch cost ∝ touched-bucket bytes, not table bytes: with
+    ``n_buckets`` sized so a bucket fits an executor comfortably
+    (≈ table_bytes / n_buckets), a small batch touching b buckets
+    rewrites b/n_buckets of the table instead of all of it. At 100 TB
+    raise ``n_buckets`` (buckets are independent — the merge
+    parallelizes per bucket, no global shuffle of the table).
+
+    ``n_buckets`` is part of the TABLE layout: it must stay constant
+    for the table's lifetime (enforced by a `_n_buckets` marker file —
+    changing it silently would split a key across two buckets and
+    latest-wins would never see both versions).
+
+    Crash/replay: dynamic partition overwrite rewrites exactly the
+    touched partitions; re-running a delivered batch recomputes the
+    identical bucket contents (latest-wins is order-free), so
+    at-least-once delivery yields exactly-once state — the fanout_sink
+    argument, per bucket. Readers of untouched buckets are unaffected;
+    readers racing a touched-bucket rewrite get the directory-swap
+    caveat — front with the versioned layout when that matters.
+    """
+    if n_buckets < 1:
+        raise ValueError("partitioned_upsert_sink: n_buckets must be >= 1")
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        marker = os.path.join(path, "_n_buckets")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                existing = int(f.read().strip())
+            if existing != n_buckets:
+                raise ValueError(
+                    f"partitioned_upsert_sink: table at {path} was laid "
+                    f"out with n_buckets={existing}, got {n_buckets} — "
+                    "bucket count is immutable for a table's lifetime"
+                )
+        stamped = batch.withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int"),
+        )
+        touched = sorted(
+            r._bucket for r in stamped.select("_bucket").distinct().collect()
+        )
+        exists = os.path.exists(marker)
+        if exists:
+            current = spark.read.parquet(path).filter(
+                F.col("_bucket").isin(touched)
+            )
+            merged = current.unionByName(stamped)
+        else:
+            merged = stamped
+        resolved = latest_wins(merged, key_cols, ts_col)
+        (
+            resolved.repartition(max(len(touched), 1), "_bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_bucket")
+            .parquet(path)
+        )
+        if not exists:
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(n_buckets))
+            os.replace(tmp, marker)
+
+    return _apply
+
+
 def versioned_upsert_sink(
     root: str, key_cols: Sequence[str], ts_col: str
 ) -> Callable[[DataFrame, int], None]:
@@ -129,7 +217,7 @@ def versioned_upsert_sink(
 
     The merged state is re-resolved per batch (read current + union +
     latest_wins) — dimension-sized state by contract, like upsert_sink;
-    100 TB fact state wants the partitioned-merge layout instead.
+    100 TB fact state takes :func:`partitioned_upsert_sink` instead.
 
         stream.writeStream.foreachBatch(
             versioned_upsert_sink(root, ["k"], "ts"))

@@ -667,3 +667,74 @@ def test_versioned_upsert_sink_stream_batch_isolation_replay(spark, tmp_path):
         2: "two-v2",
         3: "three-v1",
     }
+
+
+def test_partitioned_upsert_sink_touches_only_affected_buckets(spark, tmp_path):
+    """The fact-state merge sink: state equals the full-snapshot
+    upsert's latest-wins result, but a micro-batch rewrites ONLY the
+    hash buckets its keys land in — untouched bucket files keep their
+    exact bytes/mtimes. Replay of a delivered batch converges to the
+    same state, and the bucket count is pinned for the table's life."""
+    import glob
+
+    import pytest
+
+    from hubsit_health_analytics_etl_spark.streaming.sinks import (
+        latest_wins,
+        partitioned_upsert_sink,
+    )
+
+    schema = "k long, v string, ts timestamp"
+    tbl = str(tmp_path / "fact")
+    sink = partitioned_upsert_sink(tbl, ["k"], "ts", n_buckets=8)
+
+    b1 = spark.createDataFrame(
+        [(k, f"v1-{k}", _ts("10:00")) for k in range(40)], schema
+    )
+    sink(b1, 0)
+    files_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(tbl, "_bucket=*", "*.parquet"))
+    }
+    n_parts_before = len(glob.glob(os.path.join(tbl, "_bucket=*")))
+
+    # batch 2 updates TWO keys -> touches at most two buckets
+    b2 = spark.createDataFrame(
+        [(3, "v2-3", _ts("11:00")), (7, "v2-7", _ts("11:00"))], schema
+    )
+    sink(b2, 1)
+
+    got = {
+        r.k: r.v for r in spark.read.parquet(tbl).collect()
+    }
+    expected = {
+        r.k: r.v
+        for r in latest_wins(b1.unionByName(b2), ["k"], "ts").collect()
+    }
+    assert got == expected and got[3] == "v2-3" and got[7] == "v2-7"
+
+    # untouched buckets: identical files, untouched on disk
+    from pyspark.sql import functions as F
+
+    touched = {
+        r._bucket
+        for r in b2.select(
+            F.pmod(F.xxhash64("k"), F.lit(8)).cast("int").alias("_bucket")
+        ).collect()
+    }
+    untouched_survivors = 0
+    for f, mt in files_before.items():
+        bucket = int(f.split("_bucket=")[1].split("/")[0])
+        if bucket not in touched:
+            assert os.path.exists(f) and os.path.getmtime(f) == mt, f
+            untouched_survivors += 1
+    assert untouched_survivors > 0
+    assert len(glob.glob(os.path.join(tbl, "_bucket=*"))) == n_parts_before
+
+    # replay: same state, still only touched buckets rewritten
+    sink(b2, 1)
+    assert {r.k: r.v for r in spark.read.parquet(tbl).collect()} == expected
+
+    # bucket count is immutable table layout
+    with pytest.raises(ValueError, match="n_buckets"):
+        partitioned_upsert_sink(tbl, ["k"], "ts", n_buckets=16)(b2, 2)
