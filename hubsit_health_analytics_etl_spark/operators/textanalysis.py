@@ -463,7 +463,12 @@ def duplicate_span_report(docs, k: int = 8, text_col: str = "text"):
     return spans_from_shared(shared, k)
 
 
-def scrub_duplicate_spans(docs, k: int = 8, text_col: str = "text"):
+def scrub_duplicate_spans(
+    docs,
+    k: int = 8,
+    text_col: str = "text",
+    min_span_tokens: "int | None" = None,
+):
     """APPLY the substring-dedup decision table (the actual Lee et al.
     2022 deliverable duplicate_span_report stops short of): rewrite
     every document's text with cross-document duplicated token ranges
@@ -487,7 +492,17 @@ def scrub_duplicate_spans(docs, k: int = 8, text_col: str = "text"):
       4. collect the per-doc cut-position set (bounded by the doc's
          own token count) and one indexed-lambda `filter` HOF rebuilds
          the kept text map-side — the rewrite never shuffles text, only
-         (doc_id, int) position pairs."""
+         (doc_id, int) position pairs.
+
+    ``min_span_tokens`` (default: off — every non-owned shared gram
+    cuts): only cut-eligible runs spanning at least this many tokens
+    are actually removed — the Lee et al. deployment posture (they
+    scrub ~50-token repeats; cutting every shared 8-gram would
+    amputate common phrases). The threshold applies to the CUT runs
+    (consecutive non-owned positions), so a run interrupted by grams
+    this doc owns counts as its surviving fragments. Adds one
+    doc_id-keyed window + groupBy over cut positions — ints only,
+    same exchange key as the rebuild join."""
     grams = _doc_grams(docs, k, text_col)
     owners = (
         grams.select("gh", "doc_id")
@@ -501,6 +516,22 @@ def scrub_duplicate_spans(docs, k: int = 8, text_col: str = "text"):
         .select("gh", "owner")
     )
     cut = grams.join(owners, "gh").filter(F.col("doc_id") != F.col("owner"))
+    if min_span_tokens is not None and min_span_tokens > k:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        cut = cut.withColumn(
+            "island", F.col("pos") - F.row_number().over(w)
+        )
+        qualifying = (
+            cut.groupBy("doc_id", "island")
+            .agg(
+                (F.max("pos") - F.min("pos") + F.lit(k)).alias("_extent")
+            )
+            .filter(F.col("_extent") >= min_span_tokens)
+            .select("doc_id", "island")
+        )
+        cut = cut.join(qualifying, ["doc_id", "island"])
     covered = cut.select(
         "doc_id",
         F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("tp"),

@@ -1691,3 +1691,35 @@ def test_scrub_duplicate_spans_owner_keeps_content(spark):
     assert out[5] == ("x1 x2 x3 x4 x1 x2 x3 x4", 8, 0)  # df=1: not shared
     # content preservation: the duplicated blocks still exist in doc 1
     assert header in out[1][0] and tail in out[1][0]
+
+
+def test_scrub_duplicate_spans_min_span_threshold(spark):
+    """min_span_tokens: a short shared phrase (one k-gram) survives the
+    scrub while a long shared block is still cut — the Lee et al.
+    deployment posture; with the knob off, both are cut."""
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        scrub_duplicate_spans,
+    )
+
+    short = "p1 p2 p3 p4"  # 4 tokens = exactly one gram at k=4
+    longb = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"  # 10 tokens, 7 grams
+    docs = spark.createDataFrame(
+        [
+            (1, f"{short} a1 a2 {longb}"),
+            (2, f"b1 b2 {short} b3 b4 {longb} b5"),
+        ],
+        "doc_id int, text string",
+    )
+    # knob off: doc 2 (non-owner) loses both blocks
+    off = {
+        r.doc_id: r.scrubbed_text
+        for r in scrub_duplicate_spans(docs, k=4).collect()
+    }
+    assert off[2] == "b1 b2 b3 b4 b5"
+    # threshold above the short block, below the long one
+    on = {
+        r.doc_id: (r.scrubbed_text, r.n_tokens_removed)
+        for r in scrub_duplicate_spans(docs, k=4, min_span_tokens=8).collect()
+    }
+    assert on[1][0] == f"{short} a1 a2 {longb}"  # owner untouched either way
+    assert on[2] == (f"b1 b2 {short} b3 b4 b5", 10)  # only the long block cut
