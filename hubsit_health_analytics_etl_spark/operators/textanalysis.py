@@ -394,6 +394,56 @@ def _doc_grams(docs, k: int, text_col: str = "text"):
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
 
 
+def gram_ownership_index(grams):
+    """(gh, df, owner): the substring-SCRUB index — per-gram distinct-
+    document count plus the canonical owner (min doc_id). Both columns
+    are MERGEABLE across disjoint ingests (df adds, owner mins), so an
+    incremental scrub folds a batch's partial index in with one
+    sum/min-groupBy on the hash and never re-grams the corpus."""
+    return (
+        grams.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("owner"),
+        )
+    )
+
+
+def apply_cut_positions(docs, cut, k: int, text_col: str = "text"):
+    """Shared rewrite tail of the scrub family: explode each cut gram
+    occurrence (doc_id, pos) to its ``k`` covered token positions,
+    collect the per-doc cut set, and rebuild the kept text map-side
+    with an indexed-lambda ``filter`` HOF. One row per input doc —
+    untouched docs ride through with their (lowercased) text."""
+    covered = cut.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("tp"),
+    ).distinct()
+    cutset = covered.groupBy("doc_id").agg(
+        F.collect_set("tp").alias("_cut")
+    )
+    toks = docs.select(
+        "doc_id", F.expr(f"split(lower({text_col}), ' ')").alias("toks")
+    )
+    out = toks.join(cutset, "doc_id", "left").withColumn(
+        "kept",
+        F.expr(
+            "CASE WHEN _cut IS NULL THEN toks "
+            "ELSE filter(toks, (t, i) -> NOT array_contains(_cut, i + 1)) END"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", "kept").alias("scrubbed_text"),
+        F.size("kept").cast("bigint").alias("n_tokens_kept"),
+        (F.size("toks") - F.size("kept"))
+        .cast("bigint")
+        .alias("n_tokens_removed"),
+    )
+
+
 def gram_document_frequency(grams):
     """(gh, df): per-gram distinct-document count — ALL grams, df >= 1.
     This table IS the persistable substring-dedup index at 100 TB:
@@ -505,13 +555,7 @@ def scrub_duplicate_spans(
     same exchange key as the rebuild join."""
     grams = _doc_grams(docs, k, text_col)
     owners = (
-        grams.select("gh", "doc_id")
-        .distinct()
-        .groupBy("gh")
-        .agg(
-            F.min("doc_id").alias("owner"),
-            F.count(F.lit(1)).alias("df"),
-        )
+        gram_ownership_index(grams)
         .filter(F.col("df") >= 2)
         .select("gh", "owner")
     )
@@ -532,31 +576,7 @@ def scrub_duplicate_spans(
             .select("doc_id", "island")
         )
         cut = cut.join(qualifying, ["doc_id", "island"])
-    covered = cut.select(
-        "doc_id",
-        F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("tp"),
-    ).distinct()
-    cutset = covered.groupBy("doc_id").agg(
-        F.collect_set("tp").alias("_cut")
-    )
-    toks = docs.select(
-        "doc_id", F.expr(f"split(lower({text_col}), ' ')").alias("toks")
-    )
-    out = toks.join(cutset, "doc_id", "left").withColumn(
-        "kept",
-        F.expr(
-            "CASE WHEN _cut IS NULL THEN toks "
-            "ELSE filter(toks, (t, i) -> NOT array_contains(_cut, i + 1)) END"
-        ),
-    )
-    return out.select(
-        "doc_id",
-        F.concat_ws(" ", "kept").alias("scrubbed_text"),
-        F.size("kept").cast("bigint").alias("n_tokens_kept"),
-        (F.size("toks") - F.size("kept"))
-        .cast("bigint")
-        .alias("n_tokens_removed"),
-    )
+    return apply_cut_positions(docs, cut, k, text_col)
 
 
 def chunk_docs_udtf(chunk_size: int = 50, stride: int = 40):

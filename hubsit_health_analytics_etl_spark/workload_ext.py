@@ -1132,6 +1132,105 @@ def q_spans_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans_from_shared(batch_grams.join(merged, "gh"), SPAN_GRAM)
 
 
+def _scrub_batch_oracle() -> str:
+    from .operators.sampling import sql_hash_bucket
+
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, i AS pos,
+                 md5(array_to_string(toks[i : i + {SPAN_GRAM - 1}], ' ')) AS gh
+          FROM t, LATERAL (
+            SELECT unnest(range(1, greatest(len(toks) - {SPAN_GRAM - 2}, 1))) AS i
+          ) u),
+    own AS (SELECT gh, MIN(doc_id) AS owner
+            FROM (SELECT DISTINCT gh, doc_id FROM g)
+            GROUP BY gh HAVING COUNT(*) >= 2),
+    cut AS (SELECT g.doc_id, g.pos FROM g JOIN own USING (gh)
+            WHERE g.doc_id <> own.owner),
+    cov AS (SELECT DISTINCT doc_id, pos + o.off AS tp
+            FROM cut, LATERAL (
+              SELECT unnest(range(0, {SPAN_GRAM})) AS off) o),
+    tok AS (SELECT doc_id, i AS tp, toks[i] AS tok
+            FROM t, LATERAL (
+              SELECT unnest(range(1, len(toks) + 1)) AS i) u),
+    kept AS (SELECT tok.doc_id,
+                    string_agg(tok.tok, ' ' ORDER BY tok.tp) AS scrubbed_text,
+                    COUNT(*) AS n_kept
+             FROM tok LEFT JOIN cov
+               ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp
+             WHERE cov.tp IS NULL GROUP BY tok.doc_id)
+    SELECT t.doc_id,
+           COALESCE(k.scrubbed_text, '') AS scrubbed_text,
+           COALESCE(k.n_kept, 0)::BIGINT AS n_tokens_kept,
+           (len(t.toks) - COALESCE(k.n_kept, 0))::BIGINT AS n_tokens_removed
+    FROM t LEFT JOIN kept k USING (doc_id)
+    WHERE {sql_hash_bucket("t.doc_id")} < {NEW_BATCH_PCT}
+    """
+
+
+@query("scrub_new_batch", _scrub_batch_oracle())
+def q_scrub_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring SCRUB at INGEST — the rewrite twin of spans_new_batch:
+    the corpus (90%) persists its (gh, df, owner) gram-ownership index
+    (gram_ownership_index — df and owner are both mergeable: counts
+    add, owners min); a new batch grams ONLY itself, left-joins its
+    partial index against the persisted one, and folds them with
+    df_total = df_batch + df_corpus, owner_total = least(owners) —
+    exactly the full-corpus values, because the doc slices are
+    disjoint. Batch gram occurrences with df_total >= 2 and a
+    different owner are cut and the batch text rebuilt map-side
+    (shared apply_cut_positions tail). The corpus is never re-grammed
+    or rewritten — ingest-time scrub touches incoming docs only, and
+    the global min-doc_id owner rule makes that EXACTLY the full
+    recompute restricted to the batch (a batch doc that is the global
+    owner keeps its text; the oracle says so cryptographically)."""
+    import os
+
+    from .operators.sampling import hash_bucket
+    from .operators.textanalysis import (
+        _doc_grams,
+        apply_cut_positions,
+        gram_ownership_index,
+    )
+    from .sources.sinks import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = hash_bucket("doc_id") < NEW_BATCH_PCT
+    corpus, batch = docs.filter(~is_new), docs.filter(is_new)
+
+    base = _run_scoped_index_dir("scrub_gram")
+    idx_path = os.path.join(base, "gram_owner_index")
+    write_parquet(
+        gram_ownership_index(_doc_grams(_spread(corpus), SPAN_GRAM)),
+        idx_path,
+    )
+    idx = spark.read.parquet(idx_path).withColumnsRenamed(
+        {"df": "df_c", "owner": "owner_c"}
+    )
+
+    bg = _doc_grams(batch, SPAN_GRAM)
+    merged = (
+        gram_ownership_index(bg)
+        .join(idx, "gh", "left")
+        .select(
+            "gh",
+            (F.col("df") + F.coalesce(F.col("df_c"), F.lit(0))).alias(
+                "df_tot"
+            ),
+            F.least(
+                F.col("owner"), F.coalesce(F.col("owner_c"), F.col("owner"))
+            ).alias("owner_tot"),
+        )
+        .filter(F.col("df_tot") >= 2)
+        .select("gh", "owner_tot")
+    )
+    cut = bg.join(merged, "gh").filter(
+        F.col("doc_id") != F.col("owner_tot")
+    )
+    return apply_cut_positions(batch, cut, SPAN_GRAM)
+
+
 def _simhash_ctes(src: str = "documents") -> str:
     """CTE chain ``toks → bits → sim(doc_id, simhash)`` replicating
     ``simhash32`` nibble-for-nibble over table/CTE ``src``."""

@@ -1723,3 +1723,58 @@ def test_scrub_duplicate_spans_min_span_threshold(spark):
     }
     assert on[1][0] == f"{short} a1 a2 {longb}"  # owner untouched either way
     assert on[2] == (f"b1 b2 {short} b3 b4 b5", 10)  # only the long block cut
+
+
+def test_scrub_new_batch_owner_semantics_across_ingest(spark):
+    """Ingest-time scrub == full recompute restricted to the batch,
+    pinned on a crafted split: a batch doc sharing a block with an
+    older corpus doc is cut (corpus doc owns), a batch doc that IS the
+    global owner keeps its text even though a corpus doc shares it,
+    and blocks shared only WITHIN the batch scrub against each other."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        _doc_grams,
+        apply_cut_positions,
+        gram_ownership_index,
+    )
+
+    A = "a1 a2 a3 a4"  # corpus-owned (doc 10 < batch ids)
+    B = "b1 b2 b3 b4"  # batch doc 20 is the GLOBAL min owner
+    C = "c1 c2 c3 c4"  # shared only within the batch (20 owns)
+    corpus = spark.createDataFrame(
+        [(10, f"{A} x1 x2"), (30, f"y1 {B} y2")],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [(20, f"{B} {C} z1"), (25, f"w1 {A} {C}")],
+        "doc_id int, text string",
+    )
+    k = 4
+    idx = gram_ownership_index(_doc_grams(corpus, k)).withColumnsRenamed(
+        {"df": "df_c", "owner": "owner_c"}
+    )
+    bg = _doc_grams(batch, k)
+    merged = (
+        gram_ownership_index(bg)
+        .join(idx, "gh", "left")
+        .select(
+            "gh",
+            (F.col("df") + F.coalesce(F.col("df_c"), F.lit(0))).alias("df_tot"),
+            F.least(
+                F.col("owner"), F.coalesce(F.col("owner_c"), F.col("owner"))
+            ).alias("owner_tot"),
+        )
+        .filter(F.col("df_tot") >= 2)
+        .select("gh", "owner_tot")
+    )
+    cut = bg.join(merged, "gh").filter(F.col("doc_id") != F.col("owner_tot"))
+    out = {
+        r.doc_id: r.scrubbed_text
+        for r in apply_cut_positions(batch, cut, k).collect()
+    }
+    assert set(out) == {20, 25}  # batch docs only — corpus never rewritten
+    # doc 20 owns B (20 < 30) and C (20 < 25): fully kept
+    assert out[20] == f"{B} {C} z1"
+    # doc 25: A owned by corpus doc 10 -> cut; C owned by 20 -> cut
+    assert out[25] == "w1"

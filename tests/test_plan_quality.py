@@ -869,3 +869,18 @@ def test_spans_new_batch_corpus_never_regrammed(spark):
     assert n_doc_scans >= 1
     # one "% 100) < 10" batch-bucket condition per documents scan
     assert p.count("% 100) < 10") == n_doc_scans, p
+
+
+def test_scrub_new_batch_corpus_never_regrammed(spark):
+    """Incremental scrub: the merged plan reads the persisted
+    (gh, df, owner) index once and every documents scan is
+    batch-filtered — corpus text is never re-grammed or rewritten."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("scrub_new_batch")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("gram_owner_index") == 1
+    n_doc_scans = p.count("documents.parquet")
+    assert n_doc_scans >= 1
+    assert p.count("% 100) < 10") == n_doc_scans, p
