@@ -1778,3 +1778,53 @@ def test_scrub_new_batch_owner_semantics_across_ingest(spark):
     assert out[20] == f"{B} {C} z1"
     # doc 25: A owned by corpus doc 10 -> cut; C owned by 20 -> cut
     assert out[25] == "w1"
+
+
+def test_scrub_duplicate_spans_matches_pure_python_reference(spark):
+    """Independent cross-check (the repo rule: a DuckDB hash match
+    cannot catch an algorithm bug BOTH engines share): a pure-Python
+    gram/owner/cut scrub over a seeded random corpus (tiny vocabulary
+    to force heavy cross-doc gram collisions) must agree with the
+    Spark operator row for row."""
+    import random
+
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        scrub_duplicate_spans,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(6)]  # 6 words -> many shared 3-grams
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(40)
+    ]
+    k = 3
+
+    # pure-Python reference: same rule, written independently
+    toks = {i: t.lower().split(" ") for i, t in rows}
+    owner: dict[tuple, int] = {}
+    docs_with: dict[tuple, set] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            g = tuple(ts[p : p + k])
+            docs_with.setdefault(g, set()).add(i)
+            owner[g] = min(owner.get(g, i), i)
+    expected = {}
+    for i, ts in toks.items():
+        cut_positions = set()
+        for p in range(len(ts) - k + 1):
+            g = tuple(ts[p : p + k])
+            if len(docs_with[g]) >= 2 and owner[g] != i:
+                cut_positions.update(range(p, p + k))
+        kept = [t for j, t in enumerate(ts) if j not in cut_positions]
+        expected[i] = (" ".join(kept), len(kept), len(ts) - len(kept))
+
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.scrubbed_text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in scrub_duplicate_spans(docs, k=k).collect()
+    }
+    assert got == expected
+    # sanity: the corpus actually exercised both branches
+    assert any(v[2] > 0 for v in expected.values())
+    assert any(v[2] == 0 for v in expected.values())
