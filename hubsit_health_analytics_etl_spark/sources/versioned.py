@@ -262,16 +262,23 @@ def commit_version(
 
 def _stats_overlap(st, lo, hi) -> bool:
     """Can a file whose [min, max] is ``st`` contain rows in
-    [lo, hi]? Missing/partial stats never prune (safe default)."""
+    [lo, hi]? Missing/partial stats never prune (safe default), and an
+    UNCOMPARABLE predicate (e.g. a datetime bound against stats stored
+    as ISO strings) also never prunes — pruning is an optimization and
+    must degrade to a full read, not a mid-read TypeError; the row
+    filter still applies."""
     if st is None:
         return True
     mn, mx = st
     if mn is None or mx is None:
         return True
-    if lo is not None and mx < lo:
-        return False
-    if hi is not None and mn > hi:
-        return False
+    try:
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+    except TypeError:
+        return True
     return True
 
 
@@ -344,6 +351,59 @@ def read_version(
             cond = cond & (F.col(col) <= F.lit(hi))
         out = out.filter(cond)
     return out
+
+
+def compact_versioned(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 << 20,
+    cluster_by: "list[str] | None" = None,
+) -> int:
+    """Maintenance commit (the Iceberg ``rewrite_data_files`` shape):
+    rewrite the CURRENT version's rows into ~``target_file_bytes``
+    files and commit them as a new OVERWRITE version. Older versions
+    keep referencing the uncompacted files — still fully readable —
+    until ``expire_versions`` retires them; readers racing the
+    compaction stay snapshot-isolated like any other commit. No-op
+    (returns the current version, no commit) when the file count is
+    already at or below target.
+
+    ``cluster_by``: range-cluster the rewrite on these columns AND
+    record their per-file min/max stats — compaction is exactly when
+    clustering is cheapest, and a round-robin rewrite would destroy
+    the stats-pruning value of a previously clustered table (every
+    file's range would span everything). Omit for pure
+    file-count compaction (no stats carried).
+
+    Append-heavy tables are the target: a streaming sink's per-batch
+    commits fragment the file list (commit metadata is O(files) and
+    scans pay a task per file); a periodic compact-then-expire pair
+    bounds both."""
+    import math
+
+    cur = current_version(root)
+    if cur is None:
+        raise FileNotFoundError(
+            f"compact_versioned: table at {root} has no commits"
+        )
+    manifest = read_manifest(root, cur)
+    files = [_abs_file(root, f) for f in manifest["files"]]
+    total = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+    n_target = max(1, math.ceil(total / float(target_file_bytes)))
+    if len(files) <= n_target:
+        return cur
+    df = read_version(spark, root)
+    if cluster_by:
+        df = df.repartitionByRange(n_target, *cluster_by)
+    else:
+        df = df.repartition(n_target)
+    return commit_version(
+        df,
+        root,
+        mode="overwrite",
+        stats_cols=list(cluster_by or []),
+        extra={"compaction_of": cur},
+    )
 
 
 def expire_versions(root: str, keep_last: int) -> list[int]:

@@ -254,3 +254,61 @@ def test_versioned_pruned_read_query_scans_fewer_files(spark):
     out = QUERIES["versioned_pruned_read"](spark, SF_SMOKE)
     n_in = len(out.inputFiles())
     assert 1 <= n_in < 8, n_in
+
+
+def test_compact_versioned_rewrites_files_keeps_history(spark, tmp_path):
+    """compact_versioned: five 1-row append commits fragment the file
+    list; compaction commits one new version with fewer files and the
+    same rows, pre-compaction versions stay readable (snapshot
+    isolation through maintenance), re-running is a no-op, and
+    cluster_by carries fresh stats so pruning works on the compacted
+    layout."""
+    from hubsit_health_analytics_etl_spark.sources.versioned import (
+        compact_versioned,
+    )
+
+    root = str(tmp_path / "tbl")
+    for i in range(5):
+        commit_version(_mk(spark, [(i, f"v{i}")]), root, mode="append")
+    assert len(read_manifest(root, 4)["files"]) >= 5  # fragmented
+
+    v = compact_versioned(spark, root, cluster_by=["k"])
+    assert v == 5
+    m = read_manifest(root, 5)
+    assert len(m["files"]) == 1
+    assert m["extra"] == {"compaction_of": 4}
+    assert m["stats"][m["files"][0]]["k"] == [0, 4]
+    assert sorted(
+        (r.k, r.v) for r in read_version(spark, root).collect()
+    ) == [(i, f"v{i}") for i in range(5)]
+    # pre-compaction history intact
+    assert sorted(r.k for r in read_version(spark, root, 2).collect()) == [0, 1, 2]
+    # idempotent: already compact -> no new version
+    assert compact_versioned(spark, root) == 5
+    assert current_version(root) == 5
+    # retention then drops the uncompacted files
+    expire_versions(root, keep_last=1)
+    assert [os.path.basename(d) for d in sorted(
+        glob.glob(os.path.join(root, "data", "v*"))
+    )] == ["v000005"]
+
+
+def test_stats_pruning_degrades_safely_on_uncomparable_predicate(spark, tmp_path):
+    """A predicate whose bounds cannot compare with the stored stats
+    type (datetime vs ISO string) must fall back to reading everything
+    with the row filter applied — never a TypeError mid-read."""
+    import datetime as dt
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(dt.datetime(2025, 1, 1, 10, 0), 1), (dt.datetime(2025, 6, 1, 10, 0), 2)],
+        "ts timestamp, k long",
+    )
+    commit_version(df.repartitionByRange(2, "ts"), root, stats_cols=["ts"])
+    out = read_version(
+        spark,
+        root,
+        predicate=("ts", dt.datetime(2025, 5, 1), None),
+    )
+    assert len(out.inputFiles()) == 2  # uncomparable -> nothing pruned
+    assert [r.k for r in out.collect()] == [2]  # row filter still exact
