@@ -150,6 +150,11 @@ def partitioned_upsert_sink(
         raise ValueError("partitioned_upsert_sink: n_buckets must be >= 1")
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            # foreachBatch delivers empty batches (idle triggers); a
+            # zero-row first write would create a schema-less dir the
+            # next batch cannot read back
+            return
         spark = batch.sparkSession
         marker = os.path.join(path, "_n_buckets")
         if os.path.exists(marker):
@@ -231,6 +236,11 @@ def versioned_upsert_sink(
             read_version,
         )
 
+        if batch.isEmpty():
+            # an empty first batch would commit a zero-file manifest
+            # read_version rightly refuses; empty batches change no
+            # state, so skipping them is replay-equivalent
+            return
         cur = current_version(root)
         if cur is not None:
             if read_manifest(root, cur).get("extra", {}).get(

@@ -738,3 +738,40 @@ def test_partitioned_upsert_sink_touches_only_affected_buckets(spark, tmp_path):
     # bucket count is immutable table layout
     with pytest.raises(ValueError, match="n_buckets"):
         partitioned_upsert_sink(tbl, ["k"], "ts", n_buckets=16)(b2, 2)
+
+
+def test_merge_sinks_skip_empty_micro_batches(spark, tmp_path):
+    """foreachBatch delivers empty batches on idle triggers: both merge
+    sinks must no-op on them — an empty FIRST batch must not create a
+    schema-less table (partitioned) or a zero-file manifest
+    (versioned), and an empty batch between real ones changes
+    nothing."""
+    from hubsit_health_analytics_etl_spark.sources.versioned import (
+        current_version,
+        read_version,
+    )
+    from hubsit_health_analytics_etl_spark.streaming.sinks import (
+        partitioned_upsert_sink,
+        versioned_upsert_sink,
+    )
+
+    schema = "k long, v string, ts timestamp"
+    empty = spark.createDataFrame([], schema)
+    b1 = spark.createDataFrame([(1, "one", _ts("10:00"))], schema)
+
+    ptbl = str(tmp_path / "p")
+    psink = partitioned_upsert_sink(ptbl, ["k"], "ts", n_buckets=4)
+    psink(empty, 0)  # empty FIRST batch: nothing created
+    assert not os.path.exists(os.path.join(ptbl, "_n_buckets"))
+    psink(b1, 1)
+    psink(empty, 2)  # empty mid-stream batch: state unchanged
+    assert {r.k: r.v for r in spark.read.parquet(ptbl).collect()} == {1: "one"}
+
+    vtbl = str(tmp_path / "v")
+    vsink = versioned_upsert_sink(vtbl, ["k"], "ts")
+    vsink(empty, 0)
+    assert current_version(vtbl) is None  # no zero-file manifest
+    vsink(b1, 1)
+    vsink(empty, 2)
+    assert current_version(vtbl) == 0
+    assert {r.k: r.v for r in read_version(spark, vtbl).collect()} == {1: "one"}
