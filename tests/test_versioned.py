@@ -312,3 +312,19 @@ def test_stats_pruning_degrades_safely_on_uncomparable_predicate(spark, tmp_path
     )
     assert len(out.inputFiles()) == 2  # uncomparable -> nothing pruned
     assert [r.k for r in out.collect()] == [2]  # row filter still exact
+
+
+def test_empty_overwrite_commit_roundtrips(spark, tmp_path):
+    """A legitimate delete-all snapshot (overwrite-commit of an empty
+    frame) must read back as zero rows WITH the schema, and time
+    travel to the pre-delete version still works."""
+    root = str(tmp_path / "tbl")
+    commit_version(_mk(spark, [(1, "a")]), root)
+    n = commit_version(
+        spark.createDataFrame([], "k bigint, v string"), root
+    )
+    cur = read_version(spark, root, n)
+    assert cur.count() == 0 and cur.columns == ["k", "v"]
+    assert [(r.k, r.v) for r in read_version(spark, root, 0).collect()] == [
+        (1, "a")
+    ]
