@@ -353,11 +353,44 @@ def read_version(
     return out
 
 
+def zorder_value(cols: "list[str]", bits: int = 16):
+    """Morton (Z-order) key over 2+ non-negative integer columns: bit
+    ``i`` of each column lands at interleaved position ``i*len(cols)+j``,
+    so files clustered on this ONE value are simultaneously clustered
+    on EVERY input column — range predicates on any of them prune
+    files, where lexicographic (col1, col2) clustering prunes only the
+    leading column. The Delta ``OPTIMIZE ZORDER BY`` layout, as a plain
+    Catalyst expression (pure bit arithmetic, whole-stage codegen).
+
+    ``bits`` low bits of each column are interleaved (values are
+    masked, not range-checked — columns wider than ``bits`` bits
+    cluster on their low bits only; pruning stays CORRECT either way
+    because it reads the true per-file min/max stats, the z-key only
+    shapes the layout). Negative values are invalid by contract (the
+    mask would scatter them)."""
+    import pyspark.sql.functions as F
+
+    if len(cols) < 2:
+        raise ValueError("zorder_value: needs >= 2 columns")
+    k = len(cols)
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("bigint"), i).bitwiseAND(
+                F.lit(1)
+            )
+            z = z.bitwiseOR(
+                F.shiftleft(bit, i * k + j).cast("bigint")
+            )
+    return z
+
+
 def compact_versioned(
     spark: SparkSession,
     root: str,
     target_file_bytes: int = 128 << 20,
     cluster_by: "list[str] | None" = None,
+    zorder: bool = False,
 ) -> int:
     """Maintenance commit (the Iceberg ``rewrite_data_files`` shape):
     rewrite the CURRENT version's rows into ~``target_file_bytes``
@@ -374,6 +407,12 @@ def compact_versioned(
     the stats-pruning value of a previously clustered table (every
     file's range would span everything). Omit for pure
     file-count compaction (no stats carried).
+
+    ``zorder=True`` (with >= 2 integer ``cluster_by`` columns):
+    range-cluster on the Morton key (:func:`zorder_value`) instead of
+    lexicographically — every cluster_by column prunes, not just the
+    leading one. Stats are still recorded per REAL column, so
+    ``read_version(predicate=)`` needs no knowledge of the layout.
 
     Append-heavy tables are the target: a streaming sink's per-batch
     commits fragment the file list (commit metadata is O(files) and
@@ -393,7 +432,14 @@ def compact_versioned(
     if len(files) <= n_target:
         return cur
     df = read_version(spark, root)
-    if cluster_by:
+    if cluster_by and zorder:
+        df = (
+            df.withColumn("_z", zorder_value(list(cluster_by)))
+            .repartitionByRange(n_target, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    elif cluster_by:
         df = df.repartitionByRange(n_target, *cluster_by)
     else:
         df = df.repartition(n_target)
