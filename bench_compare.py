@@ -74,6 +74,7 @@ ITERATIVE_ALLOWLIST = {
     "orders_version_diff",
     "orders_version_history",
     "versioned_pruned_read",  # commit (write+verify read) inside the timed query
+    "versioned_zorder_read",  # z-clustered commit inside the timed query
     "spans_new_batch",  # gram-df index write+read round-trip inside the query
     "scrub_new_batch",  # gram-ownership index write+read inside the query
     "vocab_new_batch",  # same posture: index write+read inside the query

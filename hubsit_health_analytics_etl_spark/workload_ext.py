@@ -4497,6 +4497,60 @@ def q_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "versioned_zorder_read",
+    """
+    WITH b AS (SELECT l_returnflag, l_orderkey,
+                      l_orderkey % 64 AS ob, l_partkey % 64 AS pb
+               FROM lineitem)
+    SELECT l_returnflag,
+           COUNT(*)::BIGINT AS n_items,
+           MIN(l_orderkey)::BIGINT AS min_ok,
+           MAX(l_orderkey)::BIGINT AS max_ok
+    FROM b WHERE pb BETWEEN 0 AND 7
+    GROUP BY l_returnflag
+    """,
+)
+def q_versioned_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER file pruning end-to-end: lineitem is committed to the
+    versioned layout clustered on the Morton key over two balanced
+    bucket columns (ob = l_orderkey % 64, pb = l_partkey % 64 — the
+    real-world z-order practice: interleave COMPARABLE-cardinality
+    keys, since a dimension with far more bits dominates the coarse
+    ordering), with per-file stats on both. The read prunes on pb —
+    the dimension lexicographic (ob, pb) clustering could never prune
+    — and aggregates; the oracle is the plain filtered aggregate over
+    raw lineitem, so the hash match proves the Morton layout loses and
+    invents no rows. Pruning (files-read < files-in-manifest on BOTH
+    dimensions) is pinned in tests/test_versioned.py."""
+    from .sources.versioned import (
+        commit_version,
+        read_version,
+        zorder_value,
+    )
+
+    root = _run_scoped_index_dir("versioned_zorder")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        (F.col("l_orderkey") % 64).alias("ob"),
+        (F.col("l_partkey") % 64).alias("pb"),
+    )
+    clustered = (
+        li.withColumn("_z", zorder_value(["ob", "pb"]))
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    commit_version(clustered, root, stats_cols=["ob", "pb"])
+    pruned = read_version(spark, root, predicate=("pb", 0, 7))
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.min("l_orderkey").cast("bigint").alias("min_ok"),
+        F.max("l_orderkey").cast("bigint").alias("max_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Right-to-be-forgotten: delete a doc list from the corpus AND from
 # the persisted cluster index, re-labelling only the affected

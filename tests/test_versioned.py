@@ -396,3 +396,13 @@ def test_zorder_value_interleaves_bits(spark):
         for r in df.withColumn("z", zorder_value(["x", "y"])).collect()
     }
     assert got == {(x, y): ref(x, y) for x, y in rows}
+
+
+def test_versioned_zorder_read_query_prunes_on_second_dimension(spark):
+    """The registered z-order query prunes on pb — the non-leading
+    dimension — reading fewer files than committed."""
+    from .conftest import SF_SMOKE
+    from hubsit_health_analytics_etl_spark.workload import QUERIES
+
+    out = QUERIES["versioned_zorder_read"](spark, SF_SMOKE)
+    assert 1 <= len(out.inputFiles()) < 8
