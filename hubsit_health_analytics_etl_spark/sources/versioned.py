@@ -50,6 +50,7 @@ import glob
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -246,6 +247,7 @@ def commit_version(
         "schema": schema.json(),
         "stats": stats,
         "extra": dict(extra or {}),
+        "committed_at": time.time(),
     }
     mpath = _manifest_path(root, n)
     tmp = mpath + ".tmp"
@@ -383,6 +385,52 @@ def zorder_value(cols: "list[str]", bits: int = 16):
                 F.shiftleft(bit, i * k + j).cast("bigint")
             )
     return z
+
+
+def table_history(root: str) -> "list[dict]":
+    """One summary row per committed version, ascending — the audit
+    view (Delta ``DESCRIBE HISTORY``): version, parent, mode, row/file
+    counts, commit wall-clock and the commit's ``extra`` metadata."""
+    out = []
+    for n in list_versions(root):
+        m = read_manifest(root, n)
+        out.append(
+            {
+                "version": n,
+                "parent": m.get("parent"),
+                "mode": m.get("mode"),
+                "n_rows": m.get("n_rows"),
+                "n_files": len(m.get("files", [])),
+                "committed_at": m.get("committed_at"),
+                "extra": m.get("extra", {}),
+            }
+        )
+    return out
+
+
+def read_version_as_of(
+    spark: SparkSession,
+    root: str,
+    ts: float,
+    predicate: "tuple | None" = None,
+) -> DataFrame:
+    """Time travel by WALL CLOCK: the table as of unix time ``ts`` —
+    the newest version whose commit completed at or before ``ts``
+    (Iceberg/Delta ``TIMESTAMP AS OF``). Raises loudly when ``ts``
+    predates the first commit or the covering version has been
+    expired. Versions from before commit timestamps existed are
+    treated as timeless (never matched by as-of)."""
+    best = None
+    for n in list_versions(root):
+        at = read_manifest(root, n).get("committed_at")
+        if at is not None and at <= ts:
+            best = n
+    if best is None:
+        raise FileNotFoundError(
+            f"versioned table at {root} has no version committed at or "
+            f"before {ts}"
+        )
+    return read_version(spark, root, best, predicate=predicate)
 
 
 def compact_versioned(

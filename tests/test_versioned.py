@@ -406,3 +406,43 @@ def test_versioned_zorder_read_query_prunes_on_second_dimension(spark):
 
     out = QUERIES["versioned_zorder_read"](spark, SF_SMOKE)
     assert 1 <= len(out.inputFiles()) < 8
+
+
+def test_history_and_timestamp_time_travel(spark, tmp_path):
+    """table_history lists every commit with counts + wall clock;
+    read_version_as_of resolves the newest version committed at or
+    before the asked time, raises before the first commit, and treats
+    timestamp-less legacy manifests as never matching."""
+    from hubsit_health_analytics_etl_spark.sources.versioned import (
+        read_version_as_of,
+        table_history,
+    )
+
+    root = str(tmp_path / "tbl")
+    commit_version(_mk(spark, [(1, "a")]), root)
+    commit_version(_mk(spark, [(2, "b")]), root, mode="append")
+    h = table_history(root)
+    assert [r["version"] for r in h] == [0, 1]
+    assert h[1]["mode"] == "append" and h[1]["n_rows"] == 2
+    t0, t1 = h[0]["committed_at"], h[1]["committed_at"]
+    assert t0 is not None and t1 is not None and t0 <= t1
+
+    assert sorted(
+        r.k for r in read_version_as_of(spark, root, t0).collect()
+    ) == [1]
+    assert sorted(
+        r.k for r in read_version_as_of(spark, root, t1 + 60).collect()
+    ) == [1, 2]
+    with pytest.raises(FileNotFoundError):
+        read_version_as_of(spark, root, t0 - 60)
+
+    # legacy manifest without committed_at is timeless: as-of skips it
+    m = read_manifest(root, 0)
+    del m["committed_at"]
+    with open(os.path.join(root, "manifests", "v000000.json"), "w") as f:
+        json.dump(m, f)
+    assert sorted(
+        r.k for r in read_version_as_of(spark, root, t1 + 60).collect()
+    ) == [1, 2]
+    with pytest.raises(FileNotFoundError):
+        read_version_as_of(spark, root, t0)  # v0 now timeless, v1 later
