@@ -446,3 +446,62 @@ def test_history_and_timestamp_time_travel(spark, tmp_path):
     ) == [1, 2]
     with pytest.raises(FileNotFoundError):
         read_version_as_of(spark, root, t0)  # v0 now timeless, v1 later
+
+
+def test_versioned_lifecycle_random_ops_match_python_model(spark, tmp_path):
+    """Model-based check of the whole table-format lifecycle: a seeded
+    random sequence of overwrite/append commits, compactions and
+    retention runs against a trivial Python model (version -> row
+    multiset). After every op, the current read AND a sample of
+    time-travel reads must equal the model; expired versions must
+    raise. Catches interaction bugs no single-feature test sees."""
+    import random
+
+    from hubsit_health_analytics_etl_spark.sources.versioned import (
+        compact_versioned,
+    )
+
+    rng = random.Random(7)
+    root = str(tmp_path / "tbl")
+    model: dict[int, list] = {}  # version -> sorted row list
+    expired: set[int] = set()
+    next_k = 0
+
+    def fresh_rows(n):
+        nonlocal next_k
+        rows = [(next_k + i, f"v{next_k + i}") for i in range(n)]
+        next_k += n
+        return rows
+
+    for step in range(14):
+        op = rng.choice(["overwrite", "append", "append", "compact", "expire"])
+        cur = max(model) if model else None
+        if op in ("overwrite", "append") or cur is None:
+            rows = fresh_rows(rng.randint(1, 4))
+            mode = "append" if (op == "append" and cur is not None) else "overwrite"
+            v = commit_version(_mk(spark, rows), root, mode=mode)
+            base = model[cur] if mode == "append" else []
+            model[v] = sorted(base + rows)
+        elif op == "compact":
+            # huge target -> single-file rewrite (no-op if already 1)
+            v = compact_versioned(spark, root, target_file_bytes=1 << 40)
+            if v not in model:
+                model[v] = model[cur]
+        else:
+            keep = rng.randint(1, len(model) - len(expired))
+            gone = expire_versions(root, keep_last=keep)
+            expired.update(gone)
+
+        live = sorted(set(model) - expired)
+        assert current_version(root) == live[-1]
+        got = sorted(
+            (r.k, r.v) for r in read_version(spark, root).collect()
+        )
+        assert got == model[live[-1]], f"step {step}"
+        probe = rng.choice(live)
+        assert sorted(
+            (r.k, r.v) for r in read_version(spark, root, probe).collect()
+        ) == model[probe]
+        if expired:
+            with pytest.raises(FileNotFoundError):
+                read_version(spark, root, sorted(expired)[0])
