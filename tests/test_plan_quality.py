@@ -884,3 +884,47 @@ def test_scrub_new_batch_corpus_never_regrammed(spark):
     n_doc_scans = p.count("documents.parquet")
     assert n_doc_scans >= 1
     assert p.count("% 100) < 10") == n_doc_scans, p
+
+
+def test_runtime_bloom_filter_injects_on_big_smj_join(spark):
+    """Runtime bloom-filter semi-join reduction (on by default in this
+    Spark, gated on a 10 GB application-side scan) — pinned here by
+    dropping the size gate, the test_aqe_skew precedent: a sort-merge
+    join of the fact table against a selectively-filtered build side
+    must inject `might_contain` onto the fact scan side, so at 100 TB
+    the fact rows that cannot match are dropped BEFORE the shuffle
+    with zero query changes."""
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        from hubsit_health_analytics_etl_spark.plans.explain import (
+            physical_plan,
+        )
+
+        p = physical_plan(j)
+        assert "might_contain" in p, p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
