@@ -331,8 +331,9 @@ def read_version(
             for f in rel_files
             if _stats_overlap(stats.get(f, {}).get(col), lo, hi)
         ]
-        # every file pruned → keep the full list behind an impossible
-        # row filter below (footer-only cost) so the schema survives
+        # every file pruned → fall back to the full list; the row
+        # filter below matches nothing (stats said so), so the scan is
+        # footer/row-group-skip cost only and the schema survives
         rel_files = kept or rel_files
     reader = spark.read
     if "schema" in manifest:
