@@ -53,6 +53,7 @@ ITERATIVE_ALLOWLIST = {
     "dedup_keep_by_source",
     "corpus_dedup_pipeline",
     "corpus_curation_pipeline",
+    "corpus_scrub_pipeline",  # CC loop + full scrub chain in one job
     "leakage_safe_split",
     # BPE trainer (k driver-sequenced merge rounds)
     "bpe_train_merges",

@@ -2624,6 +2624,91 @@ def q_corpus_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_list(docs, edges)
 
 
+@query(
+    "corpus_scrub_pipeline",
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    fpx AS (SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+            FROM documents),
+    freps AS (SELECT fp, MIN(doc_id) AS rep FROM fpx GROUP BY fp),
+    edges0 AS (
+        SELECT doc_a, doc_b FROM mh_pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+        UNION
+        SELECT f.rep AS doc_a, p.doc_id AS doc_b
+        FROM fpx p JOIN freps f USING (fp) WHERE p.doc_id <> f.rep),
+    edgesx AS (SELECT doc_a AS u, doc_b AS v FROM edges0
+               UNION
+               SELECT doc_b AS u, doc_a AS v FROM edges0),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.node, e.v FROM reach JOIN edgesx e ON e.u = reach.r),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    kept AS (SELECT d.doc_id, d.text FROM documents d
+             JOIN comp c ON d.doc_id = c.node WHERE c.node = c.component),
+    t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM kept),
+    g AS (SELECT doc_id, i AS pos,
+                 md5(array_to_string(toks[i : i + {SPAN_GRAM - 1}], ' ')) AS gh
+          FROM t, LATERAL (
+            SELECT unnest(range(1, greatest(len(toks) - {SPAN_GRAM - 2}, 1))) AS i
+          ) u),
+    own AS (SELECT gh, MIN(doc_id) AS owner
+            FROM (SELECT DISTINCT gh, doc_id FROM g)
+            GROUP BY gh HAVING COUNT(*) >= 2),
+    cut AS (SELECT g.doc_id, g.pos FROM g JOIN own USING (gh)
+            WHERE g.doc_id <> own.owner),
+    cov AS (SELECT DISTINCT doc_id, pos + o.off AS tp
+            FROM cut, LATERAL (
+              SELECT unnest(range(0, {SPAN_GRAM})) AS off) o),
+    tok AS (SELECT doc_id, i AS tp, toks[i] AS tok
+            FROM t, LATERAL (
+              SELECT unnest(range(1, len(toks) + 1)) AS i) u),
+    keptt AS (SELECT tok.doc_id,
+                     string_agg(tok.tok, ' ' ORDER BY tok.tp) AS scrubbed_text,
+                     COUNT(*) AS n_kept
+              FROM tok LEFT JOIN cov
+                ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp
+              WHERE cov.tp IS NULL GROUP BY tok.doc_id)
+    SELECT t.doc_id,
+           COALESCE(k.scrubbed_text, '') AS scrubbed_text,
+           COALESCE(k.n_kept, 0)::BIGINT AS n_tokens_kept,
+           (len(t.toks) - COALESCE(k.n_kept, 0))::BIGINT AS n_tokens_removed
+    FROM t LEFT JOIN keptt k USING (doc_id)
+    """,
+)
+def q_corpus_scrub_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation flow's final text stage end-to-end: doc-level
+    dedup FIRST (exact reps + MinHash near-dup edges -> connected
+    components -> min-id keeper, corpus_dedup_pipeline's keep set),
+    then SUBSTRING scrub over the SURVIVORS ONLY — gram ownership and
+    document frequency computed on the kept corpus, which is the real
+    interaction doc-level and substring dedup have: dropping a
+    near-dup can transfer a gram's canonical owner to the next kept
+    doc, and a block shared only between a keeper and its dropped
+    near-dups stops counting as duplicated at all (it survives in the
+    keeper untouched). The oracle composes the pipeline's WITH
+    RECURSIVE keep CTE with the scrub chain over the kept set, so the
+    hash match checks the stage INTERACTION, not each stage alone
+    (the corpus_curation_pipeline posture). Ownership-transfer and
+    de-sharing semantics are pinned by a crafted-graph pytest."""
+    from .operators.clusters import dedup_keep_list
+    from .operators.textanalysis import scrub_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    near = minhash_candidates(
+        docs, bucket_cap=MINHASH_BUCKET_CAP, pre_exact_dedup=True
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    edges = near.unionByName(exact_dup_edges(docs))
+    keepers = (
+        dedup_keep_list(docs, edges)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    kept = _spread(docs).join(keepers, "doc_id")
+    return scrub_duplicate_spans(kept, k=SPAN_GRAM)
+
+
 # ---------------------------------------------------------------------------
 # IVF-style ANN: nearest-centroid cells (rounded label-mean centroids)
 # ---------------------------------------------------------------------------

@@ -1828,3 +1828,63 @@ def test_scrub_duplicate_spans_matches_pure_python_reference(spark):
     # sanity: the corpus actually exercised both branches
     assert any(v[2] > 0 for v in expected.values())
     assert any(v[2] == 0 for v in expected.values())
+
+
+def test_scrub_after_dedup_ownership_transfer_and_desharing(spark):
+    """The doc-level x substring-level interaction corpus_scrub_pipeline
+    exists to pin, on an explicit duplicate graph:
+
+    - OWNERSHIP TRANSFER: block B lives in dropped near-dup 2 and kept
+      doc 3. Full-corpus scrub cuts B from doc 3 (owner 2); scrub over
+      the kept set keeps it — B's only other holder was dropped, so in
+      the deduped corpus it is unique and doc 3 retains it.
+    - DE-SHARING: block C lives only in keeper 1 and its dropped
+      near-dup 2 -> post-dedup df=1, keeper keeps C untouched.
+    - Still-shared blocks (H in kept docs 1 and 3) scrub normally:
+      owner 1 keeps, doc 3 cuts."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.clusters import (
+        dedup_keep_list,
+    )
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        scrub_duplicate_spans,
+    )
+
+    H = "h1 h2 h3 h4"
+    B = "b1 b2 b3 b4"
+    C = "c1 c2 c3 c4"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{H} {C} x1 x2"),       # keeper of {1, 2}
+            (2, f"{C} {B} y1 y2"),       # near-dup of 1 (explicit edge) - dropped
+            (3, f"{H} {B} z1 z2"),       # kept, shares H with 1 and B with 2
+        ],
+        "doc_id int, text string",
+    )
+    edges = spark.createDataFrame([(1, 2)], "doc_a int, doc_b int")
+    k = 4
+
+    keepers = (
+        dedup_keep_list(docs, edges)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    kept = docs.join(keepers, "doc_id")
+    piped = {
+        r.doc_id: r.scrubbed_text
+        for r in scrub_duplicate_spans(kept, k=k).collect()
+    }
+    naive = {
+        r.doc_id: r.scrubbed_text
+        for r in scrub_duplicate_spans(docs, k=k).collect()
+    }
+
+    assert set(piped) == {1, 3}  # doc 2 dropped by dedup
+    # de-sharing: C unique post-dedup, keeper 1 fully intact
+    assert piped[1] == f"{H} {C} x1 x2"
+    # ownership transfer: doc 3 RETAINS B post-dedup (other holder
+    # dropped) but still cuts H (shared with kept owner 1)
+    assert piped[3] == f"{B} z1 z2"
+    # contrast: the naive full-corpus scrub cuts B from doc 3 (owner 2)
+    assert naive[3] == "z1 z2"

@@ -928,3 +928,13 @@ def test_runtime_bloom_filter_injects_on_big_smj_join(spark):
             "spark.sql.optimizer.runtime.bloomFilter."
             "applicationSideScanSizeThreshold"
         )
+
+
+def test_corpus_scrub_pipeline_never_pairwise(spark):
+    """The composed dedup->scrub pipeline inherits both stages'
+    no-cartesian contracts end-to-end."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("corpus_scrub_pipeline")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
