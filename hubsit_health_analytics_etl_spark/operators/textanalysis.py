@@ -772,3 +772,106 @@ def bpe_apply_merges(cur, merges) -> "object":
         )
     rest = [c for c in cur.columns if c != "seq"]
     return cur.select(col.alias("seq"), *rest)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — the lexical search baseline every corpus
+# pipeline needs (retrieval-based decontamination, nearest-neighbor
+# text lookup where embeddings are unavailable, eval-set mining).
+# Okapi BM25 (Robertson et al., TREC-3), Lucene's idf variant:
+#   score(q, d) = Σ_{t ∈ q} ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+#                 · tf_td·(k1+1) / (tf_td + k1·(1 - b + b·dl_d/avgdl))
+# The pandas reference has no search surface; this extends the
+# tf·idf operator (workload_ext.py::q_doc_tfidf_top_terms) with the
+# saturating tf and length normalization real retrieval uses.
+# ---------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# Contribution of one (query term, doc) pair, as SQL text so the
+# DuckDB oracle can be built from the SAME expression shape: float
+# determinism requires the identical IEEE operation ORDER on both
+# engines, so every subexpression is explicitly parenthesized (e.g.
+# 0.75*(dl/avgdl), never (0.75*dl)/avgdl). Expects double columns
+# n_docs, df, tf, dl, avgdl in scope; k1/b inlined as decimal
+# literals both engines parse to the same double.
+BM25_CONTRIB_SQL = (
+    "(ln(1.0 + (((n_docs - df) + 0.5) / (df + 0.5)))"
+    " * ((tf * 2.2) / (tf + (1.2 * ((1.0 - 0.75) + (0.75 * (dl / avgdl)))))))"
+)
+
+
+def bm25_scores(docs, query_terms, text_col: str = "text"):
+    """Score every (query, document) pair that shares ≥1 term.
+
+    docs: (doc_id, text); query_terms: (query_id, token) — the query
+    set, tiny by construction (broadcast). Returns (query_id, doc_id,
+    score) with score a double.
+
+    Shape: one explode feeds tf/dl/df (the same pass layout as
+    tf·idf); corpus stats collapse to a single broadcast row; the
+    query-term join is a broadcast hash join on token, so the only
+    key-space shuffles are the tf/df aggregates themselves — at scale
+    df/idf is the persisted vocabulary index (operators/dedup.py
+    posture) and this becomes one map-side pass over tf. The per-pair
+    term sum folds a token-sorted array SEQUENTIALLY (aggregate HOF ==
+    DuckDB list_sum over list(ORDER BY token) — the PSI precedent) so
+    the float sum is cross-engine byte-identical.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dl")
+    )
+    dfreq = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    ).crossJoin(
+        F.broadcast(toks.agg(F.count(F.lit(1)).cast("double").alias("n_toks")))
+    ).select(
+        "n_docs", (F.col("n_toks") / F.col("n_docs")).alias("avgdl")
+    )
+    contrib = (
+        tf.join(F.broadcast(query_terms), "token")
+        .join(dfreq, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id", "doc_id", "token", F.expr(BM25_CONTRIB_SQL).alias("w")
+        )
+    )
+    return contrib.groupBy("query_id", "doc_id").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(token, w))),"
+            " p -> p.w), 0D, (acc, x) -> acc + x)"
+        ).alias("score")
+    )
+
+
+def rrf_fuse(ranked_a, ranked_b, rank_a: str, rank_b: str, c: int = 60):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two per-query
+    rank tables (query_doc, doc_id, <rank>): rrf_u9 = Σ 1e9 div (c+rank)
+    over the sources that ranked the doc. ALL-INTEGER by construction —
+    RRF consumes ranks, never scores, so fusion needs no cross-engine
+    float care and no score calibration between sources. Absent ranks
+    surface as 0. The full-outer join touches only the ≤ k rows per
+    query each source kept."""
+    fused = ranked_a.join(ranked_b, ["query_doc", "doc_id"], "full_outer")
+    return fused.select(
+        "query_doc",
+        "doc_id",
+        (
+            F.coalesce(F.expr(f"1000000000 div ({c} + {rank_a})"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000000 div ({c} + {rank_b})"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_u9"),
+        F.coalesce(rank_a, F.lit(0)).cast("bigint").alias(rank_a),
+        F.coalesce(rank_b, F.lit(0)).cast("bigint").alias(rank_b),
+    )

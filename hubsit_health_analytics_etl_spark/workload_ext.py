@@ -7559,3 +7559,388 @@ def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1 if n_back == n_src else 0).cast("bigint").alias("rows_preserved"),
         F.lit(1 if n_after < n_before else 0).cast("bigint").alias("files_reduced"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — lexical top-k search over the corpus for a
+# fixed query set (the retrieval-side sibling of semantic ANN search:
+# retrieval-based decontamination and eval-mining run exactly this).
+# Builder + scoring formula: operators/textanalysis.py::bm25_scores
+# (Okapi BM25, Lucene idf). Determinism: the per-(query,doc) term sum
+# folds a token-sorted array sequentially (PSI precedent), every
+# subexpression of the contribution is parenthesized identically on
+# both engines (BM25_CONTRIB_SQL is the shared text), and ranking is
+# on the micro-unit floor with doc_id tie-break.
+# ---------------------------------------------------------------------------
+from .operators.sketches import (  # noqa: E402 — section-local import
+    CMS_DEPTH,
+    CMS_WIDTH,
+    duckdb_cms_bucket_sql,
+)
+from .operators.textanalysis import BM25_CONTRIB_SQL  # noqa: E402
+
+BM25_QUERY_SET = [
+    ("q0", "spark"),
+    ("q0", "table"),
+    ("q1", "hash"),
+    ("q1", "join"),
+    ("q1", "fast"),
+    ("q2", "vector"),
+    ("q2", "scan"),
+    ("q2", "merge"),
+]
+BM25_TOP = 10
+_BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERY_SET)
+
+
+@query(
+    "bm25_search",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                 FROM documents),
+    t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    tf AS (SELECT doc_id, token, COUNT(*)::DOUBLE AS tf
+           FROM t GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM t GROUP BY doc_id),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id)::DOUBLE AS df
+              FROM t GROUP BY token),
+    stats AS (SELECT (SELECT COUNT(*)::DOUBLE FROM documents) AS n_docs,
+                     (SELECT COUNT(*)::DOUBLE FROM t)
+                       / (SELECT COUNT(*)::DOUBLE FROM documents) AS avgdl),
+    q AS (SELECT * FROM (VALUES {_BM25_VALUES}) v(query_id, token)),
+    contrib AS (SELECT query_id, tf.doc_id, tf.token, {BM25_CONTRIB_SQL} AS w
+                FROM tf JOIN q USING (token) JOIN dfreq USING (token)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats),
+    s AS (SELECT query_id, doc_id,
+                 CAST(floor(list_sum(list(w ORDER BY token)) * 1000000.0)
+                      AS BIGINT) AS score_u6
+          FROM contrib GROUP BY query_id, doc_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score_u6 DESC, doc_id) AS rk
+          FROM s)
+    SELECT query_id, doc_id, score_u6, rk::BIGINT AS rk
+    FROM r WHERE rk <= {BM25_TOP}
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOP} documents per query by BM25. The query set is a
+    broadcast literal; scoring is operators/textanalysis.py::
+    bm25_scores (see its docstring for the shuffle layout — tf/df
+    aggregates only; df is the persisted-vocabulary posture at scale).
+    The final per-query top-k is TWO-PHASE (per-salt top-k, then
+    global top-k over ≤ salts·k survivors) so no single task ever
+    sorts a whole query's match list — the window-skew posture for a
+    query set whose matches are corpus-sized. Both phases share the
+    ordering (score_u6 DESC, doc_id), so phase 2's result is
+    identical to a single global window, which is what the oracle
+    runs."""
+    from pyspark.sql import Window
+
+    from .operators.textanalysis import bm25_scores
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    qterms = spark.createDataFrame(
+        BM25_QUERY_SET, "query_id string, token string"
+    )
+    s = bm25_scores(docs, qterms).select(
+        "query_id",
+        "doc_id",
+        F.floor(F.col("score") * 1000000.0).cast("bigint").alias("score_u6"),
+    )
+    salted = s.withColumn("salt", F.col("doc_id") % 8)
+    w1 = Window.partitionBy("query_id", "salt").orderBy(
+        F.col("score_u6").desc(), F.col("doc_id")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score_u6").desc(), F.col("doc_id")
+    )
+    return (
+        salted.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= BM25_TOP)
+        .withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rk") <= BM25_TOP)
+        .select("query_id", "doc_id", "score_u6", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters — constant-state frequency estimation
+# over the event stream's user key (operators/sketches.py for the
+# posture: the shuffle carries tasks·depth·width counters, never the
+# key space). The registered query reports the top-N users by
+# ESTIMATED count next to their exact counts, so the sketch's one-
+# sided error (est ≥ exact, bounded overcount) is visible — and
+# oracle-checked exactly, because the DuckDB twin rebuilds the
+# identical md5-salted sketch (integer-only comparison).
+# ---------------------------------------------------------------------------
+CMS_TOP = 20
+_CMS_BUCKET_OF_I = duckdb_cms_bucket_sql("user_id", "i", CMS_WIDTH)
+_CMS_BUCKET_OF_KI = duckdb_cms_bucket_sql("k.user_id", "d.i", CMS_WIDTH)
+
+
+@query(
+    "heavy_hitters_cms",
+    f"""
+    WITH d AS (SELECT unnest(range({CMS_DEPTH})) AS i),
+    counters AS (SELECT i, {_CMS_BUCKET_OF_I} AS bucket, COUNT(*)::BIGINT AS c
+                 FROM events CROSS JOIN d GROUP BY i, bucket),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    est AS (SELECT k.user_id, MIN(c.c)::BIGINT AS est_count
+            FROM keys k CROSS JOIN d
+            JOIN counters c ON c.i = d.i AND c.bucket = {_CMS_BUCKET_OF_KI}
+            GROUP BY k.user_id),
+    exact AS (SELECT user_id, COUNT(*)::BIGINT AS exact_count
+              FROM events GROUP BY user_id),
+    r AS (SELECT e.user_id, e.est_count, x.exact_count,
+                 (e.est_count - x.exact_count)::BIGINT AS overcount,
+                 ROW_NUMBER() OVER (ORDER BY e.est_count DESC, e.user_id)
+                   AS rk
+          FROM est e JOIN exact x USING (user_id))
+    SELECT user_id, est_count, exact_count, overcount, rk::BIGINT AS rk
+    FROM r WHERE rk <= {CMS_TOP}
+    """,
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{CMS_TOP} heavy-hitter users from a depth×width count-min
+    sketch of events.user_id, with exact counts alongside. The probe
+    candidate set here is the table's own distinct keys (one key
+    shuffle — at scale the candidates come from the sketch's paired
+    heavy-hitter stream or an external watchlist, and the sketch
+    itself never shuffles keys). overcount = est − exact ≥ 0 is the
+    sketch's collision bias, pinned exactly by the oracle."""
+    from .operators.reshape import top_k
+    from .operators.sketches import cms_counters, cms_estimate
+
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    counters = cms_counters(events, "user_id")
+    keys = events.distinct()
+    est = cms_estimate(keys, counters, "user_id")
+    exact = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    r = est.join(exact, "user_id").select(
+        "user_id",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count"))
+        .cast("bigint")
+        .alias("overcount"),
+    )
+    ranked = top_k(
+        r, [], [F.col("est_count").desc(), F.col("user_id")], CMS_TOP, "rk"
+    )
+    return ranked.select(
+        "user_id",
+        "est_count",
+        "exact_count",
+        "overcount",
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (query-by-example): more-like-this BM25 + embedding
+# cosine, fused by reciprocal-rank fusion (Cormack et al. 2009). The
+# composite a retrieval-backed curation pipeline actually runs — pure
+# lexical misses paraphrases, pure semantic misses rare exact terms;
+# RRF needs no score calibration because it consumes only RANKS, which
+# also makes the fusion ALL-INTEGER here (1e9 div (60+rank), exact on
+# both engines) — the float surfaces are confined to the two source
+# rankings, each already determinism-pinned (BM25_CONTRIB_SQL fold;
+# dot/norm sequential folds == DuckDB list_dot_product).
+# vec_id ≡ doc_id per the fixture contract semantic_decontamination
+# already relies on.
+# ---------------------------------------------------------------------------
+HYBRID_QUERY_DOCS = [0, 1, 2]  # dense-from-0 doc keys: valid at every SF
+HYBRID_MLT_TERMS = 5
+HYBRID_K = 10
+RRF_C = 60
+_HYBRID_DOCS_IN = ", ".join(str(d) for d in HYBRID_QUERY_DOCS)
+
+
+@query(
+    "hybrid_rrf_search",
+    f"""
+    WITH t0 AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                FROM documents),
+    t AS (SELECT doc_id, token FROM t0 WHERE token <> ''),
+    tf AS (SELECT doc_id, token, COUNT(*)::DOUBLE AS tf
+           FROM t GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM t GROUP BY doc_id),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id)::DOUBLE AS df
+              FROM t GROUP BY token),
+    stats AS (SELECT (SELECT COUNT(*)::DOUBLE FROM documents) AS n_docs,
+                     (SELECT COUNT(*)::DOUBLE FROM t)
+                       / (SELECT COUNT(*)::DOUBLE FROM documents) AS avgdl),
+    qw AS (SELECT tf.doc_id AS query_doc, tf.token,
+                  CAST(floor((tf.tf * ln(stats.n_docs / dfreq.df))
+                             * 1000000.0) AS BIGINT) AS w_u6
+           FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+           WHERE tf.doc_id IN ({_HYBRID_DOCS_IN})),
+    qsel AS (SELECT query_doc, token FROM (
+               SELECT query_doc, token,
+                      ROW_NUMBER() OVER (PARTITION BY query_doc
+                                         ORDER BY w_u6 DESC, token) AS trk
+               FROM qw) WHERE trk <= {HYBRID_MLT_TERMS}),
+    contrib AS (SELECT qsel.query_doc, tf.doc_id, tf.token,
+                       {BM25_CONTRIB_SQL} AS w
+                FROM tf JOIN qsel USING (token) JOIN dfreq USING (token)
+                JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+                WHERE tf.doc_id <> qsel.query_doc),
+    lex AS (SELECT query_doc, doc_id,
+                   CAST(floor(list_sum(list(w ORDER BY token)) * 1000000.0)
+                        AS BIGINT) AS score_u6
+            FROM contrib GROUP BY query_doc, doc_id),
+    lexr AS (SELECT query_doc, doc_id, lex_rk FROM (
+               SELECT query_doc, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_doc
+                                         ORDER BY score_u6 DESC, doc_id)
+                        AS lex_rk
+               FROM lex) WHERE lex_rk <= {HYBRID_K}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT vec_id AS query_doc, v FROM e
+           WHERE vec_id IN ({_HYBRID_DOCS_IN})),
+    cos AS (SELECT qv.query_doc, e.vec_id AS doc_id,
+                   CAST(floor((list_dot_product(qv.v, e.v)
+                         / (sqrt(list_dot_product(qv.v, qv.v))
+                            * sqrt(list_dot_product(e.v, e.v))))
+                        * 1000000.0) AS BIGINT) AS cos_u6
+            FROM qv JOIN e ON e.vec_id <> qv.query_doc),
+    semr AS (SELECT query_doc, doc_id, sem_rk FROM (
+               SELECT query_doc, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_doc
+                                         ORDER BY cos_u6 DESC, doc_id)
+                        AS sem_rk
+               FROM cos) WHERE sem_rk <= {HYBRID_K}),
+    fused AS (SELECT COALESCE(l.query_doc, s.query_doc) AS query_doc,
+                     COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                     (COALESCE(1000000000 // ({RRF_C} + l.lex_rk), 0)
+                      + COALESCE(1000000000 // ({RRF_C} + s.sem_rk), 0))
+                       ::BIGINT AS rrf_u9,
+                     COALESCE(l.lex_rk, 0)::BIGINT AS lex_rk,
+                     COALESCE(s.sem_rk, 0)::BIGINT AS sem_rk
+              FROM lexr l FULL OUTER JOIN semr s
+                ON l.query_doc = s.query_doc AND l.doc_id = s.doc_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc
+                                       ORDER BY rrf_u9 DESC, doc_id) AS rk
+          FROM fused)
+    SELECT query_doc, doc_id, rrf_u9, lex_rk, sem_rk, rk::BIGINT AS rk
+    FROM r WHERE rk <= {HYBRID_K}
+    """,
+)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid top-{HYBRID_K} per query document: (a) LEXICAL — the
+    query doc's top-{HYBRID_MLT_TERMS} tf·idf terms (the
+    doc_tfidf_top_terms weighting) feed operators/textanalysis.py::
+    bm25_scores as a more-like-this query; (b) SEMANTIC — exact cosine
+    from the query doc's embedding (vec_id ≡ doc_id), the tiny query
+    side broadcast so the corpus never shuffles; (c) FUSION —
+    rrf_u9 = Σ 1e9 div ({RRF_C}+rank) over the sources that ranked the
+    doc (0-rank = absent), integer-exact. Self-matches excluded from
+    both sources. Each source ranking is two-phase salted top-k
+    (the bm25_search posture); the fusion full-outer join and final
+    rank touch ≤ 2·{HYBRID_K} rows per query."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import dot_expr, norm_expr
+    from .operators.textanalysis import bm25_scores, rrf_fuse
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+
+    # (a) lexical: MLT term selection on the query docs only
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    qw = (
+        tf.filter(F.col("doc_id").isin(HYBRID_QUERY_DOCS))
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("query_doc"),
+            "token",
+            F.floor(
+                (F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("w_u6"),
+        )
+    )
+    wt = Window.partitionBy("query_doc").orderBy(
+        F.col("w_u6").desc(), F.col("token")
+    )
+    qterms = (
+        qw.withColumn("trk", F.row_number().over(wt))
+        .filter(F.col("trk") <= HYBRID_MLT_TERMS)
+        .select(F.col("query_doc").alias("query_id"), "token")
+    )
+    lex = (
+        bm25_scores(docs, F.broadcast(qterms))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            F.col("query_id").alias("query_doc"),
+            "doc_id",
+            F.floor(F.col("score") * 1000000.0).cast("bigint").alias("s_u6"),
+        )
+    )
+
+    def _two_phase_topk(scored, score_col, rank_name):
+        salted = scored.withColumn("salt", F.col("doc_id") % 8)
+        w1 = Window.partitionBy("query_doc", "salt").orderBy(
+            F.col(score_col).desc(), F.col("doc_id")
+        )
+        w2 = Window.partitionBy("query_doc").orderBy(
+            F.col(score_col).desc(), F.col("doc_id")
+        )
+        return (
+            salted.withColumn("rk1", F.row_number().over(w1))
+            .filter(F.col("rk1") <= HYBRID_K)
+            .withColumn(rank_name, F.row_number().over(w2))
+            .filter(F.col(rank_name) <= HYBRID_K)
+            .select("query_doc", "doc_id", rank_name)
+        )
+
+    lexr = _two_phase_topk(lex, "s_u6", "lex_rk")
+
+    # (b) semantic: broadcast query vectors, map-side cosine
+    emb = _spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", norm_expr("embedding").alias("nrm")
+    )
+    qv = emb.filter(F.col("vec_id").isin(HYBRID_QUERY_DOCS)).select(
+        F.col("vec_id").alias("query_doc"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_doc"))
+        .select(
+            "query_doc",
+            F.col("vec_id").alias("doc_id"),
+            F.floor(
+                (dot_expr("qvec", "embedding") / (F.col("qn") * F.col("nrm")))
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("cos_u6"),
+        )
+    )
+    semr = _two_phase_topk(cos, "cos_u6", "sem_rk")
+
+    # (c) all-integer RRF fusion over ≤ 2k rows per query
+    fused = rrf_fuse(lexr, semr, "lex_rk", "sem_rk", RRF_C)
+    wf = Window.partitionBy("query_doc").orderBy(
+        F.col("rrf_u9").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rk") <= HYBRID_K)
+        .select("query_doc", "doc_id", "rrf_u9", "lex_rk", "sem_rk", "rk")
+    )

@@ -1888,3 +1888,145 @@ def test_scrub_after_dedup_ownership_transfer_and_desharing(spark):
     assert piped[3] == f"{B} z1 z2"
     # contrast: the naive full-corpus scrub cuts B from doc 3 (owner 2)
     assert naive[3] == "z1 z2"
+
+
+def test_bm25_matches_python_reference_on_crafted_corpus(spark):
+    """bm25_scores vs an independently-written pure-Python BM25 (the
+    oracle hash can't catch a formula bug BOTH engines share): Lucene
+    idf ln(1+(N-df+0.5)/(df+0.5)), k1=1.2, b=0.75, doc-length
+    normalization against avgdl, per-term fold in sorted-token order.
+    Corpus crafts tf saturation (repeated terms), length contrast
+    (short vs long docs) and an absent term (zero matches)."""
+    import math
+    from collections import Counter
+
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        bm25_scores,
+    )
+
+    texts = {
+        0: "apple banana apple cherry",
+        1: "banana banana durian durian durian banana fig fig fig fig",
+        2: "cherry apple apple apple banana",
+        3: "durian fig grape",
+        4: "grape grape grape grape grape grape grape grape",
+    }
+    queries = {"qa": ["apple", "banana"], "qb": ["durian"], "qc": ["kiwi"]}
+
+    toks = {d: [t for t in s.lower().split(" ") if t] for d, s in texts.items()}
+    n_docs = float(len(texts))
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    df = Counter()
+    for ts in toks.values():
+        df.update(set(ts))
+    expected = {}
+    for q, qts in queries.items():
+        for d, ts in toks.items():
+            tf = Counter(ts)
+            total = 0.0
+            for t in sorted(qts):
+                if tf[t] == 0:
+                    continue
+                idf = math.log(
+                    1.0 + (((n_docs - df[t]) + 0.5) / (df[t] + 0.5))
+                )
+                total += idf * (
+                    (tf[t] * 2.2)
+                    / (tf[t] + (1.2 * ((1.0 - 0.75) + (0.75 * (len(ts) / avgdl)))))
+                )
+            if any(tf[t] for t in qts):
+                expected[(q, d)] = total
+
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in queries.items() for t in ts],
+        "query_id string, token string",
+    )
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_scores(docs, qt).collect()
+    }
+    assert set(got) == set(expected)  # qc matches nothing
+    for k, v in expected.items():
+        assert abs(got[k] - v) <= 1e-12 * max(1.0, abs(v)), (k, got[k], v)
+    # saturation sanity: doc 2 (tf=3 apple) must beat doc 0 (tf=2)
+    assert got[("qa", 2)] > got[("qa", 0)]
+
+
+def test_cms_matches_python_reference_and_never_undercounts(spark):
+    """cms_counters/cms_estimate vs an independent pure-Python
+    count-min sketch (hashlib.md5, same 'cms{i}|{key}' salting): the
+    counter grid must be cell-identical, every estimate must equal the
+    reference's min-over-rows, and the one-sided guarantee est ≥ exact
+    must hold for every key. Skewed key list forces collisions
+    (41 distinct keys into width 32)."""
+    import hashlib
+    from collections import Counter
+
+    from hubsit_health_analytics_etl_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_counters,
+        cms_estimate,
+    )
+
+    keys = [1] * 50 + [2] * 20 + [3] * 20 + list(range(4, 42)) * 2
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+
+    def bucket(k, i):
+        h = hashlib.md5(f"cms{i}|{k}".encode()).hexdigest()[:8]
+        return int(h, 16) % CMS_WIDTH
+
+    ref_counters = Counter()
+    for k in keys:
+        for i in range(CMS_DEPTH):
+            ref_counters[(i, bucket(k, i))] += 1
+    ref_est = {
+        k: min(ref_counters[(i, bucket(k, i))] for i in range(CMS_DEPTH))
+        for k in set(keys)
+    }
+
+    counters = cms_counters(df, "user_id")
+    got_counters = {
+        (r.row_i, r.bucket): r.c for r in counters.collect()
+    }
+    assert got_counters == dict(ref_counters)
+
+    got_est = {
+        r.user_id: r.est_count
+        for r in cms_estimate(df.distinct(), counters, "user_id").collect()
+    }
+    assert got_est == ref_est
+    exact = Counter(keys)
+    assert all(got_est[k] >= exact[k] for k in exact)
+
+
+def test_rrf_fuse_matches_hand_computed_fusion(spark):
+    """rrf_fuse vs hand-computed reciprocal-rank fusion on crafted
+    rank tables covering all three membership cases (both sources,
+    lex-only, sem-only) and the absent-rank-as-0 contract."""
+    lexr = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_doc long, doc_id long, lex_rk int",
+    )
+    semr = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_doc long, doc_id long, sem_rk int",
+    )
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        rrf_fuse,
+    )
+
+    got = {
+        r.doc_id: (r.rrf_u9, r.lex_rk, r.sem_rk)
+        for r in rrf_fuse(lexr, semr, "lex_rk", "sem_rk", 60).collect()
+    }
+    expected = {
+        10: (10**9 // 61, 1, 0),
+        11: (10**9 // 62 + 10**9 // 61, 2, 1),
+        12: (10**9 // 63, 3, 0),
+        13: (10**9 // 62, 0, 2),
+    }
+    assert got == expected

@@ -938,3 +938,57 @@ def test_corpus_scrub_pipeline_never_pairwise(spark):
     p = physical_plan(_q("corpus_scrub_pipeline")(spark, SF_SMOKE))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bm25_search_broadcasts_queries_two_phase_topk_jvm_only(spark):
+    """BM25: the query-term set and corpus stats ride broadcasts (no
+    fact-side shuffle for them), nothing is pairwise, the whole plan
+    is JVM codegen (no Python eval), and the per-query top-k is
+    two-phase — the FIRST ranking window partitions on (query_id,
+    salt), so no task ever sorts a whole query's corpus-sized match
+    list."""
+    import re
+
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("bm25_search")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    # phase-1 window spec includes the salt key next to query_id
+    assert re.search(r"windowspecdefinition\(query_id#\d+, salt#\d+", p), p
+
+
+def test_heavy_hitters_cms_probe_broadcast_topk_take_ordered(spark):
+    """Count-min sketch: the counter grid (≤ depth×width rows) reaches
+    the probe as a BROADCAST hash join — the sketch never shuffles the
+    key space — and the global top-k is TakeOrderedAndProject (per-
+    partition heap + merge), never a single-reducer sort window."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("heavy_hitters_cms")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_hybrid_rrf_search_broadcasts_sources_salted_topk_jvm_only(spark):
+    """Hybrid retrieval: the only nested-loop join is the sanctioned
+    Cross BuildRight against the broadcast query vectors (3 rows by
+    construction); everything else is hash-equi-join; no Python eval;
+    both source rankings are two-phase (salted first-phase windows)."""
+    import re
+
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("hybrid_rrf_search")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    for seg in p.split("BroadcastNestedLoopJoin")[1:]:
+        head = seg.splitlines()[0].strip()
+        assert head == "" or head.startswith("Cross BuildRight"), head
+    assert (
+        len(re.findall(r"windowspecdefinition\(query_doc#\d+L?, salt#", p)) >= 2
+    )
