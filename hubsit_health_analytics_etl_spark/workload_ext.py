@@ -7677,10 +7677,12 @@ CMS_TOP = 20
 _CMS_BUCKET_OF_I = duckdb_cms_bucket_sql("user_id", "i", CMS_WIDTH)
 _CMS_BUCKET_OF_KI = duckdb_cms_bucket_sql("k.user_id", "d.i", CMS_WIDTH)
 
-
-@query(
-    "heavy_hitters_cms",
-    f"""
+# Shared by heavy_hitters_cms AND cms_new_batch: the incremental
+# variant's oracle is the full recompute VERBATIM — counter grids are
+# elementwise-additive over disjoint event slices, so merged == from-
+# scratch exactly, and the hash match proves it (the vocab_new_batch
+# posture).
+_CMS_ORACLE = f"""
     WITH d AS (SELECT unnest(range({CMS_DEPTH})) AS i),
     counters AS (SELECT i, {_CMS_BUCKET_OF_I} AS bucket, COUNT(*)::BIGINT AS c
                  FROM events CROSS JOIN d GROUP BY i, bucket),
@@ -7698,8 +7700,10 @@ _CMS_BUCKET_OF_KI = duckdb_cms_bucket_sql("k.user_id", "d.i", CMS_WIDTH)
           FROM est e JOIN exact x USING (user_id))
     SELECT user_id, est_count, exact_count, overcount, rk::BIGINT AS rk
     FROM r WHERE rk <= {CMS_TOP}
-    """,
-)
+    """
+
+
+@query("heavy_hitters_cms", _CMS_ORACLE)
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{CMS_TOP} heavy-hitter users from a depth×width count-min
     sketch of events.user_id, with exact counts alongside. The probe
@@ -7708,34 +7712,10 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy-hitter stream or an external watchlist, and the sketch
     itself never shuffles keys). overcount = est − exact ≥ 0 is the
     sketch's collision bias, pinned exactly by the oracle."""
-    from .operators.reshape import top_k
-    from .operators.sketches import cms_counters, cms_estimate
+    from .operators.sketches import cms_counters
 
     events = load_table(spark, sf_dir, "events").select("user_id")
-    counters = cms_counters(events, "user_id")
-    keys = events.distinct()
-    est = cms_estimate(keys, counters, "user_id")
-    exact = events.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_count")
-    )
-    r = est.join(exact, "user_id").select(
-        "user_id",
-        "est_count",
-        "exact_count",
-        (F.col("est_count") - F.col("exact_count"))
-        .cast("bigint")
-        .alias("overcount"),
-    )
-    ranked = top_k(
-        r, [], [F.col("est_count").desc(), F.col("user_id")], CMS_TOP, "rk"
-    )
-    return ranked.select(
-        "user_id",
-        "est_count",
-        "exact_count",
-        "overcount",
-        F.col("rk").cast("bigint").alias("rk"),
-    )
+    return _cms_heavy_hitter_report(events, cms_counters(events, "user_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -7944,3 +7924,69 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= HYBRID_K)
         .select("query_doc", "doc_id", "rrf_u9", "lex_rk", "sem_rk", "rk")
     )
+
+
+def _cms_heavy_hitter_report(events: DataFrame, counters: DataFrame) -> DataFrame:
+    """Shared report stage of the CMS queries: probe the grid with the
+    stream's distinct keys, pair estimates with exact counts, rank
+    top-{CMS_TOP} by estimate (TakeOrderedAndProject via top_k)."""
+    from .operators.reshape import top_k
+    from .operators.sketches import cms_estimate
+
+    est = cms_estimate(events.distinct(), counters, "user_id")
+    exact = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    r = est.join(exact, "user_id").select(
+        "user_id",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count"))
+        .cast("bigint")
+        .alias("overcount"),
+    )
+    ranked = top_k(
+        r, [], [F.col("est_count").desc(), F.col("user_id")], CMS_TOP, "rk"
+    )
+    return ranked.select(
+        "user_id",
+        "est_count",
+        "exact_count",
+        "overcount",
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
+@query("cms_new_batch", _CMS_ORACLE)
+def q_cms_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance: the corpus slice's counter grid
+    (events with event_id hash bucket >= {NEW_BATCH_PCT}) is written as
+    a parquet index, read back, and merged with the new batch's grid —
+    union + one sum-groupBy over <= 2·depth·width rows, because counter
+    grids are elementwise-ADDITIVE over disjoint slices (the HLL-index
+    posture for frequencies: each ingest sketches only its batch). The
+    heavy-hitter report then runs on the merged grid; output is
+    identical to heavy_hitters_cms' full recompute BY CONSTRUCTION,
+    and the oracle (the full-recompute SQL verbatim) says so
+    cryptographically."""
+    import os
+
+    from .operators.sampling import hash_bucket
+    from .operators.sketches import cms_counters
+    from .sources.sinks import write_parquet
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    is_new = hash_bucket("event_id") < NEW_BATCH_PCT
+    corpus = events.filter(~is_new).select("user_id")
+    batch = events.filter(is_new).select("user_id")
+
+    idx_path = os.path.join(_run_scoped_index_dir("cms"), "cms_grid")
+    write_parquet(cms_counters(corpus, "user_id"), idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    merged = (
+        idx.unionByName(cms_counters(batch, "user_id"))
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    return _cms_heavy_hitter_report(events.select("user_id"), merged)

@@ -2030,3 +2030,30 @@ def test_rrf_fuse_matches_hand_computed_fusion(spark):
         13: (10**9 // 62, 0, 2),
     }
     assert got == expected
+
+
+def test_cms_grids_merge_additively_across_disjoint_batches(spark):
+    """The property cms_new_batch banks on: per-batch counter grids
+    summed cell-wise over disjoint slices equal the full-stream grid
+    exactly (not approximately — counters are plain sums)."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.sketches import (
+        cms_counters,
+    )
+
+    keys = [1] * 30 + [2] * 10 + list(range(3, 40))
+    full = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    a = full.filter(F.col("user_id") % 2 == 0)
+    b = full.filter(F.col("user_id") % 2 != 0)
+    merged = (
+        cms_counters(a, "user_id")
+        .unionByName(cms_counters(b, "user_id"))
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    want = {
+        (r.row_i, r.bucket): r.c for r in cms_counters(full, "user_id").collect()
+    }
+    got = {(r.row_i, r.bucket): r.c for r in merged.collect()}
+    assert got == want

@@ -992,3 +992,17 @@ def test_hybrid_rrf_search_broadcasts_sources_salted_topk_jvm_only(spark):
     assert (
         len(re.findall(r"windowspecdefinition\(query_doc#\d+L?, salt#", p)) >= 2
     )
+
+
+def test_cms_new_batch_probes_merged_grid_broadcast(spark):
+    """Incremental CMS: the merged grid reaches the probe as a
+    broadcast (grid size is depth×width regardless of merges) and the
+    final top-k is TakeOrderedAndProject — same contracts as the
+    full-recompute query, unchanged by the persisted-index round-trip."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("cms_new_batch")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
