@@ -1,0 +1,68 @@
+"""Streaming count-min sketch maintenance — the live-ingest twin of
+the batch ``cms_new_batch`` query (workload_ext.py): every arriving
+micro-batch is reduced to its own depth×width counter grid and written
+as one index subdirectory; the live sketch is the cell-wise SUM over
+all batch grids, exact because count-min grids are elementwise-additive
+over disjoint slices (operators/sketches.py).
+
+The reference has no streaming surface (batch pandas job,
+/root/reference/src/etl_pipeline.py:692-712); this module is EXT,
+the frequency-sketch member of the persisted-index sink family
+(incremental_dedup.signature_index_sink, incremental_ann.ivf_index_sink).
+
+Scale design: per-batch state written to the index is ≤ depth×width
+rows regardless of batch size — the sink's write cost is CONSTANT, and
+reading the live sketch aggregates #batches·depth·width counter rows,
+never raw events. When #batches grows large, compact by rewriting the
+summed grid as a single base subdirectory (the grid is its own
+checkpoint — additivity makes compaction a plain re-sum).
+
+Replay idempotence: each grid lands under ``batch-<id>`` with
+overwrite, so a crash-redelivered micro-batch rewrites its own cells
+instead of double-counting them.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_counters
+from .incremental_dedup import _read_index
+
+_GRID_SCHEMA = "row_i int, bucket bigint, c bigint"
+
+
+def cms_grid_sink(
+    index_dir: str,
+    key_col: str = "user_id",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` callable maintaining a count-min grid index:
+
+        stream.writeStream.foreachBatch(cms_grid_sink(index)).start()
+
+    Per micro-batch: sketch the batch (map-side fan-out + partial agg
+    to ≤ depth×width rows) and overwrite ``index_dir/batch-<id>``."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        grid = cms_counters(batch.select(key_col), key_col, depth, width)
+        grid.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch-{batch_id}")
+        )
+
+    return _apply
+
+
+def read_cms_grid(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The live sketch: cell-wise sum of every batch grid in the index
+    (empty relation if nothing has arrived). Feed it to
+    operators/sketches.py::cms_estimate to probe."""
+    g = _read_index(spark, index_dir, _GRID_SCHEMA)
+    return g.groupBy("row_i", "bucket").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )

@@ -775,3 +775,87 @@ def test_merge_sinks_skip_empty_micro_batches(spark, tmp_path):
     vsink(empty, 2)
     assert current_version(vtbl) == 0
     assert {r.k: r.v for r in read_version(spark, vtbl).collect()} == {1: "one"}
+
+
+def test_streaming_cms_grid_equals_batch_sketch_and_replays_clean(
+    spark, tmp_path
+):
+    """Two ordered micro-batches through the count-min grid sink: the
+    summed index must be CELL-IDENTICAL to sketching the full stream
+    in one batch (grid additivity carried through the sink plumbing),
+    and re-running a delivered batch must rewrite, never double-count.
+    A probe through the live grid must therefore match the one-shot
+    estimates exactly."""
+    from hubsit_health_analytics_etl_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.streaming.sketches import (
+        cms_grid_sink,
+        read_cms_grid,
+    )
+
+    events = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "user_id")
+        .filter(F.col("event_id") < 400)
+    )
+    b1 = [
+        (r.event_id, r.user_id)
+        for r in events.filter(F.col("event_id") < 200).collect()
+    ]
+    b2 = [
+        (r.event_id, r.user_id)
+        for r in events.filter(F.col("event_id") >= 200).collect()
+    ]
+    schema = "event_id long, user_id long"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_file(spark, b1, schema, src, "b1.parquet", 1_700_000_000)
+    _write_file(spark, b2, schema, src, "b2.parquet", 1_700_000_100)
+
+    index_dir = str(tmp_path / "cms_index")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(cms_grid_sink(index_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    live = read_cms_grid(spark, index_dir)
+    got = {(r.row_i, r.bucket): r.c for r in live.collect()}
+    want = {
+        (r.row_i, r.bucket): r.c
+        for r in cms_counters(events.select("user_id"), "user_id").collect()
+    }
+    assert got == want
+
+    # probing the live grid == probing the one-shot sketch
+    keys = events.select("user_id").distinct()
+    est_live = {
+        r.user_id: r.est_count
+        for r in cms_estimate(keys, live, "user_id").collect()
+    }
+    est_batch = {
+        r.user_id: r.est_count
+        for r in cms_estimate(
+            keys, cms_counters(events.select("user_id"), "user_id"), "user_id"
+        ).collect()
+    }
+    assert est_live == est_batch
+
+    # replay: re-delivering batch 1 rewrites its grid, never doubles it
+    sink = cms_grid_sink(index_dir)
+    sink(spark.createDataFrame(b2, schema), 1)
+    again = {
+        (r.row_i, r.bucket): r.c
+        for r in read_cms_grid(spark, index_dir).collect()
+    }
+    assert again == want
