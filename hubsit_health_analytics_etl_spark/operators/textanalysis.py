@@ -801,47 +801,78 @@ BM25_CONTRIB_SQL = (
 )
 
 
-def bm25_scores(docs, query_terms, text_col: str = "text"):
-    """Score every (query, document) pair that shares ≥1 term.
-
-    docs: (doc_id, text); query_terms: (query_id, token) — the query
-    set, tiny by construction (broadcast). Returns (query_id, doc_id,
-    score) with score a double.
-
-    Shape: one explode feeds tf/dl/df (the same pass layout as
-    tf·idf); corpus stats collapse to a single broadcast row; the
-    query-term join is a broadcast hash join on token, so the only
-    key-space shuffles are the tf/df aggregates themselves — at scale
-    df/idf is the persisted vocabulary index (operators/dedup.py
-    posture) and this becomes one map-side pass over tf. The per-pair
-    term sum folds a token-sorted array SEQUENTIALLY (aggregate HOF ==
-    DuckDB list_sum over list(ORDER BY token) — the PSI precedent) so
-    the float sum is cross-engine byte-identical.
-    """
+def corpus_term_stats(docs, text_col: str = "text"):
+    """ONE corpus pass (explode → tf aggregate) from which every other
+    term statistic derives: dl = Σ tf per doc, df = #(doc,token) rows
+    per token (≡ distinct docs per token, since tf is one row per
+    pair), total tokens = Σ dl. Deriving instead of re-exploding keeps
+    the corpus-sized work to a single scan — the tf exchange is
+    byte-identical under each consumer, so Catalyst's ReuseExchange
+    shares it — and every derived count is an exact integer sum, so
+    values (and the DuckDB oracle, which computes each stat with its
+    own COUNT) are unchanged. Returns (tf, dl, dfreq, stats): integer
+    columns tf_l/dl_l/df_l, stats a 1-row (n_docs, avgdl) broadcast.
+    At 100 TB tf/dl/dfreq are the persisted vocabulary-index family —
+    built once per ingest, reused per query."""
     toks = docs.select(
         "doc_id", F.explode(tokens(text_col)).alias("token")
     ).filter(F.col("token") != "")
     tf = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+        F.count(F.lit(1)).cast("bigint").alias("tf_l")
     )
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("double").alias("dl")
+    dl = tf.groupBy("doc_id").agg(F.sum("tf_l").cast("bigint").alias("dl_l"))
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_l")
     )
-    dfreq = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("double").alias("df")
+    stats = (
+        docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+        .crossJoin(
+            F.broadcast(
+                dl.agg(F.sum("dl_l").cast("double").alias("n_toks"))
+            )
+        )
+        .select("n_docs", (F.col("n_toks") / F.col("n_docs")).alias("avgdl"))
     )
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs")
-    ).crossJoin(
-        F.broadcast(toks.agg(F.count(F.lit(1)).cast("double").alias("n_toks")))
-    ).select(
-        "n_docs", (F.col("n_toks") / F.col("n_docs")).alias("avgdl")
+    return tf, dl, dfreq, stats
+
+
+def bm25_scores(docs, query_terms, text_col: str = "text", term_stats=None):
+    """Score every (query, document) pair that shares ≥1 term.
+
+    docs: (doc_id, text); query_terms: (query_id, token) — the query
+    set, tiny by construction (broadcast). Returns (query_id, doc_id,
+    score) with score a double. Pass ``term_stats`` (a
+    corpus_term_stats result) to share the corpus pass with other
+    consumers (hybrid retrieval does).
+
+    Shape: ONE corpus pass feeds tf, from which dl/df/avgdl derive
+    (corpus_term_stats); the query-term join is a broadcast hash join
+    on token, so the only key-space shuffles are the tf-derived
+    aggregates — at scale df/idf is the persisted vocabulary index
+    (operators/dedup.py posture) and this becomes one map-side pass
+    over tf. The per-pair term sum folds a token-sorted array
+    SEQUENTIALLY (aggregate HOF == DuckDB list_sum over
+    list(ORDER BY token) — the PSI precedent) so the float sum is
+    cross-engine byte-identical.
+    """
+    tf, dl, dfreq, stats = (
+        corpus_term_stats(docs, text_col) if term_stats is None else term_stats
     )
     contrib = (
         tf.join(F.broadcast(query_terms), "token")
         .join(dfreq, "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            "token",
+            F.col("tf_l").cast("double").alias("tf"),
+            F.col("dl_l").cast("double").alias("dl"),
+            F.col("df_l").cast("double").alias("df"),
+            "n_docs",
+            "avgdl",
+        )
         .select(
             "query_id", "doc_id", "token", F.expr(BM25_CONTRIB_SQL).alias("w")
         )

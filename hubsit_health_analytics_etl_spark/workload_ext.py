@@ -7593,9 +7593,7 @@ BM25_TOP = 10
 _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERY_SET)
 
 
-@query(
-    "bm25_search",
-    f"""
+_BM25_ORACLE = f"""
     WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
                  FROM documents),
     t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
@@ -7620,29 +7618,18 @@ _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERY_SET)
           FROM s)
     SELECT query_id, doc_id, score_u6, rk::BIGINT AS rk
     FROM r WHERE rk <= {BM25_TOP}
-    """,
-)
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{BM25_TOP} documents per query by BM25. The query set is a
-    broadcast literal; scoring is operators/textanalysis.py::
-    bm25_scores (see its docstring for the shuffle layout — tf/df
-    aggregates only; df is the persisted-vocabulary posture at scale).
-    The final per-query top-k is TWO-PHASE (per-salt top-k, then
-    global top-k over ≤ salts·k survivors) so no single task ever
-    sorts a whole query's match list — the window-skew posture for a
-    query set whose matches are corpus-sized. Both phases share the
-    ordering (score_u6 DESC, doc_id), so phase 2's result is
-    identical to a single global window, which is what the oracle
-    runs."""
+    """
+
+
+def _bm25_ranked(scores: DataFrame) -> DataFrame:
+    """Two-phase salted top-{BM25_TOP} over (query_id, doc_id, score):
+    phase 1 ranks within (query_id, salt), phase 2 over the <= salts*k
+    survivors — same ordering both phases (score_u6 DESC, doc_id), so
+    the result is identical to one global window (what the oracle
+    runs) with no task ever sorting a whole query's match list."""
     from pyspark.sql import Window
 
-    from .operators.textanalysis import bm25_scores
-
-    docs = _spread(load_table(spark, sf_dir, "documents"))
-    qterms = spark.createDataFrame(
-        BM25_QUERY_SET, "query_id string, token string"
-    )
-    s = bm25_scores(docs, qterms).select(
+    s = scores.select(
         "query_id",
         "doc_id",
         F.floor(F.col("score") * 1000000.0).cast("bigint").alias("score_u6"),
@@ -7661,6 +7648,86 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= BM25_TOP)
         .select("query_id", "doc_id", "score_u6", "rk")
     )
+
+
+def _bm25_qterms(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        BM25_QUERY_SET, "query_id string, token string"
+    )
+
+
+@query("bm25_search", _BM25_ORACLE)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOP} documents per query by BM25. The query set is a
+    broadcast literal; scoring is operators/textanalysis.py::
+    bm25_scores (see its docstring for the shuffle layout — tf/df
+    aggregates only; df is the persisted-vocabulary posture at scale).
+    The final per-query top-k is TWO-PHASE (per-salt top-k, then
+    global top-k over ≤ salts·k survivors) so no single task ever
+    sorts a whole query's match list — the window-skew posture for a
+    query set whose matches are corpus-sized. Both phases share the
+    ordering (score_u6 DESC, doc_id), so phase 2's result is
+    identical to a single global window, which is what the oracle
+    runs."""
+    from .operators.textanalysis import bm25_scores
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return _bm25_ranked(bm25_scores(docs, _bm25_qterms(spark)))
+
+
+_TERM_INDEX_CACHE: dict[str, str] = {}
+
+
+def _prepare_term_index(spark: SparkSession, sf_dir: str) -> str:
+    """Write-time half of bm25_search_indexed, memoized per (process,
+    sf_dir): materialize corpus_term_stats — tf / dl / dfreq / the
+    1-row stats — as four parquet tables, the standing SEARCH INDEX a
+    retrieval deployment maintains per ingest (the vocabulary-index
+    posture, extended with per-(doc,token) tf and doc lengths).
+    Run-scoped path so concurrent sessions never race."""
+    got = _TERM_INDEX_CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.textanalysis import corpus_term_stats
+    from .sources.sinks import write_parquet
+
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
+    base = tempfile.mkdtemp(prefix=f"hubsit_term_index_{tag}_")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    tf, dl, dfreq, stats = corpus_term_stats(docs)
+    for name, df in [("tf", tf), ("dl", dl), ("dfreq", dfreq), ("stats", stats)]:
+        write_parquet(df, os.path.join(base, name))
+    _TERM_INDEX_CACHE[sf_dir] = base
+    return base
+
+
+PREPARES["bm25_search_indexed"] = _prepare_term_index
+
+
+@query("bm25_search_indexed", _BM25_ORACLE)
+def q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as bm25_search, zero query-time corpus passes: the
+    term-stats index (tf/dl/dfreq/stats) was materialized at ingest
+    (PREPARES), so the timed query is index-scan -> broadcast term
+    join -> fold -> two-phase top-k — the amortized per-query cost of
+    a standing search index, the posture bm25_search's docstring
+    promises at 100 TB. The oracle recomputes every statistic from the
+    raw corpus, proving the materialization changed nothing."""
+    import os
+
+    from .operators.textanalysis import bm25_scores
+
+    base = _prepare_term_index(spark, sf_dir)
+    term_stats = tuple(
+        spark.read.parquet(os.path.join(base, name))
+        for name in ["tf", "dl", "dfreq", "stats"]
+    )
+    scores = bm25_scores(None, _bm25_qterms(spark), term_stats=term_stats)
+    return _bm25_ranked(scores)
 
 
 # ---------------------------------------------------------------------------
@@ -7823,30 +7890,28 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from .operators.similarity import dot_expr, norm_expr
-    from .operators.textanalysis import bm25_scores, rrf_fuse
+    from .operators.textanalysis import bm25_scores, corpus_term_stats, rrf_fuse
 
     docs = _spread(load_table(spark, sf_dir, "documents"))
 
+    # ONE corpus pass (explode → tf) shared by MLT term selection and
+    # the BM25 scoring below — dl/df/avgdl derive from tf
+    term_stats = corpus_term_stats(docs)
+    tf, _dl, dfreq, st = term_stats
+
     # (a) lexical: MLT term selection on the query docs only
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
-    ).filter(F.col("token") != "")
-    tf = toks.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    )
-    dfreq = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("double").alias("df")
-    )
-    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     qw = (
         tf.filter(F.col("doc_id").isin(HYBRID_QUERY_DOCS))
         .join(dfreq, "token")
-        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(st.select("n_docs")))
         .select(
             F.col("doc_id").alias("query_doc"),
             "token",
             F.floor(
-                (F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+                (
+                    F.col("tf_l").cast("double")
+                    * F.log(F.col("n_docs") / F.col("df_l").cast("double"))
+                )
                 * F.lit(1000000.0)
             )
             .cast("bigint")
@@ -7862,7 +7927,7 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("query_doc").alias("query_id"), "token")
     )
     lex = (
-        bm25_scores(docs, F.broadcast(qterms))
+        bm25_scores(docs, F.broadcast(qterms), term_stats=term_stats)
         .filter(F.col("doc_id") != F.col("query_id"))
         .select(
             F.col("query_id").alias("query_doc"),

@@ -1006,3 +1006,18 @@ def test_cms_new_batch_probes_merged_grid_broadcast(spark):
     assert "EvalPython" not in p
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_bm25_indexed_never_retokenizes_the_corpus(spark):
+    """bm25_search_indexed reads the materialized term-stats index:
+    its plan must contain NO Generate (explode) stage and no documents
+    scan — the corpus is tokenized once at ingest, never per query."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+    from hubsit_health_analytics_etl_spark.workload import PREPARES
+
+    PREPARES["bm25_search_indexed"](spark, SF_SMOKE)
+    p = physical_plan(_q("bm25_search_indexed")(spark, SF_SMOKE))
+    assert "Generate" not in p  # no explode anywhere
+    assert "documents.parquet" not in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
