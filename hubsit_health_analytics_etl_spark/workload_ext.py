@@ -8055,3 +8055,66 @@ def q_cms_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("bigint").alias("c"))
     )
     return _cms_heavy_hitter_report(events.select("user_id"), merged)
+
+
+# ---------------------------------------------------------------------------
+# Exact phrase search — the third retrieval mode next to BM25 (bag of
+# terms) and embedding cosine (semantic): find every positional
+# occurrence of a literal token sequence. Rides the SAME positional
+# gram stage the substring-dedup family shares
+# (operators/textanalysis.py::_doc_grams — map-only explode, grams
+# keyed by md5 like every exact-match key in the repo), so at 100 TB
+# the (gh, doc, pos) table is the persisted positional inverted index
+# and a phrase probe is one broadcast equi-join against it — the
+# corpus is gram-hashed once per ingest, never per query.
+# ---------------------------------------------------------------------------
+PHRASE_LEN = 2  # tokens per phrase (gram width of the probe index)
+PHRASE_SET = [("p0", "hash join"), ("p1", "table scan"), ("p2", "row batch")]
+_PHRASE_VALUES = ", ".join(f"('{p}', '{t}')" for p, t in PHRASE_SET)
+
+
+@query(
+    "phrase_search",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, i AS pos,
+                 md5(array_to_string(toks[i : i + {PHRASE_LEN - 1}], ' ')) AS gh
+          FROM t, LATERAL (
+            SELECT unnest(range(1, greatest(len(toks) - {PHRASE_LEN - 2}, 1)))
+                     AS i
+          ) u),
+    p AS (SELECT phrase_id, md5(phrase) AS gh
+          FROM (VALUES {_PHRASE_VALUES}) v(phrase_id, phrase))
+    SELECT p.phrase_id, g.doc_id,
+           COUNT(*)::BIGINT AS n_hits,
+           MIN(g.pos)::BIGINT AS first_pos
+    FROM g JOIN p USING (gh)
+    GROUP BY p.phrase_id, g.doc_id
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document containing each literal {PHRASE_LEN}-token
+    phrase, with occurrence count and first position. The phrase
+    table is a broadcast literal hashed with the same md5 the gram
+    stage uses, so the probe is a broadcast hash equi-join on gh —
+    no text comparison, no pairwise stage; the per-(phrase, doc)
+    aggregate partial-combines map-side. Output is the full match
+    list (compose with reshape.top_k for ranked retrieval); docs
+    shorter than the phrase emit nothing on both engines."""
+    from .operators.textanalysis import _doc_grams
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    grams = _doc_grams(docs, PHRASE_LEN)
+    phrases = spark.createDataFrame(
+        PHRASE_SET, "phrase_id string, phrase string"
+    ).select("phrase_id", F.md5(F.lower("phrase")).alias("gh"))
+    return (
+        grams.join(F.broadcast(phrases), "gh")
+        .groupBy("phrase_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+        .select("phrase_id", "doc_id", "n_hits", "first_pos")
+    )

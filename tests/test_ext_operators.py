@@ -2057,3 +2057,43 @@ def test_cms_grids_merge_additively_across_disjoint_batches(spark):
     }
     got = {(r.row_i, r.bucket): r.c for r in merged.collect()}
     assert got == want
+
+
+def test_phrase_search_finds_crafted_positions(spark):
+    """phrase_search semantics on a crafted corpus: 1-based first
+    position, overlapping occurrences counted individually, no match
+    for absent or split phrases, docs shorter than the phrase silent."""
+    docs = spark.createDataFrame(
+        [
+            (0, "hash join is a hash join thing"),
+            (1, "join hash order"),
+            (2, "hash"),
+            (3, "table scan table scan table scan"),
+        ],
+        "doc_id long, text string",
+    )
+    import pyspark.sql.functions as F
+
+    import hubsit_health_analytics_etl_spark.workload_ext as wx
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        _doc_grams,
+    )
+
+    phrases = spark.createDataFrame(
+        [("p0", "hash join"), ("p1", "table scan")],
+        "phrase_id string, phrase string",
+    ).select("phrase_id", F.md5(F.lower("phrase")).alias("gh"))
+    got = {
+        (r.phrase_id, r.doc_id): (r.n_hits, r.first_pos)
+        for r in _doc_grams(docs, wx.PHRASE_LEN)
+        .join(F.broadcast(phrases), "gh")
+        .groupBy("phrase_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"), F.min("pos").alias("first_pos")
+        )
+        .collect()
+    }
+    assert got == {
+        ("p0", 0): (2, 1),  # 'hash join' at positions 1 and 5
+        ("p1", 3): (3, 1),  # 'table scan' at 1, 3, 5 (overlap-free here)
+    }

@@ -1021,3 +1021,16 @@ def test_bm25_indexed_never_retokenizes_the_corpus(spark):
     assert "documents.parquet" not in p
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_phrase_search_broadcast_probe_no_pairwise(spark):
+    """Phrase probe = broadcast hash equi-join on the gram hash
+    against the map-only positional gram stage — no cartesian, no
+    nested loop, no Python."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("phrase_search")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p
