@@ -95,7 +95,10 @@ def cms_estimate(
     rows of the key's counter cell. ``counters`` is ≤ depth×width rows
     — always broadcast, so the probe is a map-side hash join + a
     per-key min (partial-aggregated): no shuffle proportional to the
-    sketch."""
+    sketch. LEFT join + coalesce-0: a candidate whose cell is empty
+    (a key the stream never produced) must estimate via min(..., 0)
+    = 0 — an inner join would silently overestimate it from its
+    non-empty cells, or drop it entirely."""
     probes = keys.select(
         F.col(key),
         F.expr(
@@ -109,7 +112,8 @@ def cms_estimate(
         ),
     )
     return (
-        probes.join(F.broadcast(counters), ["row_i", "bucket"])
+        probes.join(F.broadcast(counters), ["row_i", "bucket"], "left")
+        .select(key, F.coalesce(F.col("c"), F.lit(0)).alias("c"))
         .groupBy(key)
         .agg(F.min("c").cast("bigint").alias("est_count"))
     )

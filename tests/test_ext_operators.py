@@ -2097,3 +2097,31 @@ def test_phrase_search_finds_crafted_positions(spark):
         ("p0", 0): (2, 1),  # 'hash join' at positions 1 and 5
         ("p1", 3): (3, 1),  # 'table scan' at 1, 3, 5 (overlap-free here)
     }
+
+
+def test_cms_estimate_returns_zero_for_never_seen_keys(spark):
+    """Probing the sketch with a candidate the stream never produced
+    must estimate 0 whenever ANY of its cells is empty (min over
+    cells, absent cell = 0) — not drop the key or overestimate from
+    the non-empty cells it collides into."""
+    from hubsit_health_analytics_etl_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    stream = spark.createDataFrame([(k,) for k in [1, 1, 2]], "user_id long")
+    counters = cms_counters(stream, "user_id")
+    # probe a wide swath of unseen keys: with 2 distinct stream keys
+    # into a 4x32 grid, most unseen keys hit >= 1 empty cell -> est 0;
+    # every estimate must be present and none may exceed the stream's
+    # total row count (the trivial CMS upper bound)
+    probe = spark.createDataFrame(
+        [(k,) for k in range(100, 160)], "user_id long"
+    )
+    est = {
+        r.user_id: r.est_count
+        for r in cms_estimate(probe, counters, "user_id").collect()
+    }
+    assert set(est) == set(range(100, 160))  # nothing dropped
+    assert all(0 <= v <= 3 for v in est.values())
+    assert any(v == 0 for v in est.values())  # empty-cell keys hit 0
