@@ -8118,3 +8118,71 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("phrase_id", "doc_id", "n_hits", "first_pos")
     )
+
+
+@query("bm25_new_batch", _BM25_ORACLE)
+def q_bm25_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental term-index maintenance: the corpus slice's term
+    stats (docs with doc_id hash bucket >= {NEW_BATCH_PCT}) are
+    persisted as a parquet index, read back, and merged with the new
+    batch's stats — every component is ADDITIVE over disjoint doc
+    slices (tf and dl rows are per-doc: plain union; df and the
+    (n_docs, n_toks) totals: union + sum), so the merged index equals
+    corpus_term_stats over the full corpus exactly, ingest cost ∝
+    batch. BM25 then runs on the merged index; the oracle (the
+    from-scratch SQL verbatim) proves merge == recompute
+    cryptographically — the vocab_new_batch posture extended to the
+    whole search index."""
+    import os
+
+    from .operators.sampling import hash_bucket
+    from .operators.textanalysis import bm25_scores, corpus_term_stats
+    from .sources.sinks import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = hash_bucket("doc_id") < NEW_BATCH_PCT
+    corpus, batch = docs.filter(~is_new), docs.filter(is_new)
+
+    def _raw_parts(slice_docs):
+        tf, dl, dfreq, _stats = corpus_term_stats(_spread(slice_docs))
+        raw = slice_docs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        ).crossJoin(
+            F.broadcast(
+                dl.agg(F.sum("dl_l").cast("bigint").alias("n_toks"))
+            )
+        )
+        return tf, dl, dfreq, raw
+
+    base = _run_scoped_index_dir("bm25")
+    for name, df in zip(
+        ["tf", "dl", "dfreq", "raw"], _raw_parts(corpus), strict=True
+    ):
+        write_parquet(df, os.path.join(base, name))
+    idx = {
+        name: spark.read.parquet(os.path.join(base, name))
+        for name in ["tf", "dl", "dfreq", "raw"]
+    }
+    b_tf, b_dl, b_dfreq, b_raw = _raw_parts(batch)
+
+    tf = idx["tf"].unionByName(b_tf)  # per-doc rows, slices disjoint
+    dl = idx["dl"].unionByName(b_dl)
+    dfreq = (
+        idx["dfreq"]
+        .unionByName(b_dfreq)
+        .groupBy("token")
+        .agg(F.sum("df_l").cast("bigint").alias("df_l"))
+    )
+    stats = (
+        idx["raw"]
+        .unionByName(b_raw)
+        .agg(
+            F.sum("n_docs").cast("double").alias("n_docs"),
+            F.sum("n_toks").cast("double").alias("n_toks"),
+        )
+        .select("n_docs", (F.col("n_toks") / F.col("n_docs")).alias("avgdl"))
+    )
+    scores = bm25_scores(
+        None, _bm25_qterms(spark), term_stats=(tf, dl, dfreq, stats)
+    )
+    return _bm25_ranked(scores)

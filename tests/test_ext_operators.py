@@ -2125,3 +2125,48 @@ def test_cms_estimate_returns_zero_for_never_seen_keys(spark):
     assert set(est) == set(range(100, 160))  # nothing dropped
     assert all(0 <= v <= 3 for v in est.values())
     assert any(v == 0 for v in est.values())  # empty-cell keys hit 0
+
+
+def test_term_stats_merge_equals_full_recompute_on_crafted_split(spark):
+    """The additivity bm25_new_batch banks on, pinned directly: term
+    stats computed per disjoint doc slice and merged (tf/dl union,
+    df sum, totals sum) must equal corpus_term_stats over the full
+    corpus — including df for tokens present in BOTH slices."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        corpus_term_stats,
+    )
+
+    texts = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, "apple durian durian cherry"),
+        (3, "banana banana banana"),
+    ]
+    full = spark.createDataFrame(texts, "doc_id long, text string")
+    a = full.filter(F.col("doc_id") % 2 == 0)
+    b = full.filter(F.col("doc_id") % 2 != 0)
+
+    tf_a, dl_a, df_a, _ = corpus_term_stats(a)
+    tf_b, dl_b, df_b, _ = corpus_term_stats(b)
+    tf_m = tf_a.unionByName(tf_b)
+    dl_m = dl_a.unionByName(dl_b)
+    df_m = (
+        df_a.unionByName(df_b)
+        .groupBy("token")
+        .agg(F.sum("df_l").alias("df_l"))
+    )
+    tf_f, dl_f, df_f, stats_f = corpus_term_stats(full)
+
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(tf_m) == as_set(tf_f)
+    assert as_set(dl_m) == as_set(dl_f)
+    assert as_set(df_m) == as_set(df_f)
+    # 'banana' and 'cherry' span both slices — df must add to the
+    # full-corpus doc counts (3 and 2), not max or overwrite
+    df_map = {r.token: r.df_l for r in df_m.collect()}
+    assert df_map["banana"] == 3 and df_map["cherry"] == 2
+    # merged totals reproduce avgdl: (3+2+4+3) tokens / 4 docs
+    row = stats_f.collect()[0]
+    assert (row.n_docs, row.avgdl) == (4.0, 3.0)

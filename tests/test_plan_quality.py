@@ -1034,3 +1034,20 @@ def test_phrase_search_broadcast_probe_no_pairwise(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_bm25_new_batch_salted_topk_jvm_only(spark):
+    """The incremental BM25 inherits the retrieval plan contracts:
+    nothing pairwise beyond the sanctioned broadcast scalar cross,
+    no Python eval, and the two-phase salted ranking windows."""
+    import re
+
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("bm25_new_batch")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    for seg in p.split("BroadcastNestedLoopJoin")[1:]:
+        head = seg.splitlines()[0].strip()
+        assert head == "" or head.startswith("Cross BuildRight"), head
+    assert re.search(r"windowspecdefinition\(query_id#\d+, salt#", p), p
