@@ -99,11 +99,16 @@ def test_gate_rotation_puts_stalest_queries_first():
         rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
         with open(path) as f:
             for n, rec in json.load(f).items():
-                if isinstance(rec, dict) and (
-                    rec.get("err") is not None
-                    or rec.get("hash_match") is False
-                ):
-                    continue  # failures don't count as checked
+                if isinstance(rec, dict):
+                    err = rec.get("err")
+                    rows_only_ok = (
+                        err == "no_oracle"
+                        and rec.get("spark_rows") is not None
+                    )
+                    if (err is not None and not rows_only_ok) or rec.get(
+                        "hash_match"
+                    ) is False:
+                        continue  # failures don't count as checked
                 covered_last[n] = max(covered_last.get(n, -1), rnd)
     if not covered_last:
         return  # fresh clone without artifacts: any order is fine
@@ -120,17 +125,25 @@ def test_gate_rotation_puts_stalest_queries_first():
 
 def test_gate_rotation_treats_failures_as_unchecked(tmp_path):
     """A query whose artifact row records a failure (hash_match=false
-    or non-null err) must sort as never-checked, staying inside the
-    driver's 50-sample window until a PASSING row lands — otherwise a
-    regression rotates itself out of the gate for several rounds."""
+    or a real non-null err) must sort as never-checked, staying inside
+    the driver's 50-sample window until a PASSING row lands — otherwise
+    a regression rotates itself out of the gate for several rounds.
+
+    A driver rows-only verdict (err == "no_oracle" with a spark_rows
+    count — the documented record for ML-fit queries that deliberately
+    have no DuckDB oracle) DOES count as checked: before r12 it was
+    treated as a failure, so the 5 rows-only queries re-occupied 10% of
+    every 50-slot gate window since r8 (VERDICT r11 item #1)."""
     import json
 
     import __spark_entry__ as e
 
     ok = {"rows_match": True, "schema_match": True, "hash_match": True,
           "spark_rows": 1, "oracle_rows": 1, "err": None}
+    # exact shape the driver writes for a rows-only (no-oracle) query
     rows_only = {"rows_match": None, "schema_match": None,
-                 "spark_rows": 1, "oracle_rows": 1, "err": None}
+                 "hash_match": None, "spark_rows": 1,
+                 "oracle_rows": None, "err": "no_oracle"}
     bad_hash = dict(ok, hash_match=False)
     bad_err = dict(ok, err="boom")
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
@@ -139,6 +152,31 @@ def test_gate_rotation_treats_failures_as_unchecked(tmp_path):
     }))
     names = ["passed", "failed_hash", "failed_err", "no_oracle", "fresh"]
     order = e._rotation_order(names, artifact_dir=str(tmp_path))
-    # failures + never-seen first (registration order), passes last
+    # failures + never-seen first (registration order), checked last —
+    # the prior-round no_oracle row must NOT resurface ahead of
+    # never-checked queries
     assert order == ["failed_hash", "failed_err", "fresh",
                      "passed", "no_oracle"]
+
+
+def test_gate_rotation_rows_only_goes_stale_like_any_pass(tmp_path):
+    """A rows-only verdict is checked *at that round*: a query whose
+    no_oracle row is older than another query's pass row must still
+    rotate back toward the front (staleness ordering applies to both
+    verdict kinds identically)."""
+    import json
+
+    import __spark_entry__ as e
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 1, "oracle_rows": 1, "err": None}
+    rows_only = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "spark_rows": 1,
+                 "oracle_rows": None, "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"ml_fit": rows_only}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"oracle_q": ok}))
+    order = e._rotation_order(["oracle_q", "ml_fit"],
+                              artifact_dir=str(tmp_path))
+    assert order == ["ml_fit", "oracle_q"]
