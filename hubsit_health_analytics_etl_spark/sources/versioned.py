@@ -32,6 +32,12 @@ Scale/posture notes:
   the pointer is uncommitted garbage — every commit entry deletes
   stale manifests/data dirs above the pointer before picking its
   version number, so a crashed commit is invisible and re-runnable.
+- Racing writers are REFUSED, never silently lost (r11 verdict #3):
+  ``commit_version(expected_parent=)`` is the Iceberg base-snapshot
+  check, and every commit re-checks the pointer before publishing and
+  claims its manifest via create-exclusive (hardlink CAS) — at most
+  one writer can publish a given version; the loser's files are
+  cleaned up and :class:`ConcurrentWriteError` raised.
 - ``os.replace`` is atomic on POSIX filesystems; on an object store,
   swap the pointer via the store's conditional-put instead.
 - ``expire_versions`` is the retention job: drops manifests older
@@ -51,10 +57,21 @@ import json
 import os
 import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_VERSION"
+_UNSET = object()
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another commit landed between this writer's snapshot read and
+    its publish step. The refused commit leaves NO trace: its data dir
+    and tentative manifest are removed before raising, and the table
+    stays exactly at the winning writer's version. Retry = re-read the
+    table and re-derive the batch against the new parent (the
+    optimistic-concurrency loop of Iceberg/Delta commit protocols)."""
 
 
 def _manifest_path(root: str, n: int) -> str:
@@ -115,8 +132,19 @@ def _repair(root: str) -> None:
         if int(os.path.basename(m)[1:-5]) > floor:
             os.remove(m)
     for d in glob.glob(os.path.join(root, "data", "v*")):
-        if os.path.isdir(d) and int(os.path.basename(d)[1:]) > floor:
+        # dir names are v{n:06d} or v{n:06d}_{token} (unique-per-attempt
+        # suffix so racing writers never collide on a directory)
+        if os.path.isdir(d) and _data_dir_version(d) > floor:
             shutil.rmtree(d)
+
+
+def _data_dir_version(d: str) -> int:
+    """Version number encoded in a data dir name; -1 (never repaired,
+    never expired by the version sweep) for foreign dir names."""
+    try:
+        return int(os.path.basename(d)[1:].split("_", 1)[0], 10)
+    except ValueError:
+        return -1
 
 
 def commit_version(
@@ -125,6 +153,7 @@ def commit_version(
     mode: str = "overwrite",
     stats_cols: "list[str] | None" = None,
     extra: "dict | None" = None,
+    expected_parent: "int | None" = _UNSET,
 ) -> int:
     """Commit ``df`` as the next version of the table at ``root`` and
     return the new version number.
@@ -151,15 +180,29 @@ def commit_version(
     one explicit schema — files from before an added column yield
     nulls for it, no footer-merging pass needed.
 
-    Protocol (single writer): repair stale leftovers → write data
-    files under ``data/v{n}`` (the expected row count observed on the
-    write itself — ONE evaluation of ``df``, so a non-deterministic
-    input can never diverge between the count and the data) →
-    row-count-verify the written files by re-reading them (the
-    compact_parquet posture: a short write never becomes a version) →
-    write the manifest → atomically swap the pointer. A crash anywhere
-    before the final ``os.replace`` leaves the previous version intact
-    and current."""
+    ``expected_parent``: optimistic concurrency (the Iceberg
+    base-snapshot check). Pass the version you read the table at when
+    deriving ``df``; the commit REFUSES with :class:`ConcurrentWriteError`
+    if another commit has landed since — instead of silently publishing
+    a version derived from stale state. ``None`` means "I expect an
+    empty table". Omitted = legacy single-writer call, entry check
+    skipped (the pre-publish pointer re-check below still applies).
+
+    Protocol (single writer; racing writers refused, never corrupted):
+    entry checks (expected_parent, append schema compatibility) →
+    repair stale leftovers → write data files under
+    ``data/v{n}_{token}`` (token unique per attempt, so two racing
+    writers can never collide on a directory; the expected row count
+    observed on the write itself — ONE evaluation of ``df``, so a
+    non-deterministic input can never diverge between the count and
+    the data) → row-count-verify the written files by re-reading them
+    (the compact_parquet posture: a short write never becomes a
+    version) → re-read the pointer and REFUSE (cleaning up this
+    attempt's files) if another commit landed during the write →
+    publish the manifest via an atomic create-exclusive (hardlink CAS
+    — at most ONE writer can ever publish manifest ``n``) → atomically
+    swap the pointer. A crash anywhere before the final ``os.replace``
+    leaves the previous version intact and current."""
     import pyspark.sql.functions as F
     from pyspark.sql import Observation
 
@@ -168,14 +211,49 @@ def commit_version(
     stats_cols = list(stats_cols or [])
     os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
     os.makedirs(os.path.join(root, "data"), exist_ok=True)
-    _repair(root)
     cur = current_version(root)
+    if expected_parent is not _UNSET and expected_parent != cur:
+        raise ConcurrentWriteError(
+            f"commit_version: table at {root} is at version {cur}, but "
+            f"this batch was derived at version {expected_parent} — "
+            f"another commit landed in between. Nothing was written; "
+            f"re-read the table and retry."
+        )
+    _repair(root)
     n = 0 if cur is None else cur + 1
     if mode == "append" and cur is None:
         mode = "overwrite"  # first commit of an append stream
+    parent = read_manifest(root, cur) if mode == "append" else None
+    if parent is not None and "schema" in parent:
+        # reject an append whose batch RETYPES a shared column: the
+        # by-name union would record the batch's type, under which the
+        # parent's already-committed parquet files fail AT SCAN TIME —
+        # a successfully-committed version nobody can read (ADVICE r11).
+        # Adding new columns is fine (old files null-fill them).
+        from pyspark.sql.types import StructType
+
+        ptypes = {
+            f.name: f.dataType
+            for f in StructType.fromJson(json.loads(parent["schema"])).fields
+        }
+        clash = [
+            f"{f.name}: {ptypes[f.name].simpleString()} -> "
+            f"{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name in ptypes and f.dataType != ptypes[f.name]
+        ]
+        if clash:
+            raise ValueError(
+                "commit_version(append): batch retypes shared column(s) "
+                f"[{'; '.join(clash)}] — the parent's parquet files "
+                "would become unreadable under the unioned schema. "
+                "Cast the batch to the table's types, or commit an "
+                "overwrite version that rewrites the table."
+            )
 
     spark = df.sparkSession
-    data_dir = os.path.join(root, "data", f"v{n:06d}")
+    token = uuid.uuid4().hex[:8]
+    data_dir = os.path.join(root, "data", f"v{n:06d}_{token}")
     obs = Observation()
     df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
         "overwrite"
@@ -218,7 +296,6 @@ def commit_version(
     if mode == "append":
         from pyspark.sql.types import StructType
 
-        parent = read_manifest(root, cur)
         files = parent["files"] + new_rel
         n_rows = parent["n_rows"] + n_new
         stats = {**parent.get("stats", {}), **stats}
@@ -249,13 +326,38 @@ def commit_version(
         "extra": dict(extra or {}),
         "committed_at": time.time(),
     }
+    # ---- publish: optimistic-concurrency gate ----------------------
+    # (1) pointer re-check: another commit landing during our (long)
+    # data write means our snapshot of `cur` is stale — refuse and
+    # leave no trace rather than publish a version derived from it.
+    if current_version(root) != cur:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"commit_version: version pointer at {root} moved past "
+            f"{cur} while this commit was writing — another writer "
+            f"won. This attempt's files were removed; table state is "
+            f"the winning commit. Re-read and retry."
+        )
+    # (2) manifest CAS: os.link fails with EEXIST if manifest n already
+    # exists, so at most one racing writer can ever publish version n
+    # (the conditional-put of a real table format, in POSIX terms).
     mpath = _manifest_path(root, n)
-    tmp = mpath + ".tmp"
+    tmp = mpath + f".{token}.tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, mpath)
+    try:
+        os.link(tmp, mpath)
+    except FileExistsError:
+        os.remove(tmp)
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"commit_version: manifest v{n:06d} at {root} was "
+            f"published by a concurrent writer. This attempt's files "
+            f"were removed; re-read and retry."
+        )
+    os.remove(tmp)
 
-    ptmp = os.path.join(root, _POINTER + ".tmp")
+    ptmp = os.path.join(root, _POINTER + f".{token}.tmp")
     with open(ptmp, "w") as f:
         f.write(str(n))
     os.replace(ptmp, os.path.join(root, _POINTER))
@@ -376,6 +478,16 @@ def zorder_value(cols: "list[str]", bits: int = 16):
     if len(cols) < 2:
         raise ValueError("zorder_value: needs >= 2 columns")
     k = len(cols)
+    # Java shift semantics wrap the shift amount mod 64: with
+    # bits*k > 64 the high interleaved positions would silently land
+    # back on low bits, scattering the layout (clustering destroyed;
+    # results stay correct only because pruning reads real stats).
+    # Refuse loudly instead (ADVICE r11).
+    if bits * k > 64:
+        raise ValueError(
+            f"zorder_value: bits*len(cols) = {bits}*{k} = {bits * k} "
+            f"exceeds the 64-bit key; pass bits <= {64 // k}"
+        )
     z = F.lit(0).cast("bigint")
     for i in range(bits):
         for j, c in enumerate(cols):
