@@ -84,6 +84,32 @@ def cms_counters(
     )
 
 
+def cms_forget_grid(
+    grid: DataFrame,
+    deleted: DataFrame,
+    key: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Right-to-be-forgotten for a standing sketch: the additive merge
+    law run BACKWARDS — sketch the deleted slice (cost ∝ slice), negate
+    its grid, sum elementwise, drop zeroed cells. Because counter
+    grids are exact integer sums over disjoint slices, the result is
+    row-identical to rebuilding the grid from the kept stream (pinned
+    by the cms_forget oracle and a crafted-corpus test) — no other
+    index family's forget is this cheap: no row deletes, no
+    re-derivation, just one ≤ 2·depth·width-row aggregate."""
+    neg = cms_counters(deleted, key, depth, width).withColumn(
+        "c", (-F.col("c")).cast("bigint")
+    )
+    return (
+        grid.unionByName(neg)
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .filter(F.col("c") > 0)
+    )
+
+
 def cms_estimate(
     keys: DataFrame,
     counters: DataFrame,

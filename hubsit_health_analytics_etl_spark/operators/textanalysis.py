@@ -444,6 +444,35 @@ def apply_cut_positions(docs, cut, k: int, text_col: str = "text"):
     )
 
 
+def scrub_from_postings(docs, postings, k: int, text_col: str = "text"):
+    """Scrub ``docs`` against a STANDING positional postings table
+    (gh, doc_id, pos) — the persisted form of _doc_grams that
+    phrase_search probes — instead of re-gramming text: per-gram
+    ownership (owner = min doc_id, cut iff df >= 2 and not owner)
+    re-derives from the postings with one distinct+groupBy, then the
+    shared apply_cut_positions tail rebuilds kept text.
+
+    This is what makes gram-ownership FORGETTABLE: the collapsed
+    (gh, df, owner) index cannot transfer ownership when an owner is
+    deleted (the next-min holder isn't in the row), but the postings
+    can — anti-join the deleted docs away and ownership re-derivation
+    does the transfer automatically, a gram left with one holder
+    stops cutting, and the result equals a from-scratch scrub of the
+    kept corpus (the dedup_clusters_forget cut-vertex precedent;
+    pinned by the scrub_forget oracle and a crafted transfer test).
+    ``docs`` and ``postings`` must cover the same doc set."""
+    owners = (
+        postings.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner"))
+        .filter(F.col("df") >= 2)
+        .select("gh", "owner")
+    )
+    cut = postings.join(owners, "gh").filter(F.col("doc_id") != F.col("owner"))
+    return apply_cut_positions(docs, cut, k, text_col)
+
+
 def gram_document_frequency(grams):
     """(gh, df): per-gram distinct-document count — ALL grams, df >= 1.
     This table IS the persistable substring-dedup index at 100 TB:
@@ -793,11 +822,14 @@ BM25_B = 0.75
 # determinism requires the identical IEEE operation ORDER on both
 # engines, so every subexpression is explicitly parenthesized (e.g.
 # 0.75*(dl/avgdl), never (0.75*dl)/avgdl). Expects double columns
-# n_docs, df, tf, dl, avgdl in scope; k1/b inlined as decimal
-# literals both engines parse to the same double.
+# n_docs, df, tf, dl, avgdl in scope. Built FROM the constants above
+# (ADVICE r11: literals had drifted free of them) — the shortest-repr
+# decimal text parses to the identical double on both engines;
+# tests/test_ext_operators.py pins the exact rendered string.
 BM25_CONTRIB_SQL = (
     "(ln(1.0 + (((n_docs - df) + 0.5) / (df + 0.5)))"
-    " * ((tf * 2.2) / (tf + (1.2 * ((1.0 - 0.75) + (0.75 * (dl / avgdl)))))))"
+    f" * ((tf * {BM25_K1 + 1.0!r}) / (tf + ({BM25_K1!r} * ((1.0 - {BM25_B!r})"
+    f" + ({BM25_B!r} * (dl / avgdl)))))))"
 )
 
 
@@ -834,6 +866,65 @@ def corpus_term_stats(docs, text_col: str = "text"):
         .select("n_docs", (F.col("n_toks") / F.col("n_docs")).alias("avgdl"))
     )
     return tf, dl, dfreq, stats
+
+
+def term_stats_forget(tf, dl, dfreq, raw, deleted):
+    """Right-to-be-forgotten for the standing term index — the
+    additive merge law (bm25_new_batch) INVERTED, computed entirely
+    from the index itself (tf rows ARE the postings, so no deleted
+    text is ever re-tokenized):
+
+    - tf/dl rows are per-doc → anti-join deletes;
+    - per-token df subtracts the deleted docs' postings count; tokens
+      whose df reaches 0 leave the vocabulary (exactly what a rebuild
+      over the kept corpus yields);
+    - the exact-INTEGER totals ``raw`` (n_docs, n_toks — the
+      undividable form of stats' avgdl) subtract the deleted counts
+      before the one avgdl division.
+
+    ``deleted``: (doc_id) — may include docs absent from the index
+    (token-less docs still count toward n_docs, matching
+    corpus_term_stats' own n_docs = COUNT(docs) convention, so the
+    caller passes ALL deleted doc ids and n_docs subtracts all of
+    them). Returns (tf, dl, dfreq, stats) shaped exactly like
+    corpus_term_stats — every count an exact integer subtraction, so
+    the result is value-identical to recomputing over the kept corpus
+    (pinned by the bm25_forget oracle and a crafted equivalence
+    test)."""
+    tf_k = tf.join(deleted, "doc_id", "left_anti")
+    dl_k = dl.join(deleted, "doc_id", "left_anti")
+    df_del = (
+        tf.join(deleted, "doc_id")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_del"))
+    )
+    dfreq_k = (
+        dfreq.join(df_del, "token", "left")
+        .select(
+            "token",
+            (F.col("df_l") - F.coalesce(F.col("df_del"), F.lit(0)))
+            .cast("bigint")
+            .alias("df_l"),
+        )
+        .filter(F.col("df_l") > 0)
+    )
+    del_counts = deleted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("dd")
+    ).crossJoin(
+        F.broadcast(
+            dl.join(deleted, "doc_id").agg(
+                F.coalesce(F.sum("dl_l"), F.lit(0)).cast("bigint").alias("dt")
+            )
+        )
+    )
+    stats_k = raw.crossJoin(F.broadcast(del_counts)).select(
+        (F.col("n_docs") - F.col("dd")).cast("double").alias("n_docs"),
+        (
+            (F.col("n_toks") - F.col("dt")).cast("double")
+            / (F.col("n_docs") - F.col("dd")).cast("double")
+        ).alias("avgdl"),
+    )
+    return tf_k, dl_k, dfreq_k, stats_k
 
 
 def bm25_scores(docs, query_terms, text_col: str = "text", term_stats=None):

@@ -3376,6 +3376,124 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "semantic_dedup_new_batch",
+    _nn_oracle_cte()
+    + f"""
+    , nn AS (SELECT vec_id, nn_id, ROUND(cosine, 6) AS cosine,
+                    cosine >= {NN_DUP_THRESHOLD} AS is_dup
+             FROM r WHERE rn = 1)
+    SELECT emb.vec_id, nn.nn_id, nn.cosine,
+           COALESCE(NOT (nn.is_dup AND emb.vec_id > nn.nn_id), TRUE) AS keep
+    FROM embeddings emb LEFT JOIN nn ON emb.vec_id = nn.vec_id
+    WHERE {sql_hash_bucket("emb.vec_id")} < {NEW_BATCH_PCT}
+    """,
+)
+def q_semantic_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup at INGEST — the incremental twin every other
+    dedup family already has (r11 verdict #4): the corpus (90%)
+    persists its sign-LSH BUCKET INDEX — (vec_id, embedding, nrm,
+    bucket), partitioned by bucket, with the 64-term hyperplane
+    projection and the norm computed ONCE at index build — and a new
+    vector batch buckets only ITSELF map-side, then joins bucket-equal
+    candidates from index ∪ batch (a batch vector's nearest neighbor
+    can be another batch vector). Keep rule unchanged: drop iff the
+    in-bucket NN clears the threshold with a smaller id; singleton-
+    bucket batch vectors are always kept (left join). Because the
+    decision for a vector depends only on its own bucket's membership,
+    probing index ∪ batch is EXACTLY the full-corpus blocking
+    restricted to batch vectors — the oracle (semantic_dedup_keep's
+    CTE chain over all embeddings, output filtered to the batch) says
+    so cryptographically. The corpus embeddings are never re-bucketed
+    or re-normed (plan-pinned: every embeddings scan is
+    batch-filtered); at 100 TB the bucket-partitioned index is the
+    standing table and ingest cost is ∝ batch × bucket occupancy."""
+    import os
+
+    from pyspark.sql import Window
+
+    from .operators.sampling import hash_bucket
+    from .operators.similarity import dot_expr, lsh_bucket_expr, norm_expr
+    from .sources.sinks import write_parquet
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_new = hash_bucket("vec_id") < NEW_BATCH_PCT
+    corpus, batch = emb.filter(~is_new), emb.filter(is_new)
+
+    base = _run_scoped_index_dir("sem_dedup")
+    idx_path = os.path.join(base, "bucket_index")
+    # Stored FLAT here: directory-partitioning by bucket (the
+    # ann_incremental cell layout — the right 100 TB posture, probes
+    # prune buckets before the scan) trips a Spark DPP planner bug
+    # when the probe side's partition-join key is this 64-term
+    # hyperplane expression ("dynamic pruning has not finished"); at
+    # fixture scale the bucket column still drives the equi-join, so
+    # correctness and the never-re-bucketed contract are identical.
+    write_parquet(
+        _spread(corpus).select(
+            "vec_id",
+            "embedding",
+            norm_expr("embedding").alias("nrm"),
+            lsh_bucket_expr("embedding", _nn_dedup_planes()).alias("bucket"),
+        ),
+        idx_path,
+    )
+    idx = spark.read.parquet(idx_path)
+
+    bb = batch.select(
+        "vec_id",
+        "embedding",
+        norm_expr("embedding").alias("nrm"),
+        lsh_bucket_expr("embedding", _nn_dedup_planes()).alias("bucket"),
+    )
+    cands = idx.select("vec_id", "embedding", "nrm", "bucket").unionByName(
+        bb.select("vec_id", "embedding", "nrm", "bucket")
+    )
+    a = bb.select(
+        "vec_id",
+        "bucket",
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = cands.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("bucket").alias("bk"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(
+        b, (F.col("bucket") == F.col("bk")) & (F.col("vec_id") != F.col("nn_id"))
+    )
+    scored = pairs.select(
+        "vec_id",
+        "nn_id",
+        F.round(dot_expr("va", "vb") / (F.col("na") * F.col("nb")), 9).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("nn_id")
+    )
+    nn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "nn_id",
+            F.round("cosine", 6).alias("cosine"),
+            (F.col("cosine") >= NN_DUP_THRESHOLD).alias("is_dup"),
+        )
+    )
+    keep = F.coalesce(
+        ~(F.col("is_dup") & (F.col("vec_id") > F.col("nn_id"))), F.lit(True)
+    )
+    return (
+        batch.select("vec_id")
+        .join(nn, "vec_id", "left")
+        .select("vec_id", "nn_id", "cosine", keep.alias("keep"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Source-priority dedup keep-list: among duplicates, keep the copy from
 # the most trusted source (curated > crawl), not the arbitrary min id.
@@ -7593,18 +7711,23 @@ BM25_TOP = 10
 _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERY_SET)
 
 
-_BM25_ORACLE = f"""
-    WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
-                 FROM documents),
+def _bm25_oracle(src: str = "documents", prelude: str = "") -> str:
+    """From-scratch BM25 SQL over table/CTE ``src`` (``prelude``: extra
+    leading CTEs, e.g. the forget-flow keep-list). src="documents"
+    with no prelude renders the byte-identical text the hash-certified
+    bm25_search family has always used."""
+    return f"""
+    WITH {prelude}tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                 FROM {src}),
     t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
     tf AS (SELECT doc_id, token, COUNT(*)::DOUBLE AS tf
            FROM t GROUP BY doc_id, token),
     dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM t GROUP BY doc_id),
     dfreq AS (SELECT token, COUNT(DISTINCT doc_id)::DOUBLE AS df
               FROM t GROUP BY token),
-    stats AS (SELECT (SELECT COUNT(*)::DOUBLE FROM documents) AS n_docs,
+    stats AS (SELECT (SELECT COUNT(*)::DOUBLE FROM {src}) AS n_docs,
                      (SELECT COUNT(*)::DOUBLE FROM t)
-                       / (SELECT COUNT(*)::DOUBLE FROM documents) AS avgdl),
+                       / (SELECT COUNT(*)::DOUBLE FROM {src}) AS avgdl),
     q AS (SELECT * FROM (VALUES {_BM25_VALUES}) v(query_id, token)),
     contrib AS (SELECT query_id, tf.doc_id, tf.token, {BM25_CONTRIB_SQL} AS w
                 FROM tf JOIN q USING (token) JOIN dfreq USING (token)
@@ -7619,6 +7742,9 @@ _BM25_ORACLE = f"""
     SELECT query_id, doc_id, score_u6, rk::BIGINT AS rk
     FROM r WHERE rk <= {BM25_TOP}
     """
+
+
+_BM25_ORACLE = _bm25_oracle()
 
 
 def _bm25_ranked(scores: DataFrame) -> DataFrame:
@@ -7699,7 +7825,25 @@ def _prepare_term_index(spark: SparkSession, sf_dir: str) -> str:
     base = tempfile.mkdtemp(prefix=f"hubsit_term_index_{tag}_")
     docs = _spread(load_table(spark, sf_dir, "documents"))
     tf, dl, dfreq, stats = corpus_term_stats(docs)
-    for name, df in [("tf", tf), ("dl", dl), ("dfreq", dfreq), ("stats", stats)]:
+    # "raw" = the EXACT-INTEGER corpus totals behind stats' derived
+    # doubles — the mergeable/subtractable form bm25_forget needs
+    # (avgdl cannot be exactly un-divided back into n_toks)
+    raw = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).crossJoin(
+        F.broadcast(
+            dl.agg(
+                F.coalesce(F.sum("dl_l"), F.lit(0))
+                .cast("bigint")
+                .alias("n_toks")
+            )
+        )
+    )
+    for name, df in [
+        ("tf", tf),
+        ("dl", dl),
+        ("dfreq", dfreq),
+        ("stats", stats),
+        ("raw", raw),
+    ]:
         write_parquet(df, os.path.join(base, name))
     _TERM_INDEX_CACHE[sf_dir] = base
     return base
@@ -7749,17 +7893,22 @@ _CMS_BUCKET_OF_KI = duckdb_cms_bucket_sql("k.user_id", "d.i", CMS_WIDTH)
 # elementwise-additive over disjoint event slices, so merged == from-
 # scratch exactly, and the hash match proves it (the vocab_new_batch
 # posture).
-_CMS_ORACLE = f"""
-    WITH d AS (SELECT unnest(range({CMS_DEPTH})) AS i),
+def _cms_oracle(src: str = "events", prelude: str = "") -> str:
+    """Full-recompute CMS heavy-hitter SQL over table/CTE ``src``
+    (``prelude``: extra leading CTEs). src="events" with no prelude
+    renders the byte-identical text heavy_hitters_cms/cms_new_batch
+    were hash-certified with."""
+    return f"""
+    WITH {prelude}d AS (SELECT unnest(range({CMS_DEPTH})) AS i),
     counters AS (SELECT i, {_CMS_BUCKET_OF_I} AS bucket, COUNT(*)::BIGINT AS c
-                 FROM events CROSS JOIN d GROUP BY i, bucket),
-    keys AS (SELECT DISTINCT user_id FROM events),
+                 FROM {src} CROSS JOIN d GROUP BY i, bucket),
+    keys AS (SELECT DISTINCT user_id FROM {src}),
     est AS (SELECT k.user_id, MIN(c.c)::BIGINT AS est_count
             FROM keys k CROSS JOIN d
             JOIN counters c ON c.i = d.i AND c.bucket = {_CMS_BUCKET_OF_KI}
             GROUP BY k.user_id),
     exact AS (SELECT user_id, COUNT(*)::BIGINT AS exact_count
-              FROM events GROUP BY user_id),
+              FROM {src} GROUP BY user_id),
     r AS (SELECT e.user_id, e.est_count, x.exact_count,
                  (e.est_count - x.exact_count)::BIGINT AS overcount,
                  ROW_NUMBER() OVER (ORDER BY e.est_count DESC, e.user_id)
@@ -7768,6 +7917,9 @@ _CMS_ORACLE = f"""
     SELECT user_id, est_count, exact_count, overcount, rk::BIGINT AS rk
     FROM r WHERE rk <= {CMS_TOP}
     """
+
+
+_CMS_ORACLE = _cms_oracle()
 
 
 @query("heavy_hitters_cms", _CMS_ORACLE)
@@ -8084,7 +8236,7 @@ _PHRASE_VALUES = ", ".join(f"('{p}', '{t}')" for p, t in PHRASE_SET)
             SELECT unnest(range(1, greatest(len(toks) - {PHRASE_LEN - 2}, 1)))
                      AS i
           ) u),
-    p AS (SELECT phrase_id, md5(phrase) AS gh
+    p AS (SELECT phrase_id, md5(lower(phrase)) AS gh
           FROM (VALUES {_PHRASE_VALUES}) v(phrase_id, phrase))
     SELECT p.phrase_id, g.doc_id,
            COUNT(*)::BIGINT AS n_hits,
@@ -8186,6 +8338,237 @@ def q_bm25_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         None, _bm25_qterms(spark), term_stats=(tf, dl, dfreq, stats)
     )
     return _bm25_ranked(scores)
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten across the STANDING indexes (r11 verdict #2):
+# a GDPR deletion pass hits every persisted index, not just cluster
+# labels (dedup_clusters_forget) and IVF cells (ann_forget_topk). The
+# three new forget flows invert each index family's merge law:
+#   - bm25_forget: the term index is ADDITIVE over disjoint doc
+#     slices (bm25_new_batch), so deletion is the inverse — tf/dl
+#     rows are per-doc (anti-join deletes), df and the integer totals
+#     subtract. Everything derives from the INDEX itself (tf rows are
+#     the postings), zero re-tokenization of any text.
+#   - scrub_forget: the gram-ownership law is owner = min(doc_id), so
+#     deleting an owner must TRANSFER ownership to the next surviving
+#     doc holding the gram (the dedup_clusters_forget cut-vertex
+#     analogue). That next-min is not derivable from a collapsed
+#     (gh, df, owner) row, so the persisted form here is the
+#     POSITIONAL POSTINGS (gh, doc_id, pos) — the same table
+#     phrase_search probes — from which ownership re-derives with one
+#     groupBy after the anti-join delete; corpus text is re-read only
+#     by the inherent rewrite stage, never re-grammed (plan-pinned).
+#   - cms_forget: counter grids are elementwise-additive, so deletion
+#     subtracts the deleted slice's grid (sketch the 5% slice, negate,
+#     sum) — the only family whose forget cost is ∝ deleted slice
+#     with NO index row deletes at all.
+# Oracle for all three = the full recompute on the kept slice
+# (dedup_clusters_forget precedent): the hash match proves
+# index-edit == rebuild-from-scratch, cryptographically.
+# No reference counterpart (the pandas reference has no persisted
+# indexes; /root/reference/src/etl_pipeline.py rebuilds per run).
+# ---------------------------------------------------------------------------
+_FORGET_KEPT_DOCS = (
+    "kept AS (SELECT * FROM documents "
+    f"WHERE {sql_hash_bucket('doc_id', salt='forget')} >= {FORGET_PCT}),\n    "
+)
+_FORGET_KEPT_EVENTS = (
+    "ev AS (SELECT * FROM events "
+    f"WHERE {sql_hash_bucket('event_id', salt='forget')} >= {FORGET_PCT}),\n    "
+)
+
+PREPARES["bm25_forget"] = _prepare_term_index
+
+
+@query("bm25_forget", _bm25_oracle(src="kept", prelude=_FORGET_KEPT_DOCS))
+def q_bm25_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 search after deleting the stable {FORGET_PCT}% forget-list
+    from the STANDING term index (the bm25_search_indexed fixture,
+    PREPARES): tf/dl rows of deleted docs anti-join away; per-token df
+    subtracts the deleted docs' postings count (derived from the tf
+    index itself — tf rows ARE the postings, so no deleted text is
+    ever re-tokenized, and tokens whose df hits 0 leave the
+    vocabulary); the exact-integer (n_docs, n_toks) totals subtract
+    the deleted counts before the one avgdl division. Search then runs
+    on the edited index; the oracle rebuilds everything from the kept
+    corpus from scratch — the hash match proves subtraction ==
+    rebuild. The only touch of the documents table is a doc_id-column
+    scan for the forget-list (no text, no tokenizer; plan-pinned)."""
+    import os
+
+    from .operators.sampling import hash_bucket
+    from .operators.textanalysis import bm25_scores, term_stats_forget
+
+    base = _prepare_term_index(spark, sf_dir)
+    tf, dl, dfreq, raw = (
+        spark.read.parquet(os.path.join(base, name))
+        for name in ["tf", "dl", "dfreq", "raw"]
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    deleted = docs.filter(
+        hash_bucket("doc_id", salt="forget") < FORGET_PCT
+    ).select("doc_id")
+    scores = bm25_scores(
+        None,
+        _bm25_qterms(spark),
+        term_stats=term_stats_forget(tf, dl, dfreq, raw, deleted),
+    )
+    return _bm25_ranked(scores)
+
+
+_POSTINGS_INDEX_CACHE: dict[str, str] = {}
+
+
+def _prepare_postings_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the FULL-corpus positional gram postings (doc_id, pos,
+    gh) — the standing substring/phrase index (the table phrase_search
+    probes), memoized per (process, sf_dir)."""
+    got = _POSTINGS_INDEX_CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.textanalysis import _doc_grams
+    from .sources.sinks import write_parquet
+
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
+    base = tempfile.mkdtemp(prefix=f"hubsit_postings_index_{tag}_")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    write_parquet(
+        _doc_grams(docs, SPAN_GRAM), os.path.join(base, "postings")
+    )
+    _POSTINGS_INDEX_CACHE[sf_dir] = base
+    return base
+
+
+PREPARES["scrub_forget"] = _prepare_postings_index
+
+
+def _scrub_forget_oracle() -> str:
+    from .operators.sampling import sql_hash_bucket
+
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents
+               WHERE {sql_hash_bucket("doc_id", salt="forget")} >= {FORGET_PCT}),
+    g AS (SELECT doc_id, i AS pos,
+                 md5(array_to_string(toks[i : i + {SPAN_GRAM - 1}], ' ')) AS gh
+          FROM t, LATERAL (
+            SELECT unnest(range(1, greatest(len(toks) - {SPAN_GRAM - 2}, 1))) AS i
+          ) u),
+    own AS (SELECT gh, MIN(doc_id) AS owner
+            FROM (SELECT DISTINCT gh, doc_id FROM g)
+            GROUP BY gh HAVING COUNT(*) >= 2),
+    cut AS (SELECT g.doc_id, g.pos FROM g JOIN own USING (gh)
+            WHERE g.doc_id <> own.owner),
+    cov AS (SELECT DISTINCT doc_id, pos + o.off AS tp
+            FROM cut, LATERAL (
+              SELECT unnest(range(0, {SPAN_GRAM})) AS off) o),
+    tok AS (SELECT doc_id, i AS tp, toks[i] AS tok
+            FROM t, LATERAL (
+              SELECT unnest(range(1, len(toks) + 1)) AS i) u),
+    kept AS (SELECT tok.doc_id,
+                    string_agg(tok.tok, ' ' ORDER BY tok.tp) AS scrubbed_text,
+                    COUNT(*) AS n_kept
+             FROM tok LEFT JOIN cov
+               ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp
+             WHERE cov.tp IS NULL GROUP BY tok.doc_id)
+    SELECT t.doc_id,
+           COALESCE(k.scrubbed_text, '') AS scrubbed_text,
+           COALESCE(k.n_kept, 0)::BIGINT AS n_tokens_kept,
+           (len(t.toks) - COALESCE(k.n_kept, 0))::BIGINT AS n_tokens_removed
+    FROM t LEFT JOIN kept k USING (doc_id)
+    """
+
+
+@query("scrub_forget", _scrub_forget_oracle())
+def q_scrub_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring scrub of the surviving corpus after deleting the
+    stable {FORGET_PCT}% forget-list from the standing positional
+    postings index (PREPARES fixture — the phrase_search table):
+    deleted docs' postings anti-join away, then per-gram ownership
+    RE-DERIVES from the surviving postings with one distinct+groupBy —
+    a gram whose owner was deleted transfers to the min surviving
+    holder (the cut-vertex analogue dedup_clusters_forget handles for
+    cluster keepers), and a gram left with one holder stops cutting at
+    all. The rewrite (shared apply_cut_positions tail) re-reads kept
+    text — inherent to producing text output — but nothing is ever
+    re-GRAMMED: the plan contains no gram-slice/md5-gram stage
+    (plan-pinned). Oracle = from-scratch scrub of the kept corpus."""
+    import os
+
+    from .operators.sampling import hash_bucket
+    from .operators.textanalysis import scrub_from_postings
+
+    base = _prepare_postings_index(spark, sf_dir)
+    postings = spark.read.parquet(os.path.join(base, "postings"))
+    docs = load_table(spark, sf_dir, "documents")
+    is_del = hash_bucket("doc_id", salt="forget") < FORGET_PCT
+    deleted = docs.filter(is_del).select("doc_id")
+    surviving = postings.join(deleted, "doc_id", "left_anti")
+    return scrub_from_postings(docs.filter(~is_del), surviving, SPAN_GRAM)
+
+
+_CMS_GRID_CACHE: dict[str, str] = {}
+
+
+def _prepare_cms_grid(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the FULL event stream's count-min grid (≤ depth·width
+    rows), memoized per (process, sf_dir) — the standing sketch the
+    streaming cms_grid_sink maintains incrementally."""
+    got = _CMS_GRID_CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.sketches import cms_counters
+    from .sources.sinks import write_parquet
+
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
+    base = tempfile.mkdtemp(prefix=f"hubsit_cms_grid_{tag}_")
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    write_parquet(cms_counters(events, "user_id"), os.path.join(base, "grid"))
+    _CMS_GRID_CACHE[sf_dir] = base
+    return base
+
+
+PREPARES["cms_forget"] = _prepare_cms_grid
+
+
+@query("cms_forget", _cms_oracle(src="ev", prelude=_FORGET_KEPT_EVENTS))
+def q_cms_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter report after deleting the stable {FORGET_PCT}% of
+    events (by event_id hash) from the standing count-min grid
+    (PREPARES fixture): the deleted slice is re-sketched (cost ∝
+    slice), its grid NEGATED, and the two grids summed elementwise —
+    the additive merge law run backwards; zero-valued cells drop so
+    the edited grid is row-identical to a kept-slice rebuild. The
+    report probes with the kept stream's keys; the oracle recomputes
+    sketch and exact counts from the kept events from scratch — the
+    hash match proves grid subtraction == rebuild (estimates AND
+    collision overcounts identical)."""
+    import os
+
+    from .operators.sampling import hash_bucket
+    from .operators.sketches import cms_forget_grid
+
+    base = _prepare_cms_grid(spark, sf_dir)
+    grid = spark.read.parquet(os.path.join(base, "grid"))
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    is_del = hash_bucket("event_id", salt="forget") < FORGET_PCT
+    merged = cms_forget_grid(
+        grid, events.filter(is_del).select("user_id"), "user_id"
+    )
+    return _cms_heavy_hitter_report(
+        events.filter(~is_del).select("user_id"), merged
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2254,3 +2254,157 @@ def test_token_pmi_matches_python_reference_on_crafted_corpus(spark):
     assert got == expected
     # the always-adjacent pair must out-score the independent one
     assert got[("new", "york")][1] > got[("the", "the")][1] if ("the", "the") in got else True
+
+
+def test_bm25_contrib_sql_is_built_from_the_constants():
+    """ADVICE r11: BM25_CONTRIB_SQL used to hard-code 1.2/2.2/0.75 so
+    editing BM25_K1/BM25_B silently did nothing. It is now rendered
+    from the constants; pin the exact historical text (the shared
+    cross-engine expression — any drift silently invalidates every
+    hash-certified BM25 oracle) and that the constants actually feed
+    it."""
+    from hubsit_health_analytics_etl_spark.operators import textanalysis as T
+
+    assert T.BM25_CONTRIB_SQL == (
+        "(ln(1.0 + (((n_docs - df) + 0.5) / (df + 0.5)))"
+        " * ((tf * 2.2) / (tf + (1.2 * ((1.0 - 0.75)"
+        " + (0.75 * (dl / avgdl)))))))"
+    )
+    assert repr(T.BM25_K1 + 1.0) in T.BM25_CONTRIB_SQL
+    assert repr(T.BM25_B) in T.BM25_CONTRIB_SQL
+
+
+def test_term_stats_forget_equals_recompute_on_kept_docs(spark):
+    """The inverted additive merge (bm25_forget's core): subtracting a
+    deleted doc slice from the standing term index must be
+    value-identical to corpus_term_stats over the kept docs —
+    including a token leaving the vocabulary when its df hits 0 and a
+    TOKEN-LESS deleted doc (counts toward n_docs, contributes no
+    postings). Independent of the DuckDB oracle (which could share a
+    formula bug with the Spark side)."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        corpus_term_stats,
+        term_stats_forget,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "c d a"), (4, ""), (5, "a a a")],
+        "doc_id long, text string",
+    )
+    tf, dl, dfreq, _ = corpus_term_stats(docs)
+    raw = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).crossJoin(
+        F.broadcast(
+            dl.agg(
+                F.coalesce(F.sum("dl_l"), F.lit(0)).cast("bigint").alias("n_toks")
+            )
+        )
+    )
+    deleted = spark.createDataFrame([(3,), (4,)], "doc_id long")
+    tf_k, dl_k, dfreq_k, stats_k = term_stats_forget(tf, dl, dfreq, raw, deleted)
+
+    kept = docs.filter(~F.col("doc_id").isin(3, 4))
+    tf_r, dl_r, dfreq_r, stats_r = corpus_term_stats(kept)
+
+    assert sorted(map(tuple, tf_k.collect())) == sorted(map(tuple, tf_r.collect()))
+    assert sorted(map(tuple, dl_k.collect())) == sorted(map(tuple, dl_r.collect()))
+    got_df = sorted(map(tuple, dfreq_k.collect()))
+    assert got_df == sorted(map(tuple, dfreq_r.collect()))
+    assert "d" not in {t for t, _ in got_df}  # df hit 0 -> left the vocab
+    # stats: doubles derived from identical exact integers -> bit-equal
+    assert stats_k.collect() == stats_r.collect()
+    assert stats_k.collect()[0]["n_docs"] == 3.0
+
+
+def test_scrub_from_postings_transfers_ownership_on_forget(spark):
+    """Deleting a gram's OWNER from the postings index must transfer
+    ownership to the next surviving holder (it keeps its text; later
+    holders cut), and a gram left with one holder must stop cutting —
+    the cut-vertex semantics a collapsed (gh, df, owner) row cannot
+    express. Crafted 2-gram corpus, checked end-to-end."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        _doc_grams,
+        scrub_from_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y q"), (2, "x y r p"), (3, "p q x y")],
+        "doc_id long, text string",
+    )
+    postings = _doc_grams(docs, 2)
+
+    # full corpus: doc 1 owns "x y" -> docs 2 and 3 get cut
+    full = {
+        r.doc_id: r
+        for r in scrub_from_postings(docs, postings, 2).collect()
+    }
+    assert full[1].scrubbed_text == "x y q"
+    assert full[2].n_tokens_removed == 2
+    assert full[3].n_tokens_removed == 2
+
+    # forget doc 1: ownership of "x y" transfers to doc 2 (kept
+    # intact), doc 3 still cuts; no other gram is shared anymore
+    deleted = spark.createDataFrame([(1,)], "doc_id long")
+    surviving = postings.join(deleted, "doc_id", "left_anti")
+    kept_docs = docs.filter(F.col("doc_id") != 1)
+    out = {
+        r.doc_id: r
+        for r in scrub_from_postings(kept_docs, surviving, 2).collect()
+    }
+    assert sorted(out) == [2, 3]
+    assert out[2].scrubbed_text == "x y r p"
+    assert out[2].n_tokens_removed == 0
+    assert out[3].scrubbed_text == "p q"
+    assert out[3].n_tokens_removed == 2
+
+
+def test_cms_forget_grid_equals_rebuild_on_kept_stream(spark):
+    """Grid subtraction must be ROW-identical (cells and counts) to
+    re-sketching the kept stream — including dropping cells that zero
+    out. Exact integers, no tolerance."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.sketches import (
+        cms_counters,
+        cms_forget_grid,
+    )
+
+    rows = [(i, f"u{i % 7}") for i in range(200)]
+    events = spark.createDataFrame(rows, "event_id long, user_id string")
+    full = cms_counters(events, "user_id")
+    is_del = F.col("event_id") % 4 == 0
+    forgotten = cms_forget_grid(
+        full, events.filter(is_del).select("user_id"), "user_id"
+    )
+    rebuilt = cms_counters(events.filter(~is_del), "user_id")
+    assert sorted(map(tuple, forgotten.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    # and deleting EVERYTHING empties the grid (all cells zero out)
+    gone = cms_forget_grid(full, events.select("user_id"), "user_id")
+    assert gone.count() == 0
+
+
+def test_semantic_dedup_new_batch_equals_full_restricted(spark):
+    """Incremental == full, independent of the DuckDB oracle: probing
+    the new batch against the persisted bucket index (∪ the batch
+    itself) must reproduce semantic_dedup_keep's full-corpus decisions
+    exactly, restricted to the batch vectors — NN id, cosine and keep
+    bit all identical, singleton-bucket batch vectors kept."""
+    from hubsit_health_analytics_etl_spark.workload import QUERIES
+
+    full = {
+        r.vec_id: (r.nn_id, r.cosine, r.keep)
+        for r in QUERIES["semantic_dedup_keep"](spark, SF_SMOKE).collect()
+    }
+    inc = {
+        r.vec_id: (r.nn_id, r.cosine, r.keep)
+        for r in QUERIES["semantic_dedup_new_batch"](spark, SF_SMOKE).collect()
+    }
+    assert inc, "batch slice is non-empty at sf0.001"
+    assert set(inc) < set(full)  # strictly the batch subset
+    for vid, got in inc.items():
+        assert got == full[vid], f"vec {vid}: {got} != {full[vid]}"

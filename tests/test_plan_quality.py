@@ -1067,3 +1067,69 @@ def test_token_pmi_single_corpus_aggregates_topk_take_ordered(spark):
     for seg in p.split("BroadcastNestedLoopJoin")[1:]:
         head = seg.splitlines()[0].strip()
         assert head == "" or head.startswith("Cross BuildRight"), head
+
+
+def test_bm25_forget_never_touches_text(spark):
+    """The forget edit runs entirely on the standing term index: no
+    Generate (tokenizer explode) anywhere, and the only documents
+    access is the doc_id-column forget-list scan — no scan reads the
+    text column."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+    from hubsit_health_analytics_etl_spark.workload import PREPARES
+
+    PREPARES["bm25_forget"](spark, SF_SMOKE)
+    p = physical_plan(_q("bm25_forget")(spark, SF_SMOKE))
+    assert "Generate" not in p
+    assert "text:string" not in p  # no ReadSchema pulls the text column
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_scrub_forget_never_regrams(spark):
+    """scrub_forget reads the persisted positional postings once and
+    never re-GRAMS text: the gram stage's md5-of-slice signature must
+    be absent (the only text read is the inherent rebuild of kept
+    docs)."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+    from hubsit_health_analytics_etl_spark.workload import PREPARES
+
+    PREPARES["scrub_forget"](spark, SF_SMOKE)
+    p = physical_plan(_q("scrub_forget")(spark, SF_SMOKE))
+    assert p.count("postings") >= 1
+    assert "slice(" not in p  # the gram-hash stage never runs
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_cms_forget_subtracts_grids_broadcast_probe(spark):
+    """cms_forget's plan: the persisted grid is read once, the only
+    corpus-sized work is the deleted slice's re-sketch + the kept
+    stream's probe/exact aggregates, the probe join is broadcast, and
+    the final top-k is TakeOrderedAndProject."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+    from hubsit_health_analytics_etl_spark.workload import PREPARES
+
+    PREPARES["cms_forget"](spark, SF_SMOKE)
+    p = physical_plan(_q("cms_forget")(spark, SF_SMOKE))
+    assert p.count("grid") >= 1
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_semantic_dedup_new_batch_corpus_never_rebucketed(spark):
+    """Incremental semantic dedup: the probe plan reads the persisted
+    bucket index once, and EVERY embeddings scan is batch-filtered —
+    the corpus vectors are never re-bucketed or re-normed (the 64-term
+    hyperplane projection runs on the batch side only)."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("semantic_dedup_new_batch")(spark, SF_SMOKE))
+    assert p.count("bucket_index") == 1
+    n_emb_scans = p.count("embeddings.parquet")
+    assert n_emb_scans >= 1
+    assert p.count("% 100) < 10") == n_emb_scans, p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
