@@ -84,6 +84,87 @@ def cms_counters(
     )
 
 
+def value_histogram(
+    df: DataFrame, value_col: str, lo: float, hi: float, bins: int
+) -> DataFrame:
+    """(bin, cnt): fixed-bin value histogram with LITERAL bounds frozen
+    at deployment (the windowed_drift_psi monitor lesson — a mergeable
+    index must not let its bin edges drift with the data; out-of-range
+    values clamp into the edge bins, so nothing is ever dropped). This
+    is the persisted-QUANTILE index: per-batch histograms are exact
+    integer counts over disjoint slices, so they merge by union +
+    sum-groupBy (≤ 2·bins rows) and the merged table equals a full
+    recompute exactly — the property GK/t-digest sketches trade away,
+    and what makes this form hash-oracle-checkable. Resolution is the
+    bin width ((hi-lo)/bins); one map-side combine collapses each task
+    to ≤ bins rows before the (tiny) exchange."""
+    from ..streaming.drift import value_bin_expr
+
+    return (
+        df.select(value_bin_expr(value_col, lo, hi, bins).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, pcts: "list[int]", lo: float, hi: float, bins: int
+) -> DataFrame:
+    """Approximate quantiles FROM the histogram, all-integer selection:
+    for integer percent p, pick the smallest bin whose cumulative count
+    reaches p% of the total (cum·100 ≥ p·N — no float rank, so the
+    choice is engine-exact), i.e. exactly the bin containing the
+    ⌈p·N/100⌉-th smallest value. Emits (pct, bin, cum_rows, n_rows,
+    approx_hi_u6) with approx_hi_u6 the bin's UPPER edge in micro-units
+    (a one-sided bound: true quantile ≤ approx < true + bin width).
+    The cumulative window runs over ≤ ``bins`` rows (bounded by the
+    index, never the data), and the pct probe is a broadcast over
+    ≤ |pcts|·bins rows. The whole report consumes ``hist`` exactly
+    ONCE and linearly — n_rows rides the same window pass as the
+    cumulative sum, and the selected bin's row is carried through a
+    struct-min instead of a join-back — so an expensive ``hist``
+    lineage (an index read + a batch histogram) is never
+    re-evaluated (plan-pinned: one index scan, one source scan)."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    w = Window.orderBy("bin")
+    cum = hist.select(
+        "bin",
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_rows"),
+        F.sum("cnt")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .cast("bigint")
+        .alias("n_rows"),
+    )
+    p_df = spark.createDataFrame([(int(p),) for p in pcts], "pct bigint")
+    hit = p_df.crossJoin(F.broadcast(cum)).filter(
+        F.col("cum_rows") * 100 >= F.col("pct") * F.col("n_rows")
+    )
+    # min over (bin, ...) structs == the full row of the min bin
+    sel = hit.groupBy("pct").agg(
+        F.min(F.struct("bin", "cum_rows", "n_rows")).alias("s")
+    )
+    width = (float(hi) - float(lo)) / float(bins)
+    return sel.select(
+        "pct",
+        F.col("s.bin").cast("bigint").alias("bin"),
+        F.col("s.cum_rows").alias("cum_rows"),
+        F.col("s.n_rows").alias("n_rows"),
+        F.floor(
+            (F.lit(float(lo)) + ((F.col("s.bin") + F.lit(1)) * F.lit(width)))
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("approx_hi_u6"),
+    )
+
+
 def cms_forget_grid(
     grid: DataFrame,
     deleted: DataFrame,

@@ -8572,6 +8572,92 @@ def q_cms_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mergeable quantile index (r11 verdict #6): the HLL/CMS persisted-
+# index posture for PERCENTILES. GK / t-digest / approx_percentile
+# sketches are mergeable but not reproducibly so across engines (no
+# hash oracle); a fixed-bin integer histogram is BOTH — per-batch
+# counts are exact integers over disjoint slices (union + sum == full
+# recompute, cryptographically checkable) — at the cost of fixed
+# resolution (bin width). Bounds are LITERALS frozen at deployment
+# (the drift-monitor lesson; out-of-range values clamp into edge bins)
+# and chosen dyadic (1000/256 = 3.90625, exactly representable) so the
+# edge arithmetic is float-exact everywhere. Quantile selection is
+# all-integer: cum·100 ≥ p·N picks exactly the bin holding the
+# ⌈p·N/100⌉-th smallest value.
+# ---------------------------------------------------------------------------
+QHIST_BINS = 256
+QHIST_LO = 0.0
+QHIST_HI = 1000.0
+QHIST_PCTS = [1, 5, 25, 50, 75, 90, 95, 99]
+_QHIST_W = (QHIST_HI - QHIST_LO) / QHIST_BINS  # 3.90625, dyadic-exact
+
+
+@query(
+    "quantiles_new_batch",
+    f"""
+    WITH b AS (SELECT CAST(LEAST(GREATEST(FLOOR((value - {QHIST_LO!r}) * {float(QHIST_BINS)!r}
+                                                / ({QHIST_HI!r} - {QHIST_LO!r})), 0),
+                                 {QHIST_BINS - 1}) AS INT) AS bin
+               FROM events),
+    h AS (SELECT bin, COUNT(*)::BIGINT AS cnt FROM b GROUP BY bin),
+    n AS (SELECT SUM(cnt)::BIGINT AS n_rows FROM h),
+    c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)::BIGINT
+                 AS cum_rows FROM h),
+    p AS (SELECT unnest([{", ".join(str(p) for p in QHIST_PCTS)}])::BIGINT AS pct),
+    hit AS (SELECT p.pct, c.bin, c.cum_rows FROM p CROSS JOIN c CROSS JOIN n
+            WHERE c.cum_rows * 100 >= p.pct * n.n_rows),
+    sel AS (SELECT pct, MIN(bin) AS bin FROM hit GROUP BY pct)
+    SELECT sel.pct, sel.bin::BIGINT AS bin, c.cum_rows, n.n_rows,
+           CAST(FLOOR(({QHIST_LO!r} + ((sel.bin + 1) * {_QHIST_W!r})) * 1000000.0)
+                AS BIGINT) AS approx_hi_u6
+    FROM sel JOIN c USING (bin) CROSS JOIN n
+    """,
+)
+def q_quantiles_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles of events.value from a persisted mergeable
+    histogram index: the corpus slice's {QHIST_BINS}-bin histogram is
+    written as a parquet index, read back, and the new batch's
+    histogram merges in with one sum-groupBy over ≤ 2·{QHIST_BINS}
+    rows (exact integer counts over disjoint slices — merged == full
+    recompute, and the oracle, the from-scratch SQL over ALL events,
+    proves it cryptographically). Quantile selection and the report
+    run on ≤ {QHIST_BINS}-row tables: the cumulative window and the
+    pct probe are bounded by the INDEX size, never the data — at
+    100 TB per-ingest histograms stream in (the cms_grid_sink shape)
+    and a quantile query never touches a raw value again. approx_hi_u6
+    is the selected bin's upper edge (true quantile ≤ approx < true +
+    {_QHIST_W}); tighter needs more bins, not a different algorithm."""
+    import os
+
+    from .operators.sampling import hash_bucket
+    from .operators.sketches import histogram_quantiles, value_histogram
+    from .sources.sinks import write_parquet
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    is_new = hash_bucket("event_id") < NEW_BATCH_PCT
+    corpus = events.filter(~is_new)
+    batch = events.filter(is_new)
+
+    base = _run_scoped_index_dir("qhist")
+    idx_path = os.path.join(base, "quantile_hist")
+    write_parquet(
+        value_histogram(corpus, "value", QHIST_LO, QHIST_HI, QHIST_BINS),
+        idx_path,
+    )
+    idx = spark.read.parquet(idx_path)
+    merged = (
+        idx.unionByName(
+            value_histogram(batch, "value", QHIST_LO, QHIST_HI, QHIST_BINS)
+        )
+        .groupBy("bin")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return histogram_quantiles(
+        merged, QHIST_PCTS, QHIST_LO, QHIST_HI, QHIST_BINS
+    )
+
+
+# ---------------------------------------------------------------------------
 # Collocation mining — top adjacent token pairs by pointwise mutual
 # information, the corpus-analysis step that induces multi-word
 # vocabulary entries (the token-level complement of bpe_pair_counts,

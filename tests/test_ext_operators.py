@@ -2408,3 +2408,62 @@ def test_semantic_dedup_new_batch_equals_full_restricted(spark):
     assert set(inc) < set(full)  # strictly the batch subset
     for vid, got in inc.items():
         assert got == full[vid], f"vec {vid}: {got} != {full[vid]}"
+
+
+def test_histogram_quantiles_match_rank_semantics_and_merge(spark):
+    """Independent reference for the mergeable quantile index: the
+    selected bin must be exactly the bin of the ⌈p·N/100⌉-th smallest
+    (clamped) value, computed here in pure Python; histograms over
+    disjoint slices must merge to the full histogram row-for-row; and
+    out-of-range values must clamp into the edge bins, never drop."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.sketches import (
+        histogram_quantiles,
+        value_histogram,
+    )
+
+    lo, hi, bins = 0.0, 100.0, 16
+    vals = [-5.0, 0.0, 3.1, 7.7, 12.5, 12.5, 33.0, 41.9, 55.5, 63.2,
+            77.0, 88.8, 99.9, 150.0, 2.2, 48.0, 50.0, 91.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "event_id long, value double")
+    hist = value_histogram(df, "value", lo, hi, bins)
+
+    def pybin(v):
+        return min(max(math.floor((v - lo) * bins / (hi - lo)), 0), bins - 1)
+
+    from collections import Counter
+
+    expect_hist = Counter(pybin(v) for v in vals)
+    assert {r.bin: r.cnt for r in hist.collect()} == dict(expect_hist)
+
+    pcts = [1, 25, 50, 75, 99]
+    out = {r.pct: r for r in
+           histogram_quantiles(hist, pcts, lo, hi, bins).collect()}
+    sorted_bins = sorted(pybin(v) for v in vals)
+    n = len(vals)
+    for p in pcts:
+        k = math.ceil(p * n / 100)
+        want_bin = sorted_bins[k - 1]
+        got = out[p]
+        assert got.bin == want_bin, (p, got.bin, want_bin)
+        assert got.n_rows == n
+        assert got.approx_hi_u6 == math.floor(
+            (lo + (want_bin + 1) * ((hi - lo) / bins)) * 1e6
+        )
+
+    # disjoint-slice merge == full histogram, row-identical
+    a = df.filter(F.col("event_id") % 2 == 0)
+    b = df.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        value_histogram(a, "value", lo, hi, bins)
+        .unionByName(value_histogram(b, "value", lo, hi, bins))
+        .groupBy("bin")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, hist.collect())
+    )

@@ -1133,3 +1133,23 @@ def test_semantic_dedup_new_batch_corpus_never_rebucketed(spark):
     assert p.count("% 100) < 10") == n_emb_scans, p
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_quantiles_new_batch_index_bounded_report(spark):
+    """The quantile report is bounded by the INDEX, never the data:
+    the persisted histogram is read once, every events scan is
+    batch-filtered (the corpus is never re-binned), and the only
+    nested-loop joins are the sanctioned broadcast scalar/index
+    crosses (n_rows + the pct probe over <= bins rows)."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("quantiles_new_batch")(spark, SF_SMOKE))
+    assert p.count("quantile_hist") == 1
+    n_ev = p.count("events.parquet")
+    assert n_ev >= 1
+    assert p.count("% 100) < 10") == n_ev, p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    for seg in p.split("BroadcastNestedLoopJoin")[1:]:
+        head = seg.splitlines()[0].strip()
+        assert head == "" or head.startswith("Cross"), head
