@@ -976,6 +976,67 @@ def bm25_scores(docs, query_terms, text_col: str = "text", term_stats=None):
     )
 
 
+def unigram_logprob_scores(docs, lm_docs, text_col: str = "text"):
+    """Per-document log-probability under an add-one-smoothed unigram
+    LM trained on ``lm_docs`` — the CCNet (Wenzek et al. 2020)
+    perplexity-filter shape: train a small LM on a TRUSTED slice,
+    score the whole corpus, keep what the LM finds natural. Returns
+    (doc_id, n_tokens, sum_logp) with
+    ``sum_logp = Σ_tokens tf_dt · ln((c_w + 1) / (N + V))``
+    (c_w = train count, N = train tokens, V = train vocab; unseen
+    tokens get the smoothed floor 1/(N+V)).
+
+    Avg-NLL (−sum_logp/n) is a monotone transform of perplexity
+    (ppl = e^{avg NLL}), so filtering thresholds compare in log space
+    and exp() never runs — the doc_quality_logit z≥0 trick.
+
+    Shuffle layout = the tf·idf pass: one explode per side feeds
+    per-(doc, token) tf and the train counts; the count join is an
+    equi-join on token (the persisted-vocabulary posture at 100 TB —
+    the LM IS a vocabulary index with probabilities); the (N, V)
+    totals ride a 1-row broadcast. Cross-engine float determinism:
+    each distinct token's contribution is an ln of one exact-integer
+    ratio (the PMI trick) scaled by integer tf, and the per-doc sum
+    folds the token-SORTED contribution array sequentially (the
+    BM25/PSI precedent)."""
+    lm_toks = lm_docs.select(
+        F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    cw = lm_toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_w")
+    )
+    totals = cw.agg(
+        F.coalesce(F.sum("c_w"), F.lit(0)).cast("bigint").alias("lm_n"),
+        F.count(F.lit(1)).cast("bigint").alias("lm_v"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf_l")
+    )
+    contrib = (
+        tf.join(cw, "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "token",
+            "tf_l",
+            F.expr(
+                "cast(tf_l as double) * ln(cast((coalesce(c_w, 0) + 1) as double)"
+                " / cast((lm_n + lm_v) as double))"
+            ).alias("w"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("tf_l").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(token, w))),"
+            " p -> p.w), 0D, (acc, x) -> acc + x)"
+        ).alias("sum_logp"),
+    )
+
+
 def rrf_fuse(ranked_a, ranked_b, rank_a: str, rank_b: str, c: int = 60):
     """Reciprocal-rank fusion (Cormack et al. 2009) of two per-query
     rank tables (query_doc, doc_id, <rank>): rrf_u9 = Σ 1e9 div (c+rank)

@@ -66,3 +66,42 @@ def read_cms_grid(spark: SparkSession, index_dir: str) -> DataFrame:
     return g.groupBy("row_i", "bucket").agg(
         F.sum("c").cast("bigint").alias("c")
     )
+
+
+_HIST_SCHEMA = "bin int, cnt bigint"
+
+
+def value_histogram_sink(
+    index_dir: str,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    bins: int = 256,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` callable maintaining the mergeable QUANTILE
+    index (operators/sketches.py::value_histogram — the percentile
+    member of this sink family): per micro-batch, reduce the batch to
+    its ≤ ``bins``-row fixed-bin histogram and overwrite
+    ``index_dir/batch-<id>``. Same constant-cost / replay-idempotent
+    contract as cms_grid_sink; bounds are frozen LITERALS by
+    construction (they are baked into this sink at start), so every
+    batch histogram is mergeable with every other forever."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        from ..operators.sketches import value_histogram
+
+        hist = value_histogram(batch, value_col, lo, hi, bins)
+        hist.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch-{batch_id}")
+        )
+
+    return _apply
+
+
+def read_value_histogram(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The live histogram: bin-wise sum of every batch histogram
+    (empty relation if nothing has arrived). Feed it to
+    operators/sketches.py::histogram_quantiles for live percentiles —
+    reading aggregates #batches·bins rows, never raw values."""
+    h = _read_index(spark, index_dir, _HIST_SCHEMA)
+    return h.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))

@@ -7957,9 +7957,7 @@ RRF_C = 60
 _HYBRID_DOCS_IN = ", ".join(str(d) for d in HYBRID_QUERY_DOCS)
 
 
-@query(
-    "hybrid_rrf_search",
-    f"""
+_HYBRID_ORACLE = f"""
     WITH t0 AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
                 FROM documents),
     t AS (SELECT doc_id, token FROM t0 WHERE token <> ''),
@@ -8025,8 +8023,10 @@ _HYBRID_DOCS_IN = ", ".join(str(d) for d in HYBRID_QUERY_DOCS)
           FROM fused)
     SELECT query_doc, doc_id, rrf_u9, lex_rk, sem_rk, rk::BIGINT AS rk
     FROM r WHERE rk <= {HYBRID_K}
-    """,
-)
+    """
+
+
+@query("hybrid_rrf_search", _HYBRID_ORACLE)
 def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid top-{HYBRID_K} per query document: (a) LEXICAL — the
     query doc's top-{HYBRID_MLT_TERMS} tf·idf terms (the
@@ -8088,23 +8088,7 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def _two_phase_topk(scored, score_col, rank_name):
-        salted = scored.withColumn("salt", F.col("doc_id") % 8)
-        w1 = Window.partitionBy("query_doc", "salt").orderBy(
-            F.col(score_col).desc(), F.col("doc_id")
-        )
-        w2 = Window.partitionBy("query_doc").orderBy(
-            F.col(score_col).desc(), F.col("doc_id")
-        )
-        return (
-            salted.withColumn("rk1", F.row_number().over(w1))
-            .filter(F.col("rk1") <= HYBRID_K)
-            .withColumn(rank_name, F.row_number().over(w2))
-            .filter(F.col(rank_name) <= HYBRID_K)
-            .select("query_doc", "doc_id", rank_name)
-        )
-
-    lexr = _two_phase_topk(lex, "s_u6", "lex_rk")
+    lexr = _hybrid_two_phase_topk(lex, "s_u6", "lex_rk")
 
     # (b) semantic: broadcast query vectors, map-side cosine
     emb = _spread(load_table(spark, sf_dir, "embeddings")).select(
@@ -8129,9 +8113,40 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos_u6"),
         )
     )
-    semr = _two_phase_topk(cos, "cos_u6", "sem_rk")
+    semr = _hybrid_two_phase_topk(cos, "cos_u6", "sem_rk")
+    return _hybrid_fuse(lexr, semr)
 
-    # (c) all-integer RRF fusion over ≤ 2k rows per query
+
+def _hybrid_two_phase_topk(scored, score_col, rank_name):
+    """Two-phase salted per-query top-{HYBRID_K} (shared by the
+    from-scratch and indexed hybrid queries): same ordering both
+    phases, so the result equals one global window with no task ever
+    sorting a whole query's match list."""
+    from pyspark.sql import Window
+
+    salted = scored.withColumn("salt", F.col("doc_id") % 8)
+    w1 = Window.partitionBy("query_doc", "salt").orderBy(
+        F.col(score_col).desc(), F.col("doc_id")
+    )
+    w2 = Window.partitionBy("query_doc").orderBy(
+        F.col(score_col).desc(), F.col("doc_id")
+    )
+    return (
+        salted.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= HYBRID_K)
+        .withColumn(rank_name, F.row_number().over(w2))
+        .filter(F.col(rank_name) <= HYBRID_K)
+        .select("query_doc", "doc_id", rank_name)
+    )
+
+
+def _hybrid_fuse(lexr, semr):
+    """All-integer RRF fusion + final rank over ≤ 2·{HYBRID_K} rows
+    per query (shared tail of both hybrid queries)."""
+    from pyspark.sql import Window
+
+    from .operators.textanalysis import rrf_fuse
+
     fused = rrf_fuse(lexr, semr, "lex_rk", "sem_rk", RRF_C)
     wf = Window.partitionBy("query_doc").orderBy(
         F.col("rrf_u9").desc(), F.col("doc_id")
@@ -8141,6 +8156,134 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= HYBRID_K)
         .select("query_doc", "doc_id", "rrf_u9", "lex_rk", "sem_rk", "rk")
     )
+
+
+_EMB_NORM_INDEX_CACHE: dict[str, str] = {}
+
+
+def _prepare_embedding_norm_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persist (vec_id, embedding, nrm) — the corpus-side vector table
+    with norms precomputed ONCE at ingest (the write-time half of the
+    semantic source in hybrid_rrf_indexed), memoized per (process,
+    sf_dir)."""
+    got = _EMB_NORM_INDEX_CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators.similarity import norm_expr
+    from .sources.sinks import write_parquet
+
+    tag = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
+    base = tempfile.mkdtemp(prefix=f"hubsit_emb_norm_{tag}_")
+    emb = _spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", norm_expr("embedding").alias("nrm")
+    )
+    write_parquet(emb, os.path.join(base, "norms"))
+    _EMB_NORM_INDEX_CACHE[sf_dir] = base
+    return base
+
+
+def _prepare_hybrid_indexes(spark: SparkSession, sf_dir: str):
+    """Both standing indexes the indexed hybrid query probes."""
+    return (
+        _prepare_term_index(spark, sf_dir),
+        _prepare_embedding_norm_index(spark, sf_dir),
+    )
+
+
+PREPARES["hybrid_rrf_indexed"] = _prepare_hybrid_indexes
+
+
+@query("hybrid_rrf_indexed", _HYBRID_ORACLE)
+def q_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as hybrid_rrf_search with ZERO query-time corpus
+    passes — the amortized posture of a standing retrieval deployment
+    (the bm25_search_indexed contract extended to the whole hybrid
+    stack): the LEXICAL side probes the materialized term index
+    (tf/dl/dfreq/stats — MLT term selection reads the query docs' tf
+    rows from the index, never a tokenizer) and the SEMANTIC side
+    reads the (vec_id, embedding, nrm) norm index, so neither side
+    re-tokenizes text or re-norms vectors (plan-pinned: no Generate,
+    no documents scan, no sqrt-fold over the corpus). Fusion tail
+    shared verbatim. The oracle recomputes every statistic from the
+    raw corpus — materialization changed nothing, cryptographically."""
+    import os
+
+    from pyspark.sql import Window
+
+    from .operators.textanalysis import bm25_scores
+
+    term_base, emb_base = _prepare_hybrid_indexes(spark, sf_dir)
+    tf, dl, dfreq, st = (
+        spark.read.parquet(os.path.join(term_base, name))
+        for name in ["tf", "dl", "dfreq", "stats"]
+    )
+    term_stats = (tf, dl, dfreq, st)
+
+    qw = (
+        tf.filter(F.col("doc_id").isin(HYBRID_QUERY_DOCS))
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(st.select("n_docs")))
+        .select(
+            F.col("doc_id").alias("query_doc"),
+            "token",
+            F.floor(
+                (
+                    F.col("tf_l").cast("double")
+                    * F.log(F.col("n_docs") / F.col("df_l").cast("double"))
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("w_u6"),
+        )
+    )
+    wt = Window.partitionBy("query_doc").orderBy(
+        F.col("w_u6").desc(), F.col("token")
+    )
+    qterms = (
+        qw.withColumn("trk", F.row_number().over(wt))
+        .filter(F.col("trk") <= HYBRID_MLT_TERMS)
+        .select(F.col("query_doc").alias("query_id"), "token")
+    )
+    lex = (
+        bm25_scores(None, F.broadcast(qterms), term_stats=term_stats)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            F.col("query_id").alias("query_doc"),
+            "doc_id",
+            F.floor(F.col("score") * 1000000.0).cast("bigint").alias("s_u6"),
+        )
+    )
+    lexr = _hybrid_two_phase_topk(lex, "s_u6", "lex_rk")
+
+    emb = spark.read.parquet(os.path.join(emb_base, "norms"))
+    qv = emb.filter(F.col("vec_id").isin(HYBRID_QUERY_DOCS)).select(
+        F.col("vec_id").alias("query_doc"),
+        F.col("embedding").alias("qvec"),
+        F.col("nrm").alias("qn"),
+    )
+    from .operators.similarity import dot_expr
+
+    cos = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_doc"))
+        .select(
+            "query_doc",
+            F.col("vec_id").alias("doc_id"),
+            F.floor(
+                (dot_expr("qvec", "embedding") / (F.col("qn") * F.col("nrm")))
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("cos_u6"),
+        )
+    )
+    semr = _hybrid_two_phase_topk(cos, "cos_u6", "sem_rk")
+    return _hybrid_fuse(lexr, semr)
 
 
 def _cms_heavy_hitter_report(events: DataFrame, counters: DataFrame) -> DataFrame:
@@ -8654,6 +8797,107 @@ def q_quantiles_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return histogram_quantiles(
         merged, QHIST_PCTS, QHIST_LO, QHIST_HI, QHIST_BINS
+    )
+
+
+# ---------------------------------------------------------------------------
+# LM-based quality filtering (CCNet, Wenzek et al. 2020): train a small
+# unigram LM on a trusted slice, score every document, keep what the
+# model finds natural — THE workhorse web-corpus filter next to the
+# C4/Gopher heuristics (doc_quality) and the trained classifier
+# (doc_quality_trained_model). Filtering happens in LOG space
+# (avg-NLL ≤ threshold ⇔ perplexity ≤ e^threshold), so exp() never
+# runs — the doc_quality_logit z≥0 trick; each token contribution is
+# tf · ln of one exact-integer smoothed ratio (the PMI trick) and the
+# per-doc sum folds token-sorted (BM25/PSI precedent).
+# ---------------------------------------------------------------------------
+LM_TRAIN_PCT = 50  # doc_id hash bucket (salt 'lm') >= 50 trains the LM
+DOC_NLL_KEEP_U6 = 3402000  # ≈ fixture median avg-NLL in micro-units
+
+
+@query(
+    "doc_unigram_nll",
+    f"""
+    WITH lmd AS (SELECT text FROM documents
+                 WHERE {sql_hash_bucket("doc_id", salt="lm")} >= {LM_TRAIN_PCT}),
+    lt0 AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM lmd),
+    lt AS (SELECT token FROM lt0 WHERE token <> ''),
+    cw AS (SELECT token, COUNT(*)::BIGINT AS c_w FROM lt GROUP BY token),
+    tot AS (SELECT COALESCE(SUM(c_w), 0)::BIGINT AS lm_n,
+                   COUNT(*)::BIGINT AS lm_v FROM cw),
+    t0 AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+           FROM documents),
+    t AS (SELECT doc_id, token FROM t0 WHERE token <> ''),
+    tf AS (SELECT doc_id, token, COUNT(*)::BIGINT AS tf_l
+           FROM t GROUP BY doc_id, token),
+    c AS (SELECT tf.doc_id, tf.token, tf.tf_l,
+                 CAST(tf.tf_l AS DOUBLE)
+                   * ln(CAST((COALESCE(cw.c_w, 0) + 1) AS DOUBLE)
+                        / CAST((tot.lm_n + tot.lm_v) AS DOUBLE)) AS w
+          FROM tf LEFT JOIN cw USING (token) CROSS JOIN tot),
+    s AS (SELECT doc_id, SUM(tf_l)::BIGINT AS n_tokens,
+                 list_sum(list(w ORDER BY token)) AS sum_logp
+          FROM c GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(s.n_tokens, 0)::BIGINT AS n_tokens,
+           CASE WHEN s.n_tokens > 0
+                THEN CAST(FLOOR(((-s.sum_logp) / s.n_tokens) * 1000000.0)
+                          AS BIGINT)
+                ELSE NULL END AS avg_nll_u6,
+           (CASE WHEN s.n_tokens > 0
+                      AND CAST(FLOOR(((-s.sum_logp) / s.n_tokens)
+                                     * 1000000.0) AS BIGINT)
+                          <= {DOC_NLL_KEEP_U6}
+                 THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
+def q_doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under an add-one
+    unigram LM trained on the stable {LM_TRAIN_PCT}% hash slice
+    (operators/textanalysis.py::unigram_logprob_scores — see its
+    docstring for the shuffle layout and determinism contract), with
+    keep = avg_nll_u6 ≤ {DOC_NLL_KEEP_U6} (log-space perplexity
+    filtering; lower NLL = the LM finds the text more natural).
+    Token-less docs emit (n_tokens=0, NULL, keep=0) via the left
+    join. At 100 TB the LM counts table is the persisted vocabulary
+    index with probabilities — scoring is one equi-join on token plus
+    a map-side fold, and the trusted train slice is a fixed reference
+    corpus, not a re-sample per run."""
+    from .operators.sampling import hash_bucket
+    from .operators.textanalysis import unigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    lm_docs = docs.filter(
+        hash_bucket("doc_id", salt="lm") >= LM_TRAIN_PCT
+    )
+    s = unigram_logprob_scores(_spread(docs), lm_docs)
+    avg_u6 = F.floor(
+        ((-F.col("sum_logp")) / F.col("n_tokens")) * F.lit(1000000.0)
+    ).cast("bigint")
+    scored = s.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0, avg_u6).alias("avg_nll_u6"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            "avg_nll_u6",
+            F.when(
+                (F.col("n_tokens") > 0)
+                & (F.col("avg_nll_u6") <= DOC_NLL_KEEP_U6),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("keep"),
+        )
     )
 
 

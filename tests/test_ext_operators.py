@@ -2467,3 +2467,47 @@ def test_histogram_quantiles_match_rank_semantics_and_merge(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, hist.collect())
     )
+
+
+def test_unigram_logprob_matches_python_reference(spark):
+    """Independent pure-Python replica of the add-one unigram LM
+    scorer (the oracle can't catch a formula bug both engines share):
+    counts from the train slice, smoothed ln ratios, token-sorted
+    sequential fold — including an UNSEEN token hitting the 1/(N+V)
+    floor and a doc that is entirely out-of-vocabulary."""
+    import math
+    from collections import Counter
+
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        unigram_logprob_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(100, "a b a c"), (101, "b b c d")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(1, "a b"), (2, "a z b"), (3, "q q q")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.sum_logp)
+        for r in unigram_logprob_scores(score, train).collect()
+    }
+
+    cw = Counter("a b a c".split() + "b b c d".split())
+    n, v = sum(cw.values()), len(cw)
+
+    def lp(tokens):
+        tf = Counter(tokens)
+        # token-sorted sequential fold, mirroring the Spark aggregate
+        s = 0.0
+        for t in sorted(tf):
+            s += float(tf[t]) * math.log((cw.get(t, 0) + 1) / (n + v))
+        return s
+
+    for did, text in [(1, "a b"), (2, "a z b"), (3, "q q q")]:
+        toks = text.split()
+        assert got[did][0] == len(toks)
+        assert abs(got[did][1] - lp(toks)) < 1e-12, (did, got[did], lp(toks))
+    # unseen-token docs score strictly worse per token than in-vocab
+    assert got[2][1] / 3 < got[1][1] / 2

@@ -1153,3 +1153,41 @@ def test_quantiles_new_batch_index_bounded_report(spark):
     for seg in p.split("BroadcastNestedLoopJoin")[1:]:
         head = seg.splitlines()[0].strip()
         assert head == "" or head.startswith("Cross"), head
+
+
+def test_doc_unigram_nll_vocabulary_join_jvm_only(spark):
+    """LM scoring = two explode+agg passes + one equi-join on token
+    (the persisted-vocabulary posture) + a broadcast totals cross —
+    nothing pairwise, no Python eval, no keyed shuffle of text."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("doc_unigram_nll")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    for seg in p.split("BroadcastNestedLoopJoin")[1:]:
+        head = seg.splitlines()[0].strip()
+        assert head == "" or head.startswith("Cross"), head
+    import re
+
+    segs = re.findall(r"\(\d+\) Exchange\n(.*?)\n\n", p, flags=re.S)
+    for seg in [s for s in segs if "hashpartitioning" in s]:
+        assert "text#" not in seg, seg
+
+
+def test_hybrid_indexed_zero_corpus_passes(spark):
+    """hybrid_rrf_indexed probes the standing term + norm indexes:
+    the plan must contain NO Generate (tokenizer explode), no
+    documents scan, and no norm re-fold over the corpus (the sqrt
+    fold ran once at index build) — only the query-time dot products
+    remain."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+    from hubsit_health_analytics_etl_spark.workload import PREPARES
+
+    PREPARES["hybrid_rrf_indexed"](spark, SF_SMOKE)
+    p = physical_plan(_q("hybrid_rrf_indexed")(spark, SF_SMOKE))
+    assert "Generate" not in p
+    assert "documents.parquet" not in p
+    assert "embeddings.parquet" not in p
+    assert "sqrt(aggregate" not in p  # norms come from the index
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p

@@ -859,3 +859,82 @@ def test_streaming_cms_grid_equals_batch_sketch_and_replays_clean(
         for r in read_cms_grid(spark, index_dir).collect()
     }
     assert again == want
+
+
+def test_streaming_value_histogram_equals_batch_and_replays_clean(
+    spark, tmp_path
+):
+    """The quantile-index sink: two ordered micro-batches summed must
+    be BIN-IDENTICAL to histogramming the full stream at once, live
+    percentiles through the summed index must equal the one-shot
+    report, and re-delivering a batch must rewrite, never
+    double-count."""
+    from hubsit_health_analytics_etl_spark.operators.sketches import (
+        histogram_quantiles,
+        value_histogram,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.streaming.sketches import (
+        read_value_histogram,
+        value_histogram_sink,
+    )
+
+    lo, hi, bins = 0.0, 1000.0, 256
+    pcts = [25, 50, 75, 99]
+    events = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "value")
+        .filter(F.col("event_id") < 400)
+    )
+    b1 = [
+        (r.event_id, r.value)
+        for r in events.filter(F.col("event_id") < 200).collect()
+    ]
+    b2 = [
+        (r.event_id, r.value)
+        for r in events.filter(F.col("event_id") >= 200).collect()
+    ]
+    schema = "event_id long, value double"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_file(spark, b1, schema, src, "b1.parquet", 1_700_000_000)
+    _write_file(spark, b2, schema, src, "b2.parquet", 1_700_000_100)
+
+    index_dir = str(tmp_path / "qhist_index")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            value_histogram_sink(index_dir, "value", lo, hi, bins)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    live = read_value_histogram(spark, index_dir)
+    want_hist = value_histogram(events, "value", lo, hi, bins)
+    assert {(r.bin, r.cnt) for r in live.collect()} == {
+        (r.bin, r.cnt) for r in want_hist.collect()
+    }
+
+    got_q = sorted(
+        map(tuple, histogram_quantiles(live, pcts, lo, hi, bins).collect())
+    )
+    want_q = sorted(
+        map(tuple, histogram_quantiles(want_hist, pcts, lo, hi, bins).collect())
+    )
+    assert got_q == want_q
+
+    # replay: re-delivering batch 1 rewrites its histogram
+    sink = value_histogram_sink(index_dir, "value", lo, hi, bins)
+    sink(spark.createDataFrame(b2, schema), 1)
+    again = {
+        (r.bin, r.cnt)
+        for r in read_value_histogram(spark, index_dir).collect()
+    }
+    assert again == {(r.bin, r.cnt) for r in want_hist.collect()}
