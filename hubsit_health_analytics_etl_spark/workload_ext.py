@@ -6481,6 +6481,75 @@ RETENTION_SPLIT = "1998-01-01"
 
 
 @query(
+    "weekly_cohort_retention",
+    """
+    WITH act AS (SELECT DISTINCT user_id,
+                        date_trunc('week', CAST(ts AS TIMESTAMP))::DATE AS wk
+                 FROM events),
+    coh AS (SELECT user_id, MIN(wk) AS cwk FROM act GROUP BY user_id),
+    sizes AS (SELECT cwk, COUNT(*)::BIGINT AS cohort_size
+              FROM coh GROUP BY cwk),
+    j AS (SELECT coh.cwk, (date_diff('day', coh.cwk, act.wk) // 7) AS off,
+                 act.user_id
+          FROM act JOIN coh USING (user_id)),
+    g AS (SELECT cwk, off, COUNT(DISTINCT user_id)::BIGINT AS n_users
+          FROM j GROUP BY cwk, off)
+    SELECT strftime(g.cwk, '%Y-%m-%d') AS cohort_week,
+           g.off::BIGINT AS offset_weeks,
+           g.n_users,
+           s.cohort_size,
+           ((g.n_users * 1000000) // s.cohort_size)::BIGINT AS rate_ppm
+    FROM g JOIN sizes s USING (cwk)
+    """,
+)
+def q_weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic cohort-retention matrix (cohort week × week offset
+    → users still active, as a parts-per-million integer rate): the
+    product-analytics report next to event_funnel and
+    customer_retention_setops' two-period split. All-integer output —
+    weeks are Monday-truncated dates on both engines, the offset is an
+    exact integer division of a days-diff that is always a multiple
+    of 7, and the rate is integer ppm (n·1e6 div size), so nothing
+    float ever crosses the hash.
+
+    Scale shape: the distinct-(user, week) pass and the per-user
+    cohort MIN share the user_id hash partitioning (one exchange
+    serves both), the cohort join is user-keyed, and only the final
+    (cohort, offset) aggregate — whose cardinality is weeks², not
+    events — reshuffles; the tiny per-cohort sizes table broadcasts.
+    Nothing beyond (user_id, date) pairs ever rides a shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    act = (
+        events.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        )
+        .distinct()
+    )
+    coh = act.groupBy("user_id").agg(F.min("wk").alias("cwk"))
+    sizes = coh.groupBy("cwk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    j = act.join(coh, "user_id").select(
+        "cwk",
+        F.expr("datediff(wk, cwk) div 7").alias("off"),
+        "user_id",
+    )
+    g = j.groupBy("cwk", "off").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    return g.join(F.broadcast(sizes), "cwk").select(
+        F.date_format("cwk", "yyyy-MM-dd").alias("cohort_week"),
+        F.col("off").cast("bigint").alias("offset_weeks"),
+        "n_users",
+        "cohort_size",
+        F.expr("(n_users * 1000000) div cohort_size")
+        .cast("bigint")
+        .alias("rate_ppm"),
+    )
+
+
+@query(
     "customer_retention_setops",
     f"""
     WITH early AS (SELECT o_custkey FROM orders

@@ -2511,3 +2511,71 @@ def test_unigram_logprob_matches_python_reference(spark):
         assert abs(got[did][1] - lp(toks)) < 1e-12, (did, got[did], lp(toks))
     # unseen-token docs score strictly worse per token than in-vocab
     assert got[2][1] / 3 < got[1][1] / 2
+
+
+def test_weekly_cohort_retention_matches_python_model(spark, monkeypatch):
+    """Independent Python replica of the cohort matrix on a crafted
+    stream, checked against BOTH engines: cohorts anchor at each
+    user's first Monday-week, offsets count weeks, multiple events in
+    one week collapse, and rates are exact integer ppm."""
+    import datetime as dt
+    from collections import defaultdict
+
+    import duckdb
+
+    import hubsit_health_analytics_etl_spark.workload_ext as wx
+    from hubsit_health_analytics_etl_spark.workload import ORACLES
+
+    rows = [
+        # user 1: weeks 0, 1, 3 of cohort 2024-01-01 (a Monday)
+        (1, 1, "2024-01-01 10:00:00"),
+        (2, 1, "2024-01-03 09:00:00"),   # same week, collapses
+        (3, 1, "2024-01-08 12:00:00"),
+        (4, 1, "2024-01-24 23:00:00"),
+        # user 2: cohort 2024-01-08, active weeks 0 and 1
+        (5, 2, "2024-01-10 00:30:00"),
+        (6, 2, "2024-01-15 07:00:00"),
+        # user 3: single event, cohort 2024-01-01
+        (7, 3, "2024-01-05 18:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [(e, u, dt.datetime.fromisoformat(ts)) for e, u, ts in rows],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+
+    # independent python model
+    def week(t):
+        return (t - dt.timedelta(days=t.weekday())).date()
+
+    acts = defaultdict(set)
+    for _, u, ts in rows:
+        acts[u].add(week(dt.datetime.fromisoformat(ts)))
+    coh = {u: min(ws) for u, ws in acts.items()}
+    cells = defaultdict(set)
+    for u, ws in acts.items():
+        for wk in ws:
+            cells[(coh[u], (wk - coh[u]).days // 7)].add(u)
+    sizes = defaultdict(int)
+    for c in coh.values():
+        sizes[c] += 1
+    want = sorted(
+        (c.strftime("%Y-%m-%d"), off, len(us), sizes[c],
+         len(us) * 1000000 // sizes[c])
+        for (c, off), us in cells.items()
+    )
+
+    # Spark side on the crafted frame (loader stubbed)
+    monkeypatch.setattr(wx, "load_table", lambda s, d, n, **kw: df)
+    got_spark = sorted(
+        (r.cohort_week, r.offset_weeks, r.n_users, r.cohort_size, r.rate_ppm)
+        for r in wx.q_weekly_cohort_retention(spark, "unused").collect()
+    )
+    assert got_spark == want
+
+    # oracle side on the same crafted frame
+    con = duckdb.connect()
+    con.register("events", df.toPandas())
+    got_oracle = sorted(
+        map(tuple, con.execute(ORACLES["weekly_cohort_retention"]).fetchall())
+    )
+    assert got_oracle == want

@@ -1191,3 +1191,24 @@ def test_hybrid_indexed_zero_corpus_passes(spark):
     assert "sqrt(aggregate" not in p  # norms come from the index
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_weekly_cohort_retention_reuses_user_partitioning(spark):
+    """Cohort matrix: the distinct-(user, week) pass, the per-user
+    cohort MIN and the cohort join all cluster on user_id, the sizes
+    dim broadcasts, and only (user_id, date) keys ever ride a
+    hash-partitioned exchange — never event payloads."""
+    import re
+
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("weekly_cohort_retention")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p  # sizes dim
+    segs = re.findall(r"\(\d+\) Exchange\n(.*?)\n\n", p, flags=re.S)
+    keyed = [s for s in segs if "hashpartitioning" in s]
+    assert keyed, p
+    for seg in keyed:
+        assert "event_type#" not in seg and "props#" not in seg, seg
