@@ -84,6 +84,70 @@ def cms_counters(
     )
 
 
+def cms_counters_grouped(
+    df: DataFrame,
+    key: str,
+    groups: "list[str]",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Per-GROUP count-min grids in one pass (the multi-tenant form:
+    one sketch per tenant/type/partition, all sharing the row hashes):
+    identical fan-out to cms_counters, grouped by ``groups`` + cell.
+    Output ≤ |groups-cardinality|·depth·width rows — the shuffle
+    carries grids, never the key space, and each group's grid is
+    independently mergeable/subtractable (the same additive law)."""
+    cells = F.expr(
+        "inline(array("
+        + ", ".join(
+            f"struct(cast({i} as int) as row_i, "
+            f"{cms_bucket_sql(key, str(i), width)} as bucket)"
+            for i in range(depth)
+        )
+        + "))"
+    )
+    return (
+        df.select(*groups, F.col(key), cells)
+        .groupBy(*groups, "row_i", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+def cms_estimate_grouped(
+    keys: DataFrame,
+    counters: DataFrame,
+    key: str,
+    groups: "list[str]",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Probe per-group grids: estimate for (group, key) = min over the
+    depth cells of THAT group's grid. Same left-join + coalesce-0
+    contract as cms_estimate (a key absent from its group's stream
+    estimates 0, never a collision value)."""
+    probes = keys.select(
+        *groups,
+        F.col(key),
+        F.expr(
+            "inline(array("
+            + ", ".join(
+                f"struct(cast({i} as int) as row_i, "
+                f"{cms_bucket_sql(key, str(i), width)} as bucket)"
+                for i in range(depth)
+            )
+            + "))"
+        ),
+    )
+    return (
+        probes.join(
+            F.broadcast(counters), [*groups, "row_i", "bucket"], "left"
+        )
+        .select(*groups, key, F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .groupBy(*groups, key)
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+    )
+
+
 def value_histogram(
     df: DataFrame, value_col: str, lo: float, hi: float, bins: int
 ) -> DataFrame:

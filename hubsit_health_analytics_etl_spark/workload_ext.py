@@ -6480,6 +6480,96 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 RETENTION_SPLIT = "1998-01-01"
 
 
+# ---------------------------------------------------------------------------
+# Anomaly detection — per-user z-score outliers with EXACT INTEGER
+# arithmetic end to end. The standard z-test compares float mean/std,
+# which can never survive a cross-engine hash (unordered float sums);
+# here values are fixed-point (the fixture's 2dp money-like values →
+# exact u2 integers) and the test is algebraically cleared of
+# divisions:  |v−μ| > k·σ  ⇔  (v·n − Σx)² > k²·(n·Σx² − (Σx)²),
+# every term an int64 (bounds documented in the docstring). The
+# (n, Σx, Σx²) row is a MERGEABLE sufficient-statistics index — the
+# HLL/CMS/histogram posture for moments: per-batch triples add, so a
+# standing index supports incremental outlier scoring for free.
+# ---------------------------------------------------------------------------
+ZSCORE_K = 3
+
+
+@query(
+    "user_value_outliers",
+    f"""
+    WITH e AS (SELECT user_id, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    s AS (SELECT user_id, COUNT(*)::BIGINT AS n,
+                 SUM(v)::BIGINT AS sx,
+                 SUM(v * v)::BIGINT AS sxx
+          FROM e GROUP BY user_id),
+    f AS (SELECT e.user_id,
+                 CASE WHEN (e.v * s.n - s.sx) * (e.v * s.n - s.sx)
+                           > {ZSCORE_K * ZSCORE_K} * (s.n * s.sxx - s.sx * s.sx)
+                      THEN 1 ELSE 0 END AS is_out
+          FROM e JOIN s USING (user_id)),
+    o AS (SELECT user_id, SUM(is_out)::BIGINT AS n_outliers
+          FROM f GROUP BY user_id)
+    SELECT s.user_id, s.n AS n_events,
+           (s.sx // s.n)::BIGINT AS mean_u2,
+           o.n_outliers
+    FROM s JOIN o USING (user_id)
+    """,
+)
+def q_user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user |z| > {ZSCORE_K} outlier counts over events.value,
+    integer-exact: values become u2 fixed-point ints (2dp data —
+    round(v·100) is >1e10 ulps from any .5 boundary, so both engines
+    land the same integer), and the z-test runs as
+    (v·n − Σx)² > {ZSCORE_K}²·(n·Σx² − (Σx)²) — the float-free
+    algebraic form (σ=0 groups flag nothing, by construction, no
+    division-by-zero arm). Output (user_id, n_events, mean_u2 [floor],
+    n_outliers), all bigint.
+
+    int64 bounds: with v ≤ V·100 µ-units and n events per user, the
+    largest term is k²·n·Σx² ≤ k²·n²·V²·1e4 — safe through
+    n·V ≈ 3·10⁷ (e.g. 30k events/user at V=1000); past that, cast the
+    four aggregate terms to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB)
+    — same exactness, wider box.
+
+    Scale shape: the (n, Σx, Σx²) row is a mergeable sufficient-
+    statistics index (per-batch triples ADD — the moments analogue of
+    the histogram/CMS index family), built with one user-keyed
+    aggregate; the flag join and the outlier count reuse the same
+    user_id partitioning, so the whole query is one partitioning
+    end-to-end. Only (user_id, int) pairs shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("v"),
+    )
+    s = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sx"),
+        F.sum(F.expr("v * v")).cast("bigint").alias("sxx"),
+    )
+    k2 = ZSCORE_K * ZSCORE_K
+    f = e.join(s, "user_id").select(
+        "user_id",
+        F.expr(
+            f"CASE WHEN (v * n - sx) * (v * n - sx)"
+            f" > {k2} * (n * sxx - sx * sx) THEN 1 ELSE 0 END"
+        ).alias("is_out"),
+    )
+    o = f.groupBy("user_id").agg(
+        F.sum("is_out").cast("bigint").alias("n_outliers")
+    )
+    return s.join(o, "user_id").select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.expr("sx div n").cast("bigint").alias("mean_u2"),
+        "n_outliers",
+    )
+
+
 @query(
     "weekly_cohort_retention",
     """
@@ -8550,6 +8640,86 @@ def q_bm25_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         None, _bm25_qterms(spark), term_stats=(tf, dl, dfreq, stats)
     )
     return _bm25_ranked(scores)
+
+
+CMS_GROUP_TOP = 5
+
+
+@query(
+    "heavy_hitters_by_type",
+    f"""
+    WITH d AS (SELECT unnest(range({CMS_DEPTH})) AS i),
+    counters AS (SELECT event_type, i, {_CMS_BUCKET_OF_I} AS bucket,
+                        COUNT(*)::BIGINT AS c
+                 FROM events CROSS JOIN d GROUP BY event_type, i, bucket),
+    keys AS (SELECT DISTINCT event_type, user_id FROM events),
+    est AS (SELECT k.event_type, k.user_id, MIN(c.c)::BIGINT AS est_count
+            FROM keys k CROSS JOIN d
+            JOIN counters c ON c.event_type = k.event_type AND c.i = d.i
+                           AND c.bucket = {_CMS_BUCKET_OF_KI}
+            GROUP BY k.event_type, k.user_id),
+    exact AS (SELECT event_type, user_id, COUNT(*)::BIGINT AS exact_count
+              FROM events GROUP BY event_type, user_id),
+    r AS (SELECT e.event_type, e.user_id, e.est_count, x.exact_count,
+                 (e.est_count - x.exact_count)::BIGINT AS overcount,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_type
+                                    ORDER BY e.est_count DESC, e.user_id)
+                   AS rk
+          FROM est e JOIN exact x USING (event_type, user_id))
+    SELECT event_type, user_id, est_count, exact_count, overcount,
+           rk::BIGINT AS rk
+    FROM r WHERE rk <= {CMS_GROUP_TOP}
+    """,
+)
+def q_heavy_hitters_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type top-{CMS_GROUP_TOP} heavy-hitter users from
+    PER-GROUP count-min grids built in one pass (operators/sketches.py
+    ::cms_counters_grouped — the multi-tenant sketch: one grid per
+    type, shared row hashes, output ≤ |types|·depth·width counter rows
+    so the whole grid table still broadcasts for the probe). Exact
+    counts ride alongside and the one-sided overcount stays visible
+    per group. The per-type ranking window partitions on the group
+    key (bounded by that type's distinct users — the candidate list,
+    not the stream). Same md5-reproducible construction as
+    heavy_hitters_cms, so the grouped sketch is fully
+    hash-oracle-checked."""
+    from pyspark.sql import Window
+
+    from .operators.reshape import top_k
+    from .operators.sketches import cms_counters_grouped, cms_estimate_grouped
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    grid = cms_counters_grouped(ev, "user_id", ["event_type"])
+    est = cms_estimate_grouped(
+        ev.distinct(), grid, "user_id", ["event_type"]
+    )
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    r = est.join(exact, ["event_type", "user_id"]).select(
+        "event_type",
+        "user_id",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") - F.col("exact_count"))
+        .cast("bigint")
+        .alias("overcount"),
+    )
+    ranked = top_k(
+        r,
+        ["event_type"],
+        [F.col("est_count").desc(), F.col("user_id")],
+        CMS_GROUP_TOP,
+        "rk",
+    )
+    return ranked.select(
+        "event_type",
+        "user_id",
+        "est_count",
+        "exact_count",
+        "overcount",
+        F.col("rk").cast("bigint").alias("rk"),
+    )
 
 
 # ---------------------------------------------------------------------------

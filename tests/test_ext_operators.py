@@ -2579,3 +2579,101 @@ def test_weekly_cohort_retention_matches_python_model(spark, monkeypatch):
         map(tuple, con.execute(ORACLES["weekly_cohort_retention"]).fetchall())
     )
     assert got_oracle == want
+
+
+def test_user_value_outliers_match_float_zscore_model(spark, monkeypatch):
+    """The integer z-test must agree with the textbook float z-score
+    (population σ, |z| > 3) on a crafted stream with a clear outlier,
+    a zero-variance user, and a single-event user — the algebra
+    (v·n − Σx)² > 9·(n·Σx² − (Σx)²) is division-free but must select
+    the same events."""
+    import statistics
+
+    import hubsit_health_analytics_etl_spark.workload_ext as wx
+
+    per_user = {
+        1: [10.0] * 20 + [500.0],          # one wild outlier
+        2: [50.0] * 8,                      # zero variance
+        3: [5.0, 5.1, 4.9, 5.0, 5.2, 4.8],  # tight, no outliers
+        4: [7.7],                           # single event (sigma 0)
+    }
+    rows, eid = [], 0
+    for u, vs in per_user.items():
+        for v in vs:
+            rows.append((eid, u, v)); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    monkeypatch.setattr(wx, "load_table", lambda s, d, n, **kw: df)
+    got = {
+        r.user_id: (r.n_events, r.mean_u2, r.n_outliers)
+        for r in wx.q_user_value_outliers(spark, "unused").collect()
+    }
+
+    for u, vs in per_user.items():
+        u2 = [round(v * 100) for v in vs]
+        n = len(u2)
+        mu = statistics.fmean(u2)
+        sigma = statistics.pstdev(u2)
+        n_out = sum(1 for v in u2 if sigma > 0 and abs(v - mu) > 3 * sigma)
+        assert got[u] == (n, sum(u2) // n, n_out), (u, got[u])
+    assert got[1][2] == 1      # the 500.0 event flags
+    assert got[2][2] == 0      # zero variance flags nothing
+    assert got[4][2] == 0      # single event flags nothing
+
+
+def test_grouped_cms_equals_independent_per_group_sketches(spark):
+    """The one-pass grouped grid must be cell-identical to sketching
+    each group's slice separately with the ungrouped builder (shared
+    row hashes make them the same construction), grouped estimates
+    must never undercount their group's exact counts, and a key
+    probed under a group it never appeared in must estimate 0."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.sketches import (
+        cms_counters,
+        cms_counters_grouped,
+        cms_estimate_grouped,
+    )
+
+    rows = [(i, f"t{i % 3}", f"u{i % 11}") for i in range(300)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id string"
+    )
+    grouped = cms_counters_grouped(ev, "user_id", ["event_type"])
+    for t in ["t0", "t1", "t2"]:
+        want = {
+            (r.row_i, r.bucket): r.c
+            for r in cms_counters(
+                ev.filter(F.col("event_type") == t).select("user_id"),
+                "user_id",
+            ).collect()
+        }
+        got = {
+            (r.row_i, r.bucket): r.c
+            for r in grouped.filter(F.col("event_type") == t).collect()
+        }
+        assert got == want, t
+
+    est = {
+        (r.event_type, r.user_id): r.est_count
+        for r in cms_estimate_grouped(
+            ev.select("event_type", "user_id").distinct(),
+            grouped,
+            "user_id",
+            ["event_type"],
+        ).collect()
+    }
+    exact = {
+        (r.event_type, r.user_id): r["cnt"]
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+
+    # a key absent from its group estimates 0 (left join + coalesce)
+    ghost = spark.createDataFrame(
+        [("t0", "never-seen-user")], "event_type string, user_id string"
+    )
+    z = cms_estimate_grouped(ghost, grouped, "user_id", ["event_type"])
+    assert [r.est_count for r in z.collect()] == [0]

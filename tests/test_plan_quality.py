@@ -1212,3 +1212,42 @@ def test_weekly_cohort_retention_reuses_user_partitioning(spark):
     assert keyed, p
     for seg in keyed:
         assert "event_type#" not in seg and "props#" not in seg, seg
+
+
+def test_user_value_outliers_single_user_partitioning(spark):
+    """Sufficient-statistics z-test: the stats aggregate, the flag
+    join and the outlier count all cluster on user_id — the plan's
+    hash exchanges carry only (user_id, small ints), and there is no
+    Python, nothing pairwise, no float in the flag expression (it is
+    integer CASE arithmetic end to end)."""
+    import re
+
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("user_value_outliers")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+    segs = re.findall(r"\(\d+\) Exchange\n(.*?)\n\n", p, flags=re.S)
+    keyed = [s for s in segs if "hashpartitioning" in s]
+    assert keyed, p
+    for seg in keyed:
+        assert "user_id#" in seg, seg
+        assert "props#" not in seg and "event_type#" not in seg, seg
+
+
+def test_heavy_hitters_by_type_broadcast_grids_grouped_topk(spark):
+    """Grouped CMS: the grid table broadcasts for the probe (it is
+    |types|·depth·width rows by construction), nothing pairwise, no
+    Python, and the per-type ranking is a grouped window over the
+    candidate list."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("heavy_hitters_by_type")(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+    import re
+
+    assert re.search(r"windowspecdefinition\(event_type#", p), p
