@@ -119,3 +119,86 @@ def merge_upsert(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(*keys, *merged, action.alias("merge_action"))
+
+
+def maintain_additive_rollup(
+    base_rollup: DataFrame,
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    group_col: str,
+    value_col: str,
+    n_col: str = "n",
+    sum_col: str = "s",
+) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance for an additive
+    (COUNT, SUM) rollup — the IVM shape real warehouses name as a
+    feature: instead of recomputing ``new``'s rollup from scratch,
+    apply only the CHANGED rows' group deltas to the persisted
+    ``base_rollup`` (columns ``group_col, n_col, sum_col``, the rollup
+    of ``old``):
+
+        insert  →  (+1, +value) under its new group
+        delete  →  (−1, −old value) under its old group
+        update  →  both contributions — so a row that MOVES groups
+                   decrements the old group and increments the new
+                   one, and an in-place value change nets the
+                   difference; a group whose count reaches 0 drops
+                   from the view entirely (exactly what a recompute
+                   yields).
+
+    ``value_col`` must be an integer (fixed-point) column: additive
+    maintenance is only EXACT when the sums are exact — float sums
+    would drift from a recompute by reassociation. Correctness is the
+    additive-law argument of the *_new_batch family run over a
+    general changelog, proved per-query by the full-recompute oracle.
+
+    Scale shape: snapshot_diff reduces both snapshots map-side to
+    (key, fingerprint) so the change detection shuffles keys + 32 hex
+    chars; only CHANGED keys join back for values (semi-join pattern,
+    partition-pruned at scale); the delta aggregate is
+    |changed-groups|-sized; the final merge is a full-outer join
+    against a view whose cardinality is the group count. Per-refresh
+    cost ∝ churn, never table size."""
+    diff = snapshot_diff(old, new, keys, [group_col, value_col])
+    old_side = (
+        diff.filter(F.col("change_type").isin("delete", "update"))
+        .select(*keys)
+        .join(old, keys)
+        .select(
+            F.col(group_col),
+            F.lit(-1).cast("bigint").alias("_dn"),
+            (-F.col(value_col)).cast("bigint").alias("_ds"),
+        )
+    )
+    new_side = (
+        diff.filter(F.col("change_type").isin("insert", "update"))
+        .select(*keys)
+        .join(new, keys)
+        .select(
+            F.col(group_col),
+            F.lit(1).cast("bigint").alias("_dn"),
+            F.col(value_col).cast("bigint").alias("_ds"),
+        )
+    )
+    deltas = (
+        old_side.unionByName(new_side)
+        .groupBy(group_col)
+        .agg(
+            F.sum("_dn").cast("bigint").alias("_dn"),
+            F.sum("_ds").cast("bigint").alias("_ds"),
+        )
+    )
+    merged = base_rollup.join(deltas, group_col, "full_outer").select(
+        F.col(group_col),
+        (F.coalesce(F.col(n_col), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0)))
+        .cast("bigint")
+        .alias(n_col),
+        (
+            F.coalesce(F.col(sum_col), F.lit(0))
+            + F.coalesce(F.col("_ds"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias(sum_col),
+    )
+    return merged.filter(F.col(n_col) > 0)

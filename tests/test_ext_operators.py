@@ -2677,3 +2677,58 @@ def test_grouped_cms_equals_independent_per_group_sketches(spark):
     )
     z = cms_estimate_grouped(ghost, grouped, "user_id", ["event_type"])
     assert [r.est_count for r in z.collect()] == [0]
+
+
+def test_maintain_additive_rollup_full_churn_semantics(spark):
+    """IVM on a crafted changelog covering every arm: in-place value
+    update, row MOVING groups (old group decrements, new increments),
+    delete that zeroes a group out of the view, pure insert creating a
+    NEW group, and an untouched group passing through — maintained
+    view must equal a from-scratch rollup of the new snapshot."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.cdc import (
+        maintain_additive_rollup,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "g1", 100), (2, "g1", 200),      # g1: update k=1 in place
+            (3, "g2", 300),                      # g2: row moves to g3
+            (4, "g4", 400),                      # g4: deleted -> group vanishes
+            (5, "g5", 500), (6, "g5", 600),      # g5: untouched
+        ],
+        "k long, g string, v long",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "g1", 150), (2, "g1", 200),
+            (3, "g3", 300),                      # moved g2 -> g3
+            (5, "g5", 500), (6, "g5", 600),
+            (7, "g6", 700),                      # insert, brand-new group
+        ],
+        "k long, g string, v long",
+    )
+    base = old.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+    got = {
+        r.g: (r.n, r.s)
+        for r in maintain_additive_rollup(
+            base, old, new, ["k"], "g", "v"
+        ).collect()
+    }
+    want = {
+        r.g: (r.n, r.s)
+        for r in new.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert "g4" not in got        # zeroed group dropped from the view
+    assert got["g6"] == (1, 700)  # new group appears
+    assert got["g5"] == (2, 1100) # untouched group intact

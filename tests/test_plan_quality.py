@@ -1251,3 +1251,18 @@ def test_heavy_hitters_by_type_broadcast_grids_grouped_topk(spark):
     import re
 
     assert re.search(r"windowspecdefinition\(event_type#", p), p
+
+
+def test_rollup_incremental_maintenance_key_fingerprint_diff(spark):
+    """IVM plan: the persisted rollup index is read once; the change
+    detection is the fingerprint full-outer join (md5 in the plan,
+    values never cross it); nothing pairwise, no Python."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("rollup_incremental_maintenance")(spark, SF_SMOKE))
+    assert p.count("ivm") >= 1 and "rollup" in p
+    assert "md5" in p  # fingerprint-based diff, not full-row compare
+    assert "FullOuter" in p or "full_outer" in p.lower()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
