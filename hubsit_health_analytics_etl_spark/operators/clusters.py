@@ -408,3 +408,71 @@ def _incremental_labels(
     unaffected = index_labels.join(affected_comps, "component", "left_anti")
     full = unaffected.select("node", "component").unionByName(relabelled)
     return full, relabelled
+
+
+def label_propagation(
+    seeds: DataFrame,
+    edges: DataFrame,
+    rounds: int,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Semi-supervised LABEL propagation over the duplicate graph —
+    the curation move that stretches a small labeled set (human
+    quality ratings, license audits, toxicity reviews) across every
+    near-duplicate of a labeled document: duplicates share the
+    property that was labeled, so the graph IS the teacher.
+
+    ``seeds``: (node, lab) — clamped: a seed never changes. ``edges``:
+    undirected pairs (symmetrized + deduplicated here). Per round,
+    every still-unlabeled node adjacent to ≥1 labeled node adopts the
+    MAJORITY label of its labeled neighbors (synchronous update —
+    round t sees only round t−1's labels), ties broken toward the
+    smaller label. Returns (node, lab, rnd): seeds at rnd 0, adopters
+    at the round they labeled; nodes never reached stay absent.
+
+    Determinism: votes are integer counts; the winner is
+    min(struct(−count, lab)) — no floats anywhere, so the whole
+    propagation is hash-oracle-checkable (the fixed-round unrolled
+    SQL twin), unlike weighted/float LP variants. Per round: one
+    edge×labels equi-join + an anti-join + a (node, lab) count and a
+    per-node struct-min — everything keyed on node ids, lineage
+    truncated per round (the connected_components posture). A
+    convergence-bounded variant loops until no adopter; fixed rounds
+    keep the oracle expressible."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+    )
+    labels = seeds.select(
+        F.col("node"), F.col("lab"), F.lit(0).cast("bigint").alias("rnd")
+    )
+    for t in range(1, rounds + 1):
+        votes = (
+            sym.join(
+                labels.select(F.col("node").alias("u"), "lab"), "u"
+            )
+            .select(F.col("v").alias("node"), "lab")
+            .join(labels.select("node"), "node", "left_anti")
+            .groupBy("node", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pick = votes.groupBy("node").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab"))).alias(
+                "s"
+            )
+        )
+        adopted = pick.select(
+            "node",
+            F.col("s.lab").alias("lab"),
+            F.lit(t).cast("bigint").alias("rnd"),
+        )
+        labels = labels.unionByName(adopted)
+        try:
+            labels = labels.localCheckpoint(eager=True)
+        except Exception:
+            pass
+    return labels

@@ -3563,6 +3563,105 @@ def q_dedup_keep_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semi-supervised label propagation (operators/clusters.py::
+# label_propagation): stretch a small labeled slice across the
+# duplicate graph — near-duplicates of a labeled doc share the labeled
+# property, so the graph teaches. Third member of the iterative family
+# (connected components, BPE training); fixed rounds keep the oracle
+# expressible as unrolled MATERIALIZED CTEs (the BPE lesson — an
+# un-materialized CTE referenced per round inlines exponentially).
+# ---------------------------------------------------------------------------
+LPROP_SEED_PCT = 40  # doc_id hash bucket (salt 'lab') < 40 are labeled
+LPROP_THRESHOLD = 300  # seed label = [n_chars >= 300] (fixture median ~311)
+LPROP_ROUNDS = 2
+
+
+def _lprop_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for t in range(1, LPROP_ROUNDS + 1):
+        rounds.append(f"""
+    v{t} AS (SELECT e.v AS node, l.lab FROM edges e JOIN {prev} l ON l.node = e.u
+           WHERE e.v NOT IN (SELECT node FROM {prev})),
+    c{t} AS (SELECT node, lab, COUNT(*) AS c FROM v{t} GROUP BY node, lab),
+    p{t} AS (SELECT node, lab FROM (
+             SELECT node, lab,
+                    ROW_NUMBER() OVER (PARTITION BY node
+                                       ORDER BY c DESC, lab) AS rn
+             FROM c{t}) WHERE rn = 1),
+    l{t} AS MATERIALIZED (SELECT * FROM {prev}
+           UNION ALL SELECT node, lab, {t} AS rnd FROM p{t})""")
+        prev = f"l{t}"
+    return f"""
+    WITH {_minhash_pairs_ctes()},
+    fp AS (SELECT doc_id,
+                  md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+           FROM documents),
+    freps AS (SELECT fp, MIN(doc_id) AS rep FROM fp GROUP BY fp),
+    edges0 AS (
+        SELECT doc_a, doc_b FROM mh_pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+        UNION
+        SELECT f.rep AS doc_a, p.doc_id AS doc_b
+        FROM fp p JOIN freps f USING (fp) WHERE p.doc_id <> f.rep),
+    edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM edges0
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM edges0),
+    l0 AS MATERIALIZED (SELECT doc_id AS node,
+                 CASE WHEN n_chars >= {LPROP_THRESHOLD} THEN 1 ELSE 0 END AS lab,
+                 0 AS rnd
+          FROM documents
+          WHERE {sql_hash_bucket("doc_id", salt="lab")} < {LPROP_SEED_PCT}),
+    {",".join(rounds)}
+    SELECT node AS doc_id, lab::BIGINT AS label, rnd::BIGINT AS rnd
+    FROM {prev}
+    """
+
+
+@query("quality_label_propagation", _lprop_oracle())
+def q_quality_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{LPROP_ROUNDS}-round clamped-seed majority label propagation
+    over the production duplicate graph (capped MinHash pairs ∪
+    exact-dup edges — the dedup_keep_by_source graph): the stable
+    {LPROP_SEED_PCT}% hash slice is labeled by a literal length rule
+    and every unlabeled node adjacent to labeled ones adopts the
+    integer-majority label per round (ties → smaller label, seeds
+    clamped, synchronous updates). Output (doc_id, label, rnd) for
+    every node labeled by round {LPROP_ROUNDS}; unreached nodes stay
+    absent. All-integer votes make the whole propagation
+    hash-oracle-checked against the unrolled SQL twin — per round one
+    node-keyed join + count + struct-min, never anything pairwise
+    beyond the LSH-bucketed candidate stage."""
+    from .operators.clusters import label_propagation
+    from .operators.dedup import exact_dup_edges, minhash_candidates
+    from .operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    near = minhash_candidates(
+        docs, bucket_cap=MINHASH_BUCKET_CAP, pre_exact_dedup=True
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    edges = (
+        near.select("doc_a", "doc_b")
+        .unionByName(exact_dup_edges(docs).select("doc_a", "doc_b"))
+        .distinct()
+    )
+    seeds = docs.filter(
+        hash_bucket("doc_id", salt="lab") < LPROP_SEED_PCT
+    ).select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("n_chars") >= LPROP_THRESHOLD, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("lab"),
+    )
+    out = label_propagation(seeds, edges, LPROP_ROUNDS)
+    return out.select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").cast("bigint").alias("label"),
+        F.col("rnd").cast("bigint").alias("rnd"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental cluster maintenance: a new batch's duplicate edges merge
 # into PERSISTED cluster labels — only affected components re-label;
 # the corpus is never re-clustered. Completes the incremental family

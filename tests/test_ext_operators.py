@@ -2732,3 +2732,37 @@ def test_maintain_additive_rollup_full_churn_semantics(spark):
     assert "g4" not in got        # zeroed group dropped from the view
     assert got["g6"] == (1, 700)  # new group appears
     assert got["g5"] == (2, 1100) # untouched group intact
+
+
+def test_label_propagation_crafted_graph_semantics(spark):
+    """Pure crafted-graph pins for the LP operator: majority vote,
+    tie -> smaller label, clamped seeds, SYNCHRONOUS rounds (a round-1
+    adopter influences only round 2), chain adoption at round 2, and
+    unreached nodes absent."""
+    from hubsit_health_analytics_etl_spark.operators.clusters import (
+        label_propagation,
+    )
+
+    # seeds: 1->lab1, 2->lab0, 3->lab0
+    seeds = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 0)], "node long, lab long"
+    )
+    edges = spark.createDataFrame(
+        [
+            (1, 10),            # 10: single labeled neighbor -> lab 1, rnd 1
+            (2, 11), (3, 11), (1, 11),  # 11: majority 0 (2 vs 1) -> lab 0
+            (1, 12), (2, 12),   # 12: tie 1-1 -> smaller label 0
+            (10, 20),           # 20: adopts 10's label at ROUND 2 only
+            (20, 30),           # 30: unreached within 2 rounds
+            (2, 1),             # edge between seeds: both stay clamped
+        ],
+        "doc_a long, doc_b long",
+    )
+    out = {r.node: (r.lab, r.rnd)
+           for r in label_propagation(seeds, edges, 2).collect()}
+    assert out[1] == (1, 0) and out[2] == (0, 0) and out[3] == (0, 0)
+    assert out[10] == (1, 1)
+    assert out[11] == (0, 1)
+    assert out[12] == (0, 1)
+    assert out[20] == (1, 2)   # synchronous: not at round 1
+    assert 30 not in out       # beyond the horizon

@@ -1266,3 +1266,16 @@ def test_rollup_incremental_maintenance_key_fingerprint_diff(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p
+
+
+def test_quality_label_propagation_no_pairwise_no_python(spark):
+    """LP inherits the dedup-graph plan contracts: the only candidate
+    expansion is the LSH-bucketed inverted index (no cartesian, no
+    nested loop), every per-round stage is a node-keyed join/agg, and
+    the whole thing is JVM-only."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("quality_label_propagation")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
