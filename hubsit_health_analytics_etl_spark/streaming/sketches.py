@@ -105,3 +105,56 @@ def read_value_histogram(spark: SparkSession, index_dir: str) -> DataFrame:
     reading aggregates #batches·bins rows, never raw values."""
     h = _read_index(spark, index_dir, _HIST_SCHEMA)
     return h.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+_MOMENTS_SCHEMA = "key bigint, n bigint, sx bigint, sxx bigint"
+
+
+def moments_sink(
+    index_dir: str,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` callable maintaining the per-key sufficient-
+    statistics index (n, Σx, Σx²) behind the integer z-score detector
+    (workload_ext.q_user_value_outliers): values become exact u2
+    fixed-point integers and each micro-batch reduces to one triple
+    per key it touched — per-batch state ∝ batch's distinct keys,
+    triples ADD across batches (the moments member of this sink
+    family, next to the CMS grid and the value histogram). Same
+    ``batch-<id>`` overwrite contract: replay rewrites, never
+    double-counts."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        triples = (
+            batch.select(
+                F.col(key_col).alias("key"),
+                F.expr(f"cast(round({value_col} * 100) as bigint)").alias(
+                    "v"
+                ),
+            )
+            .groupBy("key")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("v").cast("bigint").alias("sx"),
+                F.sum(F.expr("v * v")).cast("bigint").alias("sxx"),
+            )
+        )
+        triples.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch-{batch_id}")
+        )
+
+    return _apply
+
+
+def read_moments(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The live per-key moments: triple-wise sum over every batch
+    (empty relation if nothing has arrived). Anomaly scoring joins a
+    probe stream against this and runs the division-free z-test —
+    no raw history is ever re-read."""
+    m = _read_index(spark, index_dir, _MOMENTS_SCHEMA)
+    return m.groupBy("key").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sx").cast("bigint").alias("sx"),
+        F.sum("sxx").cast("bigint").alias("sxx"),
+    )

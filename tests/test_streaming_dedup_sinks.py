@@ -938,3 +938,80 @@ def test_streaming_value_histogram_equals_batch_and_replays_clean(
         for r in read_value_histogram(spark, index_dir).collect()
     }
     assert again == {(r.bin, r.cnt) for r in want_hist.collect()}
+
+
+def test_streaming_moments_equal_batch_and_power_the_ztest(spark, tmp_path):
+    """The moments sink: summed per-key triples must equal a one-shot
+    aggregate of the full stream, re-delivery must rewrite (not
+    double-count), and the live index must reproduce the batch
+    z-outlier counts exactly."""
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.streaming.sketches import (
+        moments_sink,
+        read_moments,
+    )
+
+    events = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "user_id", "value")
+        .filter(F.col("event_id") < 400)
+    )
+    b1 = [(r.event_id, r.user_id, r.value)
+          for r in events.filter(F.col("event_id") < 200).collect()]
+    b2 = [(r.event_id, r.user_id, r.value)
+          for r in events.filter(F.col("event_id") >= 200).collect()]
+    schema = "event_id long, user_id long, value double"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_file(spark, b1, schema, src, "b1.parquet", 1_700_000_000)
+    _write_file(spark, b2, schema, src, "b2.parquet", 1_700_000_100)
+
+    index_dir = str(tmp_path / "moments")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(moments_sink(index_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    live = {r.key: (r.n, r.sx, r.sxx)
+            for r in read_moments(spark, index_dir).collect()}
+    want = {
+        r.user_id: (r.n, r.sx, r.sxx)
+        for r in events.select(
+            "user_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("v"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("sx"),
+            F.sum(F.expr("v * v")).cast("bigint").alias("sxx"),
+        )
+        .collect()
+    }
+    assert live == want
+
+    # replay idempotence
+    moments_sink(index_dir)(spark.createDataFrame(b2, schema), 1)
+    again = {r.key: (r.n, r.sx, r.sxx)
+             for r in read_moments(spark, index_dir).collect()}
+    assert again == want
+
+    # the z-test through the live index == computed from raw history
+    def outliers(stats):
+        e = [(r.user_id, round(r.value * 100)) for r in events.collect()]
+        out = {}
+        for u, v in e:
+            n, sx, sxx = stats[u]
+            dev = v * n - sx
+            out[u] = out.get(u, 0) + (
+                1 if dev * dev > 9 * (n * sxx - sx * sx) else 0
+            )
+        return out
+
+    assert outliers(live) == outliers(want)
