@@ -6296,6 +6296,77 @@ def q_vocab_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vocab_forget",
+    f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+               FROM documents
+               WHERE {sql_hash_bucket("doc_id", salt="forget")} >= {FORGET_PCT}),
+    c AS (SELECT token,
+                 COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+                 COUNT(*)::BIGINT AS n_occurrences
+          FROM t WHERE token <> '' GROUP BY token),
+    r AS (SELECT token, n_docs, n_occurrences,
+                 ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS rank
+          FROM c)
+    SELECT token, n_docs, n_occurrences, rank::BIGINT AS rank
+    FROM r WHERE rank <= {VOCAB_TOP_K}
+    """,
+)
+def q_vocab_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-index deletion — the forget member of the vocab
+    family (vocab_new_batch's additive merge INVERTED, the bm25_forget
+    law on the collapsed counts): the full-corpus (token, n_docs,
+    n_occurrences) index persists, the stable {FORGET_PCT}%
+    forget-list is re-tokenized (cost ∝ deleted slice — the
+    cms_forget posture), its partial counts NEGATE into the index with
+    one sum-groupBy, and tokens whose occurrence count reaches 0 leave
+    the vocabulary. Disjointness makes the subtraction exact: kept ∪
+    deleted partition the corpus, so per-token counts over the slices
+    add — and therefore subtract. Same top-{VOCAB_TOP_K} report;
+    oracle = the full recompute over the kept corpus, hash match
+    proves subtraction == rebuild."""
+    import os
+
+    from pyspark.sql import Window
+
+    from .operators.sampling import hash_bucket
+    from .sources.sinks import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_del = hash_bucket("doc_id", salt="forget") < FORGET_PCT
+
+    base = _run_scoped_index_dir("vocab_forget")
+    idx_path = os.path.join(base, "vocab_index")
+    write_parquet(_token_counts(_spread(docs)), idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    neg = _token_counts(docs.filter(is_del)).select(
+        "token",
+        (-F.col("n_docs")).alias("n_docs"),
+        (-F.col("n_occurrences")).alias("n_occurrences"),
+    )
+    maintained = (
+        idx.unionByName(neg)
+        .groupBy("token")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_occurrences").cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") > 0)
+    )
+    topk = maintained.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return topk.select(
+        "token",
+        "n_docs",
+        "n_occurrences",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sampling family completion: exact per-stratum quotas and weighted
 # sampling without replacement — the two corpus-mixing shapes

@@ -1279,3 +1279,19 @@ def test_quality_label_propagation_no_pairwise_no_python(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p
+
+
+def test_vocab_forget_only_retokenizes_the_deleted_slice(spark):
+    """vocab_forget's probe plan reads the persisted index once and
+    re-tokenizes ONLY the deleted slice — every documents scan is
+    forget-filtered (< FORGET_PCT), the kept corpus is never
+    re-tokenized."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("vocab_forget")(spark, SF_SMOKE))
+    assert p.count("vocab_index") == 1
+    n_doc = p.count("documents.parquet")
+    assert n_doc >= 1
+    assert p.count("% 100) < 5") == n_doc, p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
