@@ -9404,6 +9404,68 @@ def q_doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quantiles_forget",
+    f"""
+    WITH b AS (SELECT CAST(LEAST(GREATEST(FLOOR((value - {QHIST_LO!r}) * {float(QHIST_BINS)!r}
+                                                / ({QHIST_HI!r} - {QHIST_LO!r})), 0),
+                                 {QHIST_BINS - 1}) AS INT) AS bin
+               FROM events
+               WHERE {sql_hash_bucket("event_id", salt="forget")} >= {FORGET_PCT}),
+    h AS (SELECT bin, COUNT(*)::BIGINT AS cnt FROM b GROUP BY bin),
+    n AS (SELECT SUM(cnt)::BIGINT AS n_rows FROM h),
+    c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)::BIGINT
+                 AS cum_rows FROM h),
+    p AS (SELECT unnest([{", ".join(str(p) for p in QHIST_PCTS)}])::BIGINT AS pct),
+    hit AS (SELECT p.pct, c.bin, c.cum_rows FROM p CROSS JOIN c CROSS JOIN n
+            WHERE c.cum_rows * 100 >= p.pct * n.n_rows),
+    sel AS (SELECT pct, MIN(bin) AS bin FROM hit GROUP BY pct)
+    SELECT sel.pct, sel.bin::BIGINT AS bin, c.cum_rows, n.n_rows,
+           CAST(FLOOR(({QHIST_LO!r} + ((sel.bin + 1) * {_QHIST_W!r})) * 1000000.0)
+                AS BIGINT) AS approx_hi_u6
+    FROM sel JOIN c USING (bin) CROSS JOIN n
+    """,
+)
+def q_quantiles_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion for the quantile index — the cms_forget law on the
+    histogram: the full-stream {QHIST_BINS}-bin histogram persists,
+    the stable {FORGET_PCT}% forget-list is re-binned (cost ∝ slice),
+    negated and summed in (zeroed bins drop), and percentiles report
+    from the maintained index. With this, EVERY standing index family
+    in the engine has a certified forget inverse (clusters, IVF, BM25
+    term stats, gram ownership, CMS grids, vocabulary, moments-by-
+    algebra, and value histograms). Oracle = the from-scratch
+    histogram-quantile SQL over kept events."""
+    import os
+
+    from .operators.sampling import hash_bucket
+    from .operators.sketches import histogram_quantiles, value_histogram
+    from .sources.sinks import write_parquet
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    is_del = hash_bucket("event_id", salt="forget") < FORGET_PCT
+
+    base = _run_scoped_index_dir("qhist_forget")
+    idx_path = os.path.join(base, "quantile_hist")
+    write_parquet(
+        value_histogram(events, "value", QHIST_LO, QHIST_HI, QHIST_BINS),
+        idx_path,
+    )
+    idx = spark.read.parquet(idx_path)
+    neg = value_histogram(
+        events.filter(is_del), "value", QHIST_LO, QHIST_HI, QHIST_BINS
+    ).select("bin", (-F.col("cnt")).alias("cnt"))
+    maintained = (
+        idx.unionByName(neg)
+        .groupBy("bin")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+    return histogram_quantiles(
+        maintained, QHIST_PCTS, QHIST_LO, QHIST_HI, QHIST_BINS
+    )
+
+
 # ---------------------------------------------------------------------------
 # Collocation mining — top adjacent token pairs by pointwise mutual
 # information, the corpus-analysis step that induces multi-word

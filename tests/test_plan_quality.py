@@ -1295,3 +1295,17 @@ def test_vocab_forget_only_retokenizes_the_deleted_slice(spark):
     assert p.count("% 100) < 5") == n_doc, p
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_quantiles_forget_only_rebins_the_deleted_slice(spark):
+    """quantiles_forget reads the persisted histogram once and re-bins
+    ONLY the deleted slice — every events scan is forget-filtered."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("quantiles_forget")(spark, SF_SMOKE))
+    assert p.count("quantile_hist") == 1
+    n_ev = p.count("events.parquet")
+    assert n_ev >= 1
+    assert p.count("% 100) < 5") == n_ev, p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
