@@ -160,6 +160,24 @@ def maintain_additive_rollup(
     |changed-groups|-sized; the final merge is a full-outer join
     against a view whose cardinality is the group count. Per-refresh
     cost ∝ churn, never table size."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    bad = [
+        f"{name}.{value_col}: {df.schema[value_col].dataType.simpleString()}"
+        for name, df in (("old", old), ("new", new))
+        if not isinstance(df.schema[value_col].dataType, integral)
+    ]
+    if bad:
+        # fail loudly instead of silently truncating a float/decimal
+        # through the bigint cast below (ADVICE r12): delta maintenance
+        # is only exact — equal to a recompute — over integer sums
+        raise ValueError(
+            "maintain_additive_rollup: value_col must be an integral "
+            f"column (additive maintenance is only exact over integer "
+            f"sums); got [{'; '.join(bad)}]. Fixed-point-scale the "
+            "value (e.g. cents as bigint) before maintaining."
+        )
     diff = snapshot_diff(old, new, keys, [group_col, value_col])
     old_side = (
         diff.filter(F.col("change_type").isin("delete", "update"))

@@ -120,11 +120,29 @@ def cms_estimate_grouped(
     groups: "list[str]",
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    broadcast: "bool | str" = "auto",
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Probe per-group grids: estimate for (group, key) = min over the
     depth cells of THAT group's grid. Same left-join + coalesce-0
     contract as cms_estimate (a key absent from its group's stream
-    estimates 0, never a collision value)."""
+    estimates 0, never a collision value).
+
+    Unlike the single grid (≤ depth×width rows, always broadcast),
+    the grouped counter table is |distinct groups|·depth·width worst
+    case — a high-cardinality group column would force an oversized
+    broadcast (ADVICE r12). ``broadcast`` controls the join shape:
+
+    - ``"auto"`` (default): GUARD the broadcast with a cheap
+      ``limit(cap+1).count()`` probe (the brute_force_topk precedent)
+      — under ``max_broadcast_rows`` it stays a map-side hash join;
+      over it, it silently keeps the scalable shape, a shuffled
+      equi-join on (groups, row_i, bucket), AQE-sized and
+      skew-splittable. The probe costs one evaluation of ``counters``
+      — persist it first if its lineage is expensive.
+    - ``True``: caller asserts the group column is enum-small (e.g. a
+      type code) — broadcast without probing, zero extra jobs.
+    - ``False``: always the shuffled equi-join."""
     probes = keys.select(
         *groups,
         F.col(key),
@@ -138,10 +156,19 @@ def cms_estimate_grouped(
             + "))"
         ),
     )
+    if broadcast is True:
+        right = F.broadcast(counters)
+    elif broadcast is False:
+        right = counters
+    else:
+        right = counters
+        if (
+            counters.limit(int(max_broadcast_rows) + 1).count()
+            <= int(max_broadcast_rows)
+        ):
+            right = F.broadcast(counters)
     return (
-        probes.join(
-            F.broadcast(counters), [*groups, "row_i", "bucket"], "left"
-        )
+        probes.join(right, [*groups, "row_i", "bucket"], "left")
         .select(*groups, key, F.coalesce(F.col("c"), F.lit(0)).alias("c"))
         .groupBy(*groups, key)
         .agg(F.min("c").cast("bigint").alias("est_count"))

@@ -29,9 +29,14 @@ Scale/posture notes:
   versions keep referencing the uncompacted files, still readable).
 - SINGLE WRITER per table (the compact_parquet contract); readers are
   unlimited and lock-free. Writer crash recovery: anything newer than
-  the pointer is uncommitted garbage — every commit entry deletes
-  stale manifests/data dirs above the pointer before picking its
-  version number, so a crashed commit is invisible and re-runnable.
+  the pointer is uncommitted garbage — commit entry clears crashed
+  manifests above the pointer (age-gated, so a LIVE racing writer's
+  just-published manifest is never swept), and ``expire_versions``
+  garbage-collects crashed commits' orphan staging dirs with the same
+  age gate. A commit never deletes another attempt's staged data:
+  each attempt stages under its own token-suffixed dir and cleans up
+  only itself on failure (ADVICE r12 — sweeping foreign staging at
+  entry could corrupt a racing writer's in-flight commit).
 - Racing writers are REFUSED, never silently lost (r11 verdict #3):
   ``commit_version(expected_parent=)`` is the Iceberg base-snapshot
   check, and every commit re-checks the pointer before publishing and
@@ -122,20 +127,41 @@ def read_manifest(root: str, n: int) -> dict:
         return json.load(f)
 
 
-def _repair(root: str) -> None:
-    """Delete anything a crashed commit left ABOVE the pointer —
-    manifests without a pointer swap and orphan data dirs. Nothing a
-    reader can reach is touched (readers resolve via the pointer)."""
+# A live commit's manifest is above the pointer only for the instant
+# between its hardlink CAS and its pointer swap (two driver-side file
+# ops, milliseconds). Anything above the pointer OLDER than this grace
+# is therefore a crashed commit's leftover, safe to clear so the next
+# writer's CAS for the same version number isn't wedged on EEXIST.
+_CRASH_GRACE_S = 60.0
+
+
+def _repair(root: str, grace_s: float = _CRASH_GRACE_S) -> None:
+    """Clear manifests a CRASHED commit published above the pointer —
+    the only leftover that can WEDGE the table (the next commit's
+    create-exclusive CAS for the same version number would hit EEXIST
+    forever). Age-gated by ``grace_s``: a manifest above the pointer
+    younger than the grace may belong to a live racing writer an
+    instant away from its pointer swap — leave it, and let this
+    commit's own CAS lose to it (ConcurrentWriteError, retryable).
+
+    Staged DATA dirs are deliberately NOT touched here (ADVICE r12): a
+    concurrent writer may be mid-write in its own token-suffixed dir,
+    and sweeping it would let that writer publish a manifest whose
+    files we just deleted — corruption under the exact racing-writers
+    scenario the CAS protocol refuses. Orphan data dirs are invisible
+    to readers (only manifest-listed files are ever scanned) and cost
+    disk only; :func:`expire_versions` garbage-collects them with the
+    same age gate."""
     cur = current_version(root)
     floor = -1 if cur is None else cur
+    now = time.time()
     for m in glob.glob(os.path.join(root, "manifests", "v*.json")):
         if int(os.path.basename(m)[1:-5]) > floor:
-            os.remove(m)
-    for d in glob.glob(os.path.join(root, "data", "v*")):
-        # dir names are v{n:06d} or v{n:06d}_{token} (unique-per-attempt
-        # suffix so racing writers never collide on a directory)
-        if os.path.isdir(d) and _data_dir_version(d) > floor:
-            shutil.rmtree(d)
+            try:
+                if now - os.path.getmtime(m) > grace_s:
+                    os.remove(m)
+            except FileNotFoundError:
+                pass  # another writer's repair won the race to remove it
 
 
 def _data_dir_version(d: str) -> int:
@@ -190,7 +216,8 @@ def commit_version(
 
     Protocol (single writer; racing writers refused, never corrupted):
     entry checks (expected_parent, append schema compatibility) →
-    repair stale leftovers → write data files under
+    clear CRASHED commits' manifests above the pointer (age-gated;
+    never another attempt's staged data) → write data files under
     ``data/v{n}_{token}`` (token unique per attempt, so two racing
     writers can never collide on a directory; the expected row count
     observed on the write itself — ONE evaluation of ``df``, so a
@@ -613,36 +640,68 @@ def compact_versioned(
     )
 
 
-def expire_versions(root: str, keep_last: int) -> list[int]:
+def expire_versions(
+    root: str, keep_last: int, orphan_grace_s: float = 3600.0
+) -> list[int]:
     """Retention: drop all but the newest ``keep_last`` committed
     versions and delete data files no kept version references.
     Returns the expired version numbers. Destructive by contract —
     run it from the single writer; a reader still holding an expired
     version's manifest fails loudly mid-scan (missing file), it never
-    silently sees partial data."""
+    silently sees partial data.
+
+    Also the GC site for CRASHED commits' orphan staging dirs (data
+    dirs above the pointer that no manifest will ever reference —
+    commit entry deliberately never sweeps them, see :func:`_repair`).
+    A staging dir above the pointer is removed only once it is older
+    than ``orphan_grace_s`` (default 1 h), so an in-flight writer's
+    fresh staging survives an expire running beside it. Foreign-named
+    dirs (``_data_dir_version == -1``) are never touched by any sweep
+    — the protection that helper documents (ADVICE r12)."""
     if keep_last < 1:
         raise ValueError("expire_versions: keep_last must be >= 1")
     versions = list_versions(root)
     expired = versions[:-keep_last]
-    if not expired:
-        return []
     kept_files: set[str] = set()
-    for n in versions[-keep_last:]:
-        kept_files.update(
-            _abs_file(root, f) for f in read_manifest(root, n)["files"]
-        )
-    doomed_files: set[str] = set()
-    for n in expired:
-        doomed_files.update(
-            _abs_file(root, f) for f in read_manifest(root, n)["files"]
-        )
-    for f in sorted(doomed_files - kept_files):
-        if os.path.exists(f):
-            os.remove(f)
-    for n in expired:
-        os.remove(_manifest_path(root, n))
-    # drop data dirs that emptied out
+    kept_files_norm: set[str] = set()
+    for n in versions[len(expired):]:
+        for f in read_manifest(root, n)["files"]:
+            kept_files.add(_abs_file(root, f))
+            kept_files_norm.add(os.path.abspath(_abs_file(root, f)))
+    if expired:
+        doomed_files: set[str] = set()
+        for n in expired:
+            doomed_files.update(
+                _abs_file(root, f) for f in read_manifest(root, n)["files"]
+            )
+        for f in sorted(doomed_files - kept_files):
+            if os.path.exists(f):
+                os.remove(f)
+        for n in expired:
+            os.remove(_manifest_path(root, n))
+    # GC. Committed-range dirs (version ≤ pointer): any file no
+    # surviving manifest references is dead — a crashed commit whose
+    # version number was since reused, or leftovers of an earlier
+    # partial expiry — delete it, and drop the dir once empty.
+    # Above-pointer dirs: crashed commits' orphan staging, removed
+    # only past the age gate so an in-flight writer's fresh staging
+    # survives an expire running beside it. Foreign-named dirs
+    # (_data_dir_version == -1) are never touched by any sweep.
+    cur = current_version(root)
+    floor = -1 if cur is None else cur
+    now = time.time()
     for d in glob.glob(os.path.join(root, "data", "v*")):
-        if os.path.isdir(d) and not glob.glob(os.path.join(d, "*.parquet")):
+        if not os.path.isdir(d):
+            continue
+        v = _data_dir_version(d)
+        if v == -1:
+            continue  # foreign dir name: never expired by the sweep
+        if v <= floor:
+            for f in glob.glob(os.path.join(d, "*.parquet")):
+                if os.path.abspath(f) not in kept_files_norm:
+                    os.remove(f)
+            if not glob.glob(os.path.join(d, "*.parquet")):
+                shutil.rmtree(d)
+        elif now - os.path.getmtime(d) > orphan_grace_s:
             shutil.rmtree(d)
     return expired

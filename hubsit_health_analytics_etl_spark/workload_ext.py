@@ -8954,8 +8954,11 @@ def q_heavy_hitters_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     grid = cms_counters_grouped(ev, "user_id", ["event_type"])
+    # broadcast=True: event_type is an enum-small code column, so the
+    # grid is ≤ |types|·depth·width rows — assert that instead of
+    # paying the auto-guard's probe (one extra grid evaluation)
     est = cms_estimate_grouped(
-        ev.distinct(), grid, "user_id", ["event_type"]
+        ev.distinct(), grid, "user_id", ["event_type"], broadcast=True
     )
     exact = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_count")

@@ -2678,6 +2678,43 @@ def test_grouped_cms_equals_independent_per_group_sketches(spark):
     z = cms_estimate_grouped(ghost, grouped, "user_id", ["event_type"])
     assert [r.est_count for r in z.collect()] == [0]
 
+    # ADVICE r12: the broadcast is guarded — over the cap the probe
+    # falls back to a shuffled equi-join with IDENTICAL results (a
+    # high-cardinality group column must never force an oversized
+    # broadcast)
+    shuffled = cms_estimate_grouped(
+        ev.select("event_type", "user_id").distinct(),
+        grouped,
+        "user_id",
+        ["event_type"],
+        max_broadcast_rows=0,
+    )
+    assert "broadcast" not in shuffled._jdf.queryExecution().executedPlan().toString().lower()
+    assert {
+        (r.event_type, r.user_id): r.est_count for r in shuffled.collect()
+    } == est
+
+
+def test_maintain_additive_rollup_rejects_non_integral_value(spark):
+    """ADVICE r12: a float/decimal value column used to be silently
+    cast to bigint (truncating — delta maintenance would diverge from
+    a recompute); it must fail loudly instead."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from hubsit_health_analytics_etl_spark.operators.cdc import (
+        maintain_additive_rollup,
+    )
+
+    old = spark.createDataFrame([(1, "g1", 1.5)], "k long, g string, v double")
+    new = spark.createDataFrame([(1, "g1", 2.5)], "k long, g string, v double")
+    base = old.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").alias("s"),
+    )
+    with pytest.raises(ValueError, match="integral"):
+        maintain_additive_rollup(base, old, new, ["k"], "g", "v")
+
 
 def test_maintain_additive_rollup_full_churn_semantics(spark):
     """IVM on a crafted changelog covering every arm: in-place value

@@ -7,6 +7,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import time
 
 import pytest
 
@@ -90,21 +91,29 @@ def test_concurrent_reader_is_snapshot_isolated(spark, tmp_path):
 
 def test_crashed_commit_is_invisible_and_repaired(spark, tmp_path):
     """A crash after data+manifest but BEFORE the pointer swap leaves
-    the table at its old version; the next commit deletes the stale
-    leftovers and takes the version number cleanly."""
+    the table at its old version. Once the crash is older than the
+    repair grace (the live-CAS-to-pointer-swap window is milliseconds),
+    the next commit clears the stale manifest and takes the version
+    number cleanly; the crashed data dir is GC'd by expire_versions
+    (never swept at commit entry — it could be a live racing writer's
+    staging, ADVICE r12)."""
     root = str(tmp_path / "tbl")
     commit_version(_mk(spark, [(1, "a")]), root)
 
     # simulate the crashed commit: data dir + manifest for v1 exist,
-    # pointer still says 0
+    # pointer still says 0; backdate mtimes past both grace windows
     stale_data = os.path.join(root, "data", "v000001")
     os.makedirs(stale_data)
     with open(os.path.join(stale_data, "garbage.parquet"), "w") as f:
         f.write("not parquet")
-    with open(os.path.join(root, "manifests", "v000001.json"), "w") as f:
+    stale_manifest = os.path.join(root, "manifests", "v000001.json")
+    with open(stale_manifest, "w") as f:
         json.dump({"version": 1, "parent": 0, "mode": "overwrite",
                    "files": [os.path.join(stale_data, "garbage.parquet")],
                    "n_rows": 99, "n_new_files": 1}, f)
+    long_ago = time.time() - 7200
+    os.utime(stale_manifest, (long_ago, long_ago))
+    os.utime(stale_data, (long_ago, long_ago))
 
     assert current_version(root) == 0
     assert list_versions(root) == [0]  # stale manifest not reachable
@@ -112,12 +121,108 @@ def test_crashed_commit_is_invisible_and_repaired(spark, tmp_path):
     assert [(r.k, r.v) for r in read_version(spark, root).collect()] == [
         (1, "a")
     ]
-    # next commit repairs and becomes the real v1
+    # next commit repairs the crashed manifest and becomes the real v1
     assert commit_version(_mk(spark, [(2, "b")]), root) == 1
     assert [(r.k, r.v) for r in read_version(spark, root, 1).collect()] == [
         (2, "b")
     ]
-    assert not os.path.exists(os.path.join(stale_data, "garbage.parquet"))
+    # the crashed data dir is disk garbage until retention GCs it:
+    # unreferenced by any surviving manifest → file + dir removed
+    assert os.path.exists(os.path.join(stale_data, "garbage.parquet"))
+    assert expire_versions(root, keep_last=10) == []
+    assert not os.path.exists(stale_data)
+    # ... and the real versions still read
+    assert [(r.k, r.v) for r in read_version(spark, root, 1).collect()] == [
+        (2, "b")
+    ]
+
+
+def test_fresh_crashed_manifest_refuses_then_repairs_after_grace(
+    spark, tmp_path
+):
+    """A manifest above the pointer YOUNGER than the grace might be a
+    live racing writer an instant from its pointer swap — commit must
+    refuse (retryable), not sweep it. After the grace it is a crashed
+    commit and the retry succeeds."""
+    from hubsit_health_analytics_etl_spark.sources import versioned as V
+
+    root = str(tmp_path / "fresh")
+    commit_version(_mk(spark, [(1, "a")]), root)
+    mpath = os.path.join(root, "manifests", "v000001.json")
+    with open(mpath, "w") as f:
+        json.dump(dict(read_manifest(root, 0), version=1, parent=0), f)
+
+    with pytest.raises(V.ConcurrentWriteError):
+        commit_version(_mk(spark, [(2, "b")]), root)
+    assert current_version(root) == 0  # refused cleanly
+
+    old = time.time() - 2 * V._CRASH_GRACE_S
+    os.utime(mpath, (old, old))
+    assert commit_version(_mk(spark, [(2, "b")]), root) == 1
+    assert [(r.k, r.v) for r in read_version(spark, root, 1).collect()] == [
+        (2, "b")
+    ]
+
+
+def test_commit_entry_never_sweeps_a_racing_writers_staging(
+    spark, tmp_path
+):
+    """The ADVICE r12 high finding: writer A is mid-write in its own
+    token-suffixed staging dir above the pointer when writer B enters
+    commit. B must NOT delete A's staged files (the old sweep did,
+    letting A later publish a manifest referencing deleted files)."""
+    root = str(tmp_path / "staging")
+    commit_version(_mk(spark, [(1, "a")]), root)
+
+    # A's in-flight staging for v1: token-suffixed, fresh
+    a_dir = os.path.join(root, "data", "v000001_aaaaaaaa")
+    os.makedirs(a_dir)
+    a_file = os.path.join(a_dir, "part-00000.parquet")
+    with open(a_file, "w") as f:
+        f.write("A's in-flight bytes")
+
+    # B commits (wins v1 under its own token) — A's staging survives
+    # the commit-entry repair; A will be refused at its own pointer
+    # re-check, never publish a manifest over deleted files
+    assert commit_version(_mk(spark, [(2, "B")]), root) == 1
+    assert os.path.exists(a_file)
+
+    # C's in-flight staging for v2 (above the pointer): survives both
+    # another commit-entry repair and retention while fresh
+    c_dir = os.path.join(root, "data", "v000002_cccccccc")
+    os.makedirs(c_dir)
+    c_file = os.path.join(c_dir, "part-00000.parquet")
+    with open(c_file, "w") as f:
+        f.write("C's in-flight bytes")
+    assert expire_versions(root, keep_last=10) == []
+    assert os.path.exists(c_file)
+    # A's dir sits at a version ≤ the pointer: dead by protocol (the
+    # v1 manifest CAS is taken, A can never publish) → retention GCs
+    # it without any age gate
+    assert not os.path.exists(a_dir)
+    # once C is long-dead (past the orphan grace), retention GCs it too
+    long_ago = time.time() - 7200
+    os.utime(c_dir, (long_ago, long_ago))
+    expire_versions(root, keep_last=10, orphan_grace_s=3600)
+    assert not os.path.exists(c_dir)
+    assert [(r.k, r.v) for r in read_version(spark, root).collect()] == [
+        (2, "B")
+    ]
+
+
+def test_expire_sweep_never_touches_foreign_named_dirs(spark, tmp_path):
+    """The empty-dir sweep honors _data_dir_version's -1 protection:
+    a foreign-named dir under data/ (even empty, even old) survives
+    every retention pass."""
+    root = str(tmp_path / "foreign")
+    commit_version(_mk(spark, [(1, "a")]), root)
+    foreign = os.path.join(root, "data", "vendor_scratch")
+    os.makedirs(foreign)
+    long_ago = time.time() - 7200
+    os.utime(foreign, (long_ago, long_ago))
+    commit_version(_mk(spark, [(2, "b")]), root)
+    expire_versions(root, keep_last=1, orphan_grace_s=0.0)
+    assert os.path.isdir(foreign)
 
 
 def test_expire_versions_keeps_shared_files(spark, tmp_path):
