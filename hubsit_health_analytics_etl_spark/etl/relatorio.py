@@ -68,17 +68,20 @@ _PROFILE_DIMS = [
 
 
 def formatar_relatorio(titulo: str, dados) -> str:
-    """Text frame around one report block (etl_pipeline.py:304-314)."""
-    relatorio = f"\n--- {titulo} ---\n"
-    if isinstance(dados, (pd.DataFrame, pd.Series)):
-        relatorio += dados.to_string()
-    elif isinstance(dados, dict):
-        for k, v in dados.items():
-            relatorio += f"{k}: {v}\n"
-    else:
-        relatorio += str(dados)
-    relatorio += f"\n{'-' * (len(titulo) + 6)}\n"
-    return relatorio
+    """Text frame around one report block — byte-identical output
+    contract to the reference helper (etl_pipeline.py:304-314), pinned
+    by a golden test, re-expressed over the shapes this module's
+    collected results actually take: a mapping renders as ``k: v``
+    lines, anything else through ``str``. (The reference also
+    dispatched on pandas frames; this engine renders its tabular
+    blocks from collected rows before framing, so no pandas type
+    check belongs here.)"""
+    corpo = (
+        "".join(f"{k}: {v}\n" for k, v in dados.items())
+        if isinstance(dados, dict)
+        else str(dados)
+    )
+    return f"\n--- {titulo} ---\n{corpo}\n{'-' * (len(titulo) + 6)}\n"
 
 
 def _header(titulo: str) -> str:

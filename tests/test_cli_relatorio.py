@@ -176,6 +176,32 @@ def test_formatar_relatorio_frame():
     assert txt == "\n--- T ---\na: 1\n\n-------\n"
 
 
+def test_formatar_relatorio_golden_reference_bytes():
+    """Golden pin of the frame contract against the reference's output
+    (etl_pipeline.py:304-314 semantics, re-expressed): dict → 'k: v'
+    lines in insertion order; plain string → verbatim body; footer
+    dashes = len(titulo) + 6. Byte-exact, including the newline that
+    separates body from footer."""
+    from hubsit_health_analytics_etl_spark.etl.relatorio import formatar_relatorio
+
+    multi = formatar_relatorio(
+        "2 e 7. Financeiro (Receita e Ticket)",
+        {"Ticket Médio (Realizado)": "R$ 1,234.50", "Taxa": "85.00%"},
+    )
+    assert multi == (
+        "\n--- 2 e 7. Financeiro (Receita e Ticket) ---\n"
+        "Ticket Médio (Realizado): R$ 1,234.50\n"
+        "Taxa: 85.00%\n"
+        "\n------------------------------------------\n"
+    )
+    plain = formatar_relatorio("1. Análise de No-Show", "Sem dados passados.")
+    assert plain == (
+        "\n--- 1. Análise de No-Show ---\n"
+        "Sem dados passados."
+        "\n---------------------------\n"
+    )
+
+
 def test_main_inprocess_writes_nine_outputs(spark, fixture_files, capsys):
     """Full main() path: reports printed, nine Parquet outputs + PBI
     CSV dirs written."""
