@@ -102,3 +102,33 @@ def hll_estimate(index):
     return index.select(
         *keys, F.hll_sketch_estimate("hll").alias("n_distinct")
     )
+
+
+def hll_forget_rebuild(index, kept_affected, affected_parts, part_col: str, keys: list[str], col: str):
+    """Right-to-be-forgotten for the HLL index — the one sketch family
+    with NO algebraic inverse (HLL registers are max-merged: a value's
+    contribution cannot be subtracted out, unlike the CMS grid /
+    histogram / moments integer sums). The certified contract is
+    therefore a PARTITION-SCOPED REBUILD: the standing index keeps one
+    sketch per (ingest-partition, key...) — exactly what per-batch
+    ingest via hll_sketch_index already produces — and forgetting rows
+    rebuilds ONLY the affected partitions' sketches from their kept
+    rows, splicing them over the old rows. Cost ∝ kept rows of the
+    partitions that lost data, never the corpus; untouched partitions'
+    sketch binaries are carried through byte-identically (pytest-pinned
+    in tests/test_bucketing_partitioning.py, with maintained estimates
+    proven equal to a from-scratch rebuild of the kept stream).
+
+    ``index``: per-(part, key...) sketch frame from
+    ``hll_sketch_index(df, [part_col, *keys], col)``.
+    ``kept_affected``: ALL surviving raw rows of every affected
+    partition (the partition's kept remainder, not a diff).
+    ``affected_parts``: one-column frame of ``part_col`` values that
+    lost rows — explicit, because a fully-deleted partition has no
+    kept rows to infer it from (its stale sketch must still drop).
+    Estimates over the result come from ``merge_hll_indexes`` /
+    ``hll_estimate`` as usual (register max-merge of per-partition
+    sketches == sketch of the union, so the splice is lossless)."""
+    untouched = index.join(affected_parts, part_col, "left_anti")
+    rebuilt = hll_sketch_index(kept_affected, [part_col, *keys], col)
+    return untouched.unionByName(rebuilt)

@@ -126,23 +126,11 @@ def moments_sink(
     double-counts."""
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
-        triples = (
-            batch.select(
-                F.col(key_col).alias("key"),
-                F.expr(f"cast(round({value_col} * 100) as bigint)").alias(
-                    "v"
-                ),
-            )
-            .groupBy("key")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n"),
-                F.sum("v").cast("bigint").alias("sx"),
-                F.sum(F.expr("v * v")).cast("bigint").alias("sxx"),
-            )
-        )
-        triples.write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"batch-{batch_id}")
-        )
+        from ..operators.sketches import moments_triples
+
+        moments_triples(batch, key_col, value_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, f"batch-{batch_id}"))
 
     return _apply
 
@@ -151,10 +139,9 @@ def read_moments(spark: SparkSession, index_dir: str) -> DataFrame:
     """The live per-key moments: triple-wise sum over every batch
     (empty relation if nothing has arrived). Anomaly scoring joins a
     probe stream against this and runs the division-free z-test —
-    no raw history is ever re-read."""
-    m = _read_index(spark, index_dir, _MOMENTS_SCHEMA)
-    return m.groupBy("key").agg(
-        F.sum("n").cast("bigint").alias("n"),
-        F.sum("sx").cast("bigint").alias("sx"),
-        F.sum("sxx").cast("bigint").alias("sxx"),
-    )
+    no raw history is ever re-read. Batch twin of the whole lifecycle
+    (build/merge/forget/z-test) lives in operators/sketches.py and is
+    oracle-checked by moments_new_batch / moments_forget."""
+    from ..operators.sketches import moments_merge
+
+    return moments_merge(_read_index(spark, index_dir, _MOMENTS_SCHEMA))

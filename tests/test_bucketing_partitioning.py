@@ -222,3 +222,75 @@ def test_merge_upsert_compare_cols_subset_carries_all_columns(spark):
     assert out[1].merge_action == "unchanged" and out[1].extra == 99
     assert out[2].merge_action == "kept" and out[2].extra == 20
     assert out[3].merge_action == "insert" and out[3].extra == 30
+
+
+def test_hll_forget_rebuild_partition_scoped(spark, tmp_path):
+    """VERDICT r12 #3: HLL is non-invertible, so its forget contract
+    is a partition-scoped rebuild. Pin all three properties: (a) the
+    maintained index's per-key estimates equal a from-scratch rebuild
+    of the kept stream exactly (register max-merge is lossless across
+    the splice), (b) untouched partitions' sketch binaries pass
+    through BYTE-IDENTICALLY (nothing outside the affected partitions
+    is recomputed), and (c) a fully-deleted partition's stale sketch
+    drops via the explicit affected-parts list."""
+    from hubsit_health_analytics_etl_spark.operators.aggregate import (
+        hll_estimate,
+        hll_forget_rebuild,
+        hll_sketch_index,
+        merge_hll_indexes,
+    )
+    from hubsit_health_analytics_etl_spark.operators.sampling import hash_bucket
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        (F.col("event_id") % 4).alias("ingest_part"),
+    )
+    # forget: a hash slice of partitions 0/1, ALL of partition 2
+    is_del = (
+        F.col("ingest_part").isin(0, 1) & (hash_bucket("event_id", salt="f") < 30)
+    ) | (F.col("ingest_part") == 2)
+    kept = events.filter(~is_del)
+
+    idx_path = str(tmp_path / "hll_part_idx")
+    hll_sketch_index(
+        events, ["ingest_part", "event_type"], "user_id"
+    ).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    affected = spark.createDataFrame([(0,), (1,), (2,)], "ingest_part long")
+    maintained = hll_forget_rebuild(
+        idx,
+        kept.filter(F.col("ingest_part").isin(0, 1, 2)),
+        affected,
+        "ingest_part",
+        ["event_type"],
+        "user_id",
+    )
+
+    # (c) the fully-deleted partition leaves no rows behind
+    assert maintained.filter(F.col("ingest_part") == 2).count() == 0
+
+    # (b) partition 3's sketch binaries are byte-identical to the index
+    old3 = {
+        r["event_type"]: bytes(r["hll"])
+        for r in idx.filter(F.col("ingest_part") == 3).collect()
+    }
+    new3 = {
+        r["event_type"]: bytes(r["hll"])
+        for r in maintained.filter(F.col("ingest_part") == 3).collect()
+    }
+    assert old3 == new3 and old3
+
+    # (a) maintained estimates == from-scratch rebuild of kept, exactly
+    def _est(index):
+        per_key = merge_hll_indexes(index.drop("ingest_part"))
+        return {
+            r["event_type"]: r["n_distinct"]
+            for r in hll_estimate(per_key).collect()
+        }
+
+    fresh = hll_sketch_index(kept, ["ingest_part", "event_type"], "user_id")
+    assert _est(maintained) == _est(fresh)

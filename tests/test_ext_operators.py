@@ -2803,3 +2803,91 @@ def test_label_propagation_crafted_graph_semantics(spark):
     assert out[12] == (0, 1)
     assert out[20] == (1, 2)   # synchronous: not at round 1
     assert 30 not in out       # beyond the horizon
+
+
+def test_moments_lifecycle_matches_pure_python(spark):
+    """Independent (non-oracle) reference for the moments index family
+    on crafted data: triples build / additive merge / forget
+    subtraction / division-free z-test all reproduced in pure Python
+    floats-free integer arithmetic — the both-engines-share-a-bug
+    guard the oracle hash cannot provide. Includes a key whose every
+    row is forgotten (must drop), a constant-value key (σ=0 flags
+    nothing), and an index-less probe key (scores 0)."""
+    from hubsit_health_analytics_etl_spark.operators.sketches import (
+        moments_forget,
+        moments_merge,
+        moments_triples,
+        moments_ztest_flags,
+    )
+
+    # u7: 10 normal rows + 1 huge outlier. n=11 matters: an outlier
+    # inside its own index stats can reach at most |z| = (n-1)/sqrt(n),
+    # which first exceeds k=3 at n=11 — the flag below is real, not a
+    # fixture accident.
+    rows = [
+        (i, 7, 10.00 + (i % 3) * 0.05) for i in range(1, 11)
+    ] + [
+        (11, 7, 500.00),
+        # u8 constant value -> sigma 0, never flags
+        (12, 8, 25.25), (13, 8, 25.25), (14, 8, 25.25),
+        # u9 fully forgotten below
+        (15, 9, 1.00), (16, 9, 2.00),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    half_a = df.filter(F.col("event_id") <= 8)
+    half_b = df.filter(F.col("event_id") > 8)
+
+    merged = moments_merge(
+        moments_triples(half_a, "user_id", "value"),
+        moments_triples(half_b, "user_id", "value"),
+    )
+
+    def py_triples(rs):
+        out = {}
+        for _, u, val in rs:
+            v = round(val * 100)
+            n, sx, sxx = out.get(u, (0, 0, 0))
+            out[u] = (n + 1, sx + v, sxx + v * v)
+        return out
+
+    assert {
+        r.key: (r.n, r.sx, r.sxx) for r in merged.collect()
+    } == py_triples(rows)
+
+    # forget u9 entirely
+    deleted = df.filter(F.col("user_id") == 9)
+    kept_rows = [r for r in rows if r[1] != 9]
+    maintained = moments_forget(merged, deleted, "user_id", "value")
+    assert {
+        r.key: (r.n, r.sx, r.sxx) for r in maintained.collect()
+    } == py_triples(kept_rows)  # u9 dropped at n=0
+
+    # z-test flags vs the pure-integer inequality, incl. unseen key 99
+    probes = spark.createDataFrame(
+        [(7, 500.00), (7, 10.00), (8, 25.25), (99, 1.0)],
+        "user_id long, value double",
+    )
+    k = 3
+    idx = py_triples(kept_rows)
+
+    def py_flag(u, val):
+        if u not in idx:
+            return 0
+        n, sx, sxx = idx[u]
+        v = round(val * 100)
+        return 1 if (v * n - sx) ** 2 > k * k * (n * sxx - sx * sx) else 0
+
+    got = {
+        (r.key, r.v): r.is_out
+        for r in moments_ztest_flags(
+            probes, maintained, "user_id", "value", k
+        ).collect()
+    }
+    want = {
+        (u, round(val * 100)): py_flag(u, val)
+        for u, val in [(7, 500.00), (7, 10.00), (8, 25.25), (99, 1.0)]
+    }
+    assert got == want
+    assert want[(7, 50000)] == 1     # the huge outlier flags
+    assert want[(8, 2525)] == 0      # sigma=0 never flags
+    assert want[(99, 100)] == 0      # unseen key scores 0

@@ -1309,3 +1309,40 @@ def test_quantiles_forget_only_rebins_the_deleted_slice(spark):
     assert p.count("% 100) < 5") == n_ev, p
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_moments_new_batch_index_probe_shape(spark):
+    """Incremental moments scoring: the returned plan reads the
+    persisted triples index once, every events scan is batch-filtered
+    (the corpus is never re-tripled in the probe), and the whole flag
+    pipeline is integer CASE arithmetic — no Python, nothing
+    pairwise."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("moments_new_batch")(spark, SF_SMOKE))
+    # the merged index feeds two consumers (flag join + report join);
+    # both sides re-read INDEX rows, never raw history
+    assert 1 <= p.count("moments_idx") <= 2
+    n_ev = p.count("events.parquet")
+    assert n_ev >= 1
+    assert p.count("% 100) < 10") == n_ev, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_moments_forget_only_retriples_the_deleted_slice(spark):
+    """moments_forget reads the persisted triples once; the deleted
+    slice re-triples and the kept stream probes — every events scan is
+    forget-filtered one way or the other, so no unfiltered corpus pass
+    survives in the maintained-index report."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("moments_forget")(spark, SF_SMOKE))
+    assert 1 <= p.count("moments_idx") <= 2
+    n_ev = p.count("events.parquet")
+    assert n_ev >= 1
+    assert p.count("% 100) < 5") + p.count("% 100) >= 5") == n_ev, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
