@@ -180,3 +180,51 @@ def test_gate_rotation_rows_only_goes_stale_like_any_pass(tmp_path):
     order = e._rotation_order(["oracle_q", "ml_fit"],
                               artifact_dir=str(tmp_path))
     assert order == ["ml_fit", "oracle_q"]
+
+
+def test_gate_rotation_r13_window_leads_with_stalest_rounds():
+    """VERDICT r12 #6: the next driver window must lead with the
+    queries whose last gate pass is OLDEST (18 were last checked in
+    r9 at the r12 close) plus everything never checked (this round's
+    new queries). Data-driven: every query at least two rounds staler
+    than the newest artifact must sit inside the driver's 50-sample
+    window — as long as the stale set itself fits in 50."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    w = _workload()
+    names = list(e.queries())
+
+    covered_last = {}
+    max_round = -1
+    here = os.path.dirname(os.path.abspath(e.__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        rnd = int("".join(ch for ch in os.path.basename(path) if ch.isdigit()))
+        max_round = max(max_round, rnd)
+        with open(path) as f:
+            for n, rec in json.load(f).items():
+                if isinstance(rec, dict):
+                    err = rec.get("err")
+                    rows_only_ok = (
+                        err == "no_oracle"
+                        and rec.get("spark_rows") is not None
+                    )
+                    if (err is not None and not rows_only_ok) or rec.get(
+                        "hash_match"
+                    ) is False:
+                        continue
+                covered_last[n] = max(covered_last.get(n, -1), rnd)
+    if max_round < 0:
+        return  # fresh clone
+    stale = [
+        n for n in w.QUERIES if covered_last.get(n, -1) <= max_round - 2
+    ]
+    if len(stale) > 50:
+        return  # window can't fit them all; monotonicity test governs
+    missing = [n for n in stale if names.index(n) >= 50]
+    assert not missing, (
+        f"stale queries outside the 50-sample driver window: {missing}"
+    )

@@ -1346,3 +1346,26 @@ def test_moments_forget_only_retriples_the_deleted_slice(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p
+
+
+def test_llm_dataset_build_bounded_corpus_rescans(spark):
+    """The flagship's pre-export plan re-scans the raw corpus exactly
+    ONCE (the trained-tokenizer word table): curate+dedup+scrub run a
+    single time behind the scrubbed-stage materialization, so the
+    three downstream consumers (word explode, count join-back, pack
+    windows) never re-trigger them. Nothing pairwise, nothing Python,
+    no global sort — the pack/shard windows partition per shard."""
+    import re
+
+    from hubsit_health_analytics_etl_spark import workload_ext as wx
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(wx._llm_dataset_plan(spark, SF_SMOKE))
+    assert p.count("documents.parquet") == 1, p.count("documents.parquet")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+    # every window partitions on the shard key — no single-partition
+    # total-order funnel
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "shard" in spec, spec
