@@ -21,6 +21,11 @@ run-to-run; totals across full runs are the comparable statistic):
   is the documented noise floor). Any suspect >= 3x AND >= 3s
   escalates the verdict one level — that is past what scheduling
   noise produces on this box.
+- Full-width mover LIST (VERDICT r12 #7): every common query >=1.5x
+  AND >= 0.5s absolute is NAMED in the report (informational — the
+  verdict rules above are unchanged), so a regression anywhere in the
+  registry is attributed automatically instead of by-hand grid
+  diffing at round close.
 - ITERATIVE_ALLOWLIST: driver-sequenced / ML-fit queries whose
   wall-clock includes per-round scheduling latency or a distributed
   fit — the class every past round's noise adjudication concerned
@@ -79,11 +84,15 @@ ITERATIVE_ALLOWLIST = {
     "spans_new_batch",  # gram-df index write+read round-trip inside the query
     "scrub_new_batch",  # gram-ownership index write+read inside the query
     "vocab_new_batch",  # same posture: index write+read inside the query
+    "moments_new_batch",  # moments index write+read inside the query
+    "moments_forget",  # same posture: index write+read inside the query
+    "llm_dataset_build",  # CC loop + BPE rounds + verified export in one job
 }
 
 PASS_RATIO, WARN_RATIO = 1.10, 1.25
 SUSPECT_X, SUSPECT_ABS = 2.0, 2.0
 ESCALATE_X, ESCALATE_ABS = 3.0, 3.0
+MOVER_X, MOVER_ABS = 1.5, 0.5  # named-in-report threshold (full width)
 
 
 def load_grid(path: str) -> dict:
@@ -105,17 +114,21 @@ def compare_grids(anchor: dict, new: dict) -> tuple[str, list[str]]:
     ratio = (n_tot / a_tot) if a_tot else float("inf")
 
     suspects, escalate = [], False
-    noisy = []
+    noisy, movers = [], []
     for q in common:
         old, cur = aq[q], nq[q]
+        line = f"{q}: {old:.2f}s -> {cur:.2f}s ({cur / old:.1f}x)"
         if cur >= old * SUSPECT_X and cur - old >= SUSPECT_ABS:
-            line = f"{q}: {old:.2f}s -> {cur:.2f}s ({cur / old:.1f}x)"
             if q in ITERATIVE_ALLOWLIST:
                 noisy.append(line + " [allowlisted iterative/fit]")
             else:
                 suspects.append(line)
                 if cur >= old * ESCALATE_X and cur - old >= ESCALATE_ABS:
                     escalate = True
+        elif cur >= old * MOVER_X and cur - old >= MOVER_ABS:
+            movers.append(
+                line + (" [allowlisted]" if q in ITERATIVE_ALLOWLIST else "")
+            )
 
     levels = ["PASS", "WARN", "FAIL"]
     level = 0 if ratio <= PASS_RATIO else (1 if ratio <= WARN_RATIO else 2)
@@ -128,6 +141,7 @@ def compare_grids(anchor: dict, new: dict) -> tuple[str, list[str]]:
         f"VERDICT: {verdict} common-{len(common)} total "
         f"{n_tot:.1f}s vs anchor {a_tot:.1f}s ({ratio:.2f}x); "
         f"{len(suspects)} non-allowlisted >=2x movers; "
+        f"{len(movers) + len(suspects) + len(noisy)} total >=1.5x movers; "
         f"+{len(added)} new queries ({added_cost:.1f}s), "
         f"-{len(removed)} removed"
     ]
@@ -135,6 +149,8 @@ def compare_grids(anchor: dict, new: dict) -> tuple[str, list[str]]:
         lines.append(f"  suspect: {s}")
     for s in noisy:
         lines.append(f"  noise-class: {s}")
+    for s in sorted(movers):
+        lines.append(f"  mover(>=1.5x): {s}")
     if added:
         top = sorted(added, key=lambda q: -nq[q])[:5]
         lines.append(

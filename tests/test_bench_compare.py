@@ -60,3 +60,39 @@ def test_removed_queries_reported():
     assert verdict == "PASS"
     assert "-1 removed" in lines[0]
     assert any("removed: b" in ln for ln in lines)
+
+
+def test_full_width_mover_list_names_sub_suspect_movers():
+    """VERDICT r12 #7: every >=1.5x & >=0.5s mover is NAMED in the
+    report (informational), even below the 2x/2s suspect threshold
+    and even when allowlisted — without changing the verdict."""
+    from bench_compare import compare_grids
+
+    anchor = {"queries": {"a": 1.0, "b": 1.0, "c": 0.2, "bpe_train_merges": 2.0}}
+    new = {"queries": {
+        "a": 1.7,                 # 1.7x, +0.7s -> named mover
+        "b": 1.2,                 # 1.2x -> quiet
+        "c": 0.36,                # 1.8x but +0.16s < 0.5s abs -> quiet
+        "bpe_train_merges": 3.4,  # 1.7x, +1.4s, allowlisted -> named+tag
+    }}
+    verdict, lines = compare_grids(anchor, new)
+    text = "\n".join(lines)
+    assert "mover(>=1.5x): a: 1.00s -> 1.70s (1.7x)" in text
+    assert "mover(>=1.5x): bpe_train_merges" in text and "[allowlisted]" in text
+    assert "c:" not in text.replace("common-", "")
+    assert "total >=1.5x movers" in lines[0]
+
+
+def test_suspects_not_double_counted_in_mover_list():
+    """A >=2x suspect appears once (as a suspect), not again in the
+    informational mover list; the headline total counts both classes."""
+    from bench_compare import compare_grids
+
+    anchor = {"queries": {"a": 1.0, "b": 1.0}}
+    new = {"queries": {"a": 3.5, "b": 1.8}}
+    verdict, lines = compare_grids(anchor, new)
+    text = "\n".join(lines)
+    assert text.count("a: 1.00s -> 3.50s") == 1
+    assert "suspect: a:" in text
+    assert "mover(>=1.5x): b:" in text
+    assert "2 total >=1.5x movers" in lines[0]
