@@ -1,0 +1,256 @@
+"""Scale-stress harness (VERDICT r12 #2): measure the iterative/index
+families on a synthetic corpus 10x the sf0.1 fixtures and record the
+SCALE INVARIANTS the 100 TB design claims rest on.
+
+Usage:
+    python bench_scale.py            # base (1x) + 10x, one JSON grid
+
+What it checks (and why these, not raw seconds):
+- **Per-query growth ratio** vs a same-generator 1x corpus. A
+  bucket-blocked / index-backed family should grow ~linearly in rows;
+  a hidden all-pairs or resort would grow ~quadratically and the
+  ratio names it. (Seconds also ride the grid for the record, but the
+  box noise rules of BASELINE.md apply — the RATIO between two grids
+  taken back-to-back in one session is the statistic.)
+- **Connected-components round count** at 1x vs 10x: pointer-jumping
+  CC converges in ~log2(diameter) rounds; flat rounds at 10x the
+  corpus is the evidence the iterative family's latency is
+  round-bound, not data-bound.
+- **MinHash bucket-cap drop rate** (dropped members / corpus size)
+  at 1x vs 10x under the production config: the cap is sized to drop
+  degenerate buckets at a rate independent of N (the
+  operators/scaleparams.py derivation) — a growing rate would mean
+  recall decays with scale.
+
+The corpora come from the synthetic Data Source
+(sources/synthetic.py, vocab=4000 so near-dup and exact-dup RATES are
+realistic and scale-invariant by construction: ~10% exact clones,
+hash-seeded text) plus Spark-side md5-deterministic events and
+embeddings with the fixture schemas. Everything is a pure function of
+the row id — the 1x and 10x corpora are the SAME distribution, only
+bigger, which is what makes the ratios meaningful.
+
+Output: ONE JSON line on stdout + the full grid at
+bench_evidence/r13_scale10x_grid.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import pyspark.sql.functions as F
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+# the iterative / index families VERDICT r12 #2 names, all of whose
+# only table inputs are documents/events/embeddings
+SCALE_QUERIES = [
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "dedup_clusters",
+    "dedup_clusters_new_batch",
+    "winnow_candidate_pairs",
+    "bm25_new_batch",
+    "quantiles_new_batch",
+    "cms_new_batch",
+    "moments_new_batch",
+    "llm_dataset_build",
+]
+
+BASE_DOCS, BASE_EVENTS, BASE_VECS, BASE_USERS = 5_000, 100_000, 2_000, 2_000
+SCALE = 10
+VOCAB = 4_000
+
+
+def gen_corpus(spark, out_dir: str, n_docs: int, n_events: int,
+               n_vecs: int, n_users: int) -> None:
+    """documents + events + embeddings with the fixture schemas, all
+    md5-deterministic pure functions of the row id (a retried task or
+    a regenerated dir is bit-identical)."""
+    from hubsit_health_analytics_etl_spark.sources.synthetic import register
+
+    os.makedirs(out_dir, exist_ok=True)
+    register(spark)
+    (
+        spark.read.format("synthetic_docs")
+        .option("rows", n_docs)
+        .option("vocab", VOCAB)
+        .option("partitions", 32)
+        .load()
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+
+    def h(salt: str, mod: int) -> str:
+        return (
+            f"cast(conv(substr(md5(concat('{salt}', cast(id as string))), 1, 8),"
+            f" 16, 10) as bigint) % {mod}"
+        )
+
+    (
+        spark.range(0, n_events, 1, 32)
+        .select(
+            F.col("id").alias("event_id"),
+            F.expr(
+                "cast(timestamp_micros(1500000000000000 + id * 1000000)"
+                " as timestamp_ntz)"
+            ).alias("ts"),
+            F.expr(h("u", n_users)).alias("user_id"),
+            F.expr(f"concat('type_', {h('t', 5)})").alias("event_type"),
+            F.expr(f"({h('v', 100000)}) / 100.0").alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "events.parquet"))
+    )
+
+    from hubsit_health_analytics_etl_spark.operators.similarity import EMBED_DIM
+
+    (
+        spark.range(0, n_vecs, 1, 32)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(1, {EMBED_DIM}), i -> cast("
+                "(cast(conv(substr(md5(concat('e', cast(id as string), '|',"
+                " cast(i as string))), 1, 8), 16, 10) as bigint) % 2000 - 1000)"
+                " / 1000.0 as float))"
+            ).alias("embedding"),
+            F.expr(h("lb", 8)).cast("int").alias("label"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "embeddings.parquet"))
+    )
+
+
+def invariants(spark, sf_dir: str) -> dict:
+    """The two scale invariants, measured outside the timed loop."""
+    from pyspark.sql import Observation
+
+    from hubsit_health_analytics_etl_spark.operators.clusters import (
+        connected_components,
+    )
+    from hubsit_health_analytics_etl_spark.operators.dedup import (
+        MINHASH_BUCKET_CAP,
+        exact_dup_edges,
+        minhash_candidates,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.workload_ext import JACCARD_THRESHOLD
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    # drop-rate pass: the Observation needs a DIRECT action on the
+    # observed frame (consuming it through union+CC materializations
+    # loses the observed row)
+    obs = Observation("scale_lsh")
+    minhash_candidates(
+        docs,
+        bucket_cap=MINHASH_BUCKET_CAP,
+        pre_exact_dedup=True,
+        observation=obs,
+    ).count()
+    try:
+        dropped = obs.get.get("dropped_members", 0) or 0
+    except Exception:
+        # the documented AQE caveat: if NO bucket survives the >1
+        # filter the observed subtree never executes and the
+        # observation row is absent — zero drops by construction
+        dropped = 0
+    near = minhash_candidates(
+        docs, bucket_cap=MINHASH_BUCKET_CAP, pre_exact_dedup=True
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    edges = near.unionByName(exact_dup_edges(docs))
+    stats: dict = {}
+    n_components = (
+        connected_components(edges, stats=stats)
+        .select("component")
+        .distinct()
+        .count()
+    )
+    return {
+        "n_docs": n_docs,
+        "cc_rounds": stats.get("n_rounds"),
+        "n_components": n_components,
+        "lsh_dropped_members": int(dropped),
+        "lsh_drop_rate": round(dropped / n_docs, 5),
+    }
+
+
+def timed_pass(spark, sf_dir: str) -> dict:
+    from hubsit_health_analytics_etl_spark.workload import PREPARES, QUERIES
+
+    for name in SCALE_QUERIES:
+        if name in PREPARES:
+            PREPARES[name](spark, sf_dir)
+    timings = {}
+    for name in SCALE_QUERIES:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> int:
+    from hubsit_health_analytics_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="hubsit-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+
+    root = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR",
+        os.path.join(tempfile.gettempdir(), "hubsit_scale_corpora"),
+    )
+    grids = {}
+    for tag, mult in (("base", 1), ("x10", SCALE)):
+        d = os.path.join(root, tag)
+        marker = os.path.join(d, "_complete")
+        if not os.path.exists(marker):
+            shutil.rmtree(d, ignore_errors=True)
+            gen_corpus(
+                spark, d,
+                BASE_DOCS * mult, BASE_EVENTS * mult,
+                BASE_VECS * mult, BASE_USERS * mult,
+            )
+            open(marker, "w").close()
+        inv = invariants(spark, d)
+        timings = timed_pass(spark, d)
+        grids[tag] = {"invariants": inv, "queries": timings,
+                      "total": round(sum(timings.values()), 3)}
+        print(f"[{tag}] {json.dumps(grids[tag])}", file=sys.stderr)
+
+    ratios = {
+        q: round(grids["x10"]["queries"][q] / max(grids["base"]["queries"][q], 1e-9), 2)
+        for q in SCALE_QUERIES
+    }
+    out = {
+        "metric": "scale10x_grid",
+        "scale": SCALE,
+        "vocab": VOCAB,
+        "base": grids["base"],
+        "x10": grids["x10"],
+        "time_ratios_x10_over_base": ratios,
+        "cc_rounds": [grids["base"]["invariants"]["cc_rounds"],
+                      grids["x10"]["invariants"]["cc_rounds"]],
+        "lsh_drop_rates": [grids["base"]["invariants"]["lsh_drop_rate"],
+                           grids["x10"]["invariants"]["lsh_drop_rate"]],
+    }
+    path = os.path.join(HERE, "bench_evidence", "r13_scale10x_grid.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: out[k] for k in (
+        "metric", "scale", "time_ratios_x10_over_base",
+        "cc_rounds", "lsh_drop_rates")}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -29,6 +29,7 @@ def connected_components(
     max_iter: int = 20,
     compress: bool = True,
     checkpoint_dir: str | None = None,
+    stats: "dict | None" = None,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; component = min
     node id of its connected component.
@@ -55,7 +56,11 @@ def connected_components(
     to storage that survives executor loss, so a 100 TB clustering
     resumes its lineage from the last round rather than recomputing
     from the raw edge pipeline. Bench/test harnesses keep the default
-    (SCALING.md "Iterative jobs")."""
+    (SCALING.md "Iterative jobs").
+
+    ``stats``: pass a dict to receive ``{"n_rounds": k}`` — the
+    scale-invariant observability hook (bench_scale.py records that
+    round counts stay ~log(diameter)-flat as the corpus grows 10x)."""
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -83,7 +88,9 @@ def connected_components(
         .agg(F.min("v").alias("comp"))
         .select(F.col("u").alias("node"), F.least(F.col("comp"), F.col("node")).alias("comp"))
     )
+    n_rounds = 0
     for _ in range(max_iter):
+        n_rounds += 1
         # propagate: node takes min(own comp, neighbors' comps)
         neighbor_comp = (
             edges.join(labels.withColumnRenamed("node", "v"), "v")
@@ -124,6 +131,8 @@ def connected_components(
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.select("node", "comp")
         if changed == 0:
+            if stats is not None:
+                stats["n_rounds"] = n_rounds
             break
     else:
         # silent non-convergence would split one duplicate group into

@@ -417,3 +417,82 @@ def moments_ztest_flags(
         .cast("bigint")
         .alias("is_out"),
     )
+
+
+def value_histogram_grouped(
+    df: DataFrame,
+    value_col: str,
+    groups: "list[str]",
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Per-GROUP fixed-bin histograms in one pass — the multi-tenant
+    form of value_histogram (the cms_counters_grouped pattern for the
+    quantile index): identical literal frozen bounds and clamping,
+    grouped by ``groups`` + bin. Output ≤ |groups-cardinality|·bins
+    rows; each group's histogram is independently mergeable/
+    subtractable under the same exact-integer union+sum law."""
+    from ..streaming.drift import value_bin_expr
+
+    return (
+        df.select(*groups, value_bin_expr(value_col, lo, hi, bins).alias("bin"))
+        .groupBy(*groups, "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def histogram_quantiles_grouped(
+    hist: DataFrame,
+    pcts: "list[int]",
+    groups: "list[str]",
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Per-group quantiles FROM per-group histograms: the same
+    all-integer selection as histogram_quantiles (smallest bin with
+    cum·100 ≥ p·N), with every window PARTITIONED BY the group keys —
+    each group's cumulative pass runs over ≤ ``bins`` rows in
+    parallel, no cross-group sort, no single-partition funnel. The
+    histogram is consumed once linearly (n_rows rides the same window
+    pass; struct-min carries the selected row — the r12 lesson)."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    w = Window.partitionBy(*groups).orderBy("bin")
+    cum = hist.select(
+        *groups,
+        "bin",
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_rows"),
+        F.sum("cnt")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .cast("bigint")
+        .alias("n_rows"),
+    )
+    p_df = spark.createDataFrame([(int(p),) for p in pcts], "pct bigint")
+    hit = cum.join(F.broadcast(p_df)).filter(
+        F.col("cum_rows") * 100 >= F.col("pct") * F.col("n_rows")
+    )
+    sel = hit.groupBy(*groups, "pct").agg(
+        F.min(F.struct("bin", "cum_rows", "n_rows")).alias("s")
+    )
+    width = (float(hi) - float(lo)) / float(bins)
+    return sel.select(
+        *groups,
+        "pct",
+        F.col("s.bin").cast("bigint").alias("bin"),
+        F.col("s.cum_rows").alias("cum_rows"),
+        F.col("s.n_rows").alias("n_rows"),
+        F.floor(
+            (F.lit(float(lo)) + ((F.col("s.bin") + F.lit(1)) * F.lit(width)))
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("approx_hi_u6"),
+    )

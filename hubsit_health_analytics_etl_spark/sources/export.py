@@ -72,6 +72,12 @@ def export_training_shards(
         "n_shards": n_shards,
         "key": key,
         "salt": salt,
+        # the dump's schema rides the manifest so a re-read never
+        # depends on footer inference — in particular an EMPTY dump
+        # (a filter chain that selected nothing writes zero parquet
+        # files) still reads back as an empty frame instead of
+        # UNABLE_TO_INFER_SCHEMA (found by bench_scale.py r13)
+        "schema": sharded.schema.json(),
         "shards": {
             str(r["_shard"]): {
                 "n_rows": r["n_rows"],
@@ -85,13 +91,32 @@ def export_training_shards(
     return manifest
 
 
+def read_export(
+    spark: SparkSession, path: str, manifest: "dict | None" = None
+) -> DataFrame:
+    """Read a dump under its manifest-recorded schema (explicit
+    schema = no footer inference, and an empty dump — zero data files
+    — reads back as an empty frame with the right columns). Falls back
+    to inference for manifests written before the schema field."""
+    if manifest is None:
+        with open(os.path.join(path, MANIFEST_NAME)) as f:
+            manifest = json.load(f)
+    if "schema" in manifest:
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(
+            StructType.fromJson(json.loads(manifest["schema"]))
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
 def verify_export(spark: SparkSession, path: str) -> list[str]:
     """Re-read a dump and compare against its manifest. Returns the
     list of problems (empty = verified); never raises on mismatch so
     an ingest gate can report all failures at once."""
     with open(os.path.join(path, MANIFEST_NAME)) as f:
         manifest = json.load(f)
-    df = spark.read.parquet(path)
+    df = read_export(spark, path, manifest)
     got = {
         str(r["_shard"]): (r["n_rows"], r["content_fp"])
         for r in _fingerprint_cols(df, "_shard").collect()

@@ -36,9 +36,46 @@ def _h(doc_id: int, salt: str) -> int:
     )
 
 
-def synth_row(doc_id: int) -> tuple:
-    n_words = 5 + _h(doc_id, "len") % 20
-    words = [_WORDS[_h(doc_id * 1000 + i, "w") % len(_WORDS)] for i in range(n_words)]
+def synth_row(doc_id: int, vocab: int = 0, words_max: int = 24) -> tuple:
+    """One deterministic documents-shaped row. ``vocab=0`` (default)
+    keeps the legacy 14-word lexicon; ``vocab=N`` draws from an
+    N-word synthetic lexicon instead — the scale-stress knob
+    (bench_scale.py): a tiny lexicon makes every doc a near-dup of
+    every other, which is a spam-corpus stress case, while a few
+    thousand words reproduces a realistic near-dup RATE that should
+    stay flat as the corpus grows."""
+    n_words = 5 + _h(doc_id, "len") % max(1, words_max - 4)
+    if vocab:
+        # ~1/3 English stopwords so lang-ID / quality / BPE behave
+        # like a real corpus (an all-synthetic lexicon classifies as
+        # no language and a curation pipeline selects nothing)
+        _SW = ["the", "and", "of", "to", "in", "is", "that", "a"]
+        words = [
+            _SW[_h(doc_id * 1000 + i, "sw") % len(_SW)]
+            if _h(doc_id * 1000 + i, "mix") % 3 == 0
+            else f"w{_h(doc_id * 1000 + i, 'w') % vocab}"
+            for i in range(n_words)
+        ]
+    else:
+        words = [
+            _WORDS[_h(doc_id * 1000 + i, "w") % len(_WORDS)]
+            for i in range(n_words)
+        ]
+    # a controlled exact-dup rate at ANY vocab: ~10% of docs clone a
+    # smaller doc's text verbatim (pure function of doc_id, so the
+    # rate is scale-invariant by construction)
+    if vocab and doc_id and _h(doc_id, "dup") % 10 == 0:
+        src_row = synth_row(_h(doc_id, "dupof") % doc_id, vocab, words_max)
+        return (doc_id,) + src_row[1:]
+    # ... and a ~10% NEAR-clone rate (source text with one word
+    # mutated) so LSH near-dup work is realistic and scale-invariant
+    if vocab and doc_id and _h(doc_id, "dup") % 10 == 5:
+        src_id = _h(doc_id, "nearof") % doc_id
+        src = synth_row(src_id, vocab, words_max)
+        toks = src[1].split(" ")
+        toks[_h(doc_id, "pos") % len(toks)] = f"w{_h(doc_id, 'mut') % vocab}"
+        text = " ".join(toks)
+        return (doc_id, text, src[2], src[3], len(text))
     text = " ".join(words)
     lang = _LANGS[_h(doc_id, "lang") % len(_LANGS)]
     source = f"src{_h(doc_id, 'src') % 5}"
@@ -54,6 +91,8 @@ class SyntheticDocsReader(DataSourceReader):
     def __init__(self, options: dict):
         self.rows = int(options.get("rows", 1000))
         self.n_parts = int(options.get("partitions", 8))
+        self.vocab = int(options.get("vocab", 0))
+        self.words_max = int(options.get("words_max", 24))
 
     def partitions(self):
         per = max(1, -(-self.rows // self.n_parts))  # ceil
@@ -64,12 +103,14 @@ class SyntheticDocsReader(DataSourceReader):
 
     def read(self, partition: _Slice):
         for doc_id in range(partition.start, partition.end):
-            yield synth_row(doc_id)
+            yield synth_row(doc_id, self.vocab, self.words_max)
 
 
 class SyntheticDocsDataSource(DataSource):
-    """format("synthetic_docs"): options rows (default 1000) and
-    partitions (default 8 — at scale, one per target task)."""
+    """format("synthetic_docs"): options rows (default 1000),
+    partitions (default 8 — at scale, one per target task), vocab
+    (0 = legacy 14-word lexicon; N = N-word synthetic lexicon with a
+    scale-invariant ~10% exact-clone rate) and words_max."""
 
     @classmethod
     def name(cls) -> str:

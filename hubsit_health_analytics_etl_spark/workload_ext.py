@@ -6090,13 +6090,20 @@ def q_llm_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_llm_dataset_build_bounded_corpus_rescans. Oracle = all stage
     CTEs (annotations, decon, MinHash, recursive CC, scrub, unrolled
     BPE, pack/shard windows) composed into ONE DuckDB statement."""
-    from .sources.export import export_training_shards, verify_export
+    from .sources.export import (
+        export_training_shards,
+        read_export,
+        verify_export,
+    )
 
     final = _llm_dataset_plan(spark, sf_dir)
     out_dir = _run_scoped_index_dir("llm_build") + "/dump"
     export_training_shards(final, out_dir, N_TRAIN_SHARDS, "doc_id")
     ok = 1 if not verify_export(spark, out_dir) else 0
-    dump = spark.read.parquet(out_dir)
+    # manifest-schema read: an empty selected set (over-aggressive
+    # curation on a corpus with nothing to keep) yields an EMPTY
+    # result, never an inference crash (bench_scale.py r13 finding)
+    dump = read_export(spark, out_dir)
     return dump.select(
         "doc_id",
         "shard",
@@ -9778,6 +9785,60 @@ def q_quantiles_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return histogram_quantiles(
         maintained, QHIST_PCTS, QHIST_LO, QHIST_HI, QHIST_BINS
+    )
+
+
+@query(
+    "quantiles_by_type",
+    f"""
+    WITH b AS (SELECT event_type,
+                      CAST(LEAST(GREATEST(FLOOR((value - {QHIST_LO!r}) * {float(QHIST_BINS)!r}
+                                                / ({QHIST_HI!r} - {QHIST_LO!r})), 0),
+                                 {QHIST_BINS - 1}) AS INT) AS bin
+               FROM events),
+    h AS (SELECT event_type, bin, COUNT(*)::BIGINT AS cnt
+          FROM b GROUP BY event_type, bin),
+    c AS (SELECT event_type, bin,
+                 SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_rows,
+                 SUM(cnt) OVER (PARTITION BY event_type)::BIGINT AS n_rows
+          FROM h),
+    p AS (SELECT unnest([{", ".join(str(p) for p in QHIST_PCTS)}])::BIGINT AS pct),
+    hit AS (SELECT c.event_type, p.pct, c.bin, c.cum_rows, c.n_rows
+            FROM c CROSS JOIN p
+            WHERE c.cum_rows * 100 >= p.pct * c.n_rows),
+    sel AS (SELECT event_type, pct, MIN(bin) AS bin
+            FROM hit GROUP BY event_type, pct)
+    SELECT sel.event_type, sel.pct, sel.bin::BIGINT AS bin,
+           c.cum_rows, c.n_rows,
+           CAST(FLOOR(({QHIST_LO!r} + ((sel.bin + 1) * {_QHIST_W!r})) * 1000000.0)
+                AS BIGINT) AS approx_hi_u6
+    FROM sel JOIN c ON sel.event_type = c.event_type AND sel.bin = c.bin
+    """,
+)
+def q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type percentiles from per-group mergeable histograms
+    (operators/sketches.py::value_histogram_grouped /
+    histogram_quantiles_grouped — the cms_counters_grouped pattern
+    applied to the quantile index, closing the grouped-sibling gap in
+    the sketch family): one pass builds every group's {QHIST_BINS}-bin
+    integer histogram (output ≤ |types|·bins rows, shuffle carries
+    histograms, never values), and selection windows PARTITION BY the
+    group key — each group's ≤ {QHIST_BINS}-row cumulative pass runs
+    in parallel, no cross-group sort. Same frozen dyadic bounds and
+    all-integer selection as quantiles_new_batch, so every output
+    column hash-checks exactly."""
+    from .operators.sketches import (
+        histogram_quantiles_grouped,
+        value_histogram_grouped,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    hist = value_histogram_grouped(
+        events, "value", ["event_type"], QHIST_LO, QHIST_HI, QHIST_BINS
+    )
+    return histogram_quantiles_grouped(
+        hist, QHIST_PCTS, ["event_type"], QHIST_LO, QHIST_HI, QHIST_BINS
     )
 
 

@@ -46,3 +46,28 @@ def test_export_verify_and_tamper_detection(spark, tmp_path):
     problems = verify_export(spark, path)
     assert any(p.startswith("shard 1:") for p in problems), problems
     assert not any(p.startswith("shard 2:") for p in problems)
+
+
+def test_empty_export_roundtrips_under_manifest_schema(spark, tmp_path):
+    """bench_scale.py r13 finding: a filter chain that selects NOTHING
+    still exports (zero data files) and must read back as an empty
+    frame with the right columns + verify clean — not die on schema
+    inference."""
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.sources.export import (
+        export_training_shards,
+        read_export,
+        verify_export,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x")], "doc_id long, text string"
+    ).filter(F.col("doc_id") < 0)
+    path = str(tmp_path / "empty_dump")
+    m = export_training_shards(df, path, 4, "doc_id")
+    assert m["shards"] == {}
+    assert verify_export(spark, path) == []
+    back = read_export(spark, path)
+    assert back.columns == ["doc_id", "text", "_shard"]
+    assert back.count() == 0

@@ -2891,3 +2891,70 @@ def test_moments_lifecycle_matches_pure_python(spark):
     assert want[(7, 50000)] == 1     # the huge outlier flags
     assert want[(8, 2525)] == 0      # sigma=0 never flags
     assert want[(99, 100)] == 0      # unseen key scores 0
+
+
+def test_grouped_histogram_quantiles_match_per_group_reference(spark):
+    """The grouped quantile index must equal (a) per-group pure-Python
+    rank selection and (b) running the ungrouped operators on each
+    group's slice separately — same construction, partitioned windows
+    only."""
+    import math
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from hubsit_health_analytics_etl_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_quantiles_grouped,
+        value_histogram,
+        value_histogram_grouped,
+    )
+
+    lo, hi, bins = 0.0, 100.0, 16
+    rows = [(i, f"g{i % 3}", float((i * 37) % 120) - 5.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "event_id long, grp string, value double")
+
+    hist = value_histogram_grouped(df, "value", ["grp"], lo, hi, bins)
+
+    def pybin(v):
+        return min(max(math.floor((v - lo) * bins / (hi - lo)), 0), bins - 1)
+
+    for g in ("g0", "g1", "g2"):
+        vals = [v for _, grp, v in rows if grp == g]
+        want = Counter(pybin(v) for v in vals)
+        got = {
+            r.bin: r.cnt for r in hist.filter(F.col("grp") == g).collect()
+        }
+        assert got == dict(want), g
+
+    pcts = [1, 25, 50, 75, 99]
+    out = {
+        (r.grp, r.pct): r
+        for r in histogram_quantiles_grouped(
+            hist, pcts, ["grp"], lo, hi, bins
+        ).collect()
+    }
+    for g in ("g0", "g1", "g2"):
+        vals = [v for _, grp, v in rows if grp == g]
+        sorted_bins = sorted(pybin(v) for v in vals)
+        n = len(vals)
+        # (b) the ungrouped operator on the slice agrees column-wise
+        slice_out = {
+            r.pct: r
+            for r in histogram_quantiles(
+                value_histogram(
+                    df.filter(F.col("grp") == g), "value", lo, hi, bins
+                ),
+                pcts, lo, hi, bins,
+            ).collect()
+        }
+        for p in pcts:
+            k = math.ceil(p * n / 100)
+            want_bin = sorted_bins[k - 1]
+            got = out[(g, p)]
+            assert got.bin == want_bin, (g, p, got.bin, want_bin)
+            assert got.n_rows == n
+            sl = slice_out[p]
+            assert (got.bin, got.cum_rows, got.n_rows, got.approx_hi_u6) == (
+                sl.bin, sl.cum_rows, sl.n_rows, sl.approx_hi_u6
+            )

@@ -1369,3 +1369,21 @@ def test_llm_dataset_build_bounded_corpus_rescans(spark):
     # total-order funnel
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         assert "shard" in spec, spec
+
+
+def test_quantiles_by_type_partitioned_windows_only(spark):
+    """Grouped quantile index: every window partitions on the group
+    key (each group's cumulative pass is <= bins rows, all groups in
+    parallel — no single-partition total-order funnel), the pct probe
+    is a broadcast, and the whole plan is JVM-side."""
+    import re
+
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("quantiles_by_type")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "event_type#" in spec, spec
+    # the pct probe rides a broadcast, not a shuffle
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
