@@ -209,8 +209,14 @@ def main() -> int:
         "SPARK_GRAFT_SCALE_DIR",
         os.path.join(tempfile.gettempdir(), "hubsit_scale_corpora"),
     )
+    mults = [
+        int(m) for m in os.environ.get(
+            "SPARK_GRAFT_SCALE_MULTS", f"1,{SCALE}"
+        ).split(",")
+    ]
     grids = {}
-    for tag, mult in (("base", 1), ("x10", SCALE)):
+    for mult in mults:
+        tag = "base" if mult == 1 else f"x{mult}"
         d = os.path.join(root, tag)
         marker = os.path.join(d, "_complete")
         if not os.path.exists(marker):
@@ -227,28 +233,35 @@ def main() -> int:
                       "total": round(sum(timings.values()), 3)}
         print(f"[{tag}] {json.dumps(grids[tag])}", file=sys.stderr)
 
+    tags = ["base" if m == 1 else f"x{m}" for m in mults]
+    top = tags[-1]
     ratios = {
-        q: round(grids["x10"]["queries"][q] / max(grids["base"]["queries"][q], 1e-9), 2)
+        q: round(grids[top]["queries"][q] / max(grids["base"]["queries"][q], 1e-9), 2)
         for q in SCALE_QUERIES
     }
     out = {
-        "metric": "scale10x_grid",
-        "scale": SCALE,
+        "metric": "scale_grid",
+        "mults": mults,
         "vocab": VOCAB,
-        "base": grids["base"],
-        "x10": grids["x10"],
-        "time_ratios_x10_over_base": ratios,
-        "cc_rounds": [grids["base"]["invariants"]["cc_rounds"],
-                      grids["x10"]["invariants"]["cc_rounds"]],
-        "lsh_drop_rates": [grids["base"]["invariants"]["lsh_drop_rate"],
-                           grids["x10"]["invariants"]["lsh_drop_rate"]],
+        **{t: grids[t] for t in tags},
+        f"time_ratios_{top}_over_base": ratios,
+        "cc_rounds": [grids[t]["invariants"]["cc_rounds"] for t in tags],
+        "lsh_drop_rates": [
+            grids[t]["invariants"]["lsh_drop_rate"] for t in tags
+        ],
+        "n_components": [
+            grids[t]["invariants"]["n_components"] for t in tags
+        ],
+        "totals": [grids[t]["total"] for t in tags],
     }
-    path = os.path.join(HERE, "bench_evidence", "r13_scale10x_grid.json")
+    path = os.path.join(
+        HERE, "bench_evidence", f"r13_scale_grid_{'_'.join(tags)}.json"
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in (
-        "metric", "scale", "time_ratios_x10_over_base",
-        "cc_rounds", "lsh_drop_rates")}))
+        "metric", "mults", f"time_ratios_{top}_over_base",
+        "cc_rounds", "lsh_drop_rates", "totals")}))
     return 0
 
 
