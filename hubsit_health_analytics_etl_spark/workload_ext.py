@@ -10099,3 +10099,278 @@ def q_token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "a", "b", "c_ab", "pmi_u6", F.col("rk").cast("bigint").alias("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta/KMV distinct sketches — the set-algebra member of the sketch
+# family (operators/theta.py). HLL answers per-group distinct counts
+# but has NO intersection or difference; the KMV bottom-k sample
+# supports exact-law union merge (mergeable standing index / rollup
+# without re-scan) plus estimated INTERSECTION (returning customers)
+# and A-NOT-B (churned customers). Everything below compares
+# exact-integer against a DuckDB replica that rebuilds the identical
+# md5-hash sketch — including the estimator arithmetic (single IEEE
+# double division + floor on both engines).
+# ---------------------------------------------------------------------------
+from .operators.theta import (  # noqa: E402 — section-local import
+    THETA_K,
+    THETA_M,
+    duckdb_theta_estimate,
+    duckdb_theta_of,
+    duckdb_theta_sketch_sql,
+    theta_estimate,
+    theta_rollup,
+    theta_set_ops,
+    theta_sketch,
+    theta_union,
+)
+
+_THETA_MONTH_SPARK = "date_format(o_orderdate, 'yyyy-MM')"
+_THETA_MONTH_DUCK = "strftime(o_orderdate, '%Y-%m')"
+
+
+def _theta_month_sketch_cte(src: str = "orders") -> str:
+    """Shared DuckDB CTE: per-month KMV sketch over o_custkey."""
+    return duckdb_theta_sketch_sql(src, _THETA_MONTH_DUCK, "month", "o_custkey")
+
+
+def _theta_distinct_oracle(src: str = "orders", prelude: str = "") -> str:
+    """Full-recompute per-month estimate report. Shared VERBATIM by
+    theta_distinct_customers and theta_new_batch: bottom-k union-merge
+    over disjoint slices == from-scratch bottom-k EXACTLY (every one of
+    the k smallest hashes of A∪B is among the k smallest of its own
+    side), so the incremental query hash-matches the full recompute —
+    the vocab_new_batch posture for distinct sketches."""
+    est = duckdb_theta_estimate("hs")
+    return f"""
+    WITH {prelude}sk AS MATERIALIZED ({_theta_month_sketch_cte(src)}),
+    ex AS (SELECT {_THETA_MONTH_DUCK} AS month,
+                  COUNT(DISTINCT o_custkey)::BIGINT AS exact_distinct
+           FROM {src} GROUP BY 1)
+    SELECT sk.month, {est} AS est_distinct,
+           len(sk.hs)::BIGINT AS k_kept, ex.exact_distinct,
+           ({est} - ex.exact_distinct)::BIGINT AS err
+    FROM sk JOIN ex USING (month)
+    """
+
+
+_THETA_DISTINCT_ORACLE = _theta_distinct_oracle()
+
+
+def _theta_month_sketch(spark: SparkSession, sf_dir: str, prefilter="auto") -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.expr(_THETA_MONTH_SPARK).alias("month"), "o_custkey"
+    )
+    return theta_sketch(orders, ["month"], "o_custkey", prefilter=prefilter)
+
+
+def _theta_distinct_report(spark: SparkSession, sf_dir: str, sk: DataFrame) -> DataFrame:
+    exact = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.expr(_THETA_MONTH_SPARK).alias("month"), "o_custkey")
+        .groupBy("month")
+        .agg(F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct"))
+    )
+    return (
+        theta_estimate(sk)
+        .join(exact, "month")
+        .select(
+            "month",
+            "est_distinct",
+            F.expr("cast(size(hs) as bigint)").alias("k_kept"),
+            "exact_distinct",
+            (F.col("est_distinct") - F.col("exact_distinct"))
+            .cast("bigint")
+            .alias("err"),
+        )
+    )
+
+
+@query("theta_distinct_customers", _THETA_DISTINCT_ORACLE)
+def q_theta_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month distinct-customer KMV sketch ({THETA_K} minimum 60-bit
+    md5 hashes) with the unbiased estimate next to the exact count.
+    The build is the only raw-data pass (map-side HLL-probe prefilter
+    caps its shuffle at ~8k hashes per group, operators/theta.py); the
+    standing index is one ≤k array per month. err = est − exact is the
+    estimator's signed error, pinned exactly by the oracle rebuilding
+    the identical sketch."""
+    return _theta_distinct_report(
+        spark, sf_dir, _theta_month_sketch(spark, sf_dir)
+    )
+
+
+_THETA_PAIRS_ORACLE = f"""
+    WITH sk AS MATERIALIZED ({_theta_month_sketch_cte()}),
+    rk AS (SELECT month, hs, ROW_NUMBER() OVER (ORDER BY month) AS mrk FROM sk),
+    p AS (SELECT a.month AS month_a, b.month AS month_b, a.hs AS ha, b.hs AS hb
+          FROM rk a JOIN rk b ON b.mrk = a.mrk + 1),
+    w AS (SELECT month_a, month_b, ha, hb,
+                 least({duckdb_theta_of('ha')}, {duckdb_theta_of('hb')}) AS th
+          FROM p),
+    n AS (SELECT month_a, month_b, th,
+                 len(list_filter(list_intersect(ha, hb), x -> x < th))::BIGINT AS n_and,
+                 len(list_filter(ha, x -> x < th AND NOT list_contains(hb, x)))::BIGINT AS n_anb
+          FROM w),
+    mc AS (SELECT DISTINCT {_THETA_MONTH_DUCK} AS month, o_custkey FROM orders),
+    xc AS (SELECT n.month_a, n.month_b,
+                  COUNT(*) FILTER (WHERE b.o_custkey IS NOT NULL)::BIGINT AS exact_returning,
+                  COUNT(*) FILTER (WHERE b.o_custkey IS NULL)::BIGINT AS exact_churned
+           FROM n
+           JOIN mc a ON a.month = n.month_a
+           LEFT JOIN mc b ON b.month = n.month_b AND b.o_custkey = a.o_custkey
+           GROUP BY n.month_a, n.month_b)
+    SELECT n.month_a, n.month_b,
+           CAST(floor((n_and::DOUBLE * {THETA_M}::DOUBLE) / th::DOUBLE) AS BIGINT)
+             AS est_returning,
+           xc.exact_returning,
+           CAST(floor((n_anb::DOUBLE * {THETA_M}::DOUBLE) / th::DOUBLE) AS BIGINT)
+             AS est_churned,
+           xc.exact_churned
+    FROM n JOIN xc USING (month_a, month_b)
+    """
+
+
+@query("theta_returning_customers", _THETA_PAIRS_ORACLE)
+def q_theta_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-month customer-retention estimates from sketch set
+    algebra ALONE: est_returning = theta INTERSECTION of the two
+    monthly sketches (|A∩B| — the op HLL cannot express), est_churned
+    = theta A-NOT-B (|A\\B|). At 100 TB both are array ops over the
+    ≤k-element standing index — no raw-data pass, no distinct-key
+    shuffle; the exact_* columns (one distinct (month, cust) self-join
+    on the fixture) exist to pin the estimators against truth. Month
+    pairing is rank-based (month, next-month) over the ~80-row sketch
+    index."""
+    from pyspark.sql import Window
+
+    # stage boundary: the sketch index (~80 rows × ≤k array) feeds the
+    # a-side, b-side, AND the pair frame — materialize it once so the
+    # raw-orders build pipeline is not re-planned per consumer (in a
+    # real pipeline this is the persisted index theta_new_batch reads)
+    sk = _theta_month_sketch(spark, sf_dir).localCheckpoint()
+    # the sketch index is ~80 rows — a single-partition rank window
+    # over it is driver-trivial (the raw data never sees a window)
+    rk = sk.withColumn("mrk", F.row_number().over(Window.orderBy("month")))
+    a = rk.select("month", "mrk", "hs")
+    b = rk.select("month", (F.col("mrk") - 1).alias("mrk"), "hs")
+    pairs = theta_set_ops(a, b, F.expr("a_mrk = b_mrk")).select(
+        F.col("a_month").alias("month_a"),
+        F.col("b_month").alias("month_b"),
+        F.col("est_intersect").alias("est_returning"),
+        F.col("est_a_not_b").alias("est_churned"),
+    )
+
+    mc = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.expr(_THETA_MONTH_SPARK).alias("month"), "o_custkey")
+        .distinct()
+    )
+    xa = mc.select(F.col("month").alias("month_a"), "o_custkey")
+    xb = mc.select(
+        F.col("month").alias("_xb_month"), F.col("o_custkey").alias("_bc")
+    )
+    xc = (
+        pairs.select("month_a", "month_b")
+        .join(xa, "month_a")
+        .join(
+            xb,
+            (F.col("_xb_month") == F.col("month_b"))
+            & (F.col("_bc") == F.col("o_custkey")),
+            "left",
+        )
+        .groupBy("month_a", "month_b")
+        .agg(
+            F.count(F.when(F.col("_bc").isNotNull(), 1)).cast("bigint").alias("exact_returning"),
+            F.count(F.when(F.col("_bc").isNull(), 1)).cast("bigint").alias("exact_churned"),
+        )
+    )
+    return pairs.join(xc, ["month_a", "month_b"]).select(
+        "month_a",
+        "month_b",
+        "est_returning",
+        "exact_returning",
+        "est_churned",
+        "exact_churned",
+    )
+
+
+_THETA_ROLLUP_ORACLE = f"""
+    WITH sk AS MATERIALIZED ({_theta_month_sketch_cte()}),
+    u AS (SELECT substr(month, 1, 4) AS year, unnest(hs) AS h FROM sk),
+    d AS (SELECT DISTINCT year, h FROM u),
+    r AS (SELECT year, h, ROW_NUMBER() OVER (PARTITION BY year ORDER BY h) AS hrk
+          FROM d),
+    ysk AS (SELECT year, list(h ORDER BY h) AS hs FROM r WHERE hrk <= {THETA_K}
+            GROUP BY year),
+    ex AS (SELECT substr({_THETA_MONTH_DUCK}, 1, 4) AS year,
+                  COUNT(DISTINCT o_custkey)::BIGINT AS exact_distinct
+           FROM orders GROUP BY 1)
+    SELECT ysk.year, {duckdb_theta_estimate('hs')} AS est_distinct,
+           ex.exact_distinct
+    FROM ysk JOIN ex USING (year)
+    """
+
+
+@query("theta_year_rollup", _THETA_ROLLUP_ORACLE)
+def q_theta_year_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly distinct-customer estimates obtained by MERGING the 12
+    monthly sketches (bottom-k of the union of samples — the exact
+    merge law), NOT by re-scanning orders: the OLAP rollup a mergeable
+    sketch index exists for. At 100 TB the year estimate costs 12
+    array merges per year; the exact_distinct column is the fixture
+    truth pin."""
+    sk = _theta_month_sketch(spark, sf_dir)
+    yr = theta_rollup(
+        sk.withColumn("year", F.substring("month", 1, 4)).select("year", "hs"),
+        ["year"],
+    )
+    exact = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr(f"substr({_THETA_MONTH_SPARK}, 1, 4)").alias("year"),
+            "o_custkey",
+        )
+        .groupBy("year")
+        .agg(F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct"))
+    )
+    return (
+        theta_estimate(yr)
+        .join(exact, "year")
+        .select("year", "est_distinct", "exact_distinct")
+    )
+
+
+@query("theta_new_batch", _THETA_DISTINCT_ORACLE)
+def q_theta_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the monthly theta index: the corpus
+    slice's sketches (o_orderkey hash bucket >= {NEW_BATCH_PCT}) are
+    persisted as a parquet index, read back, and union-merged with the
+    new batch's sketches — a full-outer join over index rows plus one
+    array merge per month, never a re-scan of the corpus. Output is
+    identical to theta_distinct_customers' full recompute BY THE MERGE
+    LAW (bottom-k of combined samples == bottom-k of the union), and
+    the oracle — the full-recompute SQL verbatim — certifies it
+    cryptographically."""
+    import os
+
+    from .operators.sampling import hash_bucket
+    from .sources.sinks import write_parquet
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr(_THETA_MONTH_SPARK).alias("month"), "o_custkey"
+    )
+    is_new = hash_bucket("o_orderkey") < NEW_BATCH_PCT
+    corpus = orders.filter(~is_new)
+    batch = orders.filter(is_new)
+
+    idx_path = os.path.join(_run_scoped_index_dir("theta"), "theta_months")
+    write_parquet(
+        theta_sketch(corpus, ["month"], "o_custkey", prefilter=False), idx_path
+    )
+    idx = spark.read.parquet(idx_path)
+
+    merged = theta_union(
+        idx, theta_sketch(batch, ["month"], "o_custkey", prefilter=False), ["month"]
+    )
+    return _theta_distinct_report(spark, sf_dir, merged)

@@ -2958,3 +2958,85 @@ def test_grouped_histogram_quantiles_match_per_group_reference(spark):
             assert (got.bin, got.cum_rows, got.n_rows, got.approx_hi_u6) == (
                 sl.bin, sl.cum_rows, sl.n_rows, sl.approx_hi_u6
             )
+
+
+def test_theta_sketch_matches_pure_python_kmv(spark):
+    """Independent reference: a pure-Python KMV over the same md5
+    hashes must reproduce the Spark sketch arrays, estimates, and the
+    intersection / A-not-B estimators exactly (the oracle-can't-catch-
+    a-shared-bug rule: this reference shares no code with either
+    engine's SQL)."""
+    import hashlib
+
+    from hubsit_health_analytics_etl_spark.operators.theta import (
+        THETA_K,
+        THETA_M,
+        theta_estimate,
+        theta_set_ops,
+        theta_sketch,
+    )
+
+    def h60(v):
+        return int(hashlib.md5(f"theta{v}".encode()).hexdigest()[:15], 16)
+
+    a_vals = list(range(0, 400))          # group A
+    b_vals = list(range(300, 650))        # group B: overlap 300..399
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    sk = theta_sketch(df, ["g"], "v", k=THETA_K)
+    got = {r["g"]: list(r["hs"]) for r in sk.collect()}
+
+    def kmv(vals):
+        return sorted({h60(v) for v in vals})[:THETA_K]
+
+    assert got["a"] == kmv(a_vals)
+    assert got["b"] == kmv(b_vals)
+
+    def theta_of(hs):
+        return hs[THETA_K - 1] if len(hs) >= THETA_K else THETA_M
+
+    def est_of(hs):
+        if len(hs) < THETA_K:
+            return len(hs)
+        import math
+        return math.floor((THETA_K - 1) * float(THETA_M) / float(theta_of(hs)))
+
+    est = {r["g"]: r["est_distinct"] for r in theta_estimate(sk).collect()}
+    assert est["a"] == est_of(kmv(a_vals))
+    assert est["b"] == est_of(kmv(b_vals))
+    # estimator sanity: within 4 std errs (~1/sqrt(k-2)) of truth
+    assert abs(est["a"] - 400) < 4 * 400 / (THETA_K - 2) ** 0.5
+
+    ops = theta_set_ops(
+        sk.filter(F.col("g") == "a"), sk.filter(F.col("g") == "b"), F.lit(True)
+    ).collect()[0]
+    ha, hb = kmv(a_vals), kmv(b_vals)
+    th = min(theta_of(ha), theta_of(hb))
+    import math
+    n_and = len([x for x in ha if x < th and x in set(hb)])
+    n_anb = len([x for x in ha if x < th and x not in set(hb)])
+    assert ops["est_intersect"] == math.floor(n_and * float(THETA_M) / float(th))
+    assert ops["est_a_not_b"] == math.floor(n_anb * float(THETA_M) / float(th))
+
+
+def test_theta_merge_law_and_prefilter_invariance(spark):
+    """bottom-k(A ∪ B) == merge(bottom-k(A), bottom-k(B)) EXACTLY for
+    any split of the data (the additive-index law the new_batch query
+    relies on), and the HLL-probe build prefilter never changes the
+    sketch content."""
+    from hubsit_health_analytics_etl_spark.operators.theta import (
+        theta_sketch,
+        theta_union,
+    )
+
+    rows = [("g", v) for v in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    full = theta_sketch(df, ["g"], "v", prefilter=False)
+    lo = theta_sketch(df.filter(F.col("v") < 700), ["g"], "v", prefilter=False)
+    hi = theta_sketch(df.filter(F.col("v") >= 700), ["g"], "v", prefilter=False)
+    merged = theta_union(lo, hi, ["g"])
+    assert merged.collect()[0]["hs"] == full.collect()[0]["hs"]
+    # prefilter invariance at a cardinality (2000) that engages the
+    # threshold (margin*k = 256 << 2000)
+    filt = theta_sketch(df, ["g"], "v", prefilter="auto")
+    assert filt.collect()[0]["hs"] == full.collect()[0]["hs"]

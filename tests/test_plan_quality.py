@@ -1387,3 +1387,32 @@ def test_quantiles_by_type_partitioned_windows_only(spark):
         assert "event_type#" in spec, spec
     # the pct probe rides a broadcast, not a shuffle
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_theta_set_algebra_touches_index_only(spark):
+    """theta_returning_customers' ESTIMATE side must be pure index
+    algebra: the sketch build scans orders, the exact-pin side scans
+    orders, but the sketch index is MATERIALIZED at its stage boundary
+    so the set-ops stage re-plans zero raw passes — only the exact-pin
+    side's two distinct (month, cust) scans remain in the returned
+    plan, no cartesian, no Python."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("theta_returning_customers")(spark, SF_SMOKE))
+    assert p.count("orders.parquet") <= 2, p.count("orders.parquet")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_theta_new_batch_merges_index_never_rescans_corpus(spark):
+    """The incremental theta query's returned plan reads the persisted
+    monthly index parquet and re-sketches ONLY the new-batch slice: every
+    orders scan outside the exact-pin report is batch-filtered, and
+    the merge is one full-outer join over index rows."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("theta_new_batch")(spark, SF_SMOKE))
+    assert "theta_months" in p  # persisted index is a scan source
+    assert p.count("% 100) < 10") >= 1, "batch slice must be hash-filtered"
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
