@@ -10374,3 +10374,81 @@ def q_theta_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, theta_sketch(batch, ["month"], "o_custkey", prefilter=False), ["month"]
     )
     return _theta_distinct_report(spark, sf_dir, merged)
+
+
+# ---------------------------------------------------------------------------
+# PageRank — the centrality member of the graph family (connected
+# components = identity, label propagation = attribute spread,
+# PageRank = influence score). All-integer micro-unit arithmetic
+# (operators/clusters.py::page_rank) makes the fixed-iteration run
+# exactly reproducible in a DuckDB oracle of unrolled MATERIALIZED
+# CTEs — no float tolerance anywhere.
+# ---------------------------------------------------------------------------
+PR_ITER = 3
+PR_TOP = 25
+PR_INIT = 1_000_000
+PR_BASE = 150_000  # init·(100−85) div 100
+
+
+def _pagerank_oracle() -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, PR_ITER + 1):
+        rounds.append(
+            f"r{i} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"({PR_BASE} + (85 * SUM({prev}.r // deg.d)) // 100)::BIGINT AS r "
+            f"FROM e JOIN {prev} ON {prev}.node = e.src "
+            f"JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH raw AS MATERIALIZED (
+      SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS a,
+             'C' || CAST(o_custkey AS VARCHAR) AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    e AS MATERIALIZED (SELECT a AS src, b AS dst FROM raw
+                       UNION ALL SELECT b AS src, a AS dst FROM raw),
+    deg AS MATERIALIZED (SELECT src, COUNT(*)::BIGINT AS d FROM e GROUP BY src),
+    r0 AS MATERIALIZED (SELECT src AS node, {PR_INIT}::BIGINT AS r FROM deg),
+    {", ".join(rounds)},
+    ranked AS (SELECT node, r AS rank_u6,
+                      ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rk
+               FROM {prev})
+    SELECT node, rank_u6, rk::BIGINT AS rk FROM ranked WHERE rk <= {PR_TOP}
+    """
+
+
+@query("supplier_customer_pagerank", _pagerank_oracle())
+def q_supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PR_TOP} nodes of the symmetrized supplier↔customer
+    co-purchase graph by {PR_ITER}-iteration integer PageRank.
+    The edge list (distinct supplier→customer pairs through
+    lineitem⋈orders, both directions so no node dangles) materializes
+    once; each iteration is one join shuffle + one agg shuffle with
+    per-iteration-flat lineage (operators/clusters.py::page_rank).
+    rank_u6 is exact-integer on both engines — the oracle unrolls the
+    {PR_ITER} rounds as MATERIALIZED CTEs and hash-matches with zero
+    tolerance."""
+    from .operators.clusters import page_rank
+    from .operators.reshape import top_k
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    raw = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("a"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = raw.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    pr = page_rank(edges, n_iter=PR_ITER, init_u6=PR_INIT)
+    ranked = top_k(
+        pr, [], [F.col("rank_u6").desc(), F.col("node")], PR_TOP, "rk"
+    )
+    return ranked.select(
+        "node", "rank_u6", F.col("rk").cast("bigint").alias("rk")
+    )

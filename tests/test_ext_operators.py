@@ -3040,3 +3040,32 @@ def test_theta_merge_law_and_prefilter_invariance(spark):
     # threshold (margin*k = 256 << 2000)
     filt = theta_sketch(df, ["g"], "v", prefilter="auto")
     assert filt.collect()[0]["hs"] == full.collect()[0]["hs"]
+
+
+def test_page_rank_matches_pure_python_integer_model(spark):
+    """Independent reference: a dict-based integer PageRank on a
+    crafted graph must agree node-for-node with the Spark operator
+    (same micro-unit truncating arithmetic), including a hub node
+    ranking above spokes and rank conservation bounds."""
+    from hubsit_health_analytics_etl_spark.operators.clusters import page_rank
+
+    # star (h center) + a 2-cycle, symmetrized
+    und = [("h", "s1"), ("h", "s2"), ("h", "s3"), ("x", "y")]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank_u6"] for r in page_rank(df, n_iter=3).collect()}
+
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: 1_000_000 for n in deg}
+    for _ in range(3):
+        acc = {}
+        for s, d in edges:
+            acc[d] = acc.get(d, 0) + r[s] // deg[s]
+        r = {n: 150_000 + (85 * a) // 100 for n, a in acc.items()}
+    assert got == r
+    assert got["h"] > got["s1"] == got["s2"] == got["s3"]
+    assert got["x"] == got["y"]
+    # damped mass stays within the all-nodes envelope
+    assert all(150_000 <= v <= len(deg) * 1_000_000 for v in got.values())

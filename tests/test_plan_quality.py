@@ -1416,3 +1416,18 @@ def test_theta_new_batch_merges_index_never_rescans_corpus(spark):
     assert p.count("% 100) < 10") >= 1, "batch slice must be hash-filtered"
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_pagerank_edges_materialized_once_no_per_iteration_rescan(spark):
+    """page_rank materializes the (src, dst, d) frame before iterating:
+    the returned top-k plan must contain ZERO raw lineitem/orders scans
+    (all three iterations read materialized edge partitions), no
+    cartesian, no Python, and a TakeOrderedAndProject top-k."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("supplier_customer_pagerank")(spark, SF_SMOKE))
+    assert p.count("lineitem.parquet") == 0, "edge pipeline re-planned"
+    assert p.count("orders.parquet") == 0
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
