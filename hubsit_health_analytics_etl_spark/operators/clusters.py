@@ -562,3 +562,78 @@ def page_rank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("rank_u6"))
+
+
+def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Per-node triangle counts over a CANONICAL undirected edge list
+    (``u < v``, deduplicated) — the cohesion member of the graph
+    family: triangles measure tightly-knit groups (market-basket
+    triads, duplicate-cluster density) where CC only measures
+    reachability.
+
+    Algorithm (the distributed standard): orient every edge from the
+    lower-DEGREE endpoint to the higher (ties by node id), build
+    wedges at each node from its out-neighbors, close them against
+    the canonical edge set. Every triangle is discovered EXACTLY once
+    — at its minimum-rank corner — so no division by symmetry and the
+    count is exact-integer.
+
+    Why degree orientation matters at 100 TB: out-degree after
+    orientation is bounded by O(√m) on any graph (arboricity bound),
+    so the wedge fan-out per node is C(out_deg, 2) with the hub's
+    quadratic blow-up capped — a celebrity node with 10⁷ neighbors
+    generates wedges only from the few higher-degree nodes, not 10¹⁴
+    pairs. The wedge→edge close is one equi-join on the (lo, hi) pair
+    key. Hot residual skew is AQE's skew-join territory (session
+    default) plus the salting lever documented in SCALING.md.
+
+    Returns (node, tri_count, degree) — degree = distinct-neighbor
+    count in the canonical graph; nodes in no triangle keep
+    tri_count 0 via the left join."""
+    uu, vv = F.col(u), F.col(v)
+    deg = (
+        edges.select(uu.alias("node"))
+        .unionByName(edges.select(vv.alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    # rank = (degree, node): a total order, so orientation is acyclic.
+    # deg is |V|-sized — leave the join strategy to AQE (broadcasts
+    # when the node table is small, shuffle-joins past the threshold)
+    e = (
+        edges.join(deg.withColumnRenamed("node", u).withColumnRenamed("degree", "_du"), u)
+        .join(deg.withColumnRenamed("node", v).withColumnRenamed("degree", "_dv"), v)
+        .select(
+            uu.alias("a"),
+            vv.alias("b"),
+            (
+                (F.col("_du") < F.col("_dv"))
+                | ((F.col("_du") == F.col("_dv")) & (uu < vv))
+            ).alias("_fwd"),
+        )
+    )
+    oriented = e.select(
+        F.when(F.col("_fwd"), F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(F.col("_fwd"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    w1 = oriented.select(F.col("src").alias("corner"), F.col("dst").alias("x"))
+    w2 = oriented.select(F.col("src").alias("corner"), F.col("dst").alias("y"))
+    wedges = w1.join(w2, "corner").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        edges.select(uu.alias("x"), vv.alias("y")), ["x", "y"]
+    )
+    corners = (
+        closed.select(F.col("corner").alias("node"))
+        .unionByName(closed.select(F.col("x").alias("node")))
+        .unionByName(closed.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tri_count"))
+    )
+    return (
+        deg.join(corners, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("tri_count"), F.lit(0)).cast("bigint").alias("tri_count"),
+            "degree",
+        )
+    )

@@ -10452,3 +10452,104 @@ def q_supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "node", "rank_u6", F.col("rk").cast("bigint").alias("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — graph cohesion (market-basket triads over the
+# co-purchased-parts graph). Fourth graph-family member: CC answers
+# reachability, label propagation spreads attributes, PageRank scores
+# influence, triangles measure local DENSITY (clustering coefficient).
+# Exact-integer end to end, so the oracle hash-matches the whole
+# report including the micro-unit clustering coefficient.
+# ---------------------------------------------------------------------------
+TRI_TOP = 20
+# support pruning: an edge needs >= 2 co-purchase orders. The classic
+# market-basket lever AND the scale lever: one-off co-occurrences are
+# combinatorial noise that grows ~linearly with order volume, while
+# repeat pairs are the stationary signal (~4k edges at every fixture
+# SF) — at 100 TB you never triangle-count the unpruned co-occurrence
+# graph.
+TRI_MIN_SUPPORT = 2
+
+
+_TRIANGLE_ORACLE = f"""
+    WITH e AS MATERIALIZED (
+      SELECT u, v FROM (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2)
+      WHERE c >= {TRI_MIN_SUPPORT}),
+    deg AS MATERIALIZED (
+      SELECT node, COUNT(*)::BIGINT AS degree FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node),
+    t AS MATERIALIZED (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    corners AS (
+      SELECT node, COUNT(*)::BIGINT AS tri FROM (
+        SELECT a AS node FROM t UNION ALL
+        SELECT b AS node FROM t UNION ALL
+        SELECT c AS node FROM t)
+      GROUP BY node),
+    r AS (
+      SELECT deg.node, COALESCE(corners.tri, 0)::BIGINT AS tri_count, deg.degree,
+             (CASE WHEN deg.degree >= 2
+                   THEN (2 * COALESCE(corners.tri, 0) * 1000000)
+                        // (deg.degree * (deg.degree - 1))
+                   ELSE 0 END)::BIGINT AS cc_u6,
+             ROW_NUMBER() OVER (ORDER BY COALESCE(corners.tri, 0) DESC, deg.node)
+               AS rk
+      FROM deg LEFT JOIN corners USING (node))
+    SELECT node AS part_key, tri_count, degree, cc_u6, rk::BIGINT AS rk
+    FROM r WHERE rk <= {TRI_TOP}
+    """
+
+
+@query("copurchase_triangles", _TRIANGLE_ORACLE)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TRI_TOP} parts by triangle participation in the
+    SUPPORT-PRUNED co-purchased-parts graph (edge = two parts sharing
+    ≥ {TRI_MIN_SUPPORT} orders — repeat pairs are the market-basket
+    signal, one-off co-occurrences the noise that would grow linearly
+    with order volume), with exact degree and integer-micro-unit
+    clustering coefficient cc_u6 = (2·tri·10⁶) div (deg·(deg−1)).
+    The operator (operators/clusters.py::triangle_count) orients each
+    edge low-degree→high-degree so wedge fan-out is arboricity-bounded
+    (a hub's quadratic pair blow-up never materializes); every
+    triangle is found exactly once at its min-rank corner. The edge
+    build is one per-order self-join (bounded by basket size) + one
+    support-count groupBy."""
+    from .operators.clusters import triangle_count
+    from .operators.reshape import top_k
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    lj = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        li.join(lj, (li["l_orderkey"] == lj["ok"]) & (li["l_partkey"] < lj["pb"]))
+        .groupBy(F.col("l_partkey").alias("u"), F.col("pb").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    tc = triangle_count(edges)
+    r = tc.select(
+        F.col("node").alias("part_key"),
+        "tri_count",
+        "degree",
+        F.expr(
+            "cast(case when degree >= 2 then "
+            "(2 * tri_count * 1000000) div (degree * (degree - 1)) "
+            "else 0 end as bigint)"
+        ).alias("cc_u6"),
+    )
+    ranked = top_k(
+        r, [], [F.col("tri_count").desc(), F.col("part_key")], TRI_TOP, "rk"
+    )
+    return ranked.select(
+        "part_key", "tri_count", "degree", "cc_u6",
+        F.col("rk").cast("bigint").alias("rk"),
+    )

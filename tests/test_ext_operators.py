@@ -3069,3 +3069,37 @@ def test_page_rank_matches_pure_python_integer_model(spark):
     assert got["x"] == got["y"]
     # damped mass stays within the all-nodes envelope
     assert all(150_000 <= v <= len(deg) * 1_000_000 for v in got.values())
+
+
+def test_triangle_count_matches_pure_python_reference(spark):
+    """Independent reference: brute-force triangle enumeration on a
+    crafted graph (K4 + pendant + disjoint triangle + isolated-ish
+    chain) must match the oriented-wedge operator node-for-node,
+    including zero counts for triangle-free nodes."""
+    from itertools import combinations
+
+    from hubsit_health_analytics_etl_spark.operators.clusters import triangle_count
+
+    und = (
+        list(combinations([1, 2, 3, 4], 2))  # K4: 4 triangles
+        + [(4, 5)]                            # pendant
+        + [(6, 7), (6, 8), (7, 8)]            # disjoint triangle
+        + [(9, 10)]                           # triangle-free edge
+    )
+    df = spark.createDataFrame(und, "u bigint, v bigint")
+    got = {
+        r["node"]: (r["tri_count"], r["degree"])
+        for r in triangle_count(df).collect()
+    }
+
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                tri[n] += 1
+    assert got == {n: (tri[n], len(adj[n])) for n in adj}
+    assert got[1] == (3, 3) and got[5] == (0, 1) and got[6] == (1, 2)
