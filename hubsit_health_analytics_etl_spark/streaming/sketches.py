@@ -145,3 +145,50 @@ def read_moments(spark: SparkSession, index_dir: str) -> DataFrame:
     from ..operators.sketches import moments_merge
 
     return moments_merge(_read_index(spark, index_dir, _MOMENTS_SCHEMA))
+
+
+def theta_sketch_sink(
+    index_dir: str,
+    group_cols: "list[str]",
+    value_col: str,
+    k: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` callable maintaining the per-group theta/KMV
+    distinct sketch (operators/theta.py — the set-algebra member of
+    this sink family): each micro-batch reduces to one ≤k-hash array
+    per group it touched and overwrites ``index_dir/batch-<id>``.
+    Per-batch state ∝ batch's distinct groups × k; batch sketches
+    union-merge EXACTLY (bottom-k of combined samples == bottom-k of
+    the union), so the live sketch equals a one-shot build. Same
+    replay contract: re-delivery rewrites its own subdirectory.
+    The build prefilter is skipped (a micro-batch's distinct values
+    are already small; the HLL-probe lever is the BATCH build's)."""
+    from ..operators.theta import THETA_K, theta_sketch
+
+    kk = THETA_K if k is None else k
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        theta_sketch(batch, group_cols, value_col, k=kk, prefilter=False).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_dir, f"batch-{batch_id}"))
+
+    return _apply
+
+
+def read_theta_sketch(
+    spark: SparkSession,
+    index_dir: str,
+    group_cols: "list[str]",
+    schema: str,
+    k: int | None = None,
+) -> DataFrame:
+    """The live per-group sketch: exact-law rollup merge over every
+    batch sketch (empty relation if nothing has arrived). ``schema``
+    states the group columns + ``hs array<bigint>``. Feed it to
+    operators/theta.py::theta_estimate / theta_set_ops — estimates,
+    intersections, and A-not-B all run over index rows, never raw
+    history."""
+    from ..operators.theta import THETA_K, theta_rollup
+
+    kk = THETA_K if k is None else k
+    return theta_rollup(_read_index(spark, index_dir, schema), group_cols, k=kk)

@@ -1015,3 +1015,70 @@ def test_streaming_moments_equal_batch_and_power_the_ztest(spark, tmp_path):
         return out
 
     assert outliers(live) == outliers(want)
+
+
+def test_streaming_theta_sketch_equals_batch_and_replays_clean(spark, tmp_path):
+    """The theta sink: rolled-up batch sketches must be ARRAY-IDENTICAL
+    to a one-shot build over the full stream (the exact union-merge
+    law live), estimates through the live index must match, and
+    re-delivering a batch must rewrite, never distort the sample."""
+    from hubsit_health_analytics_etl_spark.operators.theta import (
+        theta_estimate,
+        theta_sketch,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.streaming.sketches import (
+        read_theta_sketch,
+        theta_sketch_sink,
+    )
+
+    events = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "event_type", "user_id")
+        .filter(F.col("event_id") < 400)
+    )
+    b1 = [(r.event_id, r.event_type, r.user_id)
+          for r in events.filter(F.col("event_id") < 200).collect()]
+    b2 = [(r.event_id, r.event_type, r.user_id)
+          for r in events.filter(F.col("event_id") >= 200).collect()]
+    schema = "event_id long, event_type string, user_id long"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_file(spark, b1, schema, src, "b1.parquet", 1_700_000_000)
+    _write_file(spark, b2, schema, src, "b2.parquet", 1_700_000_100)
+
+    index_dir = str(tmp_path / "theta_index")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            theta_sketch_sink(index_dir, ["event_type"], "user_id")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    idx_schema = "event_type string, hs array<bigint>"
+    live = read_theta_sketch(spark, index_dir, ["event_type"], idx_schema)
+    want = theta_sketch(events, ["event_type"], "user_id", prefilter=False)
+    got_arrays = {r.event_type: list(r.hs) for r in live.collect()}
+    want_arrays = {r.event_type: list(r.hs) for r in want.collect()}
+    assert got_arrays == want_arrays
+
+    got_est = {r.event_type: r.est_distinct for r in theta_estimate(live).collect()}
+    want_est = {r.event_type: r.est_distinct for r in theta_estimate(want).collect()}
+    assert got_est == want_est
+
+    # replay: re-delivering batch 1's data under its id rewrites
+    sink = theta_sketch_sink(index_dir, ["event_type"], "user_id")
+    sink(spark.createDataFrame(b2, schema), 1)
+    again = {
+        r.event_type: list(r.hs)
+        for r in read_theta_sketch(spark, index_dir, ["event_type"], idx_schema).collect()
+    }
+    assert again == want_arrays
