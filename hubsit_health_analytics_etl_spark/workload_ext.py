@@ -10553,3 +10553,194 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part_key", "tri_count", "degree", "cc_u6",
         F.col("rk").cast("bigint").alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules — the market-basket sibling of copurchase_triangles:
+# directed pair rules a→b scored by support / confidence / lift, all in
+# integer micro-units (confidence = (supp_ab·10⁶) div supp_a, lift =
+# (supp_ab·N·10⁶) div (supp_a·supp_b)), so the whole report is
+# hash-exact cross-engine. Supports are DISTINCT-ORDER counts (a part
+# repeated within one order counts once).
+# ---------------------------------------------------------------------------
+RULES_TOP = 20
+RULES_MIN_SUPPORT = 2
+
+
+_RULES_ORACLE = f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    supp AS MATERIALIZED (
+      SELECT pk, COUNT(*)::BIGINT AS s FROM op GROUP BY pk),
+    n AS (SELECT COUNT(DISTINCT ok)::BIGINT AS n_orders FROM op),
+    pairs AS MATERIALIZED (
+      SELECT a.pk AS u, b.pk AS v, COUNT(*)::BIGINT AS s_ab
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING COUNT(*) >= {RULES_MIN_SUPPORT}),
+    rules AS (
+      SELECT u AS ant, v AS cons, s_ab FROM pairs
+      UNION ALL
+      SELECT v AS ant, u AS cons, s_ab FROM pairs),
+    scored AS (
+      SELECT r.ant, r.cons, r.s_ab AS supp_pair,
+             ((r.s_ab * 1000000) // sa.s)::BIGINT AS conf_u6,
+             ((r.s_ab * n.n_orders * 1000000) // (sa.s * sb.s))::BIGINT AS lift_u6
+      FROM rules r
+      JOIN supp sa ON sa.pk = r.ant
+      JOIN supp sb ON sb.pk = r.cons
+      CROSS JOIN n),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY lift_u6 DESC, ant, cons) AS rk
+      FROM scored)
+    SELECT ant, cons, supp_pair, conf_u6, lift_u6, rk::BIGINT AS rk
+    FROM ranked WHERE rk <= {RULES_TOP}
+    """
+
+
+@query("copurchase_rules", _RULES_ORACLE)
+def q_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{RULES_TOP} association rules part→part by LIFT over orders
+    with ≥ {RULES_MIN_SUPPORT} co-purchases — support / confidence /
+    lift in exact integer micro-units. The basket pass is one
+    per-order self-join on the distinct (order, part) projection
+    (bounded by basket size, support groupBy partial-aggregates
+    map-side); the part-support table joins back twice (antecedent +
+    consequent) and N is a broadcast scalar — the Apriori level-2
+    report an analytics engine owes its basket data."""
+    from .operators.reshape import top_k
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    supp = op.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    n = op.agg(F.countDistinct("ok").cast("bigint").alias("n_orders"))
+    b = op.select(F.col("ok"), F.col("pk").alias("pb"))
+    pairs = (
+        op.join(b, (op["ok"] == b["ok"]) & (op["pk"] < b["pb"]))
+        .groupBy(F.col("pk").alias("u"), F.col("pb").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s_ab"))
+        .filter(F.col("s_ab") >= RULES_MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("u").alias("ant"), F.col("v").alias("cons"), "s_ab"
+    ).unionByName(
+        pairs.select(F.col("v").alias("ant"), F.col("u").alias("cons"), "s_ab")
+    )
+    scored = (
+        rules.join(supp.select(F.col("pk").alias("ant"), F.col("s").alias("_sa")), "ant")
+        .join(supp.select(F.col("pk").alias("cons"), F.col("s").alias("_sb")), "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ant",
+            "cons",
+            F.col("s_ab").alias("supp_pair"),
+            F.expr("cast((s_ab * 1000000) div _sa as bigint)").alias("conf_u6"),
+            F.expr(
+                "cast((s_ab * n_orders * 1000000) div (_sa * _sb) as bigint)"
+            ).alias("lift_u6"),
+        )
+    )
+    ranked = top_k(
+        scored,
+        [],
+        [F.col("lift_u6").desc(), F.col("ant"), F.col("cons")],
+        RULES_TOP,
+        "rk",
+    )
+    return ranked.select(
+        "ant", "cons", "supp_pair", "conf_u6", "lift_u6",
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LOCF gap-fill — last-observation-carried-forward over a (nation ×
+# month) spine: the time-series repair every reporting pipeline needs
+# when a dimension goes quiet for a period. Exercises IGNORE NULLS
+# running windows (F.last(ignorenulls=True) == DuckDB last_value(x
+# IGNORE NULLS)); revenue is exact integer cents so the fill is
+# hash-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+
+_LOCF_ORACLE = """
+    WITH months AS MATERIALIZED (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m FROM orders),
+    rev AS MATERIALIZED (
+      SELECT n.n_name AS nation, strftime(o.o_orderdate, '%Y-%m') AS m,
+             SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))::BIGINT AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2),
+    spine AS (SELECT n_name AS nation, m FROM nation CROSS JOIN months),
+    filled AS (
+      SELECT s.nation, s.m AS month, rev.rev_c,
+             last_value(rev.rev_c IGNORE NULLS) OVER (
+               PARTITION BY s.nation ORDER BY s.m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+      FROM spine s LEFT JOIN rev ON rev.nation = s.nation AND rev.m = s.m)
+    SELECT nation, month,
+           COALESCE(locf, 0)::BIGINT AS rev_filled_c,
+           (CASE WHEN rev_c IS NOT NULL THEN 'obs'
+                 WHEN locf IS NOT NULL THEN 'locf'
+                 ELSE 'none' END) AS fill_src
+    FROM filled
+    """
+
+
+@query("nation_month_locf", _LOCF_ORACLE)
+def q_nation_month_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue per nation over the FULL observed-month spine,
+    gaps repaired by last-observation-carried-forward: one IGNORE
+    NULLS running window per nation (partitioned — no global sort),
+    integer-cent revenue so the filled series hash-matches DuckDB's
+    last_value(IGNORE NULLS) exactly. fill_src labels each cell
+    obs / locf / none (nation quiet since the epoch). The spine is
+    |nations|×|months| (a broadcast cross of two tiny dims)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+        )
+        .agg(
+            F.sum(F.expr("cast(floor(o_totalprice * 100) as bigint)"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    months = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m")
+    ).distinct()
+    spine = nation.select(F.col("n_name").alias("nation")).crossJoin(
+        F.broadcast(months)
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        spine.join(rev, ["nation", "m"], "left")
+        .withColumn("locf", F.last("rev_c", ignorenulls=True).over(w))
+    )
+    return filled.select(
+        "nation",
+        F.col("m").alias("month"),
+        F.coalesce(F.col("locf"), F.lit(0)).cast("bigint").alias("rev_filled_c"),
+        F.when(F.col("rev_c").isNotNull(), F.lit("obs"))
+        .when(F.col("locf").isNotNull(), F.lit("locf"))
+        .otherwise(F.lit("none"))
+        .alias("fill_src"),
+    )

@@ -1446,3 +1446,28 @@ def test_copurchase_triangles_pruned_graph_no_cartesian(spark):
     assert "EvalPython" not in p
     assert "TakeOrderedAndProject" in p
     assert ">= 2" in p, "support-prune filter missing from the plan"
+
+
+def test_copurchase_rules_broadcast_scalar_only_cross(spark):
+    """Association rules: the only cross join is the broadcast scalar
+    N; the basket self-join and both support joins are equi-joins;
+    JVM-only with a TakeOrderedAndProject top-k."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("copurchase_rules")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "EvalPython" not in p
+
+
+def test_nation_month_locf_partitioned_window_broadcast_spine(spark):
+    """LOCF gap-fill: the running IGNORE-NULLS window is PARTITIONED
+    by nation (never a single global sort of the spine), the
+    nation×months spine cross is broadcast-sized, and the whole fill
+    is JVM expression work."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("nation_month_locf")(spark, SF_SMOKE))
+    assert "partitionBy=[nation]" in p.replace(" ", "") or "hashpartitioning(nation" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
