@@ -60,15 +60,21 @@ SCALE_QUERIES = [
     "cms_new_batch",
     "moments_new_batch",
     "llm_dataset_build",
+    # r13 families: theta index merge, the three graph/basket reports
+    "theta_new_batch",
+    "supplier_customer_pagerank",
+    "copurchase_triangles",
+    "copurchase_rules",
 ]
 
 BASE_DOCS, BASE_EVENTS, BASE_VECS, BASE_USERS = 5_000, 100_000, 2_000, 2_000
+BASE_ORDERS = 15_000  # lineitem = 4 lines/order, parts/custs/supps scale with it
 SCALE = 10
 VOCAB = 4_000
 
 
 def gen_corpus(spark, out_dir: str, n_docs: int, n_events: int,
-               n_vecs: int, n_users: int) -> None:
+               n_vecs: int, n_users: int, n_orders: int) -> None:
     """documents + events + embeddings with the fixture schemas, all
     md5-deterministic pure functions of the row id (a retried task or
     a regenerated dir is bit-identical)."""
@@ -107,6 +113,36 @@ def gen_corpus(spark, out_dir: str, n_docs: int, n_events: int,
         )
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "events.parquet"))
+    )
+
+    # orders + lineitem (the columns the theta / graph / basket scale
+    # queries read), same md5-pure-function discipline: custkeys,
+    # partkeys, suppkeys and dates all derive from the row id, and the
+    # key spaces scale WITH the order volume so degree distributions —
+    # the cost drivers of the graph families — keep their shape.
+    n_cust, n_part, n_supp = max(n_orders // 10, 10), max(n_orders // 8, 8), max(n_orders // 150, 5)
+    (
+        spark.range(0, n_orders, 1, 32)
+        .select(
+            F.col("id").alias("o_orderkey"),
+            F.expr(h("oc", n_cust)).alias("o_custkey"),
+            F.expr(
+                f"timestamp(date_add(date'1995-01-01', cast({h('od', 2436)} as int)))"
+            ).alias("o_orderdate"),
+            F.expr(f"({h('op', 100000)}) / 100.0 + 1000.0").alias("o_totalprice"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "orders.parquet"))
+    )
+    (
+        spark.range(0, n_orders * 4, 1, 32)
+        .select(
+            F.expr("id div 4").alias("l_orderkey"),
+            F.expr(h("lp", n_part)).alias("l_partkey"),
+            F.expr(h("ls", n_supp)).alias("l_suppkey"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "lineitem.parquet"))
     )
 
     from hubsit_health_analytics_etl_spark.operators.similarity import EMBED_DIM
@@ -218,13 +254,16 @@ def main() -> int:
     for mult in mults:
         tag = "base" if mult == 1 else f"x{mult}"
         d = os.path.join(root, tag)
-        marker = os.path.join(d, "_complete")
+        # v2: corpora now include orders/lineitem for the graph/basket
+        # families — older v1 dirs regenerate
+        marker = os.path.join(d, "_complete_v2")
         if not os.path.exists(marker):
             shutil.rmtree(d, ignore_errors=True)
             gen_corpus(
                 spark, d,
                 BASE_DOCS * mult, BASE_EVENTS * mult,
                 BASE_VECS * mult, BASE_USERS * mult,
+                BASE_ORDERS * mult,
             )
             open(marker, "w").close()
         inv = invariants(spark, d)
