@@ -180,6 +180,8 @@ def commit_version(
     stats_cols: "list[str] | None" = None,
     extra: "dict | None" = None,
     expected_parent: "int | None" = _UNSET,
+    bloom_cols: "list[str] | None" = None,
+    bloom_bits_per_row: int = 10,
 ) -> int:
     """Commit ``df`` as the next version of the table at ``root`` and
     return the new version number.
@@ -200,6 +202,23 @@ def commit_version(
     ``extra``: JSON-serializable metadata recorded verbatim under the
     manifest's ``extra`` key (e.g. the streaming sink's ``batch_id``
     for replay idempotence).
+
+    ``bloom_cols``: record a per-file BLOOM FILTER over each listed
+    column's values — the point-lookup half of file skipping that
+    min/max stats cannot provide on a non-clustered column (the
+    Iceberg/Parquet bloom feature re-expressed at the manifest
+    level). ``read_version(..., point=(col, value))`` skips every
+    file whose bloom proves the value absent; false POSITIVES only
+    (a file is never wrongly skipped). Membership is tested on the
+    column's STRING form (int/string columns; float keys are a
+    point-lookup smell anyway). Sizing: m = next power of two ≥
+    ``bloom_bits_per_row`` · max-file-rows (k=3 md5-derived probes;
+    ~10 bits/row ≈ 1-2% fp) — bits, not values, travel to the
+    driver: per file the bitset is ≤ m/8 bytes regardless of
+    cardinality. The build is one extra distinct+collect pass over
+    the just-written files, cost ∝ batch like the stats pass. At
+    very wide tables move blooms to a sidecar (documented in
+    SCALING.md); manifests stay JSON for inspectability here.
 
     The manifest also records ``df``'s SCHEMA (by-name union with the
     parent's on append), so ``read_version`` reads every version with
@@ -289,7 +308,7 @@ def commit_version(
     new_files = sorted(
         glob.glob(os.path.join(data_dir, "*.parquet"))
     )
-    n_new, stats = 0, {}
+    n_new, stats, blooms, file_rows = 0, {}, {}, {}
     if new_files:
         aggs = [F.count(F.lit(1)).alias("_n")]
         for c in stats_cols:
@@ -306,10 +325,43 @@ def commit_version(
             rel = os.path.relpath(
                 r["_file"].removeprefix("file:"), root
             )
+            file_rows[rel] = r["_n"]
             stats[rel] = {
                 c: [_json_safe(r[f"_min_{c}"]), _json_safe(r[f"_max_{c}"])]
                 for c in stats_cols
             }
+    if bloom_cols and new_files:
+        # per-file bitsets built DISTRIBUTEDLY: rows explode to their k
+        # bit positions, distinct per file, and only ≤ m set-bit ids per
+        # file travel to the driver — never the values themselves
+        m = 1 << max(
+            10, (bloom_bits_per_row * max(max(file_rows.values(), default=1), 1) - 1).bit_length()
+        )
+        for c in bloom_cols:
+            pos = ", ".join(
+                f"cast(conv(substr(md5(concat('bloom{i}|', "
+                f"cast({c} as string))), 1, 15), 16, 10) as bigint) % {m}"
+                for i in range(_BLOOM_K)
+            )
+            rows = (
+                spark.read.parquet(data_dir)
+                .filter(F.col(c).isNotNull())
+                .select(
+                    F.input_file_name().alias("_file"),
+                    F.explode(F.expr(f"array({pos})")).alias("_bit"),
+                )
+                .distinct()
+                .groupBy("_file")
+                .agg(F.collect_set("_bit").alias("_bits"))
+                .collect()
+            )
+            for r in rows:
+                rel = os.path.relpath(r["_file"].removeprefix("file:"), root)
+                blooms.setdefault(rel, {})[c] = {
+                    "m": m,
+                    "k": _BLOOM_K,
+                    "bits": _bloom_hex(r["_bits"], m),
+                }
     if n_new != expected:
         shutil.rmtree(data_dir)
         raise IOError(
@@ -326,6 +378,7 @@ def commit_version(
         files = parent["files"] + new_rel
         n_rows = parent["n_rows"] + n_new
         stats = {**parent.get("stats", {}), **stats}
+        blooms = {**parent.get("blooms", {}), **blooms}
         if "schema" in parent:
             # by-name union: parent columns first, the batch's type
             # wins on a shared name, batch-only columns append — old
@@ -350,6 +403,7 @@ def commit_version(
         "n_new_files": len(new_files),
         "schema": schema.json(),
         "stats": stats,
+        "blooms": blooms,
         "extra": dict(extra or {}),
         "committed_at": time.time(),
     }
@@ -391,6 +445,45 @@ def commit_version(
     return n
 
 
+_BLOOM_K = 3
+
+
+def _bloom_positions(value: str, m: int) -> "list[int]":
+    """The k bit positions of ``value`` — byte-identical to the Spark
+    expression in commit_version (same md5 input text, 15 hex chars =
+    60 bits, mod m)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"bloom{i}|{value}".encode()).hexdigest()[:15], 16) % m
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_hex(bits, m: int) -> str:
+    """Set-bit ids → LSB-first hex bitset of m/8 bytes."""
+    ba = bytearray(m // 8)
+    for b in bits:
+        ba[b >> 3] |= 1 << (b & 7)
+    return ba.hex()
+
+
+def _bloom_maybe_contains(entry: "dict | None", value) -> bool:
+    """False only when the bloom PROVES ``value`` absent from the
+    file; missing/foreign entries never skip (safe default, like
+    _stats_overlap)."""
+    if not entry:
+        return True
+    try:
+        ba = bytes.fromhex(entry["bits"])
+        m = int(entry["m"])
+    except (KeyError, ValueError, TypeError):
+        return True
+    return all(
+        ba[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(str(value), m)
+    )
+
+
 def _stats_overlap(st, lo, hi) -> bool:
     """Can a file whose [min, max] is ``st`` contain rows in
     [lo, hi]? Missing/partial stats never prune (safe default), and an
@@ -418,6 +511,7 @@ def read_version(
     root: str,
     version: int | None = None,
     predicate: "tuple | None" = None,
+    point: "tuple | None" = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: current). Resolves the
     pointer/manifest once, then scans only the manifest's immutable
@@ -432,6 +526,15 @@ def read_version(
     the row-level filter is applied on top, so the result equals
     ``read_version(...).filter(lo <= col <= hi)`` exactly. Files
     without stats for ``col`` are always read (safe).
+
+    ``point=(col, value)``: files whose manifest BLOOM for ``col``
+    proves ``value`` absent are dropped before the scan (the
+    point-lookup payoff of ``bloom_cols`` — min/max stats cannot skip
+    on a non-clustered column), and the equality row filter is
+    applied on top, so the result equals
+    ``read_version(...).filter(col == value)`` exactly (blooms have
+    false positives only). Files without a bloom are always read.
+    Composable with ``predicate`` (both prunings intersect).
 
     Versions committed with a manifest schema are read with that
     EXPLICIT schema (one schema resolution, no footer merging; files
@@ -464,6 +567,16 @@ def read_version(
         # filter below matches nothing (stats said so), so the scan is
         # footer/row-group-skip cost only and the schema survives
         rel_files = kept or rel_files
+    if point is not None:
+        pcol, pval = point
+        bl = manifest.get("blooms", {})
+        kept = [
+            f
+            for f in rel_files
+            if _bloom_maybe_contains(bl.get(f, {}).get(pcol), pval)
+        ]
+        # same all-pruned fallback as predicate pruning
+        rel_files = kept or rel_files
     reader = spark.read
     if "schema" in manifest:
         from pyspark.sql.types import StructType
@@ -482,6 +595,9 @@ def read_version(
         if hi is not None:
             cond = cond & (F.col(col) <= F.lit(hi))
         out = out.filter(cond)
+    if point is not None:
+        pcol, pval = point
+        out = out.filter(F.col(pcol) == F.lit(pval))
     return out
 
 

@@ -10744,3 +10744,57 @@ def q_nation_month_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("none"))
         .alias("fill_src"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Manifest bloom point lookup — the third file-skipping mode of the
+# versioned table after min/max range pruning (versioned_pruned_read)
+# and Z-order clustering (versioned_zorder_read): per-file bloom
+# filters skip files on POINT lookups over a HASH-SCATTERED key, where
+# every file's min/max span covers the whole domain and range stats
+# can prune nothing.
+# ---------------------------------------------------------------------------
+BLOOM_PROBE_KEYS = [7, 1234, 4321]
+
+
+@query(
+    "versioned_bloom_read",
+    f"""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders WHERE o_orderkey IN ({", ".join(str(k) for k in BLOOM_PROBE_KEYS)})
+    """,
+)
+def q_versioned_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping end-to-end: orders is committed
+    HASH-scattered on o_orderkey (every file spans ~the whole key
+    range — min/max stats are useless for a point probe) with
+    per-file blooms in the manifest; each probe key is read back
+    through `read_version(point=(o_orderkey, k))`, which drops every
+    file whose bloom proves the key absent (files-read <
+    files-in-manifest pinned in pytest). Oracle = the plain IN-list
+    select, so the hash match proves bloom skipping loses no rows
+    (false positives only, never negatives). Commit cost rides inside
+    the timed query (the versioned_pruned_read posture)."""
+    from functools import reduce
+
+    from .sources.versioned import commit_version, read_version
+
+    root = _run_scoped_index_dir("versioned_bloom")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("price_c"),
+    )
+    commit_version(
+        orders.repartition(8, "o_orderkey"), root, bloom_cols=["o_orderkey"]
+    )
+    probes = [
+        read_version(spark, root, point=("o_orderkey", k))
+        for k in BLOOM_PROBE_KEYS
+    ]
+    return reduce(lambda a, b: a.unionByName(b), probes).select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_orderpriority",
+        "price_c",
+    )

@@ -1471,3 +1471,32 @@ def test_nation_month_locf_partitioned_window_broadcast_spine(spark):
     assert "partitionBy=[nation]" in p.replace(" ", "") or "hashpartitioning(nation" in p
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_versioned_bloom_read_query_scans_fewer_files(spark):
+    """The bloom point-lookup query: each probe's returned scan reads
+    fewer files than the manifest lists (blooms skipped the rest,
+    despite the hash-scatter making min/max useless), no Python."""
+    from hubsit_health_analytics_etl_spark.sources.versioned import (
+        commit_version,
+        read_manifest,
+        read_version,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.workload_ext import (
+        _run_scoped_index_dir,
+    )
+
+    root = _run_scoped_index_dir("versioned_bloom_plan")
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    commit_version(
+        orders.repartition(8, "o_orderkey"), root, bloom_cols=["o_orderkey"]
+    )
+    n_files = len(read_manifest(root, 0)["files"])
+    probe = read_version(spark, root, point=("o_orderkey", 7))
+    assert len(probe.inputFiles()) < n_files
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    assert "EvalPython" not in physical_plan(probe)

@@ -768,3 +768,72 @@ def test_zorder_value_refuses_wrapping_bit_budget(spark):
         zorder_value(["a", "b", "c", "d", "e"], bits=16)
     # boundary: exactly 64 interleaved bits is fine
     zorder_value(["a", "b", "c", "d"], bits=16)
+
+
+def test_manifest_blooms_prune_point_lookups(spark, tmp_path):
+    """Per-file bloom filters in the manifest skip files on POINT
+    lookups where min/max stats cannot (hash-scattered key): fewer
+    files scanned, identical result, false-positive-only semantics
+    (absent key → zero rows, schema intact), append commits carry the
+    parent's blooms, and the stored bitset matches an independent
+    Python bloom of the file's actual values."""
+    import hashlib
+
+    from hubsit_health_analytics_etl_spark.sources.versioned import (
+        _BLOOM_K,
+        read_manifest,
+        read_version,
+    )
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 2000).selectExpr("id AS k", "cast(id as string) AS v")
+    # hash-repartition: every file holds a scattered slice of k — the
+    # min/max span of each file covers ~everything, so only the bloom
+    # can skip
+    commit_version(df.repartition(8, "k"), root, bloom_cols=["k"])
+    m = read_manifest(root, 0)
+    assert len(m["files"]) == 8
+    assert all("k" in b for b in m["blooms"].values())
+
+    pruned = read_version(spark, root, point=("k", 42))
+    assert len(pruned.inputFiles()) < 8
+    assert [(r.k, r.v) for r in pruned.collect()] == [(42, "42")]
+
+    # absent key: bloom proves absence for (nearly) every file; result
+    # is empty either way and schema survives
+    absent = read_version(spark, root, point=("k", 999_999))
+    assert absent.count() == 0
+    assert absent.columns == ["k", "v"]
+
+    # independent reference: rebuild one file's bloom in pure Python
+    rel, entry = next(iter(m["blooms"].items()))
+    mm = entry["k"]["m"]
+    ba = bytes.fromhex(entry["k"]["bits"])
+    vals = [
+        r.k
+        for r in spark.read.parquet(os.path.join(root, rel)).collect()
+    ]
+    want = bytearray(mm // 8)
+    for val in vals:
+        for i in range(_BLOOM_K):
+            p = int(
+                hashlib.md5(f"bloom{i}|{val}".encode()).hexdigest()[:15], 16
+            ) % mm
+            want[p >> 3] |= 1 << (p & 7)
+    assert bytes(want) == ba
+
+    # every present key is found (no false negatives, the contract)
+    for probe in (0, 777, 1999):
+        got = read_version(spark, root, point=("k", probe)).collect()
+        assert [(r.k, r.v) for r in got] == [(probe, str(probe))]
+
+    # append carries the parent's blooms and adds the batch's
+    batch = spark.range(2000, 2100).selectExpr(
+        "id AS k", "cast(id as string) AS v"
+    )
+    commit_version(batch, root, mode="append", bloom_cols=["k"])
+    m1 = read_manifest(root, 1)
+    assert set(m["blooms"]) <= set(m1["blooms"])
+    got = read_version(spark, root, point=("k", 2050))
+    assert [(r.k, r.v) for r in got.collect()] == [(2050, "2050")]
+    assert len(got.inputFiles()) < len(m1["files"])
