@@ -10798,3 +10798,62 @@ def q_versioned_bloom_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "price_c",
     )
+
+
+_THETA_KEPT_ORDERS = (
+    "kept AS (SELECT * FROM orders "
+    f"WHERE {sql_hash_bucket('o_custkey', salt='forget')} >= {FORGET_PCT}), "
+)
+
+
+@query("theta_forget", _theta_distinct_oracle(src="kept", prelude=_THETA_KEPT_ORDERS))
+def q_theta_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten on the theta index — the REBUILD-FROM-KEPT
+    contract (KMV has no algebraic inverse: a deleted hash below θ
+    cannot be replaced from above θ, the same non-invertibility as
+    HLL; the A-NOT-B estimator answers "how much would deleting remove"
+    at index cost, this query performs the actual deletion): the
+    standing monthly index is persisted, the stable {FORGET_PCT}% of
+    customers (by o_custkey hash) are deleted, ONLY the affected
+    months' sketches rebuild from their kept rows (cost ∝
+    kept-of-affected; untouched months' index rows pass through
+    byte-identical), and the maintained index's report hash-matches
+    the oracle's from-scratch recompute over kept orders."""
+    import os
+
+    from .operators.sampling import hash_bucket
+    from .sources.sinks import write_parquet
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.expr(_THETA_MONTH_SPARK).alias("month"), "o_custkey"
+    )
+    idx_path = os.path.join(_run_scoped_index_dir("theta_forget"), "theta_months")
+    write_parquet(theta_sketch(orders, ["month"], "o_custkey", prefilter=False), idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    is_del = hash_bucket("o_custkey", salt="forget") < FORGET_PCT
+    kept = orders.filter(~is_del)
+    affected = orders.filter(is_del).select("month").distinct()
+    untouched = idx.join(affected, "month", "left_anti")
+    rebuilt = theta_sketch(
+        kept.join(F.broadcast(affected), "month"), ["month"], "o_custkey",
+        prefilter=False,
+    )
+    merged = untouched.unionByName(rebuilt)
+
+    exact = kept.groupBy("month").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        theta_estimate(merged)
+        .join(exact, "month")
+        .select(
+            "month",
+            "est_distinct",
+            F.expr("cast(size(hs) as bigint)").alias("k_kept"),
+            "exact_distinct",
+            (F.col("est_distinct") - F.col("exact_distinct"))
+            .cast("bigint")
+            .alias("err"),
+        )
+    )

@@ -3103,3 +3103,28 @@ def test_triangle_count_matches_pure_python_reference(spark):
                 tri[n] += 1
     assert got == {n: (tri[n], len(adj[n])) for n in adj}
     assert got[1] == (3, 3) and got[5] == (0, 1) and got[6] == (1, 2)
+
+
+def test_theta_forget_rebuilds_only_affected_groups(spark):
+    """The theta forget contract on a crafted narrow deletion: a
+    deleted value present only in group A leaves group B's sketch row
+    BYTE-identical (anti-join passthrough) and rebuilds A from kept
+    rows exactly."""
+    from hubsit_health_analytics_etl_spark.operators.theta import theta_sketch
+
+    rows = [("A", v) for v in range(50)] + [("B", v) for v in range(100, 160)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    idx = theta_sketch(df, ["g"], "v", prefilter=False)
+
+    deleted = df.filter((F.col("g") == "A") & (F.col("v") < 10))
+    kept = df.subtract(deleted)
+    affected = deleted.select("g").distinct()
+    untouched = idx.join(affected, "g", "left_anti")
+    rebuilt = theta_sketch(kept.join(affected, "g"), ["g"], "v", prefilter=False)
+    merged = {r["g"]: list(r["hs"]) for r in untouched.unionByName(rebuilt).collect()}
+
+    want = {r["g"]: list(r["hs"]) for r in theta_sketch(kept, ["g"], "v", prefilter=False).collect()}
+    before = {r["g"]: list(r["hs"]) for r in idx.collect()}
+    assert merged == want
+    assert merged["B"] == before["B"]          # untouched group passes through
+    assert merged["A"] != before["A"]          # affected group actually rebuilt
