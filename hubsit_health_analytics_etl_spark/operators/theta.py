@@ -117,8 +117,13 @@ def theta_sketch(
             .otherwise(F.lit(THETA_M))
             .alias("_t"),
         )
+        # no explicit broadcast hint: the threshold table is |groups|
+        # rows — AQE broadcasts it when small and falls back to a
+        # shuffle join at extreme group cardinality (the grouped-CMS
+        # ADVICE r12 lesson: never force a broadcast whose size is an
+        # unbounded function of the data)
         hashed = (
-            hashed.join(F.broadcast(thresh), groups)
+            hashed.join(thresh, groups)
             .filter(F.col("h") < F.col("_t"))
             .select(*groups, "h")
         )
