@@ -10473,11 +10473,12 @@ TRI_MIN_SUPPORT = 2
 
 
 _TRIANGLE_ORACLE = f"""
-    WITH e AS MATERIALIZED (
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e AS MATERIALIZED (
       SELECT u, v FROM (
-        SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
-        FROM lineitem a JOIN lineitem b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        SELECT a.pk AS u, b.pk AS v, COUNT(*) AS c
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
         GROUP BY 1, 2)
       WHERE c >= {TRI_MIN_SUPPORT}),
     deg AS MATERIALIZED (
@@ -10521,19 +10522,36 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge low-degree→high-degree so wedge fan-out is arboricity-bounded
     (a hub's quadratic pair blow-up never materializes); every
     triangle is found exactly once at its min-rank corner. The edge
-    build is one per-order self-join (bounded by basket size) + one
+    build is ONE lineitem scan: baskets partial-aggregate map-side and
+    pairs expand JVM-side from each order's sorted distinct-part array
+    (bounded by basket size — no self-join, no second scan), then one
     support-count groupBy."""
     from .operators.clusters import triangle_count
     from .operators.reshape import top_k
 
+    # basket-array pair expansion: ONE lineitem scan, baskets
+    # partial-aggregate map-side (bounded by basket size), pairs
+    # explode JVM-side from the sorted distinct-part array — no
+    # self-join, no second scan
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    lj = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair = F.expr(
+        "inline(flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts) - i - 1), "
+        "y -> struct(x as u, y as v)))))"
+    )
+    # stage boundary: the pruned edge list (~4k rows) feeds degrees,
+    # orientation, wedges AND the close join — materialize once so the
+    # basket pipeline is not re-executed per consumer
     edges = (
-        li.join(lj, (li["l_orderkey"] == lj["ok"]) & (li["l_partkey"] < lj["pb"]))
-        .groupBy(F.col("l_partkey").alias("u"), F.col("pb").alias("v"))
+        baskets.select(pair)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("_c"))
         .filter(F.col("_c") >= TRI_MIN_SUPPORT)
         .select("u", "v")
+        .localCheckpoint()
     )
     tc = triangle_count(edges)
     r = tc.select(

@@ -1434,18 +1434,19 @@ def test_pagerank_edges_materialized_once_no_per_iteration_rescan(spark):
 
 
 def test_copurchase_triangles_pruned_graph_no_cartesian(spark):
-    """The triangle report: support pruning (HAVING count >= 2) must
-    run BEFORE the wedge stage (the edge groupBy filter appears in the
-    plan), every join is an equi-join (no cartesian / nested-loop),
+    """The triangle report: the support-pruned edge list materializes
+    at its stage boundary (it feeds degrees, orientation, wedges AND
+    the close join — the returned plan must contain ZERO raw lineitem
+    scans), every join is an equi-join (no cartesian / nested-loop),
     and the report is JVM-only with a TakeOrderedAndProject top-k."""
     from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
 
     p = physical_plan(_q("copurchase_triangles")(spark, SF_SMOKE))
+    assert p.count("lineitem.parquet") == 0, "edge build re-planned per consumer"
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p
     assert "TakeOrderedAndProject" in p
-    assert ">= 2" in p, "support-prune filter missing from the plan"
 
 
 def test_copurchase_rules_broadcast_scalar_only_cross(spark):
