@@ -10875,3 +10875,99 @@ def q_theta_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction — PageRank COMPOSED over the token
+# co-occurrence graph (Mihalcea & Tarau 2004): adjacent-token bigrams
+# with corpus support become symmetric edges, the integer PageRank
+# operator ranks tokens by graph centrality. The composition query:
+# both pieces (bigram support counting, page_rank) already exist —
+# this is what an engine's operators are FOR.
+# ---------------------------------------------------------------------------
+TEXTRANK_TOP = 20
+TEXTRANK_MIN_COOC = 5
+
+
+def _textrank_oracle() -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, PR_ITER + 1):
+        rounds.append(
+            f"r{i} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"({PR_BASE} + (85 * SUM({prev}.r // deg.d)) // 100)::BIGINT AS r "
+            f"FROM e JOIN {prev} ON {prev}.node = e.src "
+            f"JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, tok, pos FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        FROM documents) WHERE tok <> ''),
+    bg AS (SELECT a.tok AS w1, b.tok AS w2, COUNT(*)::BIGINT AS c
+           FROM toks a JOIN toks b
+             ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+           WHERE a.tok <> b.tok
+           GROUP BY 1, 2),
+    und AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+            FROM bg WHERE c >= {TEXTRANK_MIN_COOC}),
+    e AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+                       UNION ALL SELECT b AS src, a AS dst FROM und),
+    deg AS MATERIALIZED (SELECT src, COUNT(*)::BIGINT AS d FROM e GROUP BY src),
+    r0 AS MATERIALIZED (SELECT src AS node, {PR_INIT}::BIGINT AS r FROM deg),
+    {", ".join(rounds)},
+    ranked AS (SELECT node AS token, r AS rank_u6,
+                      ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rk
+               FROM {prev})
+    SELECT token, rank_u6, rk::BIGINT AS rk FROM ranked WHERE rk <= {TEXTRANK_TOP}
+    """
+
+
+@query("textrank_keywords", _textrank_oracle())
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TEXTRANK_TOP} corpus keywords by TextRank: adjacent-token
+    bigrams with ≥ {TEXTRANK_MIN_COOC} corpus occurrences form a
+    symmetric co-occurrence graph (direction is irrelevant to
+    centrality — and symmetry is also what satisfies page_rank's
+    no-dangling contract by construction), ranked by the {PR_ITER}-
+    iteration integer PageRank operator. One token scan builds the
+    bigram counts (map-side partials); the graph is vocabulary-sized,
+    so everything past the scan is index algebra. Exact-integer
+    cross-engine (the supplier_customer_pagerank arithmetic verbatim)."""
+    from .operators.clusters import page_rank
+    from .operators.reshape import top_k
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(
+        F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    bg = (
+        toks.select(
+            F.expr(
+                "inline(CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i - 1] AS w1, toks[i] AS w2)) "
+                "ELSE array() END)"
+            )
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != "") & (F.col("w1") != F.col("w2")))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .filter(F.col("c") >= TEXTRANK_MIN_COOC)
+    )
+    und = bg.select(
+        F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+    ).distinct()
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    pr = page_rank(edges, n_iter=PR_ITER, init_u6=PR_INIT)
+    ranked = top_k(
+        pr, [], [F.col("rank_u6").desc(), F.col("node")], TEXTRANK_TOP, "rk"
+    )
+    return ranked.select(
+        F.col("node").alias("token"), "rank_u6",
+        F.col("rk").cast("bigint").alias("rk"),
+    )
