@@ -10971,3 +10971,108 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("token"), "rank_u6",
         F.col("rk").cast("bigint").alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation — recall of the PRODUCTION MinHash config
+# (pre-exact-dedup + bucket cap) against exact n-gram-Jaccard ground
+# truth over the same representative set, banded by similarity: the
+# textbook S-curve measurement (recall must rise toward 1 as jaccard
+# → 1; the 0.3-0.5 band is BELOW the banding threshold and low recall
+# there is the designed behavior, not a bug). A curation pipeline
+# runs exactly this report before trusting its dedup settings.
+# ---------------------------------------------------------------------------
+
+
+_RECALL_BANDS_ORACLE = f"""
+    WITH {_minhash_pairs_ctes()},
+    tsh AS (SELECT doc_id,
+                   list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS th
+            FROM sh),
+    inv AS (SELECT doc_id, len(th) AS n, unnest(th) AS s FROM tsh),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+                     COUNT(*) AS n_inter
+              FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id, a.n, b.n),
+    truth AS (SELECT doc_a, doc_b,
+                     ROUND(n_inter / CAST(na + nb - n_inter AS DOUBLE), 6) AS j
+              FROM inter
+              WHERE ROUND(n_inter / CAST(na + nb - n_inter AS DOUBLE), 6)
+                    >= {JACCARD_THRESHOLD}),
+    fl AS (SELECT CAST(ROUND(t.j * 1000000) AS BIGINT) AS j_u6,
+                  (CASE WHEN mh.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS found
+           FROM truth t
+           LEFT JOIN (SELECT DISTINCT doc_a, doc_b FROM mh_pairs) mh
+             ON mh.doc_a = t.doc_a AND mh.doc_b = t.doc_b),
+    banded AS (SELECT (CASE WHEN j_u6 >= 900000 THEN '0.9+'
+                            WHEN j_u6 >= 700000 THEN '0.7-0.9'
+                            WHEN j_u6 >= 500000 THEN '0.5-0.7'
+                            ELSE '0.3-0.5' END) AS band, found
+               FROM fl),
+    g AS (SELECT band, COUNT(*)::BIGINT AS n_truth,
+                 SUM(found)::BIGINT AS n_found
+          FROM banded GROUP BY band
+          UNION ALL
+          SELECT 'all', COUNT(*)::BIGINT, SUM(found)::BIGINT FROM banded)
+    SELECT band, n_truth, n_found,
+           ((n_found * 1000000) // n_truth)::BIGINT AS recall_u6
+    FROM g
+    """
+
+
+@query("minhash_recall_bands", _RECALL_BANDS_ORACLE)
+def q_minhash_recall_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall by similarity band: ground truth = exact n-gram
+    Jaccard ≥ {JACCARD_THRESHOLD} over the exact-dup REPRESENTATIVE
+    set (the same population the production LSH signs), found = truth
+    pairs the banded+capped MinHash surfaced. recall_u6 rises toward
+    10⁶ as jaccard → 1 (the S-curve contract); the sub-threshold
+    0.3-0.5 band is allowed to miss. Ground truth costs one
+    inverted-index intersection — this report is how a pipeline
+    VALIDATES its dedup config on a sample before trusting it at
+    100 TB (run it on a hash-sample there; here the fixture IS the
+    sample)."""
+    from .operators.dedup import (
+        exact_dup_representatives,
+        minhash_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = exact_dup_representatives(docs)
+    truth = ngram_jaccard_pairs(reps, JACCARD_THRESHOLD).select(
+        "doc_a",
+        "doc_b",
+        F.expr("cast(round(jaccard * 1000000) as bigint)").alias("j_u6"),
+    )
+    cand = (
+        minhash_candidates(docs, bucket_cap=MINHASH_BUCKET_CAP, pre_exact_dedup=True)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    fl = truth.join(cand, ["doc_a", "doc_b"], "left").select(
+        "j_u6", F.coalesce(F.col("_hit"), F.lit(0)).alias("found")
+    )
+    banded = fl.select(
+        F.when(F.col("j_u6") >= 900000, "0.9+")
+        .when(F.col("j_u6") >= 700000, "0.7-0.9")
+        .when(F.col("j_u6") >= 500000, "0.5-0.7")
+        .otherwise("0.3-0.5")
+        .alias("band"),
+        "found",
+    )
+    per_band = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.sum("found").cast("bigint").alias("n_found"),
+    )
+    overall = banded.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.sum("found").cast("bigint").alias("n_found"),
+    ).select(F.lit("all").alias("band"), "n_truth", "n_found")
+    return per_band.unionByName(overall).select(
+        "band",
+        "n_truth",
+        "n_found",
+        F.expr("cast((n_found * 1000000) div n_truth as bigint)").alias("recall_u6"),
+    )

@@ -3128,3 +3128,19 @@ def test_theta_forget_rebuilds_only_affected_groups(spark):
     assert merged == want
     assert merged["B"] == before["B"]          # untouched group passes through
     assert merged["A"] != before["A"]          # affected group actually rebuilt
+
+
+def test_minhash_recall_bands_catches_all_high_similarity(spark):
+    """The LSH evaluation report's quality contract on the fixture:
+    the 0.9+ band (near-identical pairs, above the banding threshold)
+    must have recall 1.0 — a MinHash config that misses those is
+    misconfigured, whatever the oracle says about the arithmetic."""
+    from hubsit_health_analytics_etl_spark.workload import QUERIES
+
+    rows = {
+        r["band"]: (r["n_truth"], r["recall_u6"])
+        for r in QUERIES["minhash_recall_bands"](spark, SF_SMOKE).collect()
+    }
+    assert rows["0.9+"][0] > 0
+    assert rows["0.9+"][1] == 1_000_000
+    assert rows["all"][0] >= rows["0.9+"][0]
