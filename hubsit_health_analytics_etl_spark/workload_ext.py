@@ -11076,3 +11076,116 @@ def q_minhash_recall_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_found",
         F.expr("cast((n_found * 1000000) div n_truth as bigint)").alias("recall_u6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank — "customers who bought X also ended up around
+# Y": random walk with restart from each seed part over the
+# support-pruned co-purchase graph. The RECOMMENDATION member of the
+# graph family (global PageRank = influence, PPR = affinity to a
+# seed); association rules score direct pairs, PPR scores multi-hop
+# affinity. Exact-integer, unrolled-CTE oracle.
+# ---------------------------------------------------------------------------
+PPR_SEEDS = 3
+PPR_TOP = 10
+
+
+def _ppr_oracle() -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, PR_ITER + 1):
+        rounds.append(
+            f"""sp{i} AS MATERIALIZED (
+              SELECT r.seed, e.dst AS node,
+                     ((85 * SUM(r.r // deg.d)) // 100)::BIGINT AS s
+              FROM e JOIN {prev} r ON r.node = e.src
+              JOIN deg ON deg.src = e.src GROUP BY r.seed, e.dst),
+            r{i} AS MATERIALIZED (
+              SELECT COALESCE(sp.seed, rs.seed) AS seed,
+                     COALESCE(sp.node, rs.node) AS node,
+                     (COALESCE(sp.s, 0) + COALESCE(rs.b, 0))::BIGINT AS r
+              FROM sp{i} sp FULL OUTER JOIN restart rs
+                ON rs.seed = sp.seed AND rs.node = sp.node)"""
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    und AS MATERIALIZED (
+      SELECT u, v FROM (
+        SELECT a.pk AS u, b.pk AS v, COUNT(*) AS c
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2)
+      WHERE c >= {TRI_MIN_SUPPORT}),
+    e AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+                       UNION ALL SELECT v AS src, u AS dst FROM und),
+    deg AS MATERIALIZED (SELECT src, COUNT(*)::BIGINT AS d FROM e GROUP BY src),
+    innodes AS (SELECT DISTINCT src AS node FROM e),
+    seeds AS MATERIALIZED (
+      SELECT pk AS seed FROM (
+        SELECT op.pk, COUNT(*) AS c FROM op JOIN innodes ON innodes.node = op.pk
+        GROUP BY op.pk ORDER BY c DESC, op.pk LIMIT {PPR_SEEDS})),
+    restart AS (SELECT seed, seed AS node, {PR_BASE}::BIGINT AS b FROM seeds),
+    r0 AS (SELECT seed, seed AS node, {PR_INIT}::BIGINT AS r FROM seeds),
+    {", ".join(rounds)},
+    ranked AS (SELECT seed, node, r AS rank_u6,
+                      ROW_NUMBER() OVER (PARTITION BY seed
+                                         ORDER BY r DESC, node) AS rk
+               FROM {prev} WHERE node <> seed)
+    SELECT seed, node AS related_part, rank_u6, rk::BIGINT AS rk
+    FROM ranked WHERE rk <= {PPR_TOP}
+    """
+
+
+@query("related_parts_ppr", _ppr_oracle())
+def q_related_parts_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PPR_TOP} related parts for each of the {PPR_SEEDS}
+    highest-support parts, by {PR_ITER}-hop personalized PageRank over
+    the support-pruned co-purchase graph (operators/clusters.py::
+    personalized_page_rank — restart mass returns to the seed, so
+    scores measure affinity TO that seed; the rank frontier stays
+    within {PR_ITER} hops of the seeds, not |seeds|×|V|). Seeds are
+    restricted to parts present in the pruned graph. Exact-integer,
+    hash-matched against the unrolled per-seed CTE oracle."""
+    from .operators.clusters import personalized_page_rank
+    from .operators.reshape import top_k
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    b = op.select(F.col("ok"), F.col("pk").alias("pb"))
+    und = (
+        op.join(b, (op["ok"] == b["ok"]) & (op["pk"] < b["pb"]))
+        .groupBy(F.col("pk").alias("u"), F.col("pb").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    innodes = edges.select(F.col("src").alias("pk")).distinct()
+    seeds = (
+        op.join(innodes, "pk")
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("pk"))
+        .limit(PPR_SEEDS)
+        .select(F.col("pk").alias("seed"))
+    )
+    pr = personalized_page_rank(edges, seeds, n_iter=PR_ITER)
+    ranked = top_k(
+        pr.filter(F.col("node") != F.col("seed")),
+        ["seed"],
+        [F.col("rank_u6").desc(), F.col("node")],
+        PPR_TOP,
+        "rk",
+    )
+    return ranked.select(
+        "seed",
+        F.col("node").alias("related_part"),
+        "rank_u6",
+        F.col("rk").cast("bigint").alias("rk"),
+    )

@@ -3144,3 +3144,48 @@ def test_minhash_recall_bands_catches_all_high_similarity(spark):
     assert rows["0.9+"][0] > 0
     assert rows["0.9+"][1] == 1_000_000
     assert rows["all"][0] >= rows["0.9+"][0]
+
+
+def test_personalized_page_rank_matches_pure_python_model(spark):
+    """Independent reference: dict-based integer PPR on a crafted
+    graph, two seeds at once — restart mass returns to each seed, the
+    frontier stays within n_iter hops, and a node unreachable from a
+    seed carries no (seed, node) state at all."""
+    from hubsit_health_analytics_etl_spark.operators.clusters import (
+        personalized_page_rank,
+    )
+
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]  # path + far pair
+    edges = und + [(v, u) for u, v in und]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("x",)], "seed string")
+    got = {
+        (r["seed"], r["node"]): r["rank_u6"]
+        for r in personalized_page_rank(df, seeds, n_iter=3).collect()
+    }
+
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    want = {}
+    for seed in ("a", "x"):
+        r = {seed: 1_000_000}
+        for _ in range(3):
+            acc = {}
+            for s, d in edges:
+                if s in r:
+                    acc[d] = acc.get(d, 0) + r[s] // deg[s]
+            r = {n: (85 * v) // 100 for n, v in acc.items()}
+            r[seed] = r.get(seed, 0) + 150_000
+        for n, v in r.items():
+            want[(seed, n)] = v
+    assert got == want
+    # frontier discipline: 'a' is 3 hops from 'd' at most — but never
+    # reaches the disconnected (x, y) pair, and vice versa
+    assert ("a", "x") not in got and ("x", "a") not in got
+    # the restart term keeps every seed present in its own vector
+    # (no ordering claim: a truncated walk on a 2-colorable path
+    # oscillates by parity, so hop-distance ordering is NOT a PPR
+    # invariant at small n_iter — the exact model match above is the
+    # contract)
+    assert ("a", "a") in got and ("x", "x") in got
