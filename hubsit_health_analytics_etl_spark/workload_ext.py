@@ -11189,3 +11189,77 @@ def q_related_parts_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_u6",
         F.col("rk").cast("bigint").alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-centroid drift — the SEMANTIC member of the drift family
+# (user_value_drift_psi / user_value_drift_ks / windowed_drift_psi
+# watch scalar distributions; this watches where each label's
+# embedding mass SITS): per label, the squared L2 distance between
+# the two cohorts' centroids. Elements quantize to exact int64
+# micro-units BEFORE summing, so the centroid sums are
+# order-independent integers and the whole report hash-matches with
+# no sorted-fold gymnastics (the float-SUM trap from the verify
+# gotchas, sidestepped instead of worked around).
+# ---------------------------------------------------------------------------
+
+
+_CENTROID_DRIFT_ORACLE = f"""
+    WITH q AS (
+      SELECT label,
+             ({sql_hash_bucket("vec_id", salt="cdrift")} < 50) AS in_a,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0) AS BIGINT) AS v_u6
+      FROM embeddings),
+    s AS (SELECT label, dim,
+                 SUM(CASE WHEN in_a THEN v_u6 ELSE 0 END)::BIGINT AS sa,
+                 SUM(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS na,
+                 SUM(CASE WHEN NOT in_a THEN v_u6 ELSE 0 END)::BIGINT AS sb,
+                 SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END)::BIGINT AS nb
+          FROM q GROUP BY label, dim),
+    d AS (SELECT label, na, nb,
+                 ((sa // na) - (sb // nb)) AS dd
+          FROM s WHERE na > 0 AND nb > 0)
+    SELECT label, MIN(na)::BIGINT AS n_a, MIN(nb)::BIGINT AS n_b,
+           SUM(dd * dd)::BIGINT AS l2sq_u12
+    FROM d GROUP BY label
+    """
+
+
+@query("embedding_centroid_drift", _CENTROID_DRIFT_ORACLE)
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label squared L2 distance between the centroids of two
+    stable hash cohorts of the embedding corpus (A = vec_id bucket
+    < 50) — the drift monitor for a re-embedded or re-crawled corpus:
+    a jump in l2sq_u12 for a label means its semantic mass moved.
+    One explode pass (vec, dim, micro-unit value), one (label, dim)
+    sum — integer partial aggregates all the way; centroids are
+    floor-averages (sum div n), distance is Σ(Δdim)², both
+    engine-exact. At 100 TB this is the map-side-combine shape: the
+    shuffle carries |labels|·|dims| integer triples, never vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from .operators.sampling import hash_bucket
+
+    q = emb.select(
+        "label",
+        (hash_bucket("vec_id", 100, salt="cdrift") < 50).alias("in_a"),
+        F.expr(
+            "inline(transform(embedding, (x, i) -> "
+            "struct(i + 1 as dim, cast(floor(cast(x as double) * 1000000.0) as bigint) as v_u6)))"
+        ),
+    )
+    s = q.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("in_a"), F.col("v_u6")).otherwise(0)).cast("bigint").alias("sa"),
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(~F.col("in_a"), F.col("v_u6")).otherwise(0)).cast("bigint").alias("sb"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("nb"),
+    )
+    d = s.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        "label", "na", "nb",
+        F.expr("(sa div na) - (sb div nb)").alias("dd"),
+    )
+    return d.groupBy("label").agg(
+        F.min("na").cast("bigint").alias("n_a"),
+        F.min("nb").cast("bigint").alias("n_b"),
+        F.sum(F.expr("dd * dd")).cast("bigint").alias("l2sq_u12"),
+    )
