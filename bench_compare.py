@@ -88,7 +88,12 @@ ITERATIVE_ALLOWLIST = {
     "moments_forget",  # same posture: index write+read inside the query
     "llm_dataset_build",  # CC loop + BPE rounds + verified export in one job
     "theta_new_batch",  # theta index write+read round-trip inside the query
+    "theta_forget",  # same posture: index write+read inside the query
     "supplier_customer_pagerank",  # driver-sequenced iterations + eager edge materialization
+    "related_parts_ppr",  # same: per-iteration driver sequencing + eager edges
+    "textrank_keywords",  # page_rank composition — same driver-sequenced class
+    "versioned_bloom_read",  # commit (write + bloom build) inside the timed query
+    "copurchase_triangles",  # eager edge materialization inside the timed query
 }
 
 PASS_RATIO, WARN_RATIO = 1.10, 1.25
