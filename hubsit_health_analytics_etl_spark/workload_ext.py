@@ -11167,6 +11167,10 @@ def q_related_parts_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
     innodes = edges.select(F.col("src").alias("pk")).distinct()
+    # the 3-row seed frame seeds BOTH the rank vector and the restart
+    # term of every iteration — materialize it so the support-count
+    # pipeline is not re-planned per round (the returned plan carries
+    # zero raw scans, pinned in tests)
     seeds = (
         op.join(innodes, "pk")
         .groupBy("pk")
@@ -11174,6 +11178,7 @@ def q_related_parts_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("_c").desc(), F.col("pk"))
         .limit(PPR_SEEDS)
         .select(F.col("pk").alias("seed"))
+        .localCheckpoint()
     )
     pr = personalized_page_rank(edges, seeds, n_iter=PR_ITER)
     ranked = top_k(

@@ -1501,3 +1501,18 @@ def test_versioned_bloom_read_query_scans_fewer_files(spark):
     from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
 
     assert "EvalPython" not in physical_plan(probe)
+
+
+def test_ppr_and_textrank_zero_raw_rescans(spark):
+    """Both PageRank compositions materialize their edge frames before
+    iterating: the returned plans contain zero raw table scans, no
+    cartesian, no Python."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("related_parts_ppr")(spark, SF_SMOKE))
+    assert p.count("lineitem.parquet") == 0
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+
+    p2 = physical_plan(_q("textrank_keywords")(spark, SF_SMOKE))
+    assert p2.count("documents.parquet") == 0
+    assert "CartesianProduct" not in p2 and "EvalPython" not in p2
