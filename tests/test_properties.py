@@ -448,3 +448,53 @@ def test_bpe_sentinel_replace_equals_symbol_list_merge(words, k):
 
     for w in freq:
         assert [x for x in seqs_s[w].split(SEP) if x] == seqs_l[w], w
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=300),
+    st.integers(min_value=0, max_value=300),
+)
+@SET
+def test_theta_merge_law_holds_for_any_split(spark, values, cut):
+    """KMV merge law as a property: for ANY value multiset and ANY
+    split point, merge(sketch(A), sketch(B)) must equal
+    sketch(A ∪ B) array-for-array, and an unsaturated sketch must BE
+    the exact distinct hash set (estimate == true distinct count)."""
+    import hashlib
+
+    from hubsit_health_analytics_etl_spark.operators.theta import (
+        THETA_K,
+        theta_estimate,
+        theta_sketch,
+        theta_union,
+    )
+
+    cut = min(cut, len(values))
+    rows = [("g", v) for v in values]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    full = theta_sketch(df, ["g"], "v", prefilter=False)
+
+    def side(slice_rows):
+        # an empty slice yields an empty sketch table (the group is
+        # absent from that side — the full-outer merge must cope)
+        if not slice_rows:
+            return full.limit(0)
+        sdf = spark.createDataFrame(slice_rows, "g string, v bigint")
+        return theta_sketch(sdf, ["g"], "v", prefilter=False)
+
+    sa, sb = side(rows[:cut]), side(rows[cut:])
+    merged = {r["g"]: list(r["hs"]) for r in theta_union(sa, sb, ["g"]).collect()}
+    want = {r["g"]: list(r["hs"]) for r in full.collect()}
+    assert merged == want
+
+    # exact regime: unsaturated == the true distinct hash set
+    distinct = {
+        int(hashlib.md5(f"theta{v}".encode()).hexdigest()[:15], 16)
+        for v in values
+    }
+    est = {r["g"]: r["est_distinct"] for r in theta_estimate(full).collect()}
+    if len(distinct) < THETA_K:
+        assert want["g"] == sorted(distinct)
+        assert est["g"] == len(distinct)
+    else:
+        assert want["g"] == sorted(distinct)[:THETA_K]
