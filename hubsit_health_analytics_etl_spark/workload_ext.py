@@ -11268,3 +11268,120 @@ def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nb").cast("bigint").alias("n_b"),
         F.sum(F.expr("dd * dd")).cast("bigint").alias("l2sq_u12"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture budgeting — integer WATERFILL of a total token budget across
+# sources: every source keeps its tokens up to a common cap c chosen
+# so allocations sum to (at most) the budget; small sources pass
+# through whole, big sources are capped at the level. The planning
+# step of data mixing (corpus_temperature_sample then EXECUTES a
+# mixture at row level; this decides the per-source budgets). Exact
+# integer algorithm: rank sources by token count ascending, find the
+# first rank r where prefix_{r-1} + t_r·(n−r+1) ≥ B, then
+# c = (B − prefix_{r-1}) div (n−r+1) with the remainder spread one
+# token each to the first `rem` capped sources in rank order — fully
+# window/prefix-sum expressible, no iteration, engine-exact.
+# ---------------------------------------------------------------------------
+WATERFILL_BUDGET_PCT = 60  # budget = 60% of total corpus tokens
+
+
+_WATERFILL_ORACLE = f"""
+    WITH t0 AS (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents),
+    ts AS (SELECT source, COUNT(*)::BIGINT AS t
+           FROM t0 WHERE tok <> '' GROUP BY source),
+    tot AS (SELECT SUM(t)::BIGINT AS total,
+                   ((SUM(t) * {WATERFILL_BUDGET_PCT}) // 100)::BIGINT AS b,
+                   COUNT(*)::BIGINT AS n
+            FROM ts),
+    rk AS (SELECT source, t,
+                  ROW_NUMBER() OVER (ORDER BY t, source) AS r,
+                  COALESCE(SUM(t) OVER (ORDER BY t, source
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)::BIGINT AS prefix
+           FROM ts),
+    pick AS (SELECT MIN(rk.r) AS r0 FROM rk CROSS JOIN tot
+             WHERE rk.prefix + rk.t * (tot.n - rk.r + 1) >= tot.b),
+    lvl AS (SELECT CASE WHEN pick.r0 IS NULL THEN NULL
+                        ELSE (tot.b - rk.prefix) // (tot.n - rk.r + 1) END AS c,
+                   CASE WHEN pick.r0 IS NULL THEN 0
+                        ELSE (tot.b - rk.prefix) % (tot.n - rk.r + 1) END AS rem,
+                   pick.r0 AS r0
+            FROM pick LEFT JOIN rk ON rk.r = pick.r0 CROSS JOIN tot)
+    SELECT rk.source, rk.t AS tokens,
+           (CASE WHEN lvl.r0 IS NULL OR rk.r < lvl.r0 THEN rk.t
+                 ELSE LEAST(rk.t, lvl.c
+                            + (CASE WHEN rk.r - lvl.r0 < lvl.rem
+                                    THEN 1 ELSE 0 END)) END)::BIGINT
+             AS alloc,
+           (CASE WHEN lvl.r0 IS NOT NULL AND rk.r >= lvl.r0
+                 THEN 1 ELSE 0 END)::BIGINT AS capped
+    FROM rk CROSS JOIN lvl
+    """
+
+
+@query("source_token_waterfill", _WATERFILL_ORACLE)
+def q_source_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token allocation under a {WATERFILL_BUDGET_PCT}%-of-
+    corpus budget by integer waterfill: sources below the water level
+    keep everything, sources above are capped at the common level,
+    remainder tokens spread one-each in rank order — the deterministic
+    budget plan a mixture sampler then executes. One token-count agg
+    (map-side partials), one |sources|-row window pass, two broadcast
+    scalars; everything past the scan is index-sized. Engine-exact
+    (pure integer div/mod; pure-Python waterfill reference in
+    pytest)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = docs.select(
+        "source",
+        F.expr(
+            "size(filter(split(lower(text), ' '), x -> x <> ''))"
+        ).alias("_nt"),
+    )
+    ts = tok.groupBy("source").agg(F.sum("_nt").cast("bigint").alias("t"))
+    tot = ts.agg(
+        F.sum("t").cast("bigint").alias("total"),
+        F.expr(f"cast((sum(t) * {WATERFILL_BUDGET_PCT}) div 100 as bigint)").alias("b"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("t", "source")
+    rk = ts.select(
+        "source",
+        "t",
+        F.row_number().over(w).alias("r"),
+        F.coalesce(
+            F.sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("prefix"),
+    ).crossJoin(F.broadcast(tot))
+    pick = rk.filter(
+        F.expr("prefix + t * (n - r + 1) >= b")
+    ).agg(F.min("r").alias("r0"))
+    lvl = (
+        F.broadcast(pick)
+        .join(rk.withColumnRenamed("r", "_r"), F.expr("_r = r0"), "left")
+        .select(
+            "r0",
+            F.expr(
+                "case when r0 is null then null else (b - prefix) div (n - r0 + 1) end"
+            ).alias("c"),
+            F.expr(
+                "case when r0 is null then 0 else (b - prefix) % (n - r0 + 1) end"
+            ).alias("rem"),
+        )
+    )
+    return rk.crossJoin(F.broadcast(lvl)).select(
+        "source",
+        F.col("t").alias("tokens"),
+        F.expr(
+            "cast(case when r0 is null or r < r0 then t "
+            "else least(t, c + (case when r - r0 < rem then 1 else 0 end)) end as bigint)"
+        ).alias("alloc"),
+        F.expr(
+            "cast(case when r0 is not null and r >= r0 then 1 else 0 end as bigint)"
+        ).alias("capped"),
+    )

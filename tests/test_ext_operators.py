@@ -3189,3 +3189,51 @@ def test_personalized_page_rank_matches_pure_python_model(spark):
     # invariant at small n_iter — the exact model match above is the
     # contract)
     assert ("a", "a") in got and ("x", "x") in got
+
+
+def test_waterfill_matches_pure_python_and_sums_to_budget(spark):
+    """Independent reference: a pure-Python waterfill over the fixture
+    token counts must reproduce every allocation, allocations must sum
+    EXACTLY to the budget when total > budget (the remainder spread
+    guarantees it), and no source is ever allocated more than it has."""
+    from hubsit_health_analytics_etl_spark.workload import QUERIES
+    from hubsit_health_analytics_etl_spark.workload_ext import (
+        WATERFILL_BUDGET_PCT,
+    )
+
+    rows = {
+        r["source"]: (r["tokens"], r["alloc"], r["capped"])
+        for r in QUERIES["source_token_waterfill"](spark, SF_SMOKE).collect()
+    }
+    tokens = {s: v[0] for s, v in rows.items()}
+    total = sum(tokens.values())
+    budget = (total * WATERFILL_BUDGET_PCT) // 100
+
+    def waterfill(t: dict, b: int) -> dict:
+        order = sorted(t, key=lambda s: (t[s], s))
+        n = len(order)
+        prefix = 0
+        r0 = None
+        for i, s in enumerate(order):
+            if prefix + t[s] * (n - i) >= b:
+                r0 = i
+                break
+            prefix += t[s]
+        if r0 is None:
+            return dict(t)
+        c, rem = divmod(b - prefix, n - r0)
+        out = {}
+        for i, s in enumerate(order):
+            if i < r0:
+                out[s] = t[s]
+            else:
+                out[s] = min(t[s], c + (1 if i - r0 < rem else 0))
+        return out
+
+    want = waterfill(tokens, budget)
+    assert {s: v[1] for s, v in rows.items()} == want
+    assert all(v[1] <= v[0] for v in rows.values())
+    if total > budget:
+        assert sum(want.values()) == budget
+    # crafted edge: budget >= total → everything passes through uncapped
+    assert waterfill({"a": 5, "b": 7}, 100) == {"a": 5, "b": 7}
