@@ -11385,3 +11385,87 @@ def q_source_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(case when r0 is not null and r >= r0 then 1 else 0 end as bigint)"
         ).alias("capped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities — the dual-score graph member: PageRank
+# (supplier_customer_pagerank) collapses the supplier↔customer graph
+# into ONE symmetrized influence score; HITS keeps the direction and
+# scores both SIDES of the bipartite relation at once — hub quality
+# of suppliers ("supplies the well-connected customers") and
+# authority of customers ("buys from the well-connected suppliers").
+# All-integer fixed-point (operators/clusters.py::hits_scores), so
+# the oracle unrolls the rounds as MATERIALIZED CTEs and
+# hash-matches with zero tolerance — the page_rank convention.
+# ---------------------------------------------------------------------------
+HITS_ITER = 2
+HITS_TOP = 15
+
+
+def _hits_oracle() -> str:
+    rounds = []
+    prev = "h0"
+    for i in range(1, HITS_ITER + 1):
+        rounds.append(
+            f"a{i} AS MATERIALIZED (SELECT raw.dst AS node, "
+            f"SUM({prev}.s)::BIGINT AS s FROM raw "
+            f"JOIN {prev} ON {prev}.node = raw.src GROUP BY raw.dst)"
+        )
+        rounds.append(
+            f"h{i} AS MATERIALIZED (SELECT raw.src AS node, "
+            f"SUM(a{i}.s)::BIGINT AS s FROM raw "
+            f"JOIN a{i} ON a{i}.node = raw.dst GROUP BY raw.src)"
+        )
+        prev = f"h{i}"
+    return f"""
+    WITH raw AS MATERIALIZED (
+      SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+             'C' || CAST(o_custkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    h0 AS (SELECT DISTINCT src AS node, 1::BIGINT AS s FROM raw),
+    {", ".join(rounds)},
+    ra AS (SELECT node, s, ROW_NUMBER() OVER (ORDER BY s DESC, node) AS rk
+           FROM a{HITS_ITER}),
+    rh AS (SELECT node, s, ROW_NUMBER() OVER (ORDER BY s DESC, node) AS rk
+           FROM h{HITS_ITER})
+    SELECT 'authority' AS role, node, s AS score, rk::BIGINT AS rk
+    FROM ra WHERE rk <= {HITS_TOP}
+    UNION ALL
+    SELECT 'hub' AS role, node, s AS score, rk::BIGINT AS rk
+    FROM rh WHERE rk <= {HITS_TOP}
+    """
+
+
+@query("supplier_customer_hits", _hits_oracle())
+def q_supplier_customer_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{HITS_TOP} hubs (suppliers) and authorities (customers) of
+    the DIRECTED supplier→customer graph by {HITS_ITER}-round integer
+    HITS. The distinct edge list (lineitem⋈orders) materializes once;
+    each round is two join+agg shuffles with per-round-flat lineage
+    (operators/clusters.py::hits_scores — see its docstring for the
+    no-normalization exactness argument and int64 magnitude bound).
+    The oracle unrolls the rounds as MATERIALIZED CTEs; scores are
+    pure int64 sums, hash-matched with zero tolerance."""
+    from .operators.clusters import hits_scores
+    from .operators.reshape import top_k
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    auth, hubs = hits_scores(edges, n_iter=HITS_ITER)
+    ra = top_k(auth, [], [F.col("score").desc(), F.col("node")], HITS_TOP, "rk")
+    rh = top_k(hubs, [], [F.col("score").desc(), F.col("node")], HITS_TOP, "rk")
+    return (
+        ra.select(F.lit("authority").alias("role"), "node", "score", "rk")
+        .unionByName(
+            rh.select(F.lit("hub").alias("role"), "node", "score", "rk")
+        )
+        .select("role", "node", "score", F.col("rk").cast("bigint").alias("rk"))
+    )

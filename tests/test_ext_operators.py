@@ -3237,3 +3237,38 @@ def test_waterfill_matches_pure_python_and_sums_to_budget(spark):
         assert sum(want.values()) == budget
     # crafted edge: budget >= total → everything passes through uncapped
     assert waterfill({"a": 5, "b": 7}, 100) == {"a": 5, "b": 7}
+
+
+def test_hits_matches_pure_python_reference(spark):
+    """Independent reference: a dict-based integer HITS on a crafted
+    bipartite graph must agree node-for-node with the Spark operator,
+    and the hub/authority asymmetry HITS exists for must show: the
+    supplier covering the popular customers out-hubs one covering a
+    fringe customer, even at equal out-degree."""
+    from hubsit_health_analytics_etl_spark.operators.clusters import hits_scores
+
+    # s1 -> {c1, c2}; s2 -> {c1, c2}; s3 -> {c2, c3}: c3 is fringe
+    edges = [
+        ("s1", "c1"), ("s1", "c2"),
+        ("s2", "c1"), ("s2", "c2"),
+        ("s3", "c2"), ("s3", "c3"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    auth, hubs = hits_scores(df, n_iter=2)
+    got_a = {r["node"]: r["score"] for r in auth.collect()}
+    got_h = {r["node"]: r["score"] for r in hubs.collect()}
+
+    h = {s: 1 for s, _ in edges}
+    a = {}
+    for _ in range(2):
+        a = {}
+        for s, d in edges:
+            a[d] = a.get(d, 0) + h[s]
+        h = {}
+        for s, d in edges:
+            h[s] = h.get(s, 0) + a[d]
+    assert got_a == a and got_h == h
+    # c2 (in-deg 3) out-ranks c1 (in-deg 2) out-ranks fringe c3
+    assert got_a["c2"] > got_a["c1"] > got_a["c3"]
+    # s1/s2 point only at popular customers -> better hubs than s3
+    assert got_h["s1"] == got_h["s2"] > got_h["s3"]
