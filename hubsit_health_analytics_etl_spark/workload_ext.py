@@ -11469,3 +11469,97 @@ def q_supplier_customer_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("role", "node", "score", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance — the reachability-DISTANCE graph member: CC says
+# "same island?", PPR scores affinity, bfs_hops says "how far?". The
+# query measures the blast radius of the hottest parts: hop distance
+# from the 3 highest-support parts (the PPR seed set, verbatim) over
+# the support-pruned co-purchase graph. Frontier BFS — each round
+# expands only nodes FIRST reached last round against the
+# once-materialized edge frame; exact integer distances, unrolled-CTE
+# oracle.
+# ---------------------------------------------------------------------------
+BFS_MAX_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    rounds = []
+    for i in range(1, BFS_MAX_HOPS + 1):
+        rounds.append(
+            f"""n{i} AS MATERIALIZED (
+              SELECT DISTINCT e.dst AS node
+              FROM e JOIN f{i - 1} ON e.src = f{i - 1}.node),
+            f{i} AS MATERIALIZED (
+              SELECT n{i}.node FROM n{i}
+              LEFT JOIN v{i - 1} ON v{i - 1}.node = n{i}.node
+              WHERE v{i - 1}.node IS NULL),
+            v{i} AS MATERIALIZED (
+              SELECT node, dist FROM v{i - 1}
+              UNION ALL SELECT node, {i} FROM f{i})"""
+        )
+    return f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    und AS MATERIALIZED (
+      SELECT u, v FROM (
+        SELECT a.pk AS u, b.pk AS v, COUNT(*) AS c
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2)
+      WHERE c >= {TRI_MIN_SUPPORT}),
+    e AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+                       UNION ALL SELECT v AS src, u AS dst FROM und),
+    innodes AS (SELECT DISTINCT src AS node FROM e),
+    seeds AS MATERIALIZED (
+      SELECT pk AS node FROM (
+        SELECT op.pk, COUNT(*) AS c FROM op JOIN innodes ON innodes.node = op.pk
+        GROUP BY op.pk ORDER BY c DESC, op.pk LIMIT {PPR_SEEDS})),
+    f0 AS (SELECT node FROM seeds),
+    v0 AS (SELECT node, 0 AS dist FROM seeds),
+    {", ".join(rounds)}
+    SELECT node AS part_key, dist::BIGINT AS dist FROM v{BFS_MAX_HOPS}
+    """
+
+
+@query("part_hops_bfs", _bfs_oracle())
+def q_part_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance (≤ {BFS_MAX_HOPS}) from the {PPR_SEEDS}
+    highest-support parts over the support-pruned co-purchase graph —
+    multi-source frontier BFS (operators/clusters.py::bfs_hops: round
+    i expands only nodes FIRST reached in round i−1 against the
+    once-materialized edge frame, anti-joins visited; work per round
+    ∝ the frontier's edge cut). Seed selection is the related_parts_ppr
+    contract verbatim, so the two queries compose: PPR scores the
+    affinity of what BFS proves reachable. Exact-integer distances,
+    hash-matched against the unrolled-CTE oracle."""
+    from .operators.clusters import bfs_hops
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    b = op.select(F.col("ok"), F.col("pk").alias("pb"))
+    und = (
+        op.join(b, (op["ok"] == b["ok"]) & (op["pk"] < b["pb"]))
+        .groupBy(F.col("pk").alias("u"), F.col("pb").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    innodes = edges.select(F.col("src").alias("pk")).distinct()
+    seeds = (
+        op.join(innodes, "pk")
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("pk"))
+        .limit(PPR_SEEDS)
+        .select(F.col("pk").alias("node"))
+    )
+    return bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS).select(
+        F.col("node").alias("part_key"), "dist"
+    )

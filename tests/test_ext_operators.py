@@ -3272,3 +3272,41 @@ def test_hits_matches_pure_python_reference(spark):
     assert got_a["c2"] > got_a["c1"] > got_a["c3"]
     # s1/s2 point only at popular customers -> better hubs than s3
     assert got_h["s1"] == got_h["s2"] > got_h["s3"]
+
+
+def test_bfs_hops_matches_pure_python_reference(spark):
+    """Independent reference: dict-based multi-source BFS on a crafted
+    graph (two seeds, a diamond giving one node two paths, a chain
+    past max_hops, a disconnected island) must match node-for-node —
+    min distance wins, unreachable/too-far nodes are absent, a node
+    that IS a seed reports 0 even with in-edges."""
+    from hubsit_health_analytics_etl_spark.operators.clusters import bfs_hops
+
+    und = [
+        ("a", "b"), ("b", "c"), ("a", "c"),   # diamond-ish: c at 1 via a
+        ("c", "d"), ("d", "e"), ("e", "f"),   # chain: f at 4 > max_hops
+        ("g", "h"),                           # island
+        ("x", "a"),                           # seed a has an in-edge
+    ]
+    edges = und + [(v, u) for u, v in und]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("x",)], "node string")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(df, seeds, max_hops=3).collect()
+    }
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    dist = {"a": 0, "x": 0}
+    frontier = {"a", "x"}
+    for i in range(1, 4):
+        frontier = {
+            v for u in frontier for v in adj.get(u, ()) if v not in dist
+        }
+        for v in frontier:
+            dist[v] = i
+    assert got == dist
+    assert got["a"] == 0 and got["c"] == 1 and got["e"] == 3
+    assert "f" not in got and "g" not in got and "h" not in got
