@@ -1058,3 +1058,97 @@ def rrf_fuse(ranked_a, ranked_b, rank_a: str, rank_b: str, c: int = 60):
         F.coalesce(rank_a, F.lit(0)).cast("bigint").alias(rank_a),
         F.coalesce(rank_b, F.lit(0)).cast("bigint").alias(rank_b),
     )
+
+
+DSIR_BUCKETS = 10007  # prime hashed-feature space (Xie et al. 2023 use 10k)
+
+
+def dsir_logweights(
+    docs,
+    target_docs,
+    n_buckets: int = DSIR_BUCKETS,
+    salt: str = "dsir",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document DSIR importance log-weight (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw-corpus doc by how much its hashed-bigram distribution
+    looks like the TARGET corpus rather than the raw corpus —
+    ``log w(x) = Σ_b tf_x(b) · ln(p̂_tgt(b) / p̂_raw(b))`` with
+    add-one-smoothed bucket distributions
+    ``p̂(b) = (c(b)+1)/(N+B)`` over ``B`` md5-hashed bigram buckets.
+    Resampling by these weights shifts a web-scale crawl toward a
+    small high-quality domain without training a classifier — the
+    data-SELECTION step of mixture building (source_token_waterfill
+    budgets sources; DSIR scores individual documents).
+
+    Returns (id_col, n_bigrams, logw): logw > 0 ⇔ the doc is more
+    target-like than raw-like under the hashed-feature model.
+
+    Cross-engine exact by the doc_unigram_nll discipline: each
+    bucket's contribution is tf · ln of ONE exact-int64 ratio
+    ``((c_t+1)·(N_r+B)) / ((c_r+1)·(N_t+B))`` and the per-doc sum
+    folds the bucket-SORTED contribution array sequentially. Bigrams
+    bind through a transform(array(...)) lambda (the repo-wide HOF
+    rule) and bucket via the md5 trick shared with hash_bucket.
+
+    Scale posture: both distributions are ONE groupBy each (map-side
+    partials over B≪|corpus| buckets); the target counts and the
+    (N_t, N_r) totals are index-sized; scoring is one equi-join on
+    bucket against the per-doc tf table — at 100 TB the target/raw
+    count tables are persisted vocabulary-style indexes and scoring a
+    new crawl batch never rescans the reference corpora."""
+    toks = f"filter(split(lower({text_col}), ' '), x -> x <> '')"
+    bigrams = (
+        f"element_at(transform(array({toks}), t -> "
+        f"case when size(t) >= 2 then transform(sequence(1, size(t) - 1), "
+        f"i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
+        f"else cast(array() as array<string>) end), 1)"
+    )
+    bucket = F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', _bg)), 1, 8), 16, 10) as bigint)"
+        f" % {n_buckets}"
+    ).alias("bucket")
+
+    tgt = (
+        target_docs.select(F.explode(F.expr(bigrams)).alias("_bg"))
+        .select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_t"))
+    )
+    tf = (
+        docs.select(id_col, F.explode(F.expr(bigrams)).alias("_bg"))
+        .select(id_col, bucket)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf_l"))
+    )
+    # raw counts derive from tf — the corpus explodes exactly once
+    cr = tf.groupBy("bucket").agg(F.sum("tf_l").cast("bigint").alias("c_r"))
+    totals = tgt.agg(
+        F.coalesce(F.sum("c_t"), F.lit(0)).cast("bigint").alias("n_t")
+    ).crossJoin(
+        cr.agg(F.coalesce(F.sum("c_r"), F.lit(0)).cast("bigint").alias("n_r"))
+    )
+    contrib = (
+        tf.join(cr, "bucket")
+        .join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            "bucket",
+            "tf_l",
+            F.expr(
+                f"cast(tf_l as double) * ln("
+                f"cast((coalesce(c_t, 0) + 1) * (n_r + {n_buckets}) as double)"
+                f" / cast((c_r + 1) * (n_t + {n_buckets}) as double))"
+            ).alias("w"),
+        )
+    )
+    return contrib.groupBy(id_col).agg(
+        F.sum("tf_l").cast("bigint").alias("n_bigrams"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(bucket, w))),"
+            " p -> p.w), 0D, (acc, x) -> acc + x)"
+        ).alias("logw"),
+    )

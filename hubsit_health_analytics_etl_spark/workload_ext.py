@@ -11563,3 +11563,103 @@ def q_part_hops_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS).select(
         F.col("node").alias("part_key"), "dist"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights — the data-SELECTION member of the mixture
+# family (Xie et al. 2023): source_token_waterfill budgets whole
+# sources, corpus_temperature_sample executes a mixture row-level;
+# DSIR scores each INDIVIDUAL document by how target-like its hashed
+# bigram distribution is, so resampling by the weights shifts a raw
+# crawl toward a high-quality reference domain without training a
+# classifier. Same exactness discipline as doc_unigram_nll: every
+# bucket contribution is tf · ln of one exact-int64 smoothed ratio,
+# per-doc sums fold bucket-sorted.
+# ---------------------------------------------------------------------------
+DSIR_TGT_MIN_CHARS = 300  # target corpus = long docs (fixture median ~311)
+
+
+def _dsir_oracle() -> str:
+    from .operators.textanalysis import DSIR_BUCKETS
+
+    b = DSIR_BUCKETS
+    toks = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+    bg = (
+        "unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1), "
+        "i -> t[i] || ' ' || t[i+1]))"
+    )
+    bucket = f"(CAST('0x' || substr(md5('dsir' || bg), 1, 8) AS BIGINT) % {b})"
+    return f"""
+    WITH tg0 AS (SELECT {toks} AS t FROM documents
+                 WHERE n_chars >= {DSIR_TGT_MIN_CHARS}),
+    tg AS (SELECT {bg} AS bg FROM tg0),
+    ct AS (SELECT {bucket} AS bucket, COUNT(*)::BIGINT AS c_t
+           FROM tg GROUP BY 1),
+    db0 AS (SELECT doc_id, {toks} AS t FROM documents),
+    db AS (SELECT doc_id, {bg} AS bg FROM db0),
+    tf AS (SELECT doc_id, {bucket} AS bucket, COUNT(*)::BIGINT AS tf_l
+           FROM db GROUP BY 1, 2),
+    cr AS (SELECT bucket, SUM(tf_l)::BIGINT AS c_r FROM tf GROUP BY bucket),
+    tot AS (SELECT (SELECT COALESCE(SUM(c_t), 0) FROM ct)::BIGINT AS n_t,
+                   (SELECT COALESCE(SUM(c_r), 0) FROM cr)::BIGINT AS n_r),
+    c AS (SELECT tf.doc_id, tf.bucket, tf.tf_l,
+                 CAST(tf.tf_l AS DOUBLE) * ln(
+                   CAST((COALESCE(ct.c_t, 0) + 1) * (tot.n_r + {b}) AS DOUBLE)
+                   / CAST((cr.c_r + 1) * (tot.n_t + {b}) AS DOUBLE)) AS w
+          FROM tf JOIN cr USING (bucket) LEFT JOIN ct USING (bucket)
+          CROSS JOIN tot),
+    s AS (SELECT doc_id, SUM(tf_l)::BIGINT AS n_bigrams,
+                 list_sum(list(w ORDER BY bucket)) AS logw
+          FROM c GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+           CASE WHEN s.n_bigrams > 0
+                THEN CAST(FLOOR(s.logw * 1000000.0) AS BIGINT) END AS logw_u6,
+           (CASE WHEN s.n_bigrams > 0
+                      AND CAST(FLOOR(s.logw * 1000000.0) AS BIGINT) >= 0
+                 THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """
+
+
+@query("dsir_doc_weights", _dsir_oracle())
+def q_dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance log-weight toward the long-doc
+    target slice (n_chars ≥ {DSIR_TGT_MIN_CHARS}), hashed-bigram
+    features (operators/textanalysis.py::dsir_logweights — see its
+    docstring for the smoothing, exactness and persisted-index
+    posture). keep = logw_u6 ≥ 0 (more target-like than raw-like);
+    bigram-less docs report (0, NULL, 0) via the left join. The raw
+    corpus explodes ONCE (raw bucket counts derive from the per-doc
+    tf table); at 100 TB both count tables are standing
+    vocabulary-style indexes and scoring a new crawl batch is one
+    equi-join on bucket."""
+    from .operators.sampling import hash_bucket  # noqa: F401 (family import)
+    from .operators.textanalysis import dsir_logweights
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("n_chars") >= DSIR_TGT_MIN_CHARS)
+    s = dsir_logweights(_spread(docs), target)
+    logw_u6 = F.floor(F.col("logw") * F.lit(1000000.0)).cast("bigint")
+    scored = s.select(
+        "doc_id",
+        "n_bigrams",
+        F.when(F.col("n_bigrams") > 0, logw_u6).alias("logw_u6"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            "logw_u6",
+            F.when(
+                F.col("n_bigrams").isNotNull()
+                & (F.col("n_bigrams") > 0)
+                & (F.col("logw_u6") >= 0),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("keep"),
+        )
+    )

@@ -3310,3 +3310,69 @@ def test_bfs_hops_matches_pure_python_reference(spark):
     assert got == dist
     assert got["a"] == 0 and got["c"] == 1 and got["e"] == 3
     assert "f" not in got and "g" not in got and "h" not in got
+
+
+def test_dsir_logweights_matches_pure_python_reference(spark):
+    """Independent reference: Counter-based DSIR (hashed-bigram
+    add-one-smoothed log ratio) on a crafted corpus must match
+    doc-for-doc at float64, and the ORDERING property DSIR exists for
+    must hold: a doc written in the target's vocabulary outweighs a
+    doc written outside it."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import pytest
+
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        DSIR_BUCKETS,
+        dsir_logweights,
+    )
+
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox naps"),
+        (3, "zorp blag quux flib zorp blag"),
+        (4, "single"),          # 1 token -> no bigrams
+        (5, "the lazy dog naps quietly near the quick fox"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    target = docs.filter(F.col("doc_id").isin(1, 2))  # fox-domain target
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logw"])
+        for r in dsir_logweights(docs, target).collect()
+    }
+
+    def buckets(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        return [
+            int(hashlib.md5(f"dsir{a} {b}".encode()).hexdigest()[:8], 16)
+            % DSIR_BUCKETS
+            for a, b in zip(toks, toks[1:])
+        ]
+
+    ct = Counter(b for i, t in corpus if i in (1, 2) for b in buckets(t))
+    cr = Counter(b for _, t in corpus for b in buckets(t))
+    n_t, n_r = sum(ct.values()), sum(cr.values())
+    for doc_id, text in corpus:
+        tf = Counter(buckets(text))
+        if not tf:
+            assert doc_id not in got
+            continue
+        want = sum(
+            # fold in bucket order, mirroring the engine's sorted fold
+            tf[b]
+            * math.log(
+                ((ct.get(b, 0) + 1) * (n_r + DSIR_BUCKETS))
+                / ((cr[b] + 1) * (n_t + DSIR_BUCKETS))
+            )
+            for b in sorted(tf)
+        )
+        n, logw = got[doc_id]
+        assert n == sum(tf.values())
+        assert logw == pytest.approx(want, abs=1e-9)
+    # fox-domain docs score above the out-of-domain gibberish doc
+    # (per-bigram normalized — raw log-weights are length-sensitive)
+    norm = {i: w / n for i, (n, w) in got.items()}
+    assert min(norm[1], norm[2], norm[5]) > norm[3]
+    assert got[3][1] < 0
