@@ -11663,3 +11663,126 @@ def q_dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k — the ORDER-aware retrieval metric next to ann_recall_at_k's
+# set-overlap: recall treats a method that returns the right 5
+# neighbors in the wrong order as perfect; nDCG discounts each hit by
+# its position, so misordering costs score. Graded relevance derives
+# from the exact brute-force ranking (rank 1 → rel 3, 2-3 → 2,
+# 4-5 → 1); the position discounts 1/log2(r+1) are PRECOMPUTED
+# integer micro-constants baked identically into both engines, so the
+# whole metric is exact-integer (dcg·10⁶ div idcg) with no float log
+# at query time.
+# ---------------------------------------------------------------------------
+_NDCG_REL_BY_RANK = {1: 3, 2: 2, 3: 2, 4: 1, 5: 1}
+_NDCG_W_U6 = {
+    r: int(1_000_000 / __import__("math").log2(r + 1)) for r in range(1, 6)
+}
+_NDCG_REL_CASE = (
+    "CASE brank "
+    + " ".join(f"WHEN {r} THEN {g}" for r, g in _NDCG_REL_BY_RANK.items())
+    + " ELSE 0 END"
+)
+_NDCG_W_CASE = (
+    "CASE arank "
+    + " ".join(f"WHEN {r} THEN {w}" for r, w in _NDCG_W_U6.items())
+    + " ELSE 0 END"
+)
+
+
+def _ndcg_oracle() -> str:
+    from .workload import ORACLES
+
+    return f"""
+    WITH brute AS ({ORACLES["ann_bruteforce_topk"]}),
+    lsh AS ({ORACLES["ann_lsh_topk"]}),
+    ivf AS ({ORACLES["ann_ivf_topk"]}),
+    ivf2 AS ({ORACLES["ann_ivf_nprobe_topk"]}),
+    gains AS (SELECT query_id, neighbor_id, rank AS brank,
+                     ({_NDCG_REL_CASE.replace("brank", "rank")})::BIGINT AS rel
+              FROM brute),
+    idcg AS (SELECT query_id,
+                    SUM(rel * ({_NDCG_W_CASE.replace("arank", "brank")}))::BIGINT
+                      AS idcg_u6
+             FROM gains GROUP BY query_id),
+    approx AS (SELECT 'lsh' AS method, query_id, neighbor_id, rank AS arank
+               FROM lsh
+               UNION ALL
+               SELECT 'ivf', query_id, neighbor_id, rank FROM ivf
+               UNION ALL
+               SELECT 'ivf2', query_id, neighbor_id, rank FROM ivf2),
+    dcg AS (SELECT a.method, a.query_id,
+                   SUM(COALESCE(g.rel, 0) * ({_NDCG_W_CASE}))::BIGINT AS dcg_u6
+            FROM approx a LEFT JOIN gains g
+              ON g.query_id = a.query_id AND g.neighbor_id = a.neighbor_id
+            GROUP BY a.method, a.query_id)
+    SELECT d.method, d.query_id, d.dcg_u6, i.idcg_u6,
+           ((d.dcg_u6 * 1000000) // i.idcg_u6)::BIGINT AS ndcg_u6
+    FROM dcg d JOIN idcg i USING (query_id)
+    """
+
+
+@query("retrieval_ndcg_at_k", _ndcg_oracle())
+def q_retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(method, query) nDCG@{ANN_K} of the LSH/IVF/IVF-nprobe ANN
+    paths against graded relevance derived from the exact brute-force
+    ranking — the order-aware companion to ann_recall_at_k (recall
+    can't see misordering; nDCG discounts every hit by its returned
+    position). Exact-integer: relevance grades and the 1/log2(r+1)
+    position discounts are shared literal micro-constants, ndcg_u6 =
+    (dcg·10⁶) div idcg. The ~100-row exact answer materializes once
+    and feeds both the gain join and the per-query IDCG."""
+    brute = q_ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    try:
+        brute = brute.localCheckpoint(eager=False)
+    except Exception:
+        brute = brute.cache()
+    rel_case = _NDCG_REL_CASE.replace("brank", "rank").replace("WHEN", "when")
+    gains = brute.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("brank"),
+        F.expr(f"cast(({rel_case}) as bigint)").alias("rel"),
+    )
+    idcg = gains.groupBy("query_id").agg(
+        F.expr(
+            f"cast(sum(rel * ({_NDCG_W_CASE.replace('arank', 'brank')})) as bigint)"
+        ).alias("idcg_u6")
+    )
+    approx = (
+        q_ann_lsh_topk(spark, sf_dir)
+        .select(F.lit("lsh").alias("method"), "query_id", "neighbor_id",
+                F.col("rank").alias("arank"))
+        .unionByName(
+            q_ann_ivf_topk(spark, sf_dir).select(
+                F.lit("ivf").alias("method"), "query_id", "neighbor_id",
+                F.col("rank").alias("arank"))
+        )
+        .unionByName(
+            q_ann_ivf_nprobe_topk(spark, sf_dir).select(
+                F.lit("ivf2").alias("method"), "query_id", "neighbor_id",
+                F.col("rank").alias("arank"))
+        )
+    )
+    dcg = (
+        approx.join(
+            gains.select("query_id", "neighbor_id", "rel"),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("method", "query_id")
+        .agg(
+            F.expr(
+                f"cast(sum(coalesce(rel, 0) * ({_NDCG_W_CASE})) as bigint)"
+            ).alias("dcg_u6")
+        )
+    )
+    return dcg.join(idcg, "query_id").select(
+        "method",
+        "query_id",
+        "dcg_u6",
+        "idcg_u6",
+        F.expr("cast((dcg_u6 * 1000000) div idcg_u6 as bigint)").alias("ndcg_u6"),
+    )

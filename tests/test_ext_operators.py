@@ -3376,3 +3376,51 @@ def test_dsir_logweights_matches_pure_python_reference(spark):
     norm = {i: w / n for i, (n, w) in got.items()}
     assert min(norm[1], norm[2], norm[5]) > norm[3]
     assert got[3][1] < 0
+
+
+def test_ndcg_matches_pure_python_and_bounds(spark):
+    """Independent reference: recompute nDCG@k in pure Python from the
+    collected brute/approx rankings (math.log2 discounts, graded
+    gains) and match every (method, query) row; pin the bounds — an
+    approximate ranking never beats the ideal (ndcg ≤ 10⁶) and equals
+    10⁶ exactly when it reproduces the exact top-k order."""
+    import math
+
+    from hubsit_health_analytics_etl_spark.workload_ext import (
+        q_ann_bruteforce_topk,
+        q_ann_ivf_nprobe_topk,
+        q_ann_ivf_topk,
+        q_ann_lsh_topk,
+        q_retrieval_ndcg_at_k,
+    )
+
+    sf = SF_SMOKE
+    got = {
+        (r["method"], r["query_id"]): (r["dcg_u6"], r["idcg_u6"], r["ndcg_u6"])
+        for r in q_retrieval_ndcg_at_k(spark, sf).collect()
+    }
+    brute = [
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in q_ann_bruteforce_topk(spark, sf).collect()
+    ]
+    rel_of_rank = {1: 3, 2: 2, 3: 2, 4: 1, 5: 1}
+    w = {r: int(1_000_000 / math.log2(r + 1)) for r in range(1, 6)}
+    rel = {(q, n): rel_of_rank[rk] for q, n, rk in brute}
+    idcg = {}
+    for q, _, rk in brute:
+        idcg[q] = idcg.get(q, 0) + rel_of_rank[rk] * w[rk]
+    for method, fn in (
+        ("lsh", q_ann_lsh_topk),
+        ("ivf", q_ann_ivf_topk),
+        ("ivf2", q_ann_ivf_nprobe_topk),
+    ):
+        dcg = {}
+        for r in fn(spark, sf).collect():
+            q, n, rk = r["query_id"], r["neighbor_id"], r["rank"]
+            dcg[q] = dcg.get(q, 0) + rel.get((q, n), 0) * w[rk]
+        for q, d in dcg.items():
+            want = (d, idcg[q], d * 1_000_000 // idcg[q])
+            assert got[(method, q)] == want
+            assert want[2] <= 1_000_000
+    assert any(v[2] == 1_000_000 for v in got.values())
+    assert any(v[2] < 1_000_000 for v in got.values())
