@@ -708,3 +708,86 @@ def incremental_containment(
         )
         .filter(F.col("containment_u6") >= int(threshold_u6))
     )
+
+
+def jaccard_prefix_filter_pairs(
+    docs: DataFrame,
+    tau_num: int,
+    tau_den: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ tau_num/tau_den via PREFIX FILTERING
+    (the AllPairs/PPJoin candidate-pruning principle: Bayardo et al.
+    WWW'07) — same answer as ngram_jaccard_pairs, different candidate
+    generator: instead of joining the FULL inverted index (every
+    shared shingle emits a pair row), each document indexes only its
+    PREFIX — its p = n − ⌈τ·n⌉ + 1 globally-rarest shingles — and
+    pairs meet only on shared prefix shingles.
+
+    Why lossless: order all shingles by (document-frequency, shingle)
+    — any global total order works. For a pair with J(A,B) ≥ τ, the
+    intersection has |I| ≥ τ·max(|A|,|B|); if the globally-smallest
+    element of I were outside A's prefix, ALL of I would sit in A's
+    suffix of size ⌈τ·|A|⌉ − 1 < τ·|A| ≤ |I| — contradiction. The
+    same element is in B's prefix by the same argument, so every
+    qualifying pair shares a PREFIX shingle and the candidate set is
+    a superset of the answer. Verification then computes exact
+    intersections CANDIDATE-BOUNDED: candidates join one side's full
+    postings, then equi-join the other side on (doc, shingle) — work
+    ∝ Σ_candidates |A|, never all shared-shingle pairs.
+
+    Why it scales where the full-index join doesn't: a boilerplate
+    shingle in m docs emits O(m²) rows in the exact generator but is
+    the LAST thing a prefix keeps — prefixes hold the RAREST
+    shingles, so hot shingles drop out of candidate generation
+    entirely (the df-cap lever made sound: no recall loss, no audit
+    needed). The df ranking is one groupBy + a PER-DOCUMENT window
+    (partitioned by doc, never global).
+
+    Exactness: same md5-60-bit shingle space as ngram_jaccard_pairs,
+    so the oracle — the exhaustive all-pairs SQL verbatim — certifies
+    losslessness cryptographically."""
+    from pyspark.sql import Window
+
+    sh = _spread(docs).select(F.col(id_col), shingles_from_text(text_col).alias("sh"))
+    inv = sh.select(
+        id_col,
+        F.size("sh").alias("n_sh"),
+        F.explode(
+            F.expr("transform(sh, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))")
+        ).alias("s"),
+    ).localCheckpoint(eager=False)
+    dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    ranked = inv.join(dfreq, "s").withColumn(
+        "pos", F.row_number().over(Window.partitionBy(id_col).orderBy("df", "s"))
+    )
+    # p = n − ⌈τ·n⌉ + 1 with ⌈τ·n⌉ = (tau_num·n + tau_den − 1) div tau_den
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n_sh")
+        - F.expr(f"({tau_num} * n_sh + {tau_den - 1}) div {tau_den}")
+        + 1
+    )
+    pa = prefix.select(F.col(id_col).alias("doc_a"), "s")
+    pb = prefix.select(F.col(id_col).alias("doc_b"), "s")
+    cand = (
+        pa.join(pb, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ia = inv.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"), "s")
+    ib = inv.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"), "s")
+    inter = (
+        cand.join(ia, "doc_a")
+        .join(ib, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= tau_num / tau_den)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -11786,3 +11786,50 @@ def q_retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idcg_u6",
         F.expr("cast((dcg_u6 * 1000000) div idcg_u6 as bigint)").alias("ndcg_u6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered Jaccard join — the set-similarity SCALE technique
+# (AllPairs/PPJoin principle): same exact answer as
+# ngram_jaccard_pairs, but candidates generate from each document's
+# p = n − ⌈τ·n⌉ + 1 globally-RAREST shingles instead of the full
+# inverted index, so boilerplate shingles (the O(m²) reducer killers
+# the df-cap lever mitigates lossily) drop out of candidate
+# generation entirely — with ZERO recall loss. The oracle is the
+# exhaustive all-pairs SQL VERBATIM: a hash match certifies
+# losslessness cryptographically.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "jaccard_prefix_filtered",
+    f"""
+    WITH sh AS (SELECT doc_id,
+                       list_transform({_sql_shingles()},
+                                      s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS sh
+                FROM documents),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+                     COUNT(*) AS n_inter
+              FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id, a.n, b.n)
+    SELECT doc_a, doc_b,
+           ROUND(n_inter / CAST(na + nb - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    WHERE ROUND(n_inter / CAST(na + nb - n_inter AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ {JACCARD_THRESHOLD} pairs computed via PREFIX
+    FILTERING (operators/dedup.py::jaccard_prefix_filter_pairs — see
+    its docstring for the losslessness proof and the hot-shingle
+    argument). The oracle is ngram_jaccard_pairs' exhaustive
+    all-pairs SQL verbatim, so the hash match proves the pruned
+    candidate generator loses nothing. Verification is
+    candidate-bounded: candidates join one side's postings then
+    equi-join the other on (doc, shingle) — never the full
+    shared-shingle pair expansion."""
+    from .operators.dedup import jaccard_prefix_filter_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_prefix_filter_pairs(docs, 3, 10)

@@ -3424,3 +3424,62 @@ def test_ndcg_matches_pure_python_and_bounds(spark):
             assert want[2] <= 1_000_000
     assert any(v[2] == 1_000_000 for v in got.values())
     assert any(v[2] < 1_000_000 for v in got.values())
+
+
+def test_prefix_filter_jaccard_is_lossless_and_prunes(spark):
+    """On a crafted corpus with a boilerplate shingle in EVERY doc
+    (the O(m²) hot key), the prefix-filtered join returns exactly the
+    exhaustive answer — including a pair at the τ boundary — while
+    generating strictly fewer candidate pairs than the full inverted
+    index meets."""
+    from hubsit_health_analytics_etl_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+        shingles_from_text,
+    )
+
+    boiler = "terms of service apply here"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta {boiler}"),
+        (2, f"alpha beta gamma delta epsilon eta {boiler}"),   # near-dup of 1
+        (3, f"one two three four five six {boiler}"),
+        (4, f"one two three SEVEN eight nine {boiler}"),       # partial of 3
+        (5, f"totally different content entirely {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, 0.3).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_prefix_filter_pairs(docs, 3, 10).collect()
+    }
+    assert got == exact and (1, 2) in got
+    # the boilerplate shingles pair every doc with every other in the
+    # full index (C(5,2) = 10 meets per hot shingle); prefixes keep
+    # only the rarest p shingles per doc, so the hot shingles vanish
+    # from candidate generation: every candidate must share a RARE
+    # prefix shingle. Verify by counting pairs per generator.
+    sh = docs.select("doc_id", shingles_from_text("text").alias("sh"))
+    inv = sh.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    a = inv.select(F.col("doc_id").alias("da"), F.col("s"))
+    b = inv.select(F.col("doc_id").alias("db"), F.col("s"))
+    full_meets = a.join(b, "s").filter(F.col("da") < F.col("db")).count()
+    # reconstruct the operator's candidate set size via its own prefix rule
+    from pyspark.sql import Window
+
+    dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    pos = F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s"))
+    pref = (
+        inv.join(dfreq, "s")
+        .withColumn("pos", pos)
+        .filter(F.col("pos") <= F.col("n") - F.expr("(3 * n + 9) div 10") + 1)
+    )
+    pa = pref.select(F.col("doc_id").alias("da"), "s")
+    pb = pref.select(F.col("doc_id").alias("db"), "s")
+    cand = pa.join(pb, "s").filter(F.col("da") < F.col("db")).select("da", "db").distinct().count()
+    assert cand < full_meets
+    assert cand >= len(exact)
