@@ -75,3 +75,45 @@ def anti_join(df: DataFrame, other: DataFrame, keys: Sequence[str]) -> DataFrame
     (etl_pipeline.py:171-181); as a table-vs-table op this is Spark's
     left_anti (broadcast when `other` is small)."""
     return df.join(F.broadcast(other), on=list(keys), how="left_anti")
+
+
+def blocked_fuzzy_self_join(
+    names: DataFrame, name_col: str, max_dist: int
+) -> DataFrame:
+    """Blocked fuzzy self-match over a NAME table (record-linkage /
+    catalog-dedup primitive): candidate pairs must share ≥1 word
+    (the blocking key), survivors verify with exact Levenshtein
+    ≤ ``max_dist``. The two-phase shape every scalable fuzzy matcher
+    uses — the all-pairs edit-distance join is quadratic and
+    unshardable, while blocking turns it into an equi-join on the
+    block key plus a verify bounded by candidate count.
+
+    CONTRACT: ``names`` must already be DISTINCT on ``name_col``
+    (dedupe first — fuzzy work should be ∝ distinct names, never
+    rows; the caller keeps the per-name payload, e.g. counts).
+    Blocking is standard RECALL-TRADEOFF machinery: a pair sharing no
+    whole word is never compared (at word-level typo granularity
+    that's the wanted behavior; for char-level blocking swap the key
+    for char n-grams). At 100 TB the hot-block lever is the same
+    df-cap/prefix-filter family as the shingle joins — a stopword
+    block key pairs everything and should be dropped or prefixed.
+
+    Returns (name_a, name_b, dist) with name_a < name_b, exact-integer
+    ``dist`` (Spark's levenshtein == DuckDB's — both unit-cost DP)."""
+    toks = names.select(
+        F.col(name_col).alias("_n"),
+        F.explode(F.split(F.col(name_col), " ")).alias("_k"),
+    ).filter(F.col("_k") != "")
+    a = toks.select(F.col("_n").alias("name_a"), "_k")
+    b = toks.select(F.col("_n").alias("name_b"), "_k")
+    cand = (
+        a.join(b, "_k")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

@@ -11833,3 +11833,60 @@ def q_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_prefix_filter_pairs(docs, 3, 10)
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy name matching — the record-linkage / catalog-dedup
+# primitive the text-dedup family lacks: shingle Jaccard needs
+# documents, SimHash needs long token streams; SHORT names (product
+# titles, clinic names, merchant strings) dedupe by edit distance.
+# Two-phase at scale: exact-dedup the name column FIRST (fuzzy work ∝
+# distinct names, never rows), block candidates on a shared word,
+# verify with exact Levenshtein — never the quadratic all-pairs
+# distance join.
+# ---------------------------------------------------------------------------
+FUZZY_MAX_DIST = 3
+
+
+@query(
+    "part_name_fuzzy_matches",
+    f"""
+    WITH d AS (SELECT p_name, COUNT(*)::BIGINT AS n_parts
+               FROM part GROUP BY p_name),
+    t AS (SELECT p_name AS n, unnest(string_split(p_name, ' ')) AS k FROM d),
+    tt AS (SELECT n, k FROM t WHERE k <> ''),
+    c AS (SELECT DISTINCT a.n AS name_a, b.n AS name_b
+          FROM tt a JOIN tt b ON a.k = b.k AND a.n < b.n),
+    v AS (SELECT name_a, name_b, levenshtein(name_a, name_b)::BIGINT AS dist
+          FROM c)
+    SELECT v.name_a, v.name_b, v.dist,
+           da.n_parts AS n_parts_a, db.n_parts AS n_parts_b
+    FROM v JOIN d da ON da.p_name = v.name_a
+           JOIN d db ON db.p_name = v.name_b
+    WHERE v.dist <= {FUZZY_MAX_DIST}
+    """,
+)
+def q_part_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-dedup candidates: part-name pairs sharing ≥1 word with
+    Levenshtein ≤ {FUZZY_MAX_DIST} (operators/joins.py::
+    blocked_fuzzy_self_join — see its docstring for the blocking
+    contract and hot-block lever), annotated with how many catalog
+    rows carry each name. The name table exact-dedups FIRST, so the
+    fuzzy phase runs over |distinct names| (64 at every fixture SF
+    while the part table grows 100×) — the property that makes edit
+    distance affordable at 100 TB. Exact-integer distances;
+    cross-engine levenshtein verified by the hash match."""
+    from .operators.joins import blocked_fuzzy_self_join
+
+    part = load_table(spark, sf_dir, "part")
+    d = part.groupBy("p_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+    m = blocked_fuzzy_self_join(d, "p_name", FUZZY_MAX_DIST)
+    da = d.select(F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_parts_a"))
+    db = d.select(F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_parts_b"))
+    return (
+        m.join(F.broadcast(da), "name_a")
+        .join(F.broadcast(db), "name_b")
+        .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+    )

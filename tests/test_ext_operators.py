@@ -3483,3 +3483,50 @@ def test_prefix_filter_jaccard_is_lossless_and_prunes(spark):
     cand = pa.join(pb, "s").filter(F.col("da") < F.col("db")).select("da", "db").distinct().count()
     assert cand < full_meets
     assert cand >= len(exact)
+
+
+def test_blocked_fuzzy_join_matches_pure_python_dp(spark):
+    """Independent reference: classic DP Levenshtein over every
+    blocked pair of a crafted name set must match the operator
+    pair-for-pair — including a transposition-ish typo, a pair
+    blocked but too distant, and a close pair sharing NO word
+    (blocking recall loss, asserted ABSENT by design)."""
+    from hubsit_health_analytics_etl_spark.operators.joins import (
+        blocked_fuzzy_self_join,
+    )
+
+    names = [
+        "acme health clinic",
+        "acme helth clinic",      # typo: dist 1
+        "acme dental clinic",     # dist 5 from the first
+        "downtown clinic",
+        "downtwon clinics",       # typo'd + plural: dist 3
+        "riverside surgery",      # shares no word with anything
+        "riverside surgary",      # typo: dist 1
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in blocked_fuzzy_self_join(df, "p_name", 3).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            x, y = sorted((a, b))
+            if set(x.split()) & set(y.split()) and lev(x, y) <= 3:
+                want[(x, y)] = lev(x, y)
+    assert got == want
+    assert got[("acme health clinic", "acme helth clinic")] == 1
+    assert got[("riverside surgary", "riverside surgery")] == 1
+    assert ("acme dental clinic", "acme health clinic") not in got  # dist 5
