@@ -1516,3 +1516,74 @@ def test_ppr_and_textrank_zero_raw_rescans(spark):
     p2 = physical_plan(_q("textrank_keywords")(spark, SF_SMOKE))
     assert p2.count("documents.parquet") == 0
     assert "CartesianProduct" not in p2 and "EvalPython" not in p2
+
+
+def test_hits_edges_materialized_once_no_per_round_rescan(spark):
+    """hits_scores materializes the distinct edge list before
+    iterating: the returned ranked plan must contain ZERO raw
+    lineitem/orders scans (both rounds read materialized edge
+    partitions), no cartesian, no Python, TakeOrderedAndProject
+    top-k per role."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("supplier_customer_hits")(spark, SF_SMOKE))
+    assert p.count("lineitem.parquet") == 0, "edge pipeline re-planned"
+    assert p.count("orders.parquet") == 0
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_bfs_frontier_plan_zero_raw_scans_equi_joins_only(spark):
+    """bfs_hops: edges, frontier and visited all materialize per
+    round, so the returned distance table carries ZERO raw scans and
+    only equi-joins (the per-round anti-join included) — no
+    cartesian, no Python."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("part_hops_bfs")(spark, SF_SMOKE))
+    assert p.count("lineitem.parquet") == 0, "edge/seed pipeline re-planned"
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
+def test_dsir_weights_jvm_only_no_cartesian_broadcast_totals(spark):
+    """dsir_doc_weights: bigram construction and scoring stay inside
+    Catalyst (no Python), the only cross join is the broadcast 1-row
+    (N_t, N_r) totals, counts join on bucket (equi)."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("dsir_doc_weights")(spark, SF_SMOKE))
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+
+
+def test_prefix_filter_jaccard_equi_joins_partitioned_window(spark):
+    """jaccard_prefix_filtered: every join is an equi-join (candidate
+    generation and candidate-bounded verification), the df-rank
+    window is PARTITIONED by document (never a global Sort over the
+    whole postings table without partitioning), JVM-only."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("jaccard_prefix_filtered")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+    # the row_number window must carry a doc_id partition spec
+    assert "windowspecdefinition(doc_id#" in p
+    assert "Window" in p
+
+
+def test_fuzzy_name_join_dedups_before_blocking(spark):
+    """part_name_fuzzy_matches: the fuzzy phase runs over the
+    DISTINCT-name aggregate (one part scan feeds the name dedup;
+    everything downstream is name-table-sized), equi-joins only,
+    JVM-only."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("part_name_fuzzy_matches")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
