@@ -65,6 +65,12 @@ SCALE_QUERIES = [
     "supplier_customer_pagerank",
     "copurchase_triangles",
     "copurchase_rules",
+    # r13 session additions: dual-score + frontier graph members,
+    # prefix-filtered set-similarity, hashed-feature data selection
+    "supplier_customer_hits",
+    "part_hops_bfs",
+    "jaccard_prefix_filtered",
+    "dsir_doc_weights",
 ]
 
 BASE_DOCS, BASE_EVENTS, BASE_VECS, BASE_USERS = 5_000, 100_000, 2_000, 2_000

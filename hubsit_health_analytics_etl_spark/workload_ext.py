@@ -11890,3 +11890,169 @@ def q_part_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(db), "name_b")
         .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — the TRAINING-DATA side of the ANN family:
+# retrieval/embedding models train on (anchor, positive, negative)
+# triplets where the negatives are HARD — high-similarity wrong-label
+# neighbors straight from the top-k pool (random negatives are too
+# easy and teach nothing). One exact top-k pass over the anchor set
+# feeds both roles: positive = best same-label neighbor, negatives =
+# top different-label neighbors.
+# ---------------------------------------------------------------------------
+CONTRASTIVE_POOL = 10  # neighbor pool per anchor (2× ANN_K)
+CONTRASTIVE_NEG = 3    # hard negatives kept per anchor
+
+
+@query(
+    "contrastive_training_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {ANN_QUERY_LIMIT}),
+    p AS (SELECT q.query_id, e.vec_id AS neighbor_id, ROUND({_COS_SQL}, 9) AS cosine
+          FROM q JOIN e ON e.vec_id <> q.query_id),
+    r AS (SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM p),
+    c AS (SELECT r.query_id, r.neighbor_id, r.rank,
+                 ea.label AS alabel, en.label AS nlabel
+          FROM r JOIN embeddings ea ON ea.vec_id = r.query_id
+                 JOIN embeddings en ON en.vec_id = r.neighbor_id
+          WHERE r.rank <= {CONTRASTIVE_POOL}),
+    pos AS (SELECT query_id, neighbor_id AS pos_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank) AS pr
+            FROM c WHERE alabel = nlabel),
+    p1 AS (SELECT query_id, pos_id FROM pos WHERE pr = 1),
+    neg AS (SELECT query_id, neighbor_id AS neg_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rank)
+                     AS neg_rank
+            FROM c WHERE alabel <> nlabel)
+    SELECT n.query_id AS anchor_id, p1.pos_id, n.neg_id,
+           n.neg_rank::BIGINT AS neg_rank
+    FROM neg n JOIN p1 USING (query_id)
+    WHERE n.neg_rank <= {CONTRASTIVE_NEG}
+    """,
+)
+def q_contrastive_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, hard-negative) triplets for contrastive
+    embedding training: one exact top-{CONTRASTIVE_POOL} pass per
+    anchor (the verified brute_force_topk path — broadcast query set,
+    9dp pre-rank rounding) feeds both roles — positive = best
+    SAME-label neighbor, negatives = top-{CONTRASTIVE_NEG}
+    DIFFERENT-label neighbors (hard by construction: they sit at the
+    top of the similarity ranking, exactly where the model is wrong).
+    Anchors with no same-label neighbor in the pool drop via the
+    inner join. Ranks come from the already-hash-verified scoring
+    path, so the triplet table is exact-integer; at 100 TB the top-k
+    pass swaps to the IVF/LSH retrieval the ANN family provides —
+    the mining joins are pool-sized either way."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    cand = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < ANN_QUERY_LIMIT), CONTRASTIVE_POOL
+    )
+    lab = emb.select("vec_id", "label")
+    c = (
+        cand.join(
+            F.broadcast(lab.select(F.col("vec_id").alias("query_id"),
+                                   F.col("label").alias("alabel"))),
+            "query_id",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("label").alias("nlabel")),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", "rank", "alabel", "nlabel")
+    )
+    wq = Window.partitionBy("query_id").orderBy("rank")
+    p1 = (
+        c.filter(F.col("alabel") == F.col("nlabel"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") == 1)
+        .select("query_id", F.col("neighbor_id").alias("pos_id"))
+    )
+    neg = (
+        c.filter(F.col("alabel") != F.col("nlabel"))
+        .withColumn("neg_rank", F.row_number().over(wq))
+        .filter(F.col("neg_rank") <= CONTRASTIVE_NEG)
+        .select("query_id", F.col("neighbor_id").alias("neg_id"), "neg_rank")
+    )
+    return neg.join(p1, "query_id").select(
+        F.col("query_id").alias("anchor_id"),
+        "pos_id",
+        "neg_id",
+        F.col("neg_rank").cast("bigint").alias("neg_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Epoch shuffle plan — reproducible per-epoch global shuffling, the
+# training-loader op rand() cannot give you: a retried task, a
+# re-run, or a different partitioning must produce the SAME epoch
+# order (else runs aren't comparable and resume-from-step is
+# impossible). Position derives from the row's own key: per epoch,
+# shard = md5(epoch‖doc) % S (map-only), order within shard = the
+# hash itself — so there is never a GLOBAL sort, shards shuffle
+# independently (the 100 TB posture: one writer per shard), and a
+# different epoch salt is a statistically fresh permutation.
+# ---------------------------------------------------------------------------
+SHUFFLE_EPOCHS = 3
+SHUFFLE_SHARDS = 8
+
+
+@query(
+    "epoch_shuffle_plan",
+    f"""
+    WITH d AS (SELECT doc_id FROM documents),
+    ed AS (SELECT e.epoch, d.doc_id,
+                  CAST('0x' || substr(md5('ep' || e.epoch::VARCHAR || ':'
+                                           || d.doc_id::VARCHAR), 1, 8)
+                       AS BIGINT) AS h
+           FROM d CROSS JOIN (SELECT unnest(range({SHUFFLE_EPOCHS})) AS epoch) e),
+    s AS (SELECT epoch::BIGINT AS epoch, doc_id, (h % {SHUFFLE_SHARDS}) AS shard, h
+          FROM ed)
+    SELECT epoch, doc_id, shard::BIGINT AS shard,
+           ROW_NUMBER() OVER (PARTITION BY epoch, shard
+                              ORDER BY h, doc_id)::BIGINT AS pos
+    FROM s
+    """,
+)
+def q_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch (shard, position) for every document over
+    {SHUFFLE_EPOCHS} epochs and {SHUFFLE_SHARDS} shards — the
+    deterministic training-shuffle plan: shard assignment is a
+    map-only hash of (epoch salt ‖ doc_id), within-shard order is the
+    hash itself via a PARTITIONED window (never a global sort — each
+    shard orders independently, which is exactly how S parallel
+    shard writers consume it), and every epoch is a fresh
+    permutation that reproduces bit-identically on retry or
+    re-partitioning (the hash_sample/md5 discipline; rand() breaks
+    all of this). Exact-integer throughout."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ed = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SHUFFLE_EPOCHS - 1))).alias("epoch"),
+    ).select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        "doc_id",
+        F.expr(
+            "cast(conv(substr(md5(concat('ep', cast(epoch as string), ':', "
+            "cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+        ).alias("h"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    return (
+        ed.withColumn("shard", (F.col("h") % SHUFFLE_SHARDS).cast("bigint"))
+        .select(
+            "epoch",
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+    )

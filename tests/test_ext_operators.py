@@ -3530,3 +3530,84 @@ def test_blocked_fuzzy_join_matches_pure_python_dp(spark):
     assert got[("acme health clinic", "acme helth clinic")] == 1
     assert got[("riverside surgary", "riverside surgery")] == 1
     assert ("acme dental clinic", "acme health clinic") not in got  # dist 5
+
+
+def test_contrastive_pairs_selection_logic(spark):
+    """Pin the mining semantics against the pool recomputed from the
+    verified brute path: per anchor the positive is the LOWEST-rank
+    same-label neighbor, the negatives are exactly the lowest-rank
+    different-label neighbors in order, and anchors lacking a
+    same-label neighbor in the pool are absent."""
+    from hubsit_health_analytics_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.workload_ext import (
+        ANN_QUERY_LIMIT,
+        CONTRASTIVE_NEG,
+        CONTRASTIVE_POOL,
+        q_contrastive_training_pairs,
+    )
+
+    sf = SF_SMOKE
+    emb = load_table(spark, sf, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    pool = {}
+    cand = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < ANN_QUERY_LIMIT), CONTRASTIVE_POOL
+    )
+    for r in cand.collect():
+        pool.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    got = {}
+    for r in q_contrastive_training_pairs(spark, sf).collect():
+        got.setdefault(r["anchor_id"], {"pos": r["pos_id"], "negs": {}})
+        got[r["anchor_id"]]["negs"][r["neg_rank"]] = r["neg_id"]
+        assert labels[r["pos_id"]] == labels[r["anchor_id"]]
+        assert labels[r["neg_id"]] != labels[r["anchor_id"]]
+    for a, ranked in pool.items():
+        ranked.sort()
+        same = [n for _, n in ranked if labels[n] == labels[a]]
+        diff = [n for _, n in ranked if labels[n] != labels[a]]
+        if not same or not diff:
+            assert a not in got
+            continue
+        assert got[a]["pos"] == same[0]
+        want_negs = {i + 1: n for i, n in enumerate(diff[:CONTRASTIVE_NEG])}
+        assert got[a]["negs"] == want_negs
+    assert got, "fixture produced no triplets"
+
+
+def test_epoch_shuffle_plan_is_a_fresh_permutation_per_epoch(spark):
+    """Properties of the shuffle plan: every doc appears exactly once
+    per epoch; positions within each (epoch, shard) are contiguous
+    1..n; epochs are DIFFERENT permutations; and the plan reproduces
+    bit-identically on re-execution (the rand() failure mode)."""
+    from hubsit_health_analytics_etl_spark.workload_ext import (
+        SHUFFLE_EPOCHS,
+        SHUFFLE_SHARDS,
+        q_epoch_shuffle_plan,
+    )
+
+    rows = [tuple(r) for r in q_epoch_shuffle_plan(spark, SF_SMOKE).collect()]
+    again = [tuple(r) for r in q_epoch_shuffle_plan(spark, SF_SMOKE).collect()]
+    assert sorted(rows) == sorted(again)
+
+    by_epoch = {}
+    by_shard = {}
+    for epoch, doc_id, shard, pos in rows:
+        assert 0 <= shard < SHUFFLE_SHARDS
+        by_epoch.setdefault(epoch, []).append(doc_id)
+        by_shard.setdefault((epoch, shard), []).append(pos)
+    assert set(by_epoch) == set(range(SHUFFLE_EPOCHS))
+    n_docs = len(by_epoch[0])
+    for e, docs in by_epoch.items():
+        assert len(docs) == n_docs == len(set(docs))
+    for key, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), key
+    # epochs order the docs differently: compare shard-0 sequences
+    seq = {
+        e: [d for ee, d, s, p in sorted(rows, key=lambda t: (t[0], t[2], t[3]))
+            if ee == e and s == 0]
+        for e in range(SHUFFLE_EPOCHS)
+    }
+    assert seq[0] != seq[1] and seq[1] != seq[2]
