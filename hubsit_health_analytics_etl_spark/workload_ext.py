@@ -12056,3 +12056,156 @@ def q_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature Information Value — the screening step BEFORE fitting the
+# quality model (doc_quality_logit / _trained_model fit weights; IV
+# ranks which features deserve weights at all): quintile-bucket each
+# candidate feature, weight-of-evidence per bucket
+# WOE = ln(pct_good / pct_bad), IV = Σ (pct_good − pct_bad) · WOE.
+# Add-one smoothing makes every WOE an ln of one exact-int64 ratio
+# (the PMI trick); the per-feature IV folds the ≤5 bucket
+# contributions bucket-sorted. ntile ordering is fully tie-broken by
+# doc_id, so buckets are engine-identical.
+# ---------------------------------------------------------------------------
+IV_BUCKETS = 5
+
+
+def _iv_oracle() -> str:
+    q = IV_BUCKETS
+    return f"""
+    WITH f0 AS (
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             (length(text) - (len(string_split(lower(text), ' ')) - 1))
+               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
+               AS mean_word_len,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+               / CAST(length(text) AS DOUBLE) AS punct_ratio,
+             (CASE WHEN {{score}} >= 0.7 THEN 1 ELSE 0 END) AS good
+      FROM documents),
+    u AS (SELECT doc_id, good, 'n_tokens' AS feature,
+                 CAST(n_tokens AS DOUBLE) AS val FROM f0
+          UNION ALL
+          SELECT doc_id, good, 'mean_word_len', mean_word_len FROM f0
+          UNION ALL
+          SELECT doc_id, good, 'punct_ratio', punct_ratio FROM f0),
+    b AS (SELECT feature, good,
+                 NTILE({q}) OVER (PARTITION BY feature
+                                  ORDER BY val, doc_id) AS bucket
+          FROM u),
+    g AS (SELECT feature, bucket,
+                 SUM(good)::BIGINT AS n_good,
+                 (COUNT(*) - SUM(good))::BIGINT AS n_bad
+          FROM b GROUP BY feature, bucket),
+    t AS (SELECT feature, SUM(n_good)::BIGINT AS gt, SUM(n_bad)::BIGINT AS bt
+          FROM g GROUP BY feature),
+    w AS (SELECT g.feature, g.bucket, g.n_good, g.n_bad,
+                 ln(CAST((g.n_good + 1) * (t.bt + {q}) AS DOUBLE)
+                    / CAST((g.n_bad + 1) * (t.gt + {q}) AS DOUBLE)) AS woe,
+                 (CAST(g.n_good + 1 AS DOUBLE) / (t.gt + {q})
+                  - CAST(g.n_bad + 1 AS DOUBLE) / (t.bt + {q}))
+                 * ln(CAST((g.n_good + 1) * (t.bt + {q}) AS DOUBLE)
+                      / CAST((g.n_bad + 1) * (t.gt + {q}) AS DOUBLE)) AS contrib
+          FROM g JOIN t USING (feature)),
+    iv AS (SELECT feature,
+                  CAST(FLOOR(list_sum(list(contrib ORDER BY bucket))
+                             * 1000000.0) AS BIGINT) AS iv_u6
+           FROM w GROUP BY feature)
+    SELECT w.feature, w.bucket::BIGINT AS bucket, w.n_good, w.n_bad,
+           CAST(FLOOR(w.woe * 1000000.0) AS BIGINT) AS woe_u6, iv.iv_u6
+    FROM w JOIN iv USING (feature)
+    """
+
+
+def _iv_score_sql() -> str:
+    """The doc_quality score expression inline (DuckDB twin of
+    operators/textanalysis.py::quality_score) — shared shape with the
+    doc_quality oracle."""
+    toks = "string_split(lower(text), ' ')"
+    sw = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS_ALL)) + "]"
+    stop = f"len(list_filter({toks}, x -> list_contains({sw}, x)))"
+    mwl = f"(length(text) - (len({toks}) - 1)) / CAST(len({toks}) AS DOUBLE)"
+    punct = (
+        "length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))"
+        " / CAST(length(text) AS DOUBLE)"
+    )
+    return (
+        f"ROUND(LEAST({stop} / CAST(len({toks}) AS DOUBLE) * 4.0, 1.0) * 0.4"
+        f" + (CASE WHEN {mwl} >= 3 AND {mwl} <= 10 THEN 1.0 ELSE 0.0 END) * 0.3"
+        f" + (1.0 - LEAST({punct} * 5.0, 1.0)) * 0.3, 4)"
+    )
+
+
+@query("quality_feature_iv", _iv_oracle().replace("{score}", _iv_score_sql()))
+def q_quality_feature_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information Value screening of 3 candidate quality features
+    against an above-median-quality target (quality_score ≥ 0.7 —
+    the fixture median, so the split is balanced at every SF):
+    quintile buckets
+    (ntile fully tie-broken by doc_id — engine-identical), per-bucket
+    WOE_u6 = ⌊10⁶·ln(pct_good/pct_bad)⌋ with add-one smoothing (each
+    WOE is ln of ONE exact-int64 ratio), per-feature IV folded
+    bucket-sorted. The step before fitting: IV ranks which features
+    deserve model weights (rule of thumb: <0.02 useless, >0.3
+    strong). One corpus scan feeds the unpivot; everything after is
+    (features×buckets)-sized."""
+    from pyspark.sql import Window
+
+    from .operators.textanalysis import quality_features, quality_score
+
+    q = IV_BUCKETS
+    docs = load_table(spark, sf_dir, "documents")
+    f = quality_features("text")
+    f0 = docs.select(
+        "doc_id",
+        f["n_tokens"].cast("double").alias("n_tokens"),
+        f["mean_word_len"].alias("mean_word_len"),
+        f["punct_ratio"].alias("punct_ratio"),
+        (quality_score("text") >= 0.7).cast("int").alias("good"),
+    )
+    u = None
+    for feat in ("n_tokens", "mean_word_len", "punct_ratio"):
+        part = f0.select(
+            "doc_id", "good", F.lit(feat).alias("feature"),
+            F.col(feat).alias("val"),
+        )
+        u = part if u is None else u.unionByName(part)
+    w_nt = Window.partitionBy("feature").orderBy("val", "doc_id")
+    b = u.select("feature", "good", F.ntile(q).over(w_nt).alias("bucket"))
+    g = b.groupBy("feature", "bucket").agg(
+        F.sum("good").cast("bigint").alias("n_good"),
+        (F.count(F.lit(1)) - F.sum("good")).cast("bigint").alias("n_bad"),
+    )
+    t = g.groupBy("feature").agg(
+        F.sum("n_good").cast("bigint").alias("gt"),
+        F.sum("n_bad").cast("bigint").alias("bt"),
+    )
+    ln_ratio = (
+        f"ln(cast((n_good + 1) * (bt + {q}) as double)"
+        f" / cast((n_bad + 1) * (gt + {q}) as double))"
+    )
+    w = g.join(t, "feature").select(
+        "feature", "bucket", "n_good", "n_bad",
+        F.expr(ln_ratio).alias("woe"),
+        F.expr(
+            f"(cast(n_good + 1 as double) / (gt + {q})"
+            f" - cast(n_bad + 1 as double) / (bt + {q})) * ({ln_ratio})"
+        ).alias("contrib"),
+    )
+    iv = w.groupBy("feature").agg(
+        F.expr(
+            "cast(floor(aggregate(transform(array_sort("
+            "collect_list(struct(bucket, contrib))), p -> p.contrib),"
+            " 0D, (acc, x) -> acc + x) * 1000000.0) as bigint)"
+        ).alias("iv_u6")
+    )
+    return w.join(iv, "feature").select(
+        "feature",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_good",
+        "n_bad",
+        F.floor(F.col("woe") * 1000000.0).cast("bigint").alias("woe_u6"),
+        "iv_u6",
+    )

@@ -3611,3 +3611,67 @@ def test_epoch_shuffle_plan_is_a_fresh_permutation_per_epoch(spark):
         for e in range(SHUFFLE_EPOCHS)
     }
     assert seq[0] != seq[1] and seq[1] != seq[2]
+
+
+def test_quality_feature_iv_matches_pure_python_reference(spark):
+    """Independent reference: replicate NTILE bucketing (ceil-sized
+    leading buckets over the (val, doc_id) order) and the smoothed
+    WOE/IV arithmetic in pure Python from the collected per-doc
+    features; every (feature, bucket) row must match, and the
+    monotonicity IV exists for must show — a feature entering the
+    keep rule scores nonzero IV."""
+    import math
+
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        quality_features,
+        quality_score,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.workload_ext import (
+        IV_BUCKETS,
+        q_quality_feature_iv,
+    )
+
+    sf = SF_SMOKE
+    docs = load_table(spark, sf, "documents")
+    f = quality_features("text")
+    rows = docs.select(
+        "doc_id",
+        f["n_tokens"].cast("double").alias("n_tokens"),
+        f["mean_word_len"].alias("mean_word_len"),
+        f["punct_ratio"].alias("punct_ratio"),
+        (quality_score("text") >= 0.7).cast("int").alias("good"),
+    ).collect()
+    got = {
+        (r["feature"], r["bucket"]): (r["n_good"], r["n_bad"], r["woe_u6"], r["iv_u6"])
+        for r in q_quality_feature_iv(spark, sf).collect()
+    }
+
+    q = IV_BUCKETS
+    for feat in ("n_tokens", "mean_word_len", "punct_ratio"):
+        ordered = sorted(rows, key=lambda r: (r[feat], r["doc_id"]))
+        n = len(ordered)
+        sizes = [n // q + (1 if i < n % q else 0) for i in range(q)]
+        buckets, i = [], 0
+        for b, s in enumerate(sizes, 1):
+            buckets += [(b, r["good"]) for r in ordered[i:i + s]]
+            i += s
+        cnt = {}
+        for b, good in buckets:
+            g, bad = cnt.get(b, (0, 0))
+            cnt[b] = (g + good, bad + (1 - good))
+        gt = sum(g for g, _ in cnt.values())
+        bt = sum(b_ for _, b_ in cnt.values())
+        contribs = []
+        for b in sorted(cnt):
+            g, bad = cnt[b]
+            ratio = ((g + 1) * (bt + q)) / ((bad + 1) * (gt + q))
+            woe = math.log(ratio)
+            contribs.append(((g + 1) / (gt + q) - (bad + 1) / (bt + q)) * woe)
+            assert got[(feat, b)][:3] == (g, bad, math.floor(woe * 1e6)), (feat, b)
+        iv = math.floor(sum(contribs) * 1e6)
+        assert all(got[(feat, b)][3] == iv for b in cnt), feat
+    # the above-median target is balanced, so at least one feature
+    # must carry real signal (nonzero IV)
+    assert any(got[(f_, 1)][3] != 0
+               for f_ in ("punct_ratio", "n_tokens", "mean_word_len"))
