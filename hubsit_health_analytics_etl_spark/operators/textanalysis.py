@@ -1099,39 +1099,77 @@ def dsir_logweights(
     bucket against the per-doc tf table — at 100 TB the target/raw
     count tables are persisted vocabulary-style indexes and scoring a
     new crawl batch never rescans the reference corpora."""
+    tgt = dsir_bucket_counts(target_docs, n_buckets, salt, text_col, "c_t")
+    tf = dsir_bigram_tf(docs, n_buckets, salt, text_col, id_col)
+    # raw counts derive from tf — the corpus explodes exactly once
+    cr = tf.groupBy("bucket").agg(F.sum("tf_l").cast("bigint").alias("c_r"))
+    return _dsir_score_tf(tf, tgt, cr, n_buckets, id_col)
+
+
+def _dsir_bigram_expr(text_col: str) -> str:
     toks = f"filter(split(lower({text_col}), ' '), x -> x <> '')"
-    bigrams = (
+    return (
         f"element_at(transform(array({toks}), t -> "
         f"case when size(t) >= 2 then transform(sequence(1, size(t) - 1), "
         f"i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
         f"else cast(array() as array<string>) end), 1)"
     )
-    bucket = F.expr(
+
+
+def _dsir_bucket_col(n_buckets: int, salt: str):
+    return F.expr(
         f"cast(conv(substr(md5(concat('{salt}', _bg)), 1, 8), 16, 10) as bigint)"
         f" % {n_buckets}"
     ).alias("bucket")
 
-    tgt = (
-        target_docs.select(F.explode(F.expr(bigrams)).alias("_bg"))
-        .select(bucket)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c_t"))
-    )
-    tf = (
-        docs.select(id_col, F.explode(F.expr(bigrams)).alias("_bg"))
-        .select(id_col, bucket)
+
+def dsir_bigram_tf(
+    docs,
+    n_buckets: int = DSIR_BUCKETS,
+    salt: str = "dsir",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(id, bucket, tf_l) hashed-bigram term frequencies — the per-doc
+    feature table every DSIR flavor consumes."""
+    return (
+        docs.select(id_col, F.explode(F.expr(_dsir_bigram_expr(text_col))).alias("_bg"))
+        .select(id_col, _dsir_bucket_col(n_buckets, salt))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf_l"))
     )
-    # raw counts derive from tf — the corpus explodes exactly once
-    cr = tf.groupBy("bucket").agg(F.sum("tf_l").cast("bigint").alias("c_r"))
+
+
+def dsir_bucket_counts(
+    docs,
+    n_buckets: int = DSIR_BUCKETS,
+    salt: str = "dsir",
+    text_col: str = "text",
+    out_col: str = "c",
+):
+    """(bucket, count) hashed-bigram distribution of a corpus — the
+    persistable DSIR index artifact (additive across disjoint
+    ingests, so it maintains exactly like the BM25 term index)."""
+    return (
+        docs.select(F.explode(F.expr(_dsir_bigram_expr(text_col))).alias("_bg"))
+        .select(_dsir_bucket_col(n_buckets, salt))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias(out_col))
+    )
+
+
+def _dsir_score_tf(tf, tgt, raw, n_buckets: int, id_col: str):
+    """Fold per-(doc, bucket) tf against target/raw counts into
+    (id, n_bigrams, logw). ``tgt`` has c_t, ``raw`` has c_r; both
+    join LEFT with +1 smoothing, so a bucket unseen in either
+    reference is well-defined (the frozen-index inference case)."""
     totals = tgt.agg(
         F.coalesce(F.sum("c_t"), F.lit(0)).cast("bigint").alias("n_t")
     ).crossJoin(
-        cr.agg(F.coalesce(F.sum("c_r"), F.lit(0)).cast("bigint").alias("n_r"))
+        raw.agg(F.coalesce(F.sum("c_r"), F.lit(0)).cast("bigint").alias("n_r"))
     )
     contrib = (
-        tf.join(cr, "bucket")
+        tf.join(raw, "bucket", "left")
         .join(tgt, "bucket", "left")
         .crossJoin(F.broadcast(totals))
         .select(
@@ -1141,7 +1179,7 @@ def dsir_logweights(
             F.expr(
                 f"cast(tf_l as double) * ln("
                 f"cast((coalesce(c_t, 0) + 1) * (n_r + {n_buckets}) as double)"
-                f" / cast((c_r + 1) * (n_t + {n_buckets}) as double))"
+                f" / cast((coalesce(c_r, 0) + 1) * (n_t + {n_buckets}) as double))"
             ).alias("w"),
         )
     )
@@ -1152,3 +1190,23 @@ def dsir_logweights(
             " p -> p.w), 0D, (acc, x) -> acc + x)"
         ).alias("logw"),
     )
+
+
+def dsir_score_against_counts(
+    docs,
+    tgt_counts,
+    raw_counts,
+    n_buckets: int = DSIR_BUCKETS,
+    salt: str = "dsir",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Score ``docs`` against FROZEN bucket-count tables — the
+    production inference shape: the target/raw distributions are
+    standing parquet indexes (see dsir_bucket_counts — additive, so
+    they maintain like the BM25 term index) and each new crawl batch
+    is one explode + one equi-join on bucket; the reference corpora
+    are never rescanned. Buckets absent from either index smooth to
+    +1 (a batch can contain bigrams no reference ever saw)."""
+    tf = dsir_bigram_tf(docs, n_buckets, salt, text_col, id_col)
+    return _dsir_score_tf(tf, tgt_counts, raw_counts, n_buckets, id_col)

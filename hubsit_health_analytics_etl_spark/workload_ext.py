@@ -12209,3 +12209,130 @@ def q_quality_feature_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("woe") * 1000000.0).cast("bigint").alias("woe_u6"),
         "iv_u6",
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR at ingest — the frozen-index inference shape: the target/raw
+# bucket-count tables are PERSISTED parquet indexes (additive, the
+# BM25-term-index maintenance law) and each new crawl batch scores
+# with one explode + one equi-join on bucket; the reference corpora
+# are never rescanned. The batch can contain bigrams no reference
+# ever saw — both count joins go LEFT with +1 smoothing.
+# ---------------------------------------------------------------------------
+DSIR_NEW_PCT = 10  # doc_id hash bucket (salt 'dsirnb') < 10 → the new batch
+
+
+def _dsir_new_batch_oracle() -> str:
+    from .operators.sampling import sql_hash_bucket
+    from .operators.textanalysis import DSIR_BUCKETS
+
+    b = DSIR_BUCKETS
+    toks = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+    bg = (
+        "unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1), "
+        "i -> t[i] || ' ' || t[i+1]))"
+    )
+    bucket = f"(CAST('0x' || substr(md5('dsir' || bg), 1, 8) AS BIGINT) % {b})"
+    is_new = f"{sql_hash_bucket('doc_id', salt='dsirnb')} < {DSIR_NEW_PCT}"
+    return f"""
+    WITH corpus AS (SELECT doc_id, text, n_chars FROM documents
+                    WHERE NOT ({is_new})),
+    batch AS (SELECT doc_id, text FROM documents WHERE {is_new}),
+    tg0 AS (SELECT {toks} AS t FROM corpus
+            WHERE n_chars >= {DSIR_TGT_MIN_CHARS}),
+    tg AS (SELECT {bg} AS bg FROM tg0),
+    ct AS (SELECT {bucket} AS bucket, COUNT(*)::BIGINT AS c_t
+           FROM tg GROUP BY 1),
+    cr0 AS (SELECT {toks} AS t FROM corpus),
+    crb AS (SELECT {bg} AS bg FROM cr0),
+    cr AS (SELECT {bucket} AS bucket, COUNT(*)::BIGINT AS c_r
+           FROM crb GROUP BY 1),
+    bt0 AS (SELECT doc_id, {toks} AS t FROM batch),
+    bt AS (SELECT doc_id, {bg} AS bg FROM bt0),
+    tf AS (SELECT doc_id, {bucket} AS bucket, COUNT(*)::BIGINT AS tf_l
+           FROM bt GROUP BY 1, 2),
+    tot AS (SELECT (SELECT COALESCE(SUM(c_t), 0) FROM ct)::BIGINT AS n_t,
+                   (SELECT COALESCE(SUM(c_r), 0) FROM cr)::BIGINT AS n_r),
+    c AS (SELECT tf.doc_id, tf.bucket, tf.tf_l,
+                 CAST(tf.tf_l AS DOUBLE) * ln(
+                   CAST((COALESCE(ct.c_t, 0) + 1) * (tot.n_r + {b}) AS DOUBLE)
+                   / CAST((COALESCE(cr.c_r, 0) + 1) * (tot.n_t + {b}) AS DOUBLE))
+                   AS w
+          FROM tf LEFT JOIN cr USING (bucket) LEFT JOIN ct USING (bucket)
+          CROSS JOIN tot),
+    s AS (SELECT doc_id, SUM(tf_l)::BIGINT AS n_bigrams,
+                 list_sum(list(w ORDER BY bucket)) AS logw
+          FROM c GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+           CASE WHEN s.n_bigrams > 0
+                THEN CAST(FLOOR(s.logw * 1000000.0) AS BIGINT) END AS logw_u6,
+           (CASE WHEN s.n_bigrams > 0
+                      AND CAST(FLOOR(s.logw * 1000000.0) AS BIGINT) >= 0
+                 THEN 1 ELSE 0 END)::BIGINT AS keep
+    FROM batch d LEFT JOIN s USING (doc_id)
+    """
+
+
+@query("dsir_new_batch", _dsir_new_batch_oracle())
+def q_dsir_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights for a NEW crawl batch (doc_id hash
+    bucket < {DSIR_NEW_PCT}, salt 'dsirnb') scored against PERSISTED
+    target/raw bucket-count indexes built from the corpus slice and
+    written to parquet — the inference shape: the batch explodes
+    once and scores via one equi-join on bucket; the corpus is never
+    re-exploded in the scoring path (plan-pinned). Indexes are
+    additive (dsir_bucket_counts), so ingest maintenance is the BM25
+    term-index law: gram the batch, sum-merge. Oracle recomputes
+    distributions + scores from scratch, so the hash match proves
+    frozen-index scoring == the from-scratch definition."""
+    import os
+
+    from .operators.sampling import hash_bucket
+    from .operators.textanalysis import (
+        dsir_bucket_counts,
+        dsir_score_against_counts,
+    )
+    from .sources.sinks import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = hash_bucket("doc_id", salt="dsirnb") < DSIR_NEW_PCT
+    corpus, batch = docs.filter(~is_new), docs.filter(is_new)
+
+    idx_dir = _run_scoped_index_dir("dsir")
+    tgt_path = os.path.join(idx_dir, "dsir_target_counts")
+    raw_path = os.path.join(idx_dir, "dsir_raw_counts")
+    write_parquet(
+        dsir_bucket_counts(
+            corpus.filter(F.col("n_chars") >= DSIR_TGT_MIN_CHARS), out_col="c_t"
+        ),
+        tgt_path,
+    )
+    write_parquet(dsir_bucket_counts(corpus, out_col="c_r"), raw_path)
+    tgt = spark.read.parquet(tgt_path)
+    raw = spark.read.parquet(raw_path)
+
+    s = dsir_score_against_counts(batch, tgt, raw)
+    logw_u6 = F.floor(F.col("logw") * F.lit(1000000.0)).cast("bigint")
+    scored = s.select(
+        "doc_id",
+        "n_bigrams",
+        F.when(F.col("n_bigrams") > 0, logw_u6).alias("logw_u6"),
+    )
+    return (
+        batch.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            "logw_u6",
+            F.when(
+                F.col("n_bigrams").isNotNull()
+                & (F.col("n_bigrams") > 0)
+                & (F.col("logw_u6") >= 0),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("keep"),
+        )
+    )

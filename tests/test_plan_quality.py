@@ -1587,3 +1587,22 @@ def test_fuzzy_name_join_dedups_before_blocking(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p
+
+
+def test_dsir_new_batch_scores_from_frozen_index_batch_only(spark):
+    """The incremental DSIR query's returned plan reads the persisted
+    bucket-count parquets and explodes ONLY the batch slice: every
+    documents scan is batch-hash-filtered, both count joins are
+    equi-joins, JVM-only."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("dsir_new_batch")(spark, SF_SMOKE))
+    assert "dsir_target_counts" in p and "dsir_raw_counts" in p
+    # exactly two documents scans (batch tf + batch report base),
+    # both carrying the batch hash filter; the corpus-side complement
+    # never appears — the frozen index replaced it
+    assert p.count("documents.parquet") == 2
+    assert p.count("% 100) < 10") == 2, "batch slices must be hash-filtered"
+    assert "NOT ((cast(conv(substr(md5" not in p, "corpus re-exploded"
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
