@@ -12336,3 +12336,72 @@ def q_dsir_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR forget — the newest standing index gets the same
+# right-to-be-forgotten inverse as every sibling (CMS grid, BM25
+# terms, vocabulary, quantile histogram): bucket counts are additive,
+# so deletion is exact subtraction of the deleted docs' gram counts —
+# cost ∝ deleted docs, never the corpus; zeroed buckets drop so the
+# maintained index is row-identical to a rebuild from kept docs.
+# ---------------------------------------------------------------------------
+DSIR_FORGET_PCT = 5  # corpus docs with hash bucket (salt 'dsirfg') < 5 deleted
+
+
+def _dsir_forget_oracle() -> str:
+    from .operators.sampling import sql_hash_bucket
+    from .operators.textanalysis import DSIR_BUCKETS
+
+    b = DSIR_BUCKETS
+    toks = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+    bg = (
+        "unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1), "
+        "i -> t[i] || ' ' || t[i+1]))"
+    )
+    bucket = f"(CAST('0x' || substr(md5('dsir' || bg), 1, 8) AS BIGINT) % {b})"
+    is_new = f"{sql_hash_bucket('doc_id', salt='dsirnb')} < {DSIR_NEW_PCT}"
+    is_del = f"{sql_hash_bucket('doc_id', salt='dsirfg')} < {DSIR_FORGET_PCT}"
+    return f"""
+    WITH kept AS (SELECT doc_id, text FROM documents
+                  WHERE NOT ({is_new}) AND NOT ({is_del})),
+    k0 AS (SELECT {toks} AS t FROM kept),
+    kb AS (SELECT {bg} AS bg FROM k0)
+    SELECT {bucket} AS bucket, COUNT(*)::BIGINT AS c_r FROM kb GROUP BY 1
+    """
+
+
+@query("dsir_forget", _dsir_forget_oracle())
+def q_dsir_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten on the persisted DSIR raw-count index:
+    the corpus index (written to parquet, read back) minus the
+    deleted slice's own gram counts — one explode over the DELETED
+    docs only plus a left join over index rows; zero-count buckets
+    drop. The oracle rebuilds from kept docs from scratch, so the
+    hash match proves maintained-minus == rebuilt (the additive-index
+    forget law shared with CMS/BM25/vocabulary/histogram)."""
+    import os
+
+    from .operators.sampling import hash_bucket
+    from .operators.textanalysis import dsir_bucket_counts
+    from .sources.sinks import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(~(hash_bucket("doc_id", salt="dsirnb") < DSIR_NEW_PCT))
+    deleted = corpus.filter(hash_bucket("doc_id", salt="dsirfg") < DSIR_FORGET_PCT)
+
+    idx_path = os.path.join(_run_scoped_index_dir("dsirfg"), "dsir_raw_counts")
+    write_parquet(dsir_bucket_counts(corpus, out_col="c_r"), idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    dc = dsir_bucket_counts(deleted, out_col="c_d")
+    return (
+        idx.join(dc, "bucket", "left")
+        .select(
+            "bucket",
+            (F.col("c_r") - F.coalesce(F.col("c_d"), F.lit(0)))
+            .cast("bigint")
+            .alias("c_r"),
+        )
+        .filter(F.col("c_r") > 0)
+    )
