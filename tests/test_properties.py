@@ -498,3 +498,45 @@ def test_theta_merge_law_holds_for_any_split(spark, values, cut):
         assert est["g"] == len(distinct)
     else:
         assert want["g"] == sorted(distinct)[:THETA_K]
+
+
+@given(
+    sets=st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=40),
+                      min_size=1, max_size=12),
+        min_size=2, max_size=8,
+    ),
+    tau_num=st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=200, deadline=None)
+def test_prefix_filter_lemma_candidates_cover_all_qualifying_pairs(
+    sets, tau_num
+):
+    """The mathematical lemma jaccard_prefix_filter_pairs rests on,
+    pinned independently of Spark: for ANY family of sets, ANY global
+    (df, element) order and τ = tau_num/10, every pair with
+    J ≥ τ shares at least one element in BOTH prefixes of length
+    p = n − ⌈τ·n⌉ + 1 — so the blocked candidate set is a superset of
+    the answer (losslessness), including at the τ boundary."""
+    tau_den = 10
+    df = {}
+    for s in sets:
+        for x in s:
+            df[x] = df.get(x, 0) + 1
+    order = {x: (c, x) for x, c in df.items()}
+
+    def prefix(s):
+        n = len(s)
+        p = n - -(-tau_num * n // tau_den) + 1  # n - ceil(tau*n) + 1
+        return set(sorted(s, key=lambda x: order[x])[:max(p, 0)])
+
+    for i, a in enumerate(sets):
+        for b in sets[i + 1:]:
+            inter = len(a & b)
+            if inter == 0:
+                continue
+            jac = inter / len(a | b)
+            if jac * tau_den >= tau_num:
+                assert prefix(a) & prefix(b), (
+                    a, b, jac, prefix(a), prefix(b)
+                )
