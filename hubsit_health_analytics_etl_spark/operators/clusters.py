@@ -822,3 +822,57 @@ def bfs_hops(
         visited = visited.unionByName(new).localCheckpoint(eager=True)
         frontier = new.select("node")
     return visited
+
+
+def link_prediction_scores(
+    edges: DataFrame, hub_cap: int | None = None
+) -> DataFrame:
+    """Common-neighbors + Adamic-Adar link prediction over a CANONICAL
+    undirected edge list ``(u, v)`` with ``u < v``: score NON-adjacent
+    pairs that share neighbors — the "customers who bought X also
+    bought Y, but X and Y never co-occurred yet" recommendation, and
+    the graph-completion primitive (PPR ranks nodes around a seed;
+    this scores specific MISSING edges).
+
+    ``cn`` = |Γ(a) ∩ Γ(b)| (exact integer); ``aa`` = Σ_z 1/ln(deg z)
+    over common neighbors z (Adamic & Adar 2003 — a shared RARE
+    neighbor is stronger evidence than a shared hub). A wedge center
+    has degree ≥ 2, so ln(deg) > 0 always; each 1/ln is a float of
+    one exact-integer degree and the per-pair sum folds the
+    center-SORTED contribution array (the repo's float-sum
+    discipline), so a DuckDB oracle hash-matches.
+
+    Candidate generation is the triangle wedge expansion MINUS the
+    closing edge: pairs of each center's neighbors, anti-joined
+    against the edge set. The hub hazard is the same C(deg, 2) as
+    triangles but orientation can't help (every common neighbor must
+    be seen from its center), so the lever is ``hub_cap``: skip
+    centers with deg > cap. Principled for AA — a hub's contribution
+    is 1/ln(deg) → 0, so dropping the biggest centers changes scores
+    least; the cap is the df-cap analog and should be sized like it.
+
+    Returns (u, v, cn, aa) for candidate pairs; callers rank/limit.
+
+    No pandas analogue in the reference (898-line ETL,
+    /root/reference/src/etl_pipeline.py) — beyond-reference graph
+    surface."""
+    sym = edges.select(F.col("u").alias("z"), F.col("v").alias("n")).unionByName(
+        edges.select(F.col("v").alias("z"), F.col("u").alias("n"))
+    )
+    deg = sym.groupBy("z").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    adj = sym.join(deg, "z")
+    if hub_cap is not None:
+        adj = adj.filter(F.col("d") <= int(hub_cap))
+    a = adj.select("z", "d", F.col("n").alias("na"))
+    b = adj.select(F.col("z").alias("z2"), F.col("n").alias("nb"))
+    wedges = a.join(b, a["z"] == b["z2"]).filter(F.col("na") < F.col("nb")).select(
+        F.col("na").alias("u"), F.col("nb").alias("v"), "z", "d"
+    )
+    open_wedges = wedges.join(edges.select("u", "v"), ["u", "v"], "left_anti")
+    return open_wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cn"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(z, d))),"
+            " p -> 1.0D / ln(cast(p.d as double))), 0D, (acc, x) -> acc + x)"
+        ).alias("aa"),
+    )

@@ -12405,3 +12405,87 @@ def q_dsir_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("c_r") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction — the MISSING-edge member of the graph family: PPR
+# ranks nodes around a seed, association rules score observed pairs;
+# link prediction scores pairs that SHARE neighbors but never
+# co-occurred — "bought X also bought Y, but X and Y were never in
+# one basket yet". Common-neighbor count is exact-integer;
+# Adamic-Adar folds 1/ln(deg) center-sorted (float-sum discipline).
+# ---------------------------------------------------------------------------
+LINKPRED_TOP = 25
+
+
+_LINKPRED_ORACLE = f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT u, v FROM (
+        SELECT a.pk AS u, b.pk AS v, COUNT(*) AS c
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2)
+      WHERE c >= {TRI_MIN_SUPPORT}),
+    sym AS (SELECT u AS z, v AS n FROM e UNION ALL SELECT v AS z, u AS n FROM e),
+    deg AS (SELECT z, COUNT(*)::BIGINT AS d FROM sym GROUP BY z),
+    adj AS (SELECT sym.z, sym.n, deg.d FROM sym JOIN deg USING (z)),
+    w AS (SELECT a.n AS u, b.n AS v, a.z, a.d
+          FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n),
+    ow AS (SELECT w.u, w.v, w.z, w.d FROM w
+           LEFT JOIN e ON e.u = w.u AND e.v = w.v
+           WHERE e.u IS NULL),
+    s AS (SELECT u, v, COUNT(*)::BIGINT AS cn,
+                 list_sum(list(1.0 / ln(CAST(d AS DOUBLE)) ORDER BY z)) AS aa
+          FROM ow GROUP BY u, v),
+    r AS (SELECT u, v, cn,
+                 CAST(FLOOR(aa * 1000000.0) AS BIGINT) AS aa_u6,
+                 ROW_NUMBER() OVER (
+                   ORDER BY cn DESC, CAST(FLOOR(aa * 1000000.0) AS BIGINT) DESC,
+                            u, v) AS rk
+          FROM s)
+    SELECT u AS part_a, v AS part_b, cn, aa_u6, rk::BIGINT AS rk
+    FROM r WHERE rk <= {LINKPRED_TOP}
+    """
+
+
+@query("copurchase_link_prediction", _LINKPRED_ORACLE)
+def q_copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{LINKPRED_TOP} predicted missing edges of the
+    support-pruned co-purchase graph by (common neighbors,
+    Adamic-Adar) — operators/clusters.py::link_prediction_scores (see
+    its docstring for the wedge-minus-edge candidate generation, the
+    ln(deg) > 0 guarantee and the hub_cap lever; the fixture graph is
+    support-pruned so no cap is needed here). aa_u6 floors the
+    center-sorted fold; ranking ties break (cn, aa_u6, u, v) —
+    fully deterministic, hash-matched."""
+    from .operators.clusters import link_prediction_scores
+    from .operators.reshape import top_k
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    b = op.select(F.col("ok"), F.col("pk").alias("pb"))
+    edges = (
+        op.join(b, (op["ok"] == b["ok"]) & (op["pk"] < b["pb"]))
+        .groupBy(F.col("pk").alias("u"), F.col("pb").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    s = link_prediction_scores(edges).select(
+        "u", "v", "cn",
+        F.floor(F.col("aa") * 1000000.0).cast("bigint").alias("aa_u6"),
+    )
+    ranked = top_k(
+        s, [],
+        [F.col("cn").desc(), F.col("aa_u6").desc(), F.col("u"), F.col("v")],
+        LINKPRED_TOP, "rk",
+    )
+    return ranked.select(
+        F.col("u").alias("part_a"), F.col("v").alias("part_b"),
+        "cn", "aa_u6", F.col("rk").cast("bigint").alias("rk"),
+    )

@@ -3675,3 +3675,69 @@ def test_quality_feature_iv_matches_pure_python_reference(spark):
     # must carry real signal (nonzero IV)
     assert any(got[(f_, 1)][3] != 0
                for f_ in ("punct_ratio", "n_tokens", "mean_word_len"))
+
+
+def test_link_prediction_matches_pure_python_reference(spark):
+    """Independent reference: brute-force CN/Adamic-Adar over every
+    non-adjacent pair of a crafted graph — including a pair whose
+    only connector is a hub (low AA) vs one connected through rare
+    nodes (high AA at equal CN), the property AA exists for — and
+    the hub_cap filter semantics."""
+    import math
+
+    from hubsit_health_analytics_etl_spark.operators.clusters import (
+        link_prediction_scores,
+    )
+
+    # hub h connects a,b,c,d,e; rare path: a-r1-b and a-r2-b
+    und = (
+        [("h", x) for x in ("a", "b", "c", "d", "e")]
+        + [("a", "r1"), ("r1", "b"), ("a", "r2"), ("r2", "b")]
+    )
+    canon = [tuple(sorted(p)) for p in und]
+    df = spark.createDataFrame(canon, "u string, v string")
+
+    def reference(cap=None):
+        adj = {}
+        for x, y in canon:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        deg = {z: len(ns) for z, ns in adj.items()}
+        out = {}
+        nodes = sorted(adj)
+        eset = set(canon)
+        for i, x in enumerate(nodes):
+            for y in nodes[i + 1:]:
+                if (x, y) in eset:
+                    continue
+                centers = [
+                    z for z in sorted(adj[x] & adj[y])
+                    if cap is None or deg[z] <= cap
+                ]
+                if centers:
+                    out[(x, y)] = (
+                        len(centers),
+                        sum(1.0 / math.log(deg[z]) for z in centers),
+                    )
+        return out
+
+    got = {
+        (r["u"], r["v"]): (r["cn"], r["aa"])
+        for r in link_prediction_scores(df).collect()
+    }
+    want = reference()
+    assert set(got) == set(want)
+    for k, (cn, aa) in want.items():
+        assert got[k][0] == cn and abs(got[k][1] - aa) < 1e-9
+    # (a,b): two rare connectors (deg 2) + hub (deg 5) -> cn 3;
+    # (c,d): hub only -> cn 1, and lower AA than either rare connector
+    assert got[("a", "b")][0] == 3 and got[("c", "d")][0] == 1
+    assert got[("c", "d")][1] < 1.0 / math.log(2)
+    # hub_cap drops hub-only pairs entirely, keeps rare-path evidence
+    capped = {
+        (r["u"], r["v"]): (r["cn"], r["aa"])
+        for r in link_prediction_scores(df, hub_cap=4).collect()
+    }
+    want_capped = reference(cap=4)
+    assert set(capped) == set(want_capped) and ("c", "d") not in capped
+    assert capped[("a", "b")][0] == 2
