@@ -876,3 +876,53 @@ def link_prediction_scores(
             " p -> 1.0D / ln(cast(p.d as double))), 0D, (acc, x) -> acc + x)"
         ).alias("aa"),
     )
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Fixed-round k-core peeling over a CANONICAL undirected edge
+    list ``(u, v)``: repeatedly delete nodes of degree < k with their
+    incident edges, ``rounds`` times — the dense-subgraph member of
+    the graph family (triangles measure LOCAL density; the k-core is
+    the maximal subgraph where EVERY member keeps ≥ k ties, the
+    classic engagement/robustness cut). Returns the surviving
+    (node, degree) table, degree measured in the peeled subgraph.
+
+    Fixed rounds keep the loop declarative and the DuckDB oracle an
+    unrolled CTE chain (exact integers end to end). Peeling converges
+    when a round deletes nothing; real graphs converge in few rounds
+    (each round needs a fresh cascade of sub-k nodes, and cascade
+    chains this long are rare) — at the fixture scales 4 rounds are
+    stationary, pinned in pytest by an extra-round equality. On a
+    cluster, run to convergence with the CC-style isEmpty probe per
+    round, or use the O(log n)-round distributed coreness algorithms
+    if FULL core decomposition (every node's core number) is needed
+    rather than one k-cut.
+
+    Each round costs one degree agg + two semi-joins over the
+    shrinking edge frame; per-round localCheckpoint keeps lineage
+    flat (the iterative-family posture).
+
+    No pandas analogue in the reference (898-line ETL,
+    /root/reference/src/etl_pipeline.py) — beyond-reference graph
+    surface."""
+    e = edges.select("u", "v").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )

@@ -12489,3 +12489,77 @@ def q_copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("part_a"), F.col("v").alias("part_b"),
         "cn", "aa_u6", F.col("rk").cast("bigint").alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core — the dense-subgraph graph member: triangles measure LOCAL
+# density, the k-core is the maximal subgraph where EVERY member
+# keeps ≥ k ties (the engagement/robustness cut: parts that stay
+# strongly co-purchased even after fringe products peel away).
+# Fixed peeling rounds keep it declarative and the oracle an
+# unrolled CTE chain; convergence at fixture scale is pinned in
+# pytest by an extra-round equality.
+# ---------------------------------------------------------------------------
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "e0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""d{i} AS MATERIALIZED (
+              SELECT node, COUNT(*)::BIGINT AS d FROM (
+                SELECT u AS node FROM {prev}
+                UNION ALL SELECT v AS node FROM {prev})
+              GROUP BY node),
+            k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {KCORE_K}),
+            e{i} AS MATERIALIZED (
+              SELECT e.u, e.v FROM {prev} e
+              JOIN k{i} a ON a.node = e.u
+              JOIN k{i} b ON b.node = e.v)"""
+        )
+        prev = f"e{i}"
+    return f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT u, v FROM (
+        SELECT a.pk AS u, b.pk AS v, COUNT(*) AS c
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2)
+      WHERE c >= {TRI_MIN_SUPPORT}),
+    {", ".join(rounds)}
+    SELECT node AS part_key, COUNT(*)::BIGINT AS degree FROM (
+      SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev})
+    GROUP BY node
+    """
+
+
+@query("copurchase_kcore", _kcore_oracle())
+def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the support-pruned co-purchase graph after
+    {KCORE_ROUNDS} peeling rounds (operators/clusters.py::kcore_peel
+    — see its docstring for the convergence and cluster-scale notes):
+    parts that stay ≥{KCORE_K}-way co-purchased even after fringe
+    products cascade away, with their in-core degree. Exact-integer;
+    the oracle unrolls the peel as MATERIALIZED CTEs."""
+    from .operators.clusters import kcore_peel
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    b = op.select(F.col("ok"), F.col("pk").alias("pb"))
+    edges = (
+        op.join(b, (op["ok"] == b["ok"]) & (op["pk"] < b["pb"]))
+        .groupBy(F.col("pk").alias("u"), F.col("pb").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    return kcore_peel(edges, KCORE_K, KCORE_ROUNDS).select(
+        F.col("node").alias("part_key"), "degree"
+    )

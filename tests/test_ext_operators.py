@@ -3741,3 +3741,52 @@ def test_link_prediction_matches_pure_python_reference(spark):
     want_capped = reference(cap=4)
     assert set(capped) == set(want_capped) and ("c", "d") not in capped
     assert capped[("a", "b")][0] == 2
+
+
+def test_kcore_peel_matches_pure_python_and_converges(spark):
+    """Independent reference: iterative peeling in pure Python on a
+    crafted graph with a CASCADE (removing a fringe node drops its
+    neighbor below k — the case a single-pass degree filter gets
+    wrong), node-for-node with degrees; plus the convergence pin the
+    fixed-round contract rests on: one extra round changes nothing
+    once stationary."""
+    from itertools import combinations
+
+    from hubsit_health_analytics_etl_spark.operators.clusters import kcore_peel
+
+    # K4 core {1,2,3,4}; chain 4-5-6 where 5 survives round 1 by
+    # leaning on 6 and 4... deg(5)=2 <3 -> peel; then 6 cascades.
+    und = (
+        list(combinations([1, 2, 3, 4], 2))
+        + [(4, 5), (5, 6), (5, 7), (6, 7)]
+    )
+    df = spark.createDataFrame(und, "u bigint, v bigint")
+
+    def reference(k, rounds):
+        edges = set(und)
+        for _ in range(rounds):
+            deg = {}
+            for a, b in edges:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            edges = {(a, b) for a, b in edges if a in keep and b in keep}
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        return deg
+
+    got = {
+        r["node"]: r["degree"] for r in kcore_peel(df, 3, 4).collect()
+    }
+    assert got == reference(3, 4) == {1: 3, 2: 3, 3: 3, 4: 3}
+    # single-pass (rounds=1) would KEEP 5/6/7 (deg 3 each in round 1?
+    # no: deg(5)=3, deg(6)=2 -> 6 peels, cascade kills 5 and 7 later)
+    assert reference(3, 1) != reference(3, 4)
+    # stationarity: an extra round changes nothing
+    assert reference(3, 5) == reference(3, 4)
+    got5 = {
+        r["node"]: r["degree"] for r in kcore_peel(df, 3, 5).collect()
+    }
+    assert got5 == got
