@@ -12563,3 +12563,111 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(edges, KCORE_K, KCORE_ROUNDS).select(
         F.col("node").alias("part_key"), "degree"
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest — the baseline every demand-forecasting pipeline
+# must beat, evaluated the honest way: walk-forward over history.
+# Two baselines per nation (naive-1 = last month, seasonal-naive-12 =
+# same month last year) scored by MAE and MAPE over the months where
+# both actual and forecast exist. Exact integer cents end to end
+# (abs-diff, div means, per-row integer MAPE terms) — hash-exact.
+# ---------------------------------------------------------------------------
+
+
+_FORECAST_ORACLE = """
+    WITH months AS MATERIALIZED (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m FROM orders),
+    rev AS MATERIALIZED (
+      SELECT n.n_name AS nation, strftime(o.o_orderdate, '%Y-%m') AS m,
+             SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))::BIGINT AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2),
+    spine AS (SELECT n_name AS nation, m FROM nation CROSS JOIN months),
+    s AS (SELECT sp.nation, sp.m, rev.rev_c,
+                 LAG(rev.rev_c, 1) OVER (PARTITION BY sp.nation ORDER BY sp.m)
+                   AS f1,
+                 LAG(rev.rev_c, 12) OVER (PARTITION BY sp.nation ORDER BY sp.m)
+                   AS f12
+          FROM spine sp LEFT JOIN rev ON rev.nation = sp.nation
+                                     AND rev.m = sp.m),
+    u AS (SELECT nation, 'naive1' AS model, rev_c, f1 AS fc FROM s
+          UNION ALL
+          SELECT nation, 'snaive12', rev_c, f12 FROM s),
+    e AS (SELECT nation, model,
+                 abs(rev_c - fc)::BIGINT AS ae,
+                 ((abs(rev_c - fc) * 1000000) // rev_c)::BIGINT AS pe_u6
+          FROM u WHERE rev_c IS NOT NULL AND fc IS NOT NULL AND rev_c > 0)
+    SELECT nation, model, COUNT(*)::BIGINT AS n_eval,
+           (SUM(ae) // COUNT(*))::BIGINT AS mae_c,
+           (SUM(pe_u6) // COUNT(*))::BIGINT AS mape_u6
+    FROM e GROUP BY nation, model
+    """
+
+
+@query("monthly_forecast_backtest", _FORECAST_ORACLE)
+def q_monthly_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtest of the two forecasting baselines over
+    monthly nation revenue: naive-1 (last month's value) and
+    seasonal-naive-12 (same month last year), scored by MAE (integer
+    cents) and MAPE (micro-units, per-row integer terms) over months
+    where both actual and forecast exist. Lags run over the FULL
+    nation×month spine so a quiet month shifts the forecast origin
+    honestly instead of silently skipping (the LOCF spine
+    discipline). The report a pipeline reads before shipping any
+    fancier model — if it can't beat snaive12, it doesn't ship."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+            F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("p_c"),
+        )
+        .groupBy("nation", "m")
+        .agg(F.sum("p_c").cast("bigint").alias("rev_c"))
+    )
+    months = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m")
+    ).distinct()
+    spine = nat.select(F.col("n_name").alias("nation")).crossJoin(
+        F.broadcast(months)
+    )
+    w = Window.partitionBy("nation").orderBy("m")
+    s = (
+        spine.join(rev, ["nation", "m"], "left")
+        .select(
+            "nation", "m", "rev_c",
+            F.lag("rev_c", 1).over(w).alias("f1"),
+            F.lag("rev_c", 12).over(w).alias("f12"),
+        )
+    )
+    u = s.select(
+        "nation", F.lit("naive1").alias("model"), "rev_c", F.col("f1").alias("fc")
+    ).unionByName(
+        s.select(
+            "nation", F.lit("snaive12").alias("model"), "rev_c",
+            F.col("f12").alias("fc"),
+        )
+    )
+    e = u.filter(
+        F.col("rev_c").isNotNull() & F.col("fc").isNotNull() & (F.col("rev_c") > 0)
+    ).select(
+        "nation", "model",
+        F.expr("cast(abs(rev_c - fc) as bigint)").alias("ae"),
+        F.expr("cast((abs(rev_c - fc) * 1000000) div rev_c as bigint)").alias("pe_u6"),
+    )
+    return e.groupBy("nation", "model").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.expr("cast(sum(ae) div count(1) as bigint)").alias("mae_c"),
+        F.expr("cast(sum(pe_u6) div count(1) as bigint)").alias("mape_u6"),
+    )
