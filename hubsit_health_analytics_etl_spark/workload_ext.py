@@ -12671,3 +12671,146 @@ def q_monthly_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(sum(ae) div count(1) as bigint)").alias("mae_c"),
         F.expr("cast(sum(pe_u6) div count(1) as bigint)").alias("mape_u6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival — the censoring-aware statistical family
+# nothing else in the registry covers: time from a customer's FIRST
+# order to their first order containing a returned item, with
+# administrative censoring at a 365-day follow-up window (~8% of
+# customers censor at every fixture SF, so the estimator's whole
+# point — censored rows leave the risk set without counting as
+# events — is exercised, not vacuous). Weekly granularity bounds the
+# step count (≤53). Survival stays in LOG space (the NLL/logit
+# discipline — exp never runs): ln S(w) = Σ_{w'≤w} ln((n−d)/n),
+# every term an ln of one exact-int64 ratio, the prefix folded
+# week-sorted per output row (bounded T² with T ≤ 53).
+# ---------------------------------------------------------------------------
+KM_HORIZON_DAYS = 365
+KM_CENSOR_WEEK = KM_HORIZON_DAYS // 7
+
+
+_KM_ORACLE = f"""
+    WITH ro AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok FROM lineitem WHERE l_returnflag = 'R'),
+    o AS (SELECT o_custkey, o_orderdate, (ro.ok IS NOT NULL) AS has_r
+          FROM orders LEFT JOIN ro ON ro.ok = orders.o_orderkey),
+    c AS (SELECT o_custkey, MIN(o_orderdate) AS t0,
+                 MIN(CASE WHEN has_r THEN o_orderdate END) AS ev
+          FROM o GROUP BY o_custkey),
+    dur AS (SELECT o_custkey,
+                   CASE WHEN ev IS NOT NULL
+                             AND datediff('day', t0, ev) <= {KM_HORIZON_DAYS}
+                        THEN datediff('day', t0, ev) // 7
+                        ELSE {KM_CENSOR_WEEK} END AS week,
+                   CASE WHEN ev IS NOT NULL
+                             AND datediff('day', t0, ev) <= {KM_HORIZON_DAYS}
+                        THEN 1 ELSE 0 END AS evt
+            FROM c),
+    cw AS (SELECT week, COUNT(*)::BIGINT AS c_all,
+                  SUM(evt)::BIGINT AS d
+           FROM dur GROUP BY week),
+    tot AS (SELECT SUM(c_all)::BIGINT AS n_total FROM cw),
+    rk AS (SELECT cw.week, cw.d,
+                  (tot.n_total
+                   - COALESCE(SUM(cw.c_all) OVER (ORDER BY cw.week
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0))::BIGINT AS n
+           FROM cw CROSS JOIN tot),
+    t AS (SELECT week, n, d,
+                 CASE WHEN n > d
+                      THEN ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)) END
+                   AS term
+          FROM rk WHERE d > 0)
+    SELECT a.week::BIGINT AS week, a.n AS n_risk, a.d AS n_events,
+           CASE WHEN MAX(CASE WHEN b.term IS NULL THEN 1 ELSE 0 END) = 1
+                THEN NULL
+                ELSE CAST(FLOOR(list_sum(list(b.term ORDER BY b.week))
+                                * 1000000.0) AS BIGINT) END AS ln_s_u6
+    FROM t a JOIN t b ON b.week <= a.week
+    GROUP BY a.week, a.n, a.d
+    """
+
+
+@query("customer_return_survival_km", _KM_ORACLE)
+def q_customer_return_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curve (log space) of weeks from first order to
+    first returned-item order under a {KM_HORIZON_DAYS}-day follow-up
+    — per event week: the risk-set size, the event count and
+    ln S(w)·10⁶ (survival never exponentiates — thresholds compare in
+    log space, the NLL discipline). Censored customers leave the
+    risk set at week {KM_CENSOR_WEEK} without counting as events —
+    the thing a plain ECDF gets wrong. Risk sets come from ONE
+    integer cumulative window over the per-week counts; the ≤53-step
+    prefix folds week-sorted per output row. At 100 TB the per-week
+    count table is the only aggregate over raw data — everything
+    after is ≤53 rows."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    ro = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("ok"))
+        .distinct()
+    )
+    o = orders.join(ro, orders["o_orderkey"] == ro["ok"], "left").select(
+        "o_custkey", "o_orderdate", F.col("ok").isNotNull().alias("has_r")
+    )
+    c = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("t0"),
+        F.min(F.when(F.col("has_r"), F.col("o_orderdate"))).alias("ev"),
+    )
+    in_window = F.col("ev").isNotNull() & (
+        F.datediff("ev", "t0") <= KM_HORIZON_DAYS
+    )
+    dur = c.select(
+        F.when(in_window, F.expr("datediff(ev, t0) div 7"))
+        .otherwise(F.lit(KM_CENSOR_WEEK))
+        .alias("week"),
+        F.when(in_window, F.lit(1)).otherwise(F.lit(0)).alias("evt"),
+    )
+    cw = dur.groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum("evt").cast("bigint").alias("d"),
+    )
+    tot = cw.agg(F.sum("c_all").cast("bigint").alias("n_total"))
+    wcum = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, -1)
+    rk = cw.crossJoin(F.broadcast(tot)).select(
+        "week",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("c_all").over(wcum), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n"),
+    )
+    t = rk.filter(F.col("d") > 0).select(
+        "week", "n", "d",
+        F.when(
+            F.col("n") > F.col("d"),
+            F.expr("ln(cast(n - d as double) / cast(n as double))"),
+        ).alias("term"),
+    )
+    a = t.select(F.col("week").alias("a_week"), F.col("n").alias("n_risk"),
+                 F.col("d").alias("n_events"))
+    b = t.select(F.col("week").alias("b_week"), F.col("term"))
+    return (
+        a.join(b, F.col("b_week") <= F.col("a_week"))
+        .groupBy("a_week", "n_risk", "n_events")
+        .agg(
+            F.expr(
+                "case when max(case when term is null then 1 else 0 end) = 1 "
+                "then null else cast(floor(aggregate(transform(array_sort("
+                "collect_list(struct(b_week, term))), p -> p.term), 0D, "
+                "(acc, x) -> acc + x) * 1000000.0) as bigint) end"
+            ).alias("ln_s_u6")
+        )
+        .select(
+            F.col("a_week").cast("bigint").alias("week"),
+            "n_risk", "n_events", "ln_s_u6",
+        )
+    )

@@ -3790,3 +3790,75 @@ def test_kcore_peel_matches_pure_python_and_converges(spark):
         r["node"]: r["degree"] for r in kcore_peel(df, 3, 5).collect()
     }
     assert got5 == got
+
+
+def test_km_survival_matches_pure_python_and_censoring_is_nonvacuous(spark):
+    """Independent reference: textbook Kaplan-Meier computed in pure
+    python from the raw fixture rows — per-customer (duration week,
+    event flag) with administrative censoring at the follow-up
+    horizon — must match the query's risk sets, event counts and
+    log-survival exactly. Also pins that censoring actually OCCURS in
+    the fixture (some customers never return in-window), so the
+    risk-set-shrinks-without-event property is exercised, not
+    vacuous: a plain ECDF over event durations would disagree."""
+    import math
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.workload_ext import (
+        KM_CENSOR_WEEK,
+        KM_HORIZON_DAYS,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).collect()
+    r_orders = {
+        r["l_orderkey"]
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+        .distinct()
+        .collect()
+    }
+    first, first_r = {}, {}
+    for r in orders:
+        c, d = r["o_custkey"], r["o_orderdate"]
+        if c not in first or d < first[c]:
+            first[c] = d
+        if r["o_orderkey"] in r_orders and (c not in first_r or d < first_r[c]):
+            first_r[c] = d
+    # per-customer (week, event) under the horizon
+    per_week = {}  # week -> [n_entering, d_events]
+    n_censored = 0
+    for c, t0 in first.items():
+        ev = first_r.get(c)
+        days = (ev - t0).days if ev is not None else None
+        if days is not None and days <= KM_HORIZON_DAYS:
+            wk, evt = days // 7, 1
+        else:
+            wk, evt = KM_CENSOR_WEEK, 0
+            n_censored += 1
+        slot = per_week.setdefault(wk, [0, 0])
+        slot[0] += 1
+        slot[1] += evt
+    assert n_censored > 0  # censoring exercised, not vacuous
+    n_at_risk = len(first)
+    ln_s = 0.0
+    want = {}
+    for wk in sorted(per_week):
+        entering, d = per_week[wk]
+        if d > 0:
+            ln_s += math.log((n_at_risk - d) / n_at_risk)
+            want[wk] = (n_at_risk, d, math.floor(ln_s * 1e6))
+        n_at_risk -= entering
+    got = {
+        r["week"]: (r["n_risk"], r["n_events"], r["ln_s_u6"])
+        for r in w.QUERIES["customer_return_survival_km"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want
+    # survival is a decreasing step function
+    curve = [v[2] for _, v in sorted(got.items())]
+    assert all(a > b for a, b in zip(curve, curve[1:]))
