@@ -12814,3 +12814,104 @@ def q_customer_return_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_risk", "n_events", "ln_s_u6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection — the sequential-detection statistical
+# family (Page 1954): the monitor a pipeline runs over a daily KPI to
+# catch a persistent level shift long before a point-outlier rule
+# fires. Exact-integer throughout via the prefix identity
+#   S⁺_t = P_t − min(0, min_{j≤t} P_j),  P_t = Σ_{i≤t}(x_i − μ − k)
+# (and symmetrically for the downward side), so the recurrence
+# max(0, S_{t-1} + drift) becomes ONE running sum + ONE running min —
+# plain integer window functions, no iterative fold at all.
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+    WITH d AS MATERIALIZED (
+      SELECT o_orderdate AS day,
+             SUM(CAST(floor(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_c
+      FROM orders GROUP BY 1),
+    g1 AS (SELECT (SUM(rev_c) // COUNT(*))::BIGINT AS mu_c FROM d),
+    g AS (SELECT g1.mu_c,
+                 (SUM(abs(d.rev_c - g1.mu_c)) // COUNT(*))::BIGINT AS mad_c
+          FROM d CROSS JOIN g1 GROUP BY g1.mu_c),
+    p AS (SELECT d.day, d.rev_c, g.mad_c,
+                 SUM(d.rev_c - g.mu_c - g.mad_c // 2)
+                   OVER (ORDER BY d.day)::BIGINT AS p_t,
+                 SUM(g.mu_c - g.mad_c // 2 - d.rev_c)
+                   OVER (ORDER BY d.day)::BIGINT AS q_t
+          FROM d CROSS JOIN g),
+    s AS (SELECT day, rev_c, mad_c,
+                 (p_t - LEAST(0, MIN(p_t) OVER (ORDER BY day)))::BIGINT
+                   AS s_pos_c,
+                 (q_t - LEAST(0, MIN(q_t) OVER (ORDER BY day)))::BIGINT
+                   AS s_neg_c
+          FROM p)
+    SELECT CAST(day AS VARCHAR) AS day, rev_c, s_pos_c, s_neg_c,
+           (CASE WHEN s_pos_c > 5 * mad_c OR s_neg_c > 5 * mad_c
+                 THEN 1 ELSE 0 END)::BIGINT AS alarm
+    FROM s
+    """
+
+
+@query("daily_revenue_cusum", _CUSUM_ORACLE)
+def q_daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM over daily order revenue (integer cents),
+    parameterized by the series' OWN dispersion: reference level
+    μ = mean daily revenue, allowance k = MAD/2 and alarm threshold
+    h = 5·MAD where MAD = mean absolute deviation around μ (integer;
+    MAD ≈ 0.8σ, so k ≈ 0.4σ / h ≈ 4σ — the textbook tuning). A
+    persistent level shift beyond the allowance accumulates and
+    alarms while noise-scale wander decays back to zero. The
+    max(0, ·) recurrence is rewritten as running-sum − min(0,
+    running-min) (Page's prefix identity), so the whole detector is
+    integer window arithmetic. At 100 TB the day-aggregate is the
+    only pass over raw data; the windows order ≤ #calendar-days rows
+    (bounded, single partition by design — like the forecast
+    spine)."""
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.expr("cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint)")
+            .alias("rev_c")
+        )
+    )
+    g1 = d.agg(F.expr("cast(sum(rev_c) div count(1) as bigint)").alias("mu_c"))
+    g = (
+        d.crossJoin(F.broadcast(g1))
+        .groupBy("mu_c")
+        .agg(
+            F.expr("cast(sum(abs(rev_c - mu_c)) div count(1) as bigint)")
+            .alias("mad_c")
+        )
+    )
+    wday = Window.orderBy("day")
+    p = d.crossJoin(F.broadcast(g)).select(
+        "day", "rev_c", "mad_c",
+        F.sum(
+            F.col("rev_c") - F.col("mu_c") - F.expr("mad_c div 2")
+        ).over(wday).cast("bigint").alias("p_t"),
+        F.sum(
+            F.col("mu_c") - F.expr("mad_c div 2") - F.col("rev_c")
+        ).over(wday).cast("bigint").alias("q_t"),
+    )
+    s = p.select(
+        "day", "rev_c", "mad_c",
+        (F.col("p_t") - F.least(F.lit(0), F.min("p_t").over(wday)))
+        .cast("bigint").alias("s_pos_c"),
+        (F.col("q_t") - F.least(F.lit(0), F.min("q_t").over(wday)))
+        .cast("bigint").alias("s_neg_c"),
+    )
+    return s.select(
+        F.col("day").cast("string").alias("day"),
+        "rev_c", "s_pos_c", "s_neg_c",
+        F.when(
+            (F.col("s_pos_c") > 5 * F.col("mad_c"))
+            | (F.col("s_neg_c") > 5 * F.col("mad_c")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("bigint").alias("alarm"),
+    )

@@ -3862,3 +3862,34 @@ def test_km_survival_matches_pure_python_and_censoring_is_nonvacuous(spark):
     # survival is a decreasing step function
     curve = [v[2] for _, v in sorted(got.items())]
     assert all(a > b for a, b in zip(curve, curve[1:]))
+
+
+def test_cusum_prefix_identity_matches_literal_recurrence(spark):
+    """Independent reference: the query computes CUSUM via Page's
+    prefix identity (running-sum − min(0, running-min)) — both engines
+    share that rewrite, so the oracle hash cannot catch a bug in it.
+    Recompute the literal recurrence S_t = max(0, S_{t-1} + drift) in
+    pure python from the fixture's daily revenue and require equality
+    on every day, plus alarm non-vacuity and the reset property (the
+    statistic returns to exactly 0 after noise, which a plain
+    cumulative sum never does)."""
+    from hubsit_health_analytics_etl_spark import workload as w
+
+    rows = sorted(
+        w.QUERIES["daily_revenue_cusum"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["day"],
+    )
+    xs = [r["rev_c"] for r in rows]
+    mu = sum(xs) // len(xs)
+    mad = sum(abs(x - mu) for x in xs) // len(xs)
+    k = mad // 2
+    s_pos = s_neg = 0
+    for r, x in zip(rows, xs):
+        s_pos = max(0, s_pos + (x - mu - k))
+        s_neg = max(0, s_neg + (mu - k - x))
+        assert (r["s_pos_c"], r["s_neg_c"]) == (s_pos, s_neg), r["day"]
+        assert r["alarm"] == int(s_pos > 5 * mad or s_neg > 5 * mad)
+    assert any(r["alarm"] for r in rows)
+    # reset property: the one-sided statistic hits exactly 0 on some
+    # later day (noise decays), unlike a drifting cumulative sum
+    assert any(r["s_pos_c"] == 0 for r in rows[1:])
