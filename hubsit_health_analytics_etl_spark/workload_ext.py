@@ -12915,3 +12915,96 @@ def q_daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1),
         ).otherwise(F.lit(0)).cast("bigint").alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration — the inequality-metrics statistical family:
+# per-nation Gini coefficient and top-decile share of customer
+# lifetime revenue. Exact integers end to end: the rank-sum Gini
+# identity G = (2·Σi·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over ascending-sorted
+# integer cents needs only one window rank + one aggregate, and the
+# final micro-unit quotient is an INTEGRAL division in widened
+# arithmetic (Spark decimal(38,0) `div` == DuckDB HUGEINT `//`), so
+# the Σi·x term can exceed int64 without losing hash-exactness.
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+    WITH x AS MATERIALIZED (
+      SELECT n.n_name AS nation, c.c_custkey,
+             COALESCE(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)), 0)
+               ::BIGINT AS rev_c
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    r AS (SELECT nation, rev_c,
+                 ROW_NUMBER() OVER (PARTITION BY nation
+                                    ORDER BY rev_c, c_custkey) AS i,
+                 COUNT(*) OVER (PARTITION BY nation) AS n_w
+          FROM x),
+    a AS (SELECT nation, COUNT(*)::BIGINT AS n_cust,
+                 SUM(CAST(rev_c AS HUGEINT)) AS s0,
+                 SUM(CAST(i AS HUGEINT) * rev_c) AS s1,
+                 SUM(CASE WHEN i > n_w - (n_w + 9) // 10
+                          THEN CAST(rev_c AS HUGEINT) ELSE 0 END) AS top_sum
+          FROM r GROUP BY nation)
+    SELECT nation, n_cust, CAST(s0 AS BIGINT) AS total_rev_c,
+           CAST(((2 * s1 - (n_cust + 1) * s0) * 1000000)
+                // (n_cust * s0) AS BIGINT) AS gini_u6,
+           CAST((top_sum * 1000000) // s0 AS BIGINT) AS top_decile_u6
+    FROM a
+    """
+
+
+@query("nation_revenue_gini", _GINI_ORACLE)
+def q_nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue concentration: Gini coefficient (micro-
+    units) and top-decile revenue share of customer lifetime revenue,
+    customers with no orders included at zero (they ARE inequality).
+    Rank-sum identity over ascending (rev, custkey) order — ties
+    permute equal values, so Σi·x is order-invariant and hash-exact.
+    Widened integral arithmetic (decimal(38,0) `div` / HUGEINT `//`)
+    keeps Σi·x exact far past int64. At 100 TB: one customer-level
+    aggregate (the only raw pass), one per-nation window rank over
+    customers (shuffle by nation — salting lever documented for a
+    skewed tenant column), one per-nation fold."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    x = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(
+            F.expr(
+                "cast(coalesce(sum(cast(floor(o_totalprice * 100) as bigint)), 0)"
+                " as bigint)"
+            ).alias("rev_c")
+        )
+    )
+    wn = Window.partitionBy("nation")
+    r = x.select(
+        "nation", "rev_c",
+        F.row_number().over(wn.orderBy("rev_c", "c_custkey")).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n_w"),
+    )
+    a = r.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.expr("sum(cast(rev_c as decimal(38,0)))").alias("s0"),
+        F.expr("sum(cast(i as decimal(38,0)) * rev_c)").alias("s1"),
+        F.expr(
+            "sum(case when i > n_w - (n_w + 9) div 10 "
+            "then cast(rev_c as decimal(38,0)) else cast(0 as decimal(38,0)) end)"
+        ).alias("top_sum"),
+    )
+    return a.select(
+        "nation", "n_cust",
+        F.expr("cast(s0 as bigint)").alias("total_rev_c"),
+        F.expr(
+            "cast((2 * s1 - (n_cust + 1) * s0) * 1000000 div (n_cust * s0) "
+            "as bigint)"
+        ).alias("gini_u6"),
+        F.expr("cast(top_sum * 1000000 div s0 as bigint)").alias("top_decile_u6"),
+    )

@@ -3893,3 +3893,49 @@ def test_cusum_prefix_identity_matches_literal_recurrence(spark):
     # reset property: the one-sided statistic hits exactly 0 on some
     # later day (noise decays), unlike a drifting cumulative sum
     assert any(r["s_pos_c"] == 0 for r in rows[1:])
+
+
+def test_gini_matches_pairwise_definition(spark):
+    """Independent reference: the query computes Gini via the rank-sum
+    identity (2·Σi·x₍ᵢ₎ − (n+1)·Σx)/(n·Σx) — recompute it from the
+    DEFINITION, mean absolute pairwise difference Σᵢⱼ|xᵢ−xⱼ|/(2n·Σx),
+    with exact python big-ints, plus the top-decile share by literal
+    sort-desc-and-take. Bounds: 0 ≤ G < 1 in micro-units, and the
+    top decile must hold at least its proportional share."""
+    import math
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    cust = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in load_table(spark, SF_SMOKE, "customer").collect()
+    }
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, SF_SMOKE, "nation").collect()
+    }
+    rev = {k: 0 for k in cust}
+    for r in load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect():
+        if r["o_custkey"] in rev:
+            rev[r["o_custkey"]] += int(math.floor(r["o_totalprice"] * 100))
+    by_nation = {}
+    for ck, nk in cust.items():
+        by_nation.setdefault(nat[nk], []).append(rev[ck])
+    got = {
+        r["nation"]: (r["n_cust"], r["total_rev_c"], r["gini_u6"],
+                      r["top_decile_u6"])
+        for r in w.QUERIES["nation_revenue_gini"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(by_nation)
+    for nation, xs in by_nation.items():
+        n, s0 = len(xs), sum(xs)
+        pair = sum(abs(a - b) for a in xs for b in xs)  # ordered pairs
+        want_gini = (pair * 1000000) // (2 * n * s0)
+        top = sorted(xs, reverse=True)[: (n + 9) // 10]
+        want_top = (sum(top) * 1000000) // s0
+        assert got[nation] == (n, s0, want_gini, want_top), nation
+        assert 0 <= want_gini < 1000000
+        assert want_top * 10 >= 1000000 - 10  # >= proportional share
