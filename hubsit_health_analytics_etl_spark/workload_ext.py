@@ -13008,3 +13008,236 @@ def q_nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini_u6"),
         F.expr("cast(top_sum * 1000000 div s0 as bigint)").alias("top_decile_u6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix — the SEQUENCE member of the behavioral
+# family (funnels count one fixed path; sessions bound paths in time;
+# this measures ALL observed next-step dynamics): per (from, to)
+# event-type pair, the transition count and probability estimated from
+# each user's time-ordered event stream. Exact integers end to end:
+# the probability is an integral micro-unit division of two counts.
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id,
+                      event_type
+               FROM events),
+    t AS (SELECT event_type AS from_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS to_type
+          FROM e),
+    c AS (SELECT from_type, to_type, COUNT(*)::BIGINT AS n_trans
+          FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n_trans,
+           CAST(n_trans * 1000000
+                // SUM(n_trans) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_u6
+    FROM c
+    """
+
+
+@query("event_markov_transitions", _MARKOV_ORACLE)
+def q_event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: lead() within (user ORDER BY ts, event_id) pairs each
+    event with its successor, one (from, to) aggregate counts them,
+    and p_u6 = n·10⁶ div Σn over the from-row — integral division, so
+    the row is hash-exact cross-engine. Tie-safe: event_id breaks
+    equal timestamps, making the per-user order total. At 100 TB: one
+    shuffle by user for the sequence window (the sessionization
+    partitioning, reusable across both), then everything downstream is
+    |event_types|²-sized."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = t.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trans")
+    )
+    return c.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.expr(
+            "cast(n_trans * 1000000 div "
+            "sum(n_trans) over (partition by from_type) as bigint)"
+        ).alias("p_u6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — the classic BI customer-scoring grid (recency /
+# frequency / monetary quintiles), aggregated to the 125-cell segment
+# table a dashboard consumes. NTILE is engine-identical once the sort
+# is total (metric + custkey tie-break): both Spark and DuckDB give
+# the first (n mod k) buckets the extra row.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+    WITH c AS (
+      SELECT o_custkey, COUNT(*)::BIGINT AS f_orders,
+             SUM(CAST(floor(o_totalprice * 100) AS BIGINT))::BIGINT AS m_c,
+             MAX(CAST(o_orderdate AS DATE)) AS last_d
+      FROM orders GROUP BY 1),
+    g AS (SELECT MAX(last_d) AS gmax FROM c),
+    s AS (SELECT o_custkey, f_orders, m_c,
+                 date_diff('day', last_d, gmax) AS rec_days
+          FROM c, g),
+    t AS (SELECT *,
+                 NTILE(5) OVER (ORDER BY rec_days DESC, o_custkey) AS r_score,
+                 NTILE(5) OVER (ORDER BY f_orders, o_custkey) AS f_score,
+                 NTILE(5) OVER (ORDER BY m_c, o_custkey) AS m_score
+          FROM s)
+    SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment,
+           r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+           m_score::BIGINT AS m_score,
+           COUNT(*)::BIGINT AS n_cust,
+           SUM(m_c)::BIGINT AS monetary_c,
+           SUM(f_orders)::BIGINT AS n_orders,
+           MIN(rec_days)::BIGINT AS min_recency_days,
+           MAX(rec_days)::BIGINT AS max_recency_days
+    FROM t GROUP BY 1, 2, 3, 4
+    """
+
+
+@query("customer_rfm_segments", _RFM_ORACLE)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation: per buying customer, recency (days
+    since last order, anchored at the corpus max date — a broadcast
+    scalar), frequency (order count) and monetary (lifetime cents);
+    NTILE(5) on each with a custkey tie-break so the bucketing is a
+    total order both engines replay identically; grouped to the
+    (r,f,m) segment grid. The three NTILE windows are global sorts
+    over the CUSTOMER-LEVEL aggregate (not the fact table) — at
+    100 TB swap them for approx-quantile boundary broadcasts
+    (winsorized_prices precedent); the orders scan stays the only
+    full pass."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f_orders"),
+        F.expr(
+            "cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint)"
+        ).alias("m_c"),
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+    )
+    g = c.agg(F.max("last_d").alias("gmax"))
+    s = c.crossJoin(F.broadcast(g)).select(
+        "o_custkey", "f_orders", "m_c",
+        F.datediff("gmax", "last_d").cast("bigint").alias("rec_days"),
+    )
+    t = s.select(
+        "*",
+        F.ntile(5).over(
+            Window.orderBy(F.col("rec_days").desc(), "o_custkey")
+        ).cast("bigint").alias("r_score"),
+        F.ntile(5).over(Window.orderBy("f_orders", "o_custkey"))
+        .cast("bigint").alias("f_score"),
+        F.ntile(5).over(Window.orderBy("m_c", "o_custkey"))
+        .cast("bigint").alias("m_score"),
+    )
+    return (
+        t.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.sum("m_c").cast("bigint").alias("monetary_c"),
+            F.sum("f_orders").cast("bigint").alias("n_orders"),
+            F.min("rec_days").cast("bigint").alias("min_recency_days"),
+            F.max("rec_days").cast("bigint").alias("max_recency_days"),
+        )
+        .select(
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("segment"),
+            "r_score", "f_score", "m_score", "n_cust", "monetary_c",
+            "n_orders", "min_recency_days", "max_recency_days",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the forensic member of the data-quality
+# family (quality_profile counts nulls, referential_integrity_audit
+# counts orphans; this tests whether a money column's leading-digit
+# distribution is consistent with organic data). Expected shares are
+# the nine fixed Benford constants floor(10⁶·log₁₀(1+1/d)) — literals
+# in BOTH engines, so every output cell is an exact integer.
+# ---------------------------------------------------------------------------
+
+_BENFORD_EXP_U6 = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {u}" for d, u in _BENFORD_EXP_U6.items())
+    + " END"
+)
+
+_BENFORD_ORACLE = f"""
+    WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders WHERE o_totalprice > 0),
+    d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit
+          FROM v),
+    c AS (SELECT digit, COUNT(*)::BIGINT AS n_orders FROM d GROUP BY 1)
+    SELECT digit, n_orders,
+           CAST(n_orders * 1000000 // SUM(n_orders) OVER ()
+                AS BIGINT) AS obs_u6,
+           CAST({_BENFORD_CASE} AS BIGINT) AS exp_u6,
+           CAST(abs(n_orders * 1000000 // SUM(n_orders) OVER ()
+                    - {_BENFORD_CASE}) AS BIGINT) AS dev_u6
+    FROM c
+    """
+
+
+@query("benford_price_audit", _BENFORD_ORACLE)
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of order totals vs Benford's law:
+    digit = first character of the integer cents, observed share in
+    micro-units (integral division), expected share from the fixed
+    constant table, deviation = |obs − exp|. One scan, one 9-row
+    aggregate, one tiny window — nothing downstream of the scan grows
+    with the data."""
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("cents")
+        )
+    )
+    c = (
+        v.select(
+            F.expr(
+                "cast(substr(cast(cents as string), 1, 1) as bigint)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    return c.select(
+        "digit",
+        "n_orders",
+        F.expr(
+            "cast(n_orders * 1000000 div sum(n_orders) over () as bigint)"
+        ).alias("obs_u6"),
+        F.expr(f"cast({_BENFORD_CASE} as bigint)").alias("exp_u6"),
+        F.expr(
+            "cast(abs(n_orders * 1000000 div sum(n_orders) over () "
+            f"- {_BENFORD_CASE}) as bigint)"
+        ).alias("dev_u6"),
+    )

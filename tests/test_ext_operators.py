@@ -3939,3 +3939,139 @@ def test_gini_matches_pairwise_definition(spark):
         assert got[nation] == (n, s0, want_gini, want_top), nation
         assert 0 <= want_gini < 1000000
         assert want_top * 10 >= 1000000 - 10  # >= proportional share
+
+
+def test_markov_transitions_match_pure_python_reference(spark):
+    """Independent reference: replay each user's (ts, event_id)-sorted
+    stream in python, count successor pairs, and re-derive the
+    micro-unit probabilities with integer floor division. Row
+    distribution law: per from_type the p_u6 sum is within |to|
+    truncation units of 10⁶."""
+    from collections import Counter
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    ev = sorted(
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    want = Counter()
+    for a, b in zip(ev, ev[1:]):
+        if a["user_id"] == b["user_id"]:
+            want[(a["event_type"], b["event_type"])] += 1
+    from_tot = Counter()
+    for (f, _), n in want.items():
+        from_tot[f] += n
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_trans"], r["p_u6"])
+        for r in w.QUERIES["event_markov_transitions"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for k, n in want.items():
+        assert got[k] == (n, n * 1000000 // from_tot[k[0]]), k
+    by_from = Counter()
+    for (f, _), (_, p) in got.items():
+        by_from[f] += p
+    for f, s in by_from.items():
+        n_to = sum(1 for (g, _) in got if g == f)
+        assert 1000000 - n_to < s <= 1000000, f
+
+
+def test_rfm_segments_match_pure_python_reference(spark):
+    """Independent reference: recompute per-customer R/F/M metrics and
+    NTILE(5) bucketing (ceil-first rule with the custkey tie-break) in
+    python, aggregate to segments, compare row-for-row; the segment
+    populations must sum to the buying-customer count."""
+    import math
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    per = {}
+    for r in (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_custkey", "o_totalprice", "o_orderdate")
+        .collect()
+    ):
+        k = r["o_custkey"]
+        d = r["o_orderdate"]
+        d = d.date() if hasattr(d, "date") else d
+        f, m, last = per.get(k, (0, 0, None))
+        per[k] = (
+            f + 1,
+            m + int(math.floor(r["o_totalprice"] * 100)),
+            d if last is None or d > last else last,
+        )
+    gmax = max(v[2] for v in per.values())
+
+    def ntile5(order):  # order: list of custkey in sort order
+        n = len(order)
+        base, extra = divmod(n, 5)
+        out, i = {}, 0
+        for b in range(1, 6):
+            size = base + (1 if b <= extra else 0)
+            for k in order[i : i + size]:
+                out[k] = b
+            i += size
+        return out
+
+    rec = {k: (gmax - v[2]).days for k, v in per.items()}
+    r_s = ntile5(sorted(per, key=lambda k: (-rec[k], k)))
+    f_s = ntile5(sorted(per, key=lambda k: (per[k][0], k)))
+    m_s = ntile5(sorted(per, key=lambda k: (per[k][1], k)))
+    want = {}
+    for k, (f, m, _) in per.items():
+        seg = (r_s[k], f_s[k], m_s[k])
+        n, mc, no, mn, mx = want.get(seg, (0, 0, 0, 10**9, -1))
+        want[seg] = (n + 1, mc + m, no + f, min(mn, rec[k]), max(mx, rec[k]))
+    got = {
+        (r["r_score"], r["f_score"], r["m_score"]): (
+            r["n_cust"], r["monetary_c"], r["n_orders"],
+            r["min_recency_days"], r["max_recency_days"], r["segment"],
+        )
+        for r in w.QUERIES["customer_rfm_segments"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for seg, vals in want.items():
+        assert got[seg][:5] == vals, seg
+        assert got[seg][5] == "".join(str(x) for x in seg)
+    assert sum(v[0] for v in want.values()) == len(per)
+
+
+def test_benford_audit_constants_and_distribution_law(spark):
+    """The expected-share constants are floor(10⁶·log₁₀(1+1/d))
+    (recomputed from math.log10); observed shares come from the true
+    digit counts; counts sum to the positive-price order count; the
+    observed shares sum to 10⁶ within truncation."""
+    import math
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    rows = w.QUERIES["benford_price_audit"](spark, SF_SMOKE).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    for r in rows:
+        assert r["exp_u6"] == int(1e6 * math.log10(1 + 1 / r["digit"]))
+        assert r["dev_u6"] == abs(r["obs_u6"] - r["exp_u6"])
+    prices = [
+        r["o_totalprice"]
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select("o_totalprice")
+        .collect()
+        if r["o_totalprice"] > 0
+    ]
+    total = len(prices)
+    assert sum(r["n_orders"] for r in rows) == total
+    for r in rows:
+        want_n = sum(
+            1
+            for p in prices
+            if str(int(math.floor(p * 100)))[0] == str(r["digit"])
+        )
+        assert r["n_orders"] == want_n, r["digit"]
+        assert r["obs_u6"] == want_n * 1000000 // total
+    s = sum(r["obs_u6"] for r in rows)
+    assert 1000000 - len(rows) < s <= 1000000
