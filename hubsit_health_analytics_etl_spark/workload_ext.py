@@ -13241,3 +13241,249 @@ def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"- {_BENFORD_CASE}) as bigint)"
         ).alias("dev_u6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrency — the INTERVAL member of the sessionization family
+# (session_30m builds the intervals; this asks the capacity question:
+# how many were open AT ONCE?). Classic sweep line: each per-day
+# effective interval emits a +1/−1 point, a per-day ordered running
+# sum traces the concurrency curve, MAX is the answer. Sessions
+# crossing midnight are SPLIT at day boundaries first, so the window
+# partitions by day — per-day parallelism, no global sort, and the
+# carry-over is handled by construction. MAX over the running sum is
+# permutation-safe at tied (ts, delta) points: equal deltas commute,
+# so the set of prefix sums is order-invariant.
+# ---------------------------------------------------------------------------
+
+_PEAK_ORACLE = """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events),
+    m AS (SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s0 AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m),
+    s AS (SELECT user_id, sid, MIN(ts) AS a0, MAX(ts) AS b0
+          FROM s0 GROUP BY 1, 2),
+    d AS (SELECT a0, b0,
+                 UNNEST(generate_series(CAST(a0 AS DATE), CAST(b0 AS DATE),
+                                        INTERVAL 1 DAY))::DATE AS day
+          FROM s),
+    eff AS (SELECT day,
+                   GREATEST(a0, CAST(day AS TIMESTAMP)) AS a,
+                   LEAST(b0, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
+                             - INTERVAL 1 MICROSECOND) AS b
+            FROM d),
+    p AS (SELECT day, a AS ts, 1 AS delta FROM eff
+          UNION ALL
+          SELECT day, b AS ts, -1 AS delta FROM eff),
+    r AS (SELECT day, delta,
+                 SUM(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC
+                                  ROWS UNBOUNDED PRECEDING) AS run
+          FROM p)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           MAX(run)::BIGINT AS peak_concurrent,
+           (COUNT(*) // 2)::BIGINT AS n_active_sessions
+    FROM r GROUP BY 1
+    """
+
+
+@query("peak_concurrent_sessions", _PEAK_ORACLE)
+def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: how many 30-minute sessions were open simultaneously
+    at the busiest instant, and how many touched the day at all.
+    Sessions come from the same F.session_window op session_30m pins;
+    each is split at midnight (explode over its date sequence) so the
+    sweep-line window partitions BY DAY — days order independently in
+    parallel, nothing global. At 100 TB: one user-key shuffle for the
+    sessions, one day-key shuffle for the sweep; points per day =
+    2·sessions, never raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.min("ts").alias("a0"), F.max("ts").alias("b0"))
+        .drop("w", "user_id")
+    )
+    eff = s.select(
+        F.explode(F.sequence(F.to_date("a0"), F.to_date("b0"))).alias("day"),
+        "a0", "b0",
+    ).select(
+        "day",
+        F.greatest(F.col("a0"), F.expr("cast(day as timestamp_ntz)")).alias("a"),
+        F.least(
+            F.col("b0"),
+            F.expr(
+                "cast(day as timestamp_ntz) + interval 1 day"
+                " - interval 1 microsecond"
+            ),
+        ).alias("b"),
+    )
+    p = eff.select("day", F.col("a").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        eff.select("day", F.col("b").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    r = p.select(
+        "day",
+        "delta",
+        F.expr(
+            "sum(delta) over (partition by day order by ts asc, delta desc "
+            "rows unbounded preceding)"
+        ).alias("run"),
+    )
+    return r.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.max("run").cast("bigint").alias("peak_concurrent"),
+        F.expr("cast(count(1) div 2 as bigint)").alias("n_active_sessions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit — the PROFILING-DISCOVERY member of the
+# data-quality family (quality_profile measures columns in isolation,
+# referential_integrity_audit checks cross-table keys; this tests
+# WITHIN-table column determinism, the Metanome/FD-discovery shape):
+# for each declared candidate "lhs -> rhs", how many lhs values map to
+# more than one distinct rhs. A clean FD is a normalization/dedup
+# invariant; a violated one quantifies denormalization noise.
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES = [
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("part", "p_brand", "p_type"),
+    ("documents", "source", "lang"),
+    ("nation", "n_nationkey", "n_name"),
+]
+
+
+def _fd_branch_sql(table: str, lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{table}: {lhs} -> {rhs}' AS check_name,
+           COUNT(*)::BIGINT AS n_groups,
+           CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           MAX(k)::BIGINT AS max_rhs_card,
+           CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS violation_pct_u6
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs})::BIGINT AS k
+          FROM {table} GROUP BY {lhs})
+    """
+
+
+_FD_ORACLE = "\nUNION ALL\n".join(
+    _fd_branch_sql(t, l, r) for t, l, r in _FD_CANDIDATES
+)
+
+
+@query("functional_dependency_audit", _FD_ORACLE)
+def q_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per candidate FD: lhs-group count, number of lhs values
+    with >1 distinct rhs, the widest rhs fan-out, and the violation
+    rate in micro-units (integral division). Each branch is one
+    groupBy(lhs)+countDistinct then a scalar fold — map-side partial
+    aggregation throughout, branches union to a |candidates|-row
+    result. At 100 TB each candidate costs one key shuffle of its own
+    table; candidates over the same table share the scan via Spark's
+    plan-level reuse."""
+    from functools import reduce
+
+    branches = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        g = (
+            load_table(spark, sf_dir, table)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).cast("bigint").alias("k"))
+        )
+        branches.append(
+            g.agg(
+                F.lit(f"{table}: {lhs} -> {rhs}").alias("check_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.expr(
+                    "cast(sum(case when k > 1 then 1 else 0 end) as bigint)"
+                ).alias("n_violations"),
+                F.max("k").cast("bigint").alias("max_rhs_card"),
+                F.expr(
+                    "cast(sum(case when k > 1 then 1 else 0 end) * 1000000 "
+                    "div count(1) as bigint)"
+                ).alias("violation_pct_u6"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), branches)
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity — the COMPOSITION-SUMMARY member of the corpus
+# family (corpus_composition lists the per-(source,lang) cells; this
+# collapses each source to one diversity number): Gini–Simpson index
+# 1 − Σ(c/N)² as the exact integer (N² − Σc²)·10⁶ div N², plus the
+# dominant language and its share. Zero transcendentals — unlike a
+# Shannon entropy, every cell is integer arithmetic, so the row is
+# hash-exact with no float-fold discipline needed.
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_ORACLE = """
+    WITH c AS (SELECT source, lang, COUNT(*)::BIGINT AS n
+               FROM documents GROUP BY 1, 2),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY n DESC, lang) AS rk
+          FROM c),
+    a AS (SELECT source, SUM(n)::BIGINT AS n_docs,
+                 COUNT(*)::BIGINT AS n_langs,
+                 SUM(CAST(n AS HUGEINT) * n) AS sq,
+                 MAX(CASE WHEN rk = 1 THEN lang END) AS top_lang,
+                 MAX(CASE WHEN rk = 1 THEN n ELSE 0 END)::BIGINT AS top_n
+          FROM r GROUP BY source)
+    SELECT source, n_docs, n_langs, top_lang,
+           CAST(top_n * 1000000 // n_docs AS BIGINT) AS top_share_u6,
+           CAST((CAST(n_docs AS HUGEINT) * n_docs - sq) * 1000000
+                // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT)
+             AS simpson_u6
+    FROM a
+    """
+
+
+@query("source_lang_diversity", _DIVERSITY_ORACLE)
+def q_source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language diversity: Gini–Simpson index in exact
+    integer micro-units (widened arithmetic — Spark decimal(38,0)
+    `div` == DuckDB HUGEINT `//` — so Σc² survives far past int64),
+    language count, and the dominant language with its share (ties
+    broken by language name through a row_number window). One corpus
+    scan to the (source, lang) cell table; everything after is
+    cell-table-sized."""
+    from pyspark.sql import Window
+
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    r = c.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.col("n").desc(), "lang")
+        ),
+    )
+    a = r.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.expr("sum(cast(n as decimal(38,0)) * n)").alias("sq"),
+        F.max(F.when(F.col("rk") == 1, F.col("lang"))).alias("top_lang"),
+        F.max(F.when(F.col("rk") == 1, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("top_n"),
+    )
+    return a.select(
+        "source", "n_docs", "n_langs", "top_lang",
+        F.expr("cast(top_n * 1000000 div n_docs as bigint)").alias(
+            "top_share_u6"
+        ),
+        F.expr(
+            "cast((cast(n_docs as decimal(38,0)) * n_docs - sq) * 1000000 "
+            "div (cast(n_docs as decimal(38,0)) * n_docs) as bigint)"
+        ).alias("simpson_u6"),
+    )

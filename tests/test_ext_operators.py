@@ -4075,3 +4075,118 @@ def test_benford_audit_constants_and_distribution_law(spark):
         assert r["obs_u6"] == want_n * 1000000 // total
     s = sum(r["obs_u6"] for r in rows)
     assert 1000000 - len(rows) < s <= 1000000
+
+
+def test_peak_concurrency_matches_pure_python_sweep(spark):
+    """Independent reference: rebuild 30-min-gap sessions in python,
+    split them at midnight, sweep each day's +1/−1 points, compare
+    peak and touch counts per day. Bounds: peak ≤ sessions touching
+    the day, and ≥ 1 wherever a session exists."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    by_user = defaultdict(list)
+    for r in load_table(spark, SF_SMOKE, "events").select("user_id", "ts").collect():
+        by_user[r["user_id"]].append(r["ts"])
+    sessions = []
+    for ts_list in by_user.values():
+        ts_list.sort()
+        start = prev = ts_list[0]
+        for t in ts_list[1:]:
+            if (t - prev) >= timedelta(minutes=30):
+                sessions.append((start, prev))
+                start = t
+            prev = t
+        sessions.append((start, prev))
+    want_peak, want_n = {}, defaultdict(int)
+    points = defaultdict(list)
+    for a0, b0 in sessions:
+        day = a0.date()
+        while day <= b0.date():
+            day_start = type(a0)(day.year, day.month, day.day)
+            day_end = day_start + timedelta(days=1) - timedelta(microseconds=1)
+            points[day].append((max(a0, day_start), 1))
+            points[day].append((min(b0, day_end), -1))
+            want_n[day] += 1
+            day += timedelta(days=1)
+    for day, pts in points.items():
+        run = peak = 0
+        for _, d in sorted(pts, key=lambda p: (p[0], -p[1])):
+            run += d
+            peak = max(peak, run)
+        want_peak[day] = peak
+    got = {
+        r["day"]: (r["peak_concurrent"], r["n_active_sessions"])
+        for r in w.QUERIES["peak_concurrent_sessions"](spark, SF_SMOKE).collect()
+    }
+    assert got == {
+        str(day): (want_peak[day], want_n[day]) for day in points
+    }
+    for day, (peak, n) in got.items():
+        assert 1 <= peak <= n, day
+
+
+def test_fd_audit_pk_clean_and_violations_detected(spark):
+    """Primary-key FDs must report zero violations with fan-out 1;
+    known-denormalized candidates must report violations; every rate
+    is the integral micro-unit division of its own counters; the
+    documents source→lang branch is replicated in pure python."""
+    from collections import defaultdict
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    got = {
+        r["check_name"]: r
+        for r in w.QUERIES["functional_dependency_audit"](spark, SF_SMOKE).collect()
+    }
+    assert len(got) == 9
+    for clean in ("customer: c_custkey -> c_mktsegment", "nation: n_nationkey -> n_name"):
+        assert got[clean]["n_violations"] == 0
+        assert got[clean]["max_rhs_card"] == 1
+        assert got[clean]["violation_pct_u6"] == 0
+    assert got["lineitem: l_orderkey -> l_returnflag"]["n_violations"] > 0
+    for r in got.values():
+        assert r["violation_pct_u6"] == r["n_violations"] * 1000000 // r["n_groups"]
+        assert 0 <= r["n_violations"] <= r["n_groups"]
+    langs = defaultdict(set)
+    for r in load_table(spark, SF_SMOKE, "documents").select("source", "lang").collect():
+        langs[r["source"]].add(r["lang"])
+    doc = got["documents: source -> lang"]
+    assert doc["n_groups"] == len(langs)
+    assert doc["n_violations"] == sum(1 for v in langs.values() if len(v) > 1)
+    assert doc["max_rhs_card"] == max(len(v) for v in langs.values())
+
+
+def test_source_diversity_matches_pure_python_reference(spark):
+    """Independent reference: per-source language histogram in python,
+    Gini–Simpson via exact big-int arithmetic, dominant language with
+    the (count desc, lang asc) tie-break. Bounds: 0 ≤ simpson < 10⁶,
+    and a single-language source scores exactly 0."""
+    from collections import Counter, defaultdict
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    hist = defaultdict(Counter)
+    for r in load_table(spark, SF_SMOKE, "documents").select("source", "lang").collect():
+        hist[r["source"]][r["lang"]] += 1
+    got = {
+        r["source"]: r
+        for r in w.QUERIES["source_lang_diversity"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(hist)
+    for src, cnt in hist.items():
+        n = sum(cnt.values())
+        sq = sum(c * c for c in cnt.values())
+        top_lang, top_n = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        r = got[src]
+        assert r["n_docs"] == n and r["n_langs"] == len(cnt)
+        assert (r["top_lang"], r["top_share_u6"]) == (top_lang, top_n * 1000000 // n)
+        assert r["simpson_u6"] == (n * n - sq) * 1000000 // (n * n)
+        assert 0 <= r["simpson_u6"] < 1000000
+        if len(cnt) == 1:
+            assert r["simpson_u6"] == 0
