@@ -13487,3 +13487,174 @@ def q_source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div (cast(n_docs as decimal(38,0)) * n_docs) as bigint)"
         ).alias("simpson_u6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing — the SMOOTHING member of the time-series family
+# (rolling_7d_revenue averages uniformly, daily_revenue_cusum detects
+# level shifts, monthly_forecast_backtest scores forecasts; this
+# tracks the level itself with exponentially decaying memory). The
+# geometric weights are truncated at K=10 lags and kept RATIONAL
+# (2^(K-1-i)), so the weighted average is one integral division of
+# two exact int64 sums — an infinite-memory float recurrence would
+# never hash cross-engine; a 10-lag tail of halving weights carries
+# 99.9% of its mass.
+# ---------------------------------------------------------------------------
+
+_EWMA_K = 10
+
+
+def _ewma_terms(engine: str) -> "tuple[str, str]":
+    lag = "LAG(rev_c, {i}) OVER (ORDER BY day)" if engine == "duck" else (
+        "lag(rev_c, {i}) over (order by day)"
+    )
+    num, den = [], []
+    for i in range(_EWMA_K):
+        w = 1 << (_EWMA_K - 1 - i)
+        t = lag.format(i=i) if i else "rev_c"
+        num.append(f"CASE WHEN {t} IS NULL THEN 0 ELSE {t} * {w} END")
+        den.append(f"CASE WHEN {t} IS NULL THEN 0 ELSE {w} END")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM_D, _EWMA_DEN_D = _ewma_terms("duck")
+
+_EWMA_ORACLE = f"""
+    WITH d AS MATERIALIZED (
+      SELECT o_orderdate AS day,
+             SUM(CAST(floor(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_c
+      FROM orders GROUP BY 1),
+    s AS (SELECT day, rev_c,
+                 ({_EWMA_NUM_D})::BIGINT AS num,
+                 ({_EWMA_DEN_D})::BIGINT AS den
+          FROM d)
+    SELECT CAST(day AS VARCHAR) AS day, rev_c,
+           (num // den)::BIGINT AS ewma_c,
+           (rev_c - num // den)::BIGINT AS dev_c
+    FROM s
+    """
+
+
+@query("daily_revenue_ewma", _EWMA_ORACLE)
+def q_daily_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue with
+    rational halving weights truncated at 10 lags: num/den fold only
+    the lags that EXIST (series head renormalizes instead of decaying
+    from zero), ewma = num div den integral, dev = actual − smoothed.
+    Same scale posture as CUSUM: the day-aggregate is the only raw
+    pass; the lag window orders ≤ #calendar-days rows."""
+    num, den = _ewma_terms("spark")
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                "cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint)"
+            ).alias("rev_c")
+        )
+    )
+    s = d.select(
+        "day", "rev_c",
+        F.expr(f"cast({num} as bigint)").alias("num"),
+        F.expr(f"cast({den} as bigint)").alias("den"),
+    )
+    return s.select(
+        F.col("day").cast("string").alias("day"),
+        "rev_c",
+        F.expr("cast(num div den as bigint)").alias("ewma_c"),
+        F.expr("cast(rev_c - num div den as bigint)").alias("dev_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend — the TREND member of the time-series family
+# (EWMA tracks level, CUSUM detects shifts; this estimates the slope,
+# outlier-robustly): median of all pairwise slopes over the daily
+# revenue series, next to the OLS slope for contrast. Day gaps use
+# real calendar distance. Both medians of integer slopes interpolate
+# at most one exact half, so 2·median is an exact int64 in both
+# engines; the OLS slope is one integral division in widened
+# arithmetic. Pair count is (#days choose 2) — calendar-bounded, so
+# the quadratic blowup NEVER grows with row count, only with the
+# series length.
+# ---------------------------------------------------------------------------
+
+_THEILSEN_ORACLE = """
+    WITH d AS MATERIALIZED (
+      SELECT o_orderdate AS day,
+             SUM(CAST(floor(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_c
+      FROM orders GROUP BY 1),
+    x AS (SELECT rev_c,
+                 date_diff('day', (SELECT MIN(day) FROM d), day)::BIGINT AS x
+          FROM d),
+    p AS (SELECT (b.rev_c - a.rev_c) * 1000000 // (b.x - a.x) AS slope_u6
+          FROM x a JOIN x b ON a.x < b.x),
+    ols AS (SELECT COUNT(*)::HUGEINT AS n,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(rev_c AS HUGEINT)) AS sy,
+                   SUM(CAST(x AS HUGEINT) * rev_c) AS sxy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx
+            FROM x)
+    SELECT (SELECT COUNT(*) FROM d)::BIGINT AS n_days,
+           (SELECT COUNT(*) FROM p)::BIGINT AS n_pairs,
+           (SELECT CAST(quantile_cont(slope_u6, 0.5) * 2 AS BIGINT) FROM p)
+             AS sen_slope2_u6,
+           (SELECT CAST((n * sxy - sx * sy) * 1000000
+                        // (n * sxx - sx * sx) AS BIGINT) FROM ols)
+             AS ols_slope_u6
+    """
+
+
+@query("daily_revenue_theilsen", _THEILSEN_ORACLE)
+def q_daily_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen median slope (micro-units/day, reported doubled so
+    the half-interpolating median stays integral) and the OLS slope
+    over daily revenue vs calendar distance from the first day. The
+    all-pairs self-join runs distributed but is bounded by the
+    calendar (≤ ~10⁷ pairs for 10 years of days regardless of data
+    volume); exact-percentile median buffers slopes per-group — the
+    approx_percentile swap is the documented 100 TB lever if the
+    series were ever unbounded."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                "cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint)"
+            ).alias("rev_c")
+        )
+    )
+    m = d.agg(F.min("day").alias("d0"))
+    x = d.crossJoin(F.broadcast(m)).select(
+        "rev_c", F.datediff("day", "d0").cast("bigint").alias("x")
+    )
+    a = x.select(F.col("rev_c").alias("ra"), F.col("x").alias("xa"))
+    b = x.select(F.col("rev_c").alias("rb"), F.col("x").alias("xb"))
+    p = a.join(b, F.col("xa") < F.col("xb")).select(
+        F.expr("(rb - ra) * 1000000 div (xb - xa)").alias("slope_u6")
+    )
+    ols = x.agg(
+        F.expr("cast(count(1) as decimal(38,0))").alias("n"),
+        F.expr("sum(cast(x as decimal(38,0)))").alias("sx"),
+        F.expr("sum(cast(rev_c as decimal(38,0)))").alias("sy"),
+        F.expr("sum(cast(x as decimal(38,0)) * rev_c)").alias("sxy"),
+        F.expr("sum(cast(x as decimal(38,0)) * x)").alias("sxx"),
+    )
+    stats = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("cast(percentile(slope_u6, 0.5) * 2 as bigint)").alias(
+            "sen_slope2_u6"
+        ),
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return (
+        nd.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(ols))
+        .select(
+            "n_days", "n_pairs", "sen_slope2_u6",
+            F.expr(
+                "cast((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) "
+                "as bigint)"
+            ).alias("ols_slope_u6"),
+        )
+    )

@@ -4190,3 +4190,90 @@ def test_source_diversity_matches_pure_python_reference(spark):
         assert 0 <= r["simpson_u6"] < 1000000
         if len(cnt) == 1:
             assert r["simpson_u6"] == 0
+
+
+def test_ewma_matches_pure_python_reference(spark):
+    """Independent reference: renormalizing 10-lag halving-weight
+    average replayed in python over the day-sorted series. Smoothing
+    law: the EWMA's deviation from a constant series is 0, and on the
+    real series |dev| of the smoothed curve never exceeds the raw
+    day-to-day swing's max."""
+    from hubsit_health_analytics_etl_spark import workload as w
+
+    rows = sorted(
+        w.QUERIES["daily_revenue_ewma"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["day"],
+    )
+    xs = [r["rev_c"] for r in rows]
+    K = 10
+    for t, r in enumerate(rows):
+        num = den = 0
+        for i in range(min(K, t + 1)):
+            wgt = 1 << (K - 1 - i)
+            num += xs[t - i] * wgt
+            den += wgt
+        q = num // den if num >= 0 else -((-num) // den)
+        assert r["ewma_c"] == q, r["day"]
+        assert r["dev_c"] == r["rev_c"] - q
+    assert rows[0]["ewma_c"] == rows[0]["rev_c"] and rows[0]["dev_c"] == 0
+    max_swing = max(abs(a - b) for a, b in zip(xs, xs[1:]))
+    assert all(abs(r["dev_c"]) <= max_swing for r in rows)
+
+
+def test_theilsen_matches_pure_python_reference(spark):
+    """Independent reference: all-pairs truncating-division slopes +
+    exact interpolated median and big-int OLS, recomputed in python.
+    Robustness pin: the Sen slope is invariant to corrupting ONE
+    point's revenue (python side), unlike OLS."""
+    import statistics
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    import pyspark.sql.functions as FF
+
+    d = sorted(
+        (r["day"], r["rev_c"])
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .groupBy(FF.col("o_orderdate").alias("day"))
+        .agg(
+            FF.expr(
+                "cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint)"
+            ).alias("rev_c")
+        )
+        .collect()
+    )
+    d0 = d[0][0]
+    pts = [((day - d0).days, rev) for day, rev in d]
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def sen2(points):
+        slopes = [
+            trunc_div((rb - ra) * 1000000, (xb - xa))
+            for i, (xa, ra) in enumerate(points)
+            for (xb, rb) in points[i + 1 :]
+            if xb != xa
+        ]
+        return int(statistics.median(slopes) * 2), len(slopes)
+
+    want_sen2, n_pairs = sen2(pts)
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    want_ols = trunc_div((n * sxy - sx * sy) * 1000000, (n * sxx - sx * sx))
+    [row] = w.QUERIES["daily_revenue_theilsen"](spark, SF_SMOKE).collect()
+    assert (row["n_days"], row["n_pairs"]) == (n, n_pairs)
+    assert row["sen_slope2_u6"] == want_sen2
+    assert row["ols_slope_u6"] == want_ols
+    # robustness: blow up one point 100x — Sen moves a little (median
+    # of pair slopes, ≤ n-1 of which touch the outlier), OLS moves a lot
+    corrupt = [(x, y * 100 if i == n // 2 else y) for i, (x, y) in enumerate(pts)]
+    c_sen2, _ = sen2(corrupt)
+    c_sxy = sum(x * y for x, y in corrupt)
+    c_sy = sum(y for _, y in corrupt)
+    c_ols = trunc_div((n * c_sxy - sx * c_sy) * 1000000, (n * sxx - sx * sx))
+    assert abs(c_ols - want_ols) > 10 * abs(c_sen2 - want_sen2)
