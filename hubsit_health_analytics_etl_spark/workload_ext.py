@@ -13132,6 +13132,10 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m_c"),
         F.max(F.to_date("o_orderdate")).alias("last_d"),
     )
+    # the customer aggregate feeds both the anchor-date scalar and the
+    # scoring pass: materialize it once (|customers|-sized) so the
+    # orders scan under it runs once
+    c = c.localCheckpoint(eager=False)
     g = c.agg(F.max("last_d").alias("gmax"))
     s = c.crossJoin(F.broadcast(g)).select(
         "o_custkey", "f_orders", "m_c",
@@ -13320,9 +13324,18 @@ def q_peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("b"),
     )
-    p = eff.select("day", F.col("a").alias("ts"), F.lit(1).alias("delta")).unionAll(
-        eff.select("day", F.col("b").alias("ts"), F.lit(-1).alias("delta"))
-    )
+    # both sweep points of an interval emit from ONE row (explode of a
+    # 2-struct array), so the session build — and the events scan under
+    # it — runs once, not once per union branch
+    p = eff.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("ts"), F.lit(1).alias("delta")),
+                F.struct(F.col("b").alias("ts"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e"),
+    ).select("day", "e.ts", "e.delta")
     r = p.select(
         "day",
         "delta",
@@ -13623,6 +13636,10 @@ def q_daily_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint)"
             ).alias("rev_c")
         )
+        # the day series feeds five consumers (anchor, both pair
+        # sides, OLS, n_days): materialize the ≤ #calendar-days rows
+        # once so the orders scan under it runs once
+        .localCheckpoint(eager=False)
     )
     m = d.agg(F.min("day").alias("d0"))
     x = d.crossJoin(F.broadcast(m)).select(

@@ -1606,3 +1606,106 @@ def test_dsir_new_batch_scores_from_frozen_index_batch_only(spark):
     assert "NOT ((cast(conv(substr(md5" not in p, "corpus re-exploded"
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_markov_window_partitioned_by_user_single_scan(spark):
+    """event_markov_transitions: the sequence window is PARTITIONED by
+    user (never a global sort over raw events), one events scan,
+    JVM-only, no cartesian."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("event_markov_transitions")(spark, SF_SMOKE))
+    assert "windowspecdefinition(user_id#" in p
+    assert p.count("events.parquet") == 1
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_rfm_scores_over_materialized_customer_aggregate(spark):
+    """customer_rfm_segments: the orders scan is materialized into the
+    customer aggregate once (no second raw pass for the anchor-date
+    scalar); the scalar joins broadcast; JVM-only."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("customer_rfm_segments")(spark, SF_SMOKE))
+    assert p.count("orders.parquet") <= 1
+    assert "BroadcastExchange" in p
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_benford_prunes_to_single_price_column(spark):
+    """benford_price_audit: one orders scan reading ONLY o_totalprice,
+    with the positivity filter pushed to the scan."""
+    from hubsit_health_analytics_etl_spark.plans.explain import assert_plan, physical_plan
+
+    df = _q("benford_price_audit")(spark, SF_SMOKE)
+    assert_plan(
+        df,
+        pushed_filter_substr="o_totalprice",
+        read_schema_excludes=["o_custkey", "o_orderdate", "o_orderstatus"],
+    )
+    assert physical_plan(df).count("orders.parquet") == 1
+
+
+def test_peak_concurrency_day_partitioned_sweep_single_scan(spark):
+    """peak_concurrent_sessions: both sweep points emit from one row
+    (single events scan — no union re-scan), and the running-sum
+    window partitions BY DAY, never a global order over all points."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("peak_concurrent_sessions")(spark, SF_SMOKE))
+    assert p.count("events.parquet") == 1
+    assert "windowspecdefinition(day#" in p
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_fd_audit_no_cartesian_pruned_scans(spark):
+    """functional_dependency_audit: every branch is groupBy+fold —
+    no joins at all in the plan; the orders branches read only their
+    two columns (no o_totalprice)."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("functional_dependency_audit")(spark, SF_SMOKE))
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    orders_reads = [
+        seg.splitlines()[0]
+        for seg in p.split("ReadSchema: ")[1:]
+        if "o_custkey" in seg.splitlines()[0]
+    ]
+    assert orders_reads and all("o_totalprice" not in s for s in orders_reads)
+
+
+def test_diversity_single_doc_scan_excludes_text(spark):
+    """source_lang_diversity: one documents scan that must NOT read
+    the text column (composition needs only source+lang); the top-lang
+    window partitions by source."""
+    from hubsit_health_analytics_etl_spark.plans.explain import assert_plan, physical_plan
+
+    df = _q("source_lang_diversity")(spark, SF_SMOKE)
+    assert_plan(df, read_schema_excludes=["text", "n_chars"])
+    p = physical_plan(df)
+    assert p.count("documents.parquet") == 1
+    assert "windowspecdefinition(source#" in p
+
+
+def test_ewma_single_scan_two_columns(spark):
+    """daily_revenue_ewma: one orders scan reading only (date, price);
+    the lag window orders the bounded day series."""
+    from hubsit_health_analytics_etl_spark.plans.explain import assert_plan, physical_plan
+
+    df = _q("daily_revenue_ewma")(spark, SF_SMOKE)
+    assert_plan(df, read_schema_excludes=["o_custkey", "o_orderstatus"])
+    assert physical_plan(df).count("orders.parquet") == 1
+
+
+def test_theilsen_materializes_day_series_once(spark):
+    """daily_revenue_theilsen: the day series is materialized once —
+    at most one orders scan survives in the plan even though five
+    consumers derive from it; the pair join is the sanctioned
+    day²-bounded nested-loop, never an unconditioned cartesian."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("daily_revenue_theilsen")(spark, SF_SMOKE))
+    assert p.count("orders.parquet") <= 1
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
