@@ -926,3 +926,62 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
+
+
+def bellman_ford_costs(
+    edges: DataFrame, seeds: DataFrame, max_rounds: int = 3
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest distance over a directed edge
+    list ``(src, dst, w)`` with non-negative integer weights:
+    cost(v) = min total weight of any path from a seed using at most
+    ``max_rounds`` edges. The weighted sibling of :func:`bfs_hops`
+    (hop count answers "how far?"; this answers "how costly?" when
+    edges carry a real distance — routing cost, affinity distance,
+    lead time).
+
+    Delta-relaxation Bellman-Ford (the distributed standard): round i
+    relaxes only edges out of nodes whose cost IMPROVED in round i−1
+    (the frontier), merges candidate costs with a min-groupBy, and
+    folds them into the running cost table. A node relaxed its
+    out-edges in the round after it last improved, so the delta
+    iterate equals the full Bellman-Ford iterate round for round —
+    work per round ∝ the improved set's edge cut, not the graph.
+    Exact integer costs; per-round localCheckpoint keeps lineage flat
+    (the connected_components posture; swap for reliable
+    ``checkpoint()`` on a cluster — SCALING.md "Iterative jobs").
+
+    No pandas analogue in the reference (898-line ETL,
+    /root/reference/src/etl_pipeline.py) — beyond-reference graph
+    surface."""
+    e = edges.select("src", "dst", "w").localCheckpoint(eager=True)
+    cost = (
+        seeds.select("node")
+        .distinct()
+        .select("node", F.lit(0).cast("bigint").alias("cost"))
+        .localCheckpoint(eager=True)
+    )
+    delta = cost
+    for _ in range(max_rounds):
+        cand = (
+            e.join(delta, e["src"] == delta["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("w")).cast("bigint").alias("cand"),
+            )
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            cand.join(cost, "node", "left")
+            .filter(F.col("cost").isNull() | (F.col("cand") < F.col("cost")))
+            .select("node", F.col("cand").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        cost = (
+            cost.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        delta = improved
+    return cost

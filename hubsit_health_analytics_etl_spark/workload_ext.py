@@ -13675,3 +13675,159 @@ def q_daily_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ols_slope_u6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) — the MULTI-OBJECTIVE member of the
+# ranking family (top_customers ranks one measure, price_banding
+# buckets one; this keeps the rows no other row beats on BOTH axes):
+# per brand, the parts where no cheaper-or-equal part has more size.
+# Two windows replace the textbook quadratic NOT EXISTS self-join:
+# the strictly-cheaper running max (a range frame ending 1 PRECEDING,
+# identical semantics both engines) and the same-price group max —
+# a part survives iff it beats the first and ties the second.
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+    WITH p AS (SELECT p_brand, p_partkey, p_size,
+                      CAST(floor(p_retailprice * 100) AS BIGINT) AS price_c
+               FROM part),
+    w AS (SELECT *,
+                 MAX(p_size) OVER (PARTITION BY p_brand ORDER BY price_c
+                                   RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS cheaper_max,
+                 MAX(p_size) OVER (PARTITION BY p_brand, price_c)
+                   AS sameprice_max
+          FROM p)
+    SELECT p_brand, p_partkey, price_c, p_size::BIGINT AS p_size
+    FROM w
+    WHERE (cheaper_max IS NULL OR cheaper_max < p_size)
+      AND p_size = sameprice_max
+    """
+
+
+@query("brand_price_size_skyline", _SKYLINE_ORACLE)
+def q_brand_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand skyline minimizing price and maximizing size: a part
+    is dominated iff a strictly cheaper part is at least as large, or
+    an equal-priced part is strictly larger (equal price AND size ties
+    both survive — neither dominates). Both windows PARTITION BY
+    brand, so brands order independently in parallel — the classic
+    quadratic skyline self-join never appears, and the sort is the
+    only shuffle. At 100 TB the same two-window plan runs per
+    partition key; an unpartitioned skyline first reduces per
+    partition (local frontier), then merges frontiers — documented in
+    SCALING.md."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_size",
+        F.expr("cast(floor(p_retailprice * 100) as bigint)").alias("price_c"),
+    )
+    w = p.select(
+        "*",
+        F.expr(
+            "max(p_size) over (partition by p_brand order by price_c "
+            "range between unbounded preceding and 1 preceding)"
+        ).alias("cheaper_max"),
+        F.expr(
+            "max(p_size) over (partition by p_brand, price_c)"
+        ).alias("sameprice_max"),
+    )
+    return w.filter(
+        (F.col("cheaper_max").isNull() | (F.col("cheaper_max") < F.col("p_size")))
+        & (F.col("p_size") == F.col("sameprice_max"))
+    ).select(
+        "p_brand", "p_partkey", "price_c",
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest distance — the WEIGHTED member of the graph
+# family (part_hops_bfs counts hops; this sums a real edge cost):
+# multi-source Bellman-Ford over the support-pruned co-purchase
+# graph, edge weight = 10⁶ div support (strong affinity = short
+# edge), seeds = the PPR/BFS seed rule verbatim so the three
+# reachability queries compose. Exact integer costs; the oracle
+# unrolls the rounds as full-relaxation CTEs (the delta iterate
+# equals the full iterate round for round).
+# ---------------------------------------------------------------------------
+BF_MAX_ROUNDS = 3
+
+
+def _bellman_oracle() -> str:
+    rounds = []
+    for i in range(1, BF_MAX_ROUNDS + 1):
+        rounds.append(
+            f"""r{i} AS MATERIALIZED (
+              SELECT e.dst AS node, MIN(v{i - 1}.cost + e.w) AS cand
+              FROM e JOIN v{i - 1} ON e.src = v{i - 1}.node GROUP BY 1),
+            v{i} AS MATERIALIZED (
+              SELECT node, MIN(cost)::BIGINT AS cost FROM (
+                SELECT node, cost FROM v{i - 1}
+                UNION ALL SELECT node, cand AS cost FROM r{i})
+              GROUP BY node)"""
+        )
+    return f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    und AS MATERIALIZED (
+      SELECT u, v, (1000000 // c)::BIGINT AS w FROM (
+        SELECT a.pk AS u, b.pk AS v, COUNT(*)::BIGINT AS c
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2)
+      WHERE c >= {TRI_MIN_SUPPORT}),
+    e AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM und
+                       UNION ALL SELECT v AS src, u AS dst, w FROM und),
+    innodes AS (SELECT DISTINCT src AS node FROM e),
+    seeds AS MATERIALIZED (
+      SELECT pk AS node FROM (
+        SELECT op.pk, COUNT(*) AS c FROM op JOIN innodes ON innodes.node = op.pk
+        GROUP BY op.pk ORDER BY c DESC, op.pk LIMIT {PPR_SEEDS})),
+    v0 AS (SELECT node, 0 AS cost FROM seeds),
+    {", ".join(rounds)}
+    SELECT node AS part_key, cost FROM v{BF_MAX_ROUNDS}
+    """
+
+
+@query("part_weighted_distance", _bellman_oracle())
+def q_part_weighted_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min affinity-weighted distance (≤ {BF_MAX_ROUNDS} edges) from
+    the {PPR_SEEDS} highest-support parts — delta-relaxation
+    Bellman-Ford (operators/clusters.py::bellman_ford_costs): round i
+    relaxes only nodes improved in round i−1 against the
+    once-materialized weighted edge frame; work per round ∝ the
+    improved set's edge cut. Same graph, pruning and seeds as
+    copurchase_triangles / related_parts_ppr / part_hops_bfs, so the
+    family composes into one reachability report."""
+    from .operators.clusters import bellman_ford_costs
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    b = op.select(F.col("ok"), F.col("pk").alias("pb"))
+    und = (
+        op.join(b, (op["ok"] == b["ok"]) & (op["pk"] < b["pb"]))
+        .groupBy(F.col("pk").alias("u"), F.col("pb").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .filter(F.col("_c") >= TRI_MIN_SUPPORT)
+        .select("u", "v", F.expr("cast(1000000 div _c as bigint)").alias("w"))
+    )
+    edges = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    innodes = edges.select(F.col("src").alias("pk")).distinct()
+    seeds = (
+        op.join(innodes, "pk")
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("pk"))
+        .limit(PPR_SEEDS)
+        .select(F.col("pk").alias("node"))
+    )
+    return bellman_ford_costs(edges, seeds, max_rounds=BF_MAX_ROUNDS).select(
+        F.col("node").alias("part_key"), "cost"
+    )

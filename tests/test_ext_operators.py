@@ -4277,3 +4277,104 @@ def test_theilsen_matches_pure_python_reference(spark):
     c_sy = sum(y for _, y in corrupt)
     c_ols = trunc_div((n * c_sxy - sx * c_sy) * 1000000, (n * sxx - sx * sx))
     assert abs(c_ols - want_ols) > 10 * abs(c_sen2 - want_sen2)
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    """Independent reference: brute-force O(n²) dominance test per
+    brand — keep a part iff NO other part is cheaper-or-equal AND
+    larger-or-equal with at least one strict. Equal (price, size)
+    twins must BOTH survive."""
+    import math
+    from collections import defaultdict
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    brands = defaultdict(list)
+    for r in load_table(spark, SF_SMOKE, "part").collect():
+        brands[r["p_brand"]].append(
+            (r["p_partkey"], int(math.floor(r["p_retailprice"] * 100)), r["p_size"])
+        )
+    want = set()
+    for brand, parts in brands.items():
+        for pk, pc, sz in parts:
+            dominated = any(
+                (pc2 <= pc and sz2 >= sz and (pc2 < pc or sz2 > sz))
+                for pk2, pc2, sz2 in parts
+                if pk2 != pk
+            )
+            if not dominated:
+                want.add((brand, pk, pc, sz))
+    got = {
+        (r["p_brand"], r["p_partkey"], r["price_c"], r["p_size"])
+        for r in w.QUERIES["brand_price_size_skyline"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # every brand has at least its cheapest-then-largest part
+    assert {b for b, *_ in got} == set(brands)
+
+
+def test_bellman_ford_matches_pure_python_reference(spark):
+    """Independent reference: bounded-hop DP (full relaxation per
+    round) over the collected weighted co-purchase graph with the
+    same seeds. Laws: seeds cost 0; every cost is reachable within
+    the round budget; weighted cost ≥ (hop distance)·min edge weight."""
+    from collections import Counter, defaultdict
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.workload_ext import (
+        BF_MAX_ROUNDS,
+        PPR_SEEDS,
+        TRI_MIN_SUPPORT,
+    )
+
+    op = {
+        (r["l_orderkey"], r["l_partkey"])
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    }
+    by_order = defaultdict(list)
+    for ok, pk in op:
+        by_order[ok].append(pk)
+    support = Counter()
+    for parts in by_order.values():
+        parts = sorted(set(parts))
+        for i, u in enumerate(parts):
+            for v in parts[i + 1 :]:
+                support[(u, v)] += 1
+    adj = defaultdict(list)
+    for (u, v), c in support.items():
+        if c >= TRI_MIN_SUPPORT:
+            w_ = 1000000 // c
+            adj[u].append((v, w_))
+            adj[v].append((u, w_))
+    deg = Counter()
+    for ok, pk in op:
+        if pk in adj:
+            deg[pk] += 1
+    seeds = [pk for pk in sorted(adj, key=lambda p: (-deg[p], p))[:PPR_SEEDS]]
+    cost = {s: 0 for s in seeds}
+    for _ in range(BF_MAX_ROUNDS):
+        nxt = dict(cost)
+        for u, cu in cost.items():
+            for v, w_ in adj[u]:
+                if v not in nxt or cu + w_ < nxt[v]:
+                    nxt[v] = cu + w_
+        cost = nxt
+    got = {
+        r["part_key"]: r["cost"]
+        for r in w.QUERIES["part_weighted_distance"](spark, SF_SMOKE).collect()
+    }
+    assert got == cost
+    for s in seeds:
+        assert got[s] == 0
+    min_w = min(w_ for nbrs in adj.values() for _, w_ in nbrs)
+    hops = {
+        r["part_key"]: r["dist"]
+        for r in w.QUERIES["part_hops_bfs"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(hops)  # same graph, same round budget
+    for node, c in got.items():
+        assert c >= hops[node] * min_w

@@ -1709,3 +1709,29 @@ def test_theilsen_materializes_day_series_once(spark):
     assert p.count("orders.parquet") <= 1
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_skyline_two_windows_no_self_join(spark):
+    """brand_price_size_skyline: the textbook quadratic NOT EXISTS
+    self-join must NOT appear — one part scan, two brand-partitioned
+    windows, no join of any kind, JVM-only."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("brand_price_size_skyline")(spark, SF_SMOKE))
+    assert p.count("part.parquet") == 1
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "windowspecdefinition(p_brand#" in p
+    assert "EvalPython" not in p
+
+
+def test_bellman_ford_rounds_relax_from_checkpoints_only(spark):
+    """part_weighted_distance: the returned plan's lineage is flat —
+    per-round localCheckpoints replaced the raw scans, so the final
+    merge never re-derives the graph (zero lineitem scans survive),
+    equi-joins only."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("part_weighted_distance")(spark, SF_SMOKE))
+    assert p.count("lineitem.parquet") == 0
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
