@@ -13019,6 +13019,29 @@ def q_nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the probability is an integral micro-unit division of two counts.
 # ---------------------------------------------------------------------------
 
+def _markov_oracle(events_filter: str = "") -> str:
+    """The transition-matrix oracle, parameterized by an events
+    predicate so the incremental/forget twins share the exact
+    definition (their hash match then proves maintained == recomputed
+    from the filtered stream)."""
+    return f"""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id,
+                      event_type
+               FROM events{events_filter}),
+    t AS (SELECT event_type AS from_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS to_type
+          FROM e),
+    c AS (SELECT from_type, to_type, COUNT(*)::BIGINT AS n_trans
+          FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n_trans,
+           CAST(n_trans * 1000000
+                // SUM(n_trans) OVER (PARTITION BY from_type)
+                AS BIGINT) AS p_u6
+    FROM c
+    """
+
+
 _MARKOV_ORACLE = """
     WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id,
                       event_type
@@ -13831,3 +13854,125 @@ def q_part_weighted_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bellman_ford_costs(edges, seeds, max_rounds=BF_MAX_ROUNDS).select(
         F.col("node").alias("part_key"), "cost"
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov index lifecycle — a DIFFERENT maintenance law than the
+# additive families (CMS/BM25/moments just sum): transition counts
+# depend on ADJACENCY, so an event inserted mid-stream rewires its
+# neighbors' edges. The honest incremental contract is the
+# affected-key rebuild (the span-scrub ownership-transfer precedent):
+# subtract the AFFECTED USERS' old contribution, add their new one —
+# cost ∝ the affected users' events (a pruned read under a
+# user-partitioned layout), never the corpus. Insert and forget are
+# the SAME law with different slices.
+# ---------------------------------------------------------------------------
+
+
+def _markov_counts(ev: DataFrame) -> DataFrame:
+    """(from_type, to_type, n) transition counts of one event frame —
+    the maintained index's row shape."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def _markov_maintain(
+    idx: DataFrame, old: DataFrame, new: DataFrame
+) -> DataFrame:
+    """index − old + new via one sum-groupBy; zero-count edges drop so
+    the maintained table is row-identical to a rebuild."""
+    merged = (
+        idx.select("from_type", "to_type", "n")
+        .unionByName(old.select("from_type", "to_type", (-F.col("n")).alias("n")))
+        .unionByName(new.select("from_type", "to_type", "n"))
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").cast("bigint").alias("n_trans"))
+        .filter(F.col("n_trans") > 0)
+    )
+    return merged.select(
+        "from_type", "to_type", "n_trans",
+        F.expr(
+            "cast(n_trans * 1000000 div "
+            "sum(n_trans) over (partition by from_type) as bigint)"
+        ).alias("p_u6"),
+    )
+
+
+@query("markov_new_batch", _markov_oracle())
+def q_markov_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest maintenance for the transition index: the corpus slice's
+    counts persist as parquet; the stable {NEW_BATCH_PCT}% batch —
+    which interleaves IN TIME with history, the hard case — names its
+    affected users, whose old-corpus contribution is subtracted and
+    whose merged-stream contribution re-counted. Oracle recomputes
+    the matrix over ALL events from scratch: the hash match proves
+    affected-key maintenance == full recompute."""
+    import os
+
+    from .operators.sampling import hash_bucket
+    from .sources.sinks import write_parquet
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    is_new = hash_bucket("event_id") < NEW_BATCH_PCT
+    corpus, batch = events.filter(~is_new), events.filter(is_new)
+
+    base = _run_scoped_index_dir("markov")
+    idx_path = os.path.join(base, "markov_idx")
+    write_parquet(_markov_counts(corpus), idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    affected = batch.select("user_id").distinct()
+    old = _markov_counts(corpus.join(affected, "user_id", "left_semi"))
+    new = _markov_counts(
+        corpus.unionByName(batch).join(affected, "user_id", "left_semi")
+    )
+    return _markov_maintain(idx, old, new)
+
+
+@query(
+    "markov_forget",
+    _markov_oracle(
+        f" WHERE {sql_hash_bucket('event_id', salt='forget')} >= {FORGET_PCT}"
+    ),
+)
+def q_markov_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion for the transition index — the adjacency twist: a
+    deleted mid-stream event doesn't just remove its own edges, it
+    SPLICES its neighbors together, so per-edge subtraction would be
+    wrong. Same affected-key law as ingest: subtract the deleted
+    events' users' full old contribution, re-count them over the KEPT
+    stream. Oracle recomputes from kept events from scratch — the
+    hash match proves maintained == rebuilt, row-identically."""
+    import os
+
+    from .operators.sampling import hash_bucket
+    from .sources.sinks import write_parquet
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    is_del = hash_bucket("event_id", salt="forget") < FORGET_PCT
+
+    base = _run_scoped_index_dir("markov_forget")
+    idx_path = os.path.join(base, "markov_idx")
+    write_parquet(_markov_counts(events), idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    affected = events.filter(is_del).select("user_id").distinct()
+    old = _markov_counts(events.join(affected, "user_id", "left_semi"))
+    new = _markov_counts(
+        events.filter(~is_del).join(affected, "user_id", "left_semi")
+    )
+    return _markov_maintain(idx, old, new)

@@ -4378,3 +4378,43 @@ def test_bellman_ford_matches_pure_python_reference(spark):
     assert set(got) == set(hops)  # same graph, same round budget
     for node, c in got.items():
         assert c >= hops[node] * min_w
+
+
+def test_markov_maintenance_splices_neighbors_on_delete(spark):
+    """The adjacency twist on crafted data: user stream A→B→C with B
+    deleted must yield the SPLICED edge A→C — per-edge subtraction
+    (remove A→B and B→C, add nothing) would leave an empty matrix and
+    is provably the wrong law. Also: an untouched user's edges must
+    survive maintenance bit-identically."""
+    import datetime as dt
+
+    from hubsit_health_analytics_etl_spark.workload_ext import (
+        _markov_counts,
+        _markov_maintain,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, "A"),
+        (1, t0 + dt.timedelta(minutes=1), 11, "B"),
+        (1, t0 + dt.timedelta(minutes=2), 12, "C"),
+        (2, t0, 20, "X"),
+        (2, t0 + dt.timedelta(minutes=1), 21, "Y"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string"
+    )
+    idx = _markov_counts(ev)
+    deleted = ev.filter(F.col("event_id") == 11)
+    kept = ev.filter(F.col("event_id") != 11)
+    affected = deleted.select("user_id").distinct()
+    old = _markov_counts(ev.join(affected, "user_id", "left_semi"))
+    new = _markov_counts(kept.join(affected, "user_id", "left_semi"))
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_trans"], r["p_u6"])
+        for r in _markov_maintain(idx, old, new).collect()
+    }
+    assert got == {("A", "C"): (1, 1000000), ("X", "Y"): (1, 1000000)}
+    # the wrong law for contrast: per-edge subtraction misses A→C
+    wrong = _markov_maintain(idx, _markov_counts(ev.join(affected, "user_id", "left_semi")), _markov_counts(spark.createDataFrame([], ev.schema)))
+    assert {(r["from_type"], r["to_type"]) for r in wrong.collect()} == {("X", "Y")}
