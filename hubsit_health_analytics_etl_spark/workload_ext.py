@@ -13976,3 +13976,98 @@ def q_markov_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(~is_del).join(affected, "user_id", "left_semi")
     )
     return _markov_maintain(idx, old, new)
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit — the STATISTICAL-LAW member of the corpus-analysis family
+# (corpus_vocabulary lists the head; this tests whether the head
+# OBEYS the rank-frequency power law a natural corpus must — a wildly
+# non-Zipfian slope flags synthetic/spammy text): OLS of
+# ln(frequency) on ln(rank) over the top terms. Determinism: every
+# ln is of ONE exact integer and quantizes to micro-units BEFORE any
+# sum, so all regression sums are exact integers (order-free) in
+# widened arithmetic — the regression is DEFINED on the quantized
+# points.
+# ---------------------------------------------------------------------------
+ZIPF_TOP_R = 500
+
+_ZIPF_ORACLE = f"""
+    WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+               FROM documents),
+    c AS (SELECT token, COUNT(*)::BIGINT AS n_occ
+          FROM t WHERE token <> '' GROUP BY token),
+    r AS (SELECT n_occ,
+                 ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) AS rank
+          FROM c),
+    q AS (SELECT CAST(FLOOR(1000000 * ln(rank)) AS HUGEINT) AS x,
+                 CAST(FLOOR(1000000 * ln(n_occ)) AS HUGEINT) AS y,
+                 n_occ
+          FROM r WHERE rank <= {ZIPF_TOP_R}),
+    a AS (SELECT COUNT(*)::HUGEINT AS n, MAX(n_occ)::BIGINT AS c_max,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM q)
+    SELECT CAST(n AS BIGINT) AS n_terms, c_max,
+           CAST((n * sxy - sx * sy) * 1000000
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_u6,
+           CAST((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx)
+                // (n * (n * sxx - sx * sx)) AS BIGINT) AS intercept_u6
+    FROM a
+    """
+
+
+@query("corpus_zipf_fit", _ZIPF_ORACLE)
+def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the top-{ZIPF_TOP_R} vocabulary: x = ⌊10⁶·ln r⌋,
+    y = ⌊10⁶·ln c⌋ per term (each ln takes one exact integer — the
+    PMI/IV discipline — and floors before summing, so the OLS sums
+    are order-free exact integers), slope and intercept as integral
+    micro-unit divisions in decimal(38,0). A natural-language corpus
+    lands near slope −10⁶ (the law); the intercept estimates
+    ln(c_max). Top-K via TakeOrderedAndProject — the full vocabulary
+    never funnels through one partition; everything after the token
+    groupBy is {ZIPF_TOP_R} rows."""
+    from pyspark.sql import Window
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    )
+    topk = counts.orderBy(F.col("n_occ").desc(), F.col("token").asc()).limit(
+        ZIPF_TOP_R
+    )
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("token").asc())
+    q = topk.select(
+        "n_occ", F.row_number().over(w).cast("bigint").alias("rank")
+    ).select(
+        "n_occ",
+        F.expr(
+            "cast(floor(1000000 * ln(cast(rank as double))) as decimal(38,0))"
+        ).alias("x"),
+        F.expr(
+            "cast(floor(1000000 * ln(cast(n_occ as double))) as decimal(38,0))"
+        ).alias("y"),
+    )
+    a = q.agg(
+        F.expr("cast(count(1) as decimal(38,0))").alias("n"),
+        F.max("n_occ").cast("bigint").alias("c_max"),
+        F.expr("sum(x)").alias("sx"),
+        F.expr("sum(y)").alias("sy"),
+        F.expr("sum(x * y)").alias("sxy"),
+        F.expr("sum(x * x)").alias("sxx"),
+    )
+    return a.select(
+        F.expr("cast(n as bigint)").alias("n_terms"),
+        "c_max",
+        F.expr(
+            "cast((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) "
+            "as bigint)"
+        ).alias("slope_u6"),
+        F.expr(
+            "cast((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx) "
+            "div (n * (n * sxx - sx * sx)) as bigint)"
+        ).alias("intercept_u6"),
+    )

@@ -4418,3 +4418,52 @@ def test_markov_maintenance_splices_neighbors_on_delete(spark):
     # the wrong law for contrast: per-edge subtraction misses A→C
     wrong = _markov_maintain(idx, _markov_counts(ev.join(affected, "user_id", "left_semi")), _markov_counts(spark.createDataFrame([], ev.schema)))
     assert {(r["from_type"], r["to_type"]) for r in wrong.collect()} == {("X", "Y")}
+
+
+def test_zipf_fit_matches_pure_python_reference(spark):
+    """Independent reference: recount tokens, rank the head, quantize
+    ln values to micro-units and run big-int OLS. Law pins: slope is
+    negative (frequency falls with rank) and the intercept sits within
+    ln(2) of ln(c_max) in micro-units (the fitted line anchors the
+    head)."""
+    import math
+    from collections import Counter
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.workload_ext import ZIPF_TOP_R
+
+    cnt = Counter()
+    for r in load_table(spark, SF_SMOKE, "documents").select("text").collect():
+        for t in r["text"].lower().split(" "):
+            if t:
+                cnt[t] += 1
+    head = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP_R]
+    pts = [
+        (
+            int(math.floor(1e6 * math.log(rank))),
+            int(math.floor(1e6 * math.log(c))),
+        )
+        for rank, (_, c) in enumerate(head, start=1)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    den = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    [row] = w.QUERIES["corpus_zipf_fit"](spark, SF_SMOKE).collect()
+    assert row["n_terms"] == n
+    assert row["c_max"] == head[0][1]
+    assert row["slope_u6"] == trunc_div(num * 1000000, den)
+    assert row["intercept_u6"] == trunc_div(sy * den - num * sx, n * den)
+    assert row["slope_u6"] < 0
+    assert abs(row["intercept_u6"] - int(1e6 * math.log(row["c_max"]))) < int(
+        1e6 * math.log(2)
+    )
