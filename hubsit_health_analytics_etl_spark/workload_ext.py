@@ -14071,3 +14071,183 @@ def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div (n * (n * sxx - sx * sx)) as bigint)"
         ).alias("intercept_u6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal best match — the DECISION step of record linkage (the
+# fuzzy join emits candidates; a merge decision needs pairs that pick
+# EACH OTHER): a name's best match is its lowest-distance candidate
+# (name tie-break), and a link is kept only when mutual — the
+# bioinformatics "reciprocal best hit" rule, which kills the
+# hub-name-absorbs-everything failure of one-sided best matching.
+# ---------------------------------------------------------------------------
+
+_RBM_ORACLE = f"""
+    WITH d AS (SELECT p_name, COUNT(*)::BIGINT AS n_parts
+               FROM part GROUP BY p_name),
+    t AS (SELECT p_name AS n, unnest(string_split(p_name, ' ')) AS k FROM d),
+    tt AS (SELECT n, k FROM t WHERE k <> ''),
+    c AS (SELECT DISTINCT a.n AS name_a, b.n AS name_b
+          FROM tt a JOIN tt b ON a.k = b.k AND a.n < b.n),
+    v AS (SELECT name_a, name_b, levenshtein(name_a, name_b)::BIGINT AS dist
+          FROM c WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST}),
+    s AS (SELECT name_a AS n, name_b AS m, dist FROM v
+          UNION ALL SELECT name_b, name_a, dist FROM v),
+    b AS (SELECT n, m, dist,
+                 ROW_NUMBER() OVER (PARTITION BY n ORDER BY dist, m) AS rk
+          FROM s),
+    best AS (SELECT n, m, dist FROM b WHERE rk = 1)
+    SELECT x.n AS name_a, x.m AS name_b, x.dist,
+           da.n_parts AS n_parts_a, db.n_parts AS n_parts_b
+    FROM best x JOIN best y ON y.n = x.m AND y.m = x.n
+    JOIN d da ON da.p_name = x.n JOIN d db ON db.p_name = x.m
+    WHERE x.n < x.m
+    """
+
+
+@query("part_name_reciprocal_best", _RBM_ORACLE)
+def q_part_name_reciprocal_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-best fuzzy links over the blocked candidate set: the
+    symmetrized candidate table ranks per name by (dist, name), rank-1
+    rows self-join on the reversed pair, canonical a<b survives. All
+    work downstream of the |distinct names| fuzzy phase — the linkage
+    decision costs one window + one equi-self-join over best rows."""
+    from pyspark.sql import Window
+
+    from .operators.joins import blocked_fuzzy_self_join
+
+    part = load_table(spark, sf_dir, "part")
+    d = part.groupBy("p_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+    v = blocked_fuzzy_self_join(d, "p_name", FUZZY_MAX_DIST)
+    s = v.select(
+        F.col("name_a").alias("n"), F.col("name_b").alias("m"), "dist"
+    ).unionByName(
+        v.select(
+            F.col("name_b").alias("n"), F.col("name_a").alias("m"), "dist"
+        )
+    )
+    best = (
+        s.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("n").orderBy("dist", "m")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+        .localCheckpoint(eager=False)
+    )
+    y = best.select(
+        F.col("n").alias("yn"), F.col("m").alias("ym")
+    )
+    mutual = best.join(
+        y, (F.col("yn") == F.col("m")) & (F.col("ym") == F.col("n")), "left_semi"
+    ).filter(F.col("n") < F.col("m"))
+    da = d.select(F.col("p_name").alias("n"), F.col("n_parts").alias("n_parts_a"))
+    db = d.select(F.col("p_name").alias("m"), F.col("n_parts").alias("n_parts_b"))
+    return (
+        mutual.join(F.broadcast(da), "n")
+        .join(F.broadcast(db), "m")
+        .select(
+            F.col("n").alias("name_a"), F.col("m").alias("name_b"), "dist",
+            "n_parts_a", "n_parts_b",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence — the CATEGORICAL member of the statistical-
+# test family (KS/PSI compare numeric distributions, the z-test scores
+# points; this asks whether two categorical columns are associated at
+# all): segment × order-priority contingency table, χ² and Cramér's V.
+# Every cell's term is (oN − rc)²·10⁶ div (N·r·c) — one integral
+# division of exact widened integers, quantized per cell BEFORE the
+# order-free integer sum (the Zipf discipline).
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+    WITH j AS (SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+               FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    o AS (SELECT seg, pri, COUNT(*)::BIGINT AS obs FROM j GROUP BY 1, 2),
+    r AS (SELECT seg, SUM(obs)::BIGINT AS r_tot FROM o GROUP BY seg),
+    c AS (SELECT pri, SUM(obs)::BIGINT AS c_tot FROM o GROUP BY pri),
+    n AS (SELECT SUM(obs)::BIGINT AS n_tot,
+                 COUNT(DISTINCT seg)::BIGINT AS n_seg,
+                 COUNT(DISTINCT pri)::BIGINT AS n_pri
+          FROM o),
+    t AS (SELECT (CAST(o.obs AS HUGEINT) * n.n_tot
+                  - CAST(r.r_tot AS HUGEINT) * c.c_tot) AS d,
+                 CAST(n.n_tot AS HUGEINT) * r.r_tot * c.c_tot AS e
+          FROM o JOIN r USING (seg) JOIN c USING (pri) CROSS JOIN n),
+    q AS (SELECT SUM(CAST(d * d * 1000000 // e AS BIGINT))::BIGINT
+                   AS chi2_u6
+          FROM t)
+    SELECT n.n_tot AS n_rows,
+           ((n.n_seg - 1) * (n.n_pri - 1))::BIGINT AS dof,
+           q.chi2_u6,
+           CAST(q.chi2_u6 // (n.n_tot * LEAST(n.n_seg - 1, n.n_pri - 1))
+                AS BIGINT) AS cramers_v2_u6
+    FROM n CROSS JOIN q
+    """
+
+
+@query("segment_priority_chi2", _CHI2_ORACLE)
+def q_segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence of market segment vs order priority: one
+    broadcast-dim join to the contingency cells, marginals from the
+    cell table (never a second raw pass), per-cell quantized terms
+    summed as exact integers, Cramér's V² in micro-units on top.
+    Everything downstream of the cell groupBy is |segments×priorities|
+    rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+        .localCheckpoint(eager=False)
+    )
+    r = o.groupBy("seg").agg(F.sum("obs").cast("bigint").alias("r_tot"))
+    c = o.groupBy("pri").agg(F.sum("obs").cast("bigint").alias("c_tot"))
+    n = o.agg(
+        F.sum("obs").cast("bigint").alias("n_tot"),
+        F.countDistinct("seg").cast("bigint").alias("n_seg"),
+        F.countDistinct("pri").cast("bigint").alias("n_pri"),
+    )
+    t = (
+        o.join(F.broadcast(r), "seg")
+        .join(F.broadcast(c), "pri")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr(
+                "cast(obs as decimal(38,0)) * n_tot "
+                "- cast(r_tot as decimal(38,0)) * c_tot"
+            ).alias("d"),
+            F.expr("cast(n_tot as decimal(38,0)) * r_tot * c_tot").alias("e"),
+        )
+    )
+    q = t.agg(
+        F.expr("cast(sum(cast(d * d * 1000000 div e as bigint)) as bigint)")
+        .alias("chi2_u6")
+    )
+    return (
+        n.crossJoin(F.broadcast(q))
+        .select(
+            F.col("n_tot").alias("n_rows"),
+            F.expr("cast((n_seg - 1) * (n_pri - 1) as bigint)").alias("dof"),
+            "chi2_u6",
+            F.expr(
+                "cast(chi2_u6 div (n_tot * least(n_seg - 1, n_pri - 1)) "
+                "as bigint)"
+            ).alias("cramers_v2_u6"),
+        )
+    )

@@ -4467,3 +4467,93 @@ def test_zipf_fit_matches_pure_python_reference(spark):
     assert abs(row["intercept_u6"] - int(1e6 * math.log(row["c_max"]))) < int(
         1e6 * math.log(2)
     )
+
+
+def test_reciprocal_best_is_mutual_and_subset_of_candidates(spark):
+    """Laws: every reciprocal pair is a fuzzy candidate; each side's
+    one-sided best (python recompute over the candidate set) points
+    back at the other; a name appears in at most ONE reciprocal pair
+    per side of the canonical ordering (best is unique by tie-break)."""
+    from collections import defaultdict
+
+    from hubsit_health_analytics_etl_spark import workload as w
+
+    cands = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in w.QUERIES["part_name_fuzzy_matches"](spark, SF_SMOKE).collect()
+    }
+    sym = defaultdict(list)
+    for (a, b), d in cands.items():
+        sym[a].append((d, b))
+        sym[b].append((d, a))
+    best = {n: min(v)[1] for n, v in sym.items()}
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in w.QUERIES["part_name_reciprocal_best"](spark, SF_SMOKE).collect()
+    }
+    want = {
+        (a, b): d
+        for (a, b), d in cands.items()
+        if best.get(a) == b and best.get(b) == a
+    }
+    assert got == want
+    seen = set()
+    for a, b in got:
+        assert a < b
+        assert a not in seen and b not in seen
+        seen.update((a, b))
+
+
+def test_chi2_matches_pure_python_reference(spark):
+    """Independent reference: contingency table, per-cell quantized
+    terms and Cramér's V² recomputed with python big-ints. Laws:
+    χ² ≥ 0 and V² ≤ 10⁶; a python-permuted INDEPENDENT table (outer
+    product of the marginals) scores ~0."""
+    from collections import Counter
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    seg_of = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in load_table(spark, SF_SMOKE, "customer").collect()
+    }
+    obs = Counter()
+    for r in load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).collect():
+        obs[(seg_of[r["o_custkey"]], r["o_orderpriority"])] += 1
+
+    def chi2_u6(table):
+        rt, ct, n = Counter(), Counter(), 0
+        for (s, p), o in table.items():
+            rt[s] += o
+            ct[p] += o
+            n += o
+        tot = 0
+        for (s, p), o in table.items():
+            d = o * n - rt[s] * ct[p]
+            tot += d * d * 1000000 // (n * rt[s] * ct[p])
+        dof = (len(rt) - 1) * (len(ct) - 1)
+        v2 = tot // (n * min(len(rt) - 1, len(ct) - 1))
+        return n, dof, tot, v2
+
+    n, dof, want_chi2, want_v2 = chi2_u6(obs)
+    [row] = w.QUERIES["segment_priority_chi2"](spark, SF_SMOKE).collect()
+    assert (row["n_rows"], row["dof"]) == (n, dof)
+    assert row["chi2_u6"] == want_chi2
+    assert row["cramers_v2_u6"] == want_v2
+    assert row["chi2_u6"] >= 0 and 0 <= row["cramers_v2_u6"] <= 1000000
+    # independence control: a table built exactly from the marginal
+    # products (scaled) must score ~0 per cell
+    rt, ct = Counter(), Counter()
+    for (s, p), o in obs.items():
+        rt[s] += o
+        ct[p] += o
+    indep = {
+        (s, p): rt[s] * ct[p]
+        for s in rt
+        for p in ct
+    }
+    _, _, c0, _ = chi2_u6(indep)
+    assert c0 <= len(indep)  # only truncation residue
