@@ -14251,3 +14251,166 @@ def q_segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v2_u6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve — the MONEY member of the cohort family
+# (weekly_cohort_retention counts who comes BACK; this accumulates
+# what they're WORTH): customers grouped by first-order month, revenue
+# accumulated by months-since-cohort. The curve a growth team reads
+# payback periods off. Exact integers: cents, month ages via
+# calendar arithmetic, cumulative sums over an age-ordered window
+# PARTITIONED by cohort.
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+    WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                      CAST(floor(o_totalprice * 100) AS BIGINT) AS rev_c
+               FROM orders),
+    c AS (SELECT o_custkey, MIN(date_trunc('month', d)) AS cm FROM o
+          GROUP BY 1),
+    sz AS (SELECT cm, COUNT(*)::BIGINT AS cohort_n FROM c GROUP BY cm),
+    a AS (SELECT c.cm, ((EXTRACT(YEAR FROM o.d) - EXTRACT(YEAR FROM c.cm)) * 12
+                        + (EXTRACT(MONTH FROM o.d) - EXTRACT(MONTH FROM c.cm)))
+                         ::BIGINT AS age_m,
+                 o.rev_c
+          FROM o JOIN c USING (o_custkey)),
+    g AS (SELECT cm, age_m, SUM(rev_c)::BIGINT AS rev_c FROM a GROUP BY 1, 2),
+    w AS (SELECT cm, age_m, rev_c,
+                 SUM(rev_c) OVER (PARTITION BY cm ORDER BY age_m
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS cum_rev_c
+          FROM g)
+    SELECT strftime(w.cm, '%Y-%m') AS cohort_month, w.age_m, sz.cohort_n,
+           w.rev_c, w.cum_rev_c,
+           (w.cum_rev_c // sz.cohort_n)::BIGINT AS cum_ltv_c
+    FROM w JOIN sz USING (cm)
+    """
+
+
+@query("cohort_ltv_curve", _LTV_ORACLE)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per (first-order-month cohort, months
+    since cohort): cohort assignment is one customer-level aggregate
+    joined back (the raw pass), month ages are exact calendar
+    arithmetic, and the running sum partitions BY COHORT so cohorts
+    accumulate in parallel. cum_ltv_c = cumulative cents per cohort
+    member (integral division). At 100 TB the join back is the only
+    fact-sized work; the curve table is |cohorts × ages|."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("rev_c"),
+    )
+    c = o.groupBy("o_custkey").agg(
+        F.min(F.trunc("d", "month")).alias("cm")
+    ).localCheckpoint(eager=False)
+    sz = c.groupBy("cm").agg(F.count(F.lit(1)).cast("bigint").alias("cohort_n"))
+    a = o.join(c, "o_custkey").select(
+        "cm",
+        F.expr(
+            "cast((year(d) - year(cm)) * 12 + (month(d) - month(cm)) "
+            "as bigint)"
+        ).alias("age_m"),
+        "rev_c",
+    )
+    g = a.groupBy("cm", "age_m").agg(F.sum("rev_c").cast("bigint").alias("rev_c"))
+    w = g.select(
+        "cm", "age_m", "rev_c",
+        F.sum("rev_c")
+        .over(
+            Window.partitionBy("cm")
+            .orderBy("age_m")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("cum_rev_c"),
+    )
+    return w.join(sz, "cm").select(
+        F.date_format("cm", "yyyy-MM").alias("cohort_month"),
+        "age_m", "cohort_n", "rev_c", "cum_rev_c",
+        F.expr("cast(cum_rev_c div cohort_n as bigint)").alias("cum_ltv_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean — the ROBUST-LOCATION member of the statistical family
+# (winsorized_prices CLIPS tails to the fence; this DROPS them):
+# per-nation mean lineitem price after discarding the lowest and
+# highest 10% by rank. Rank-based, so the whole statistic is exact
+# integer arithmetic — no percentile interpolation anywhere — and the
+# (price, orderkey, linenumber) tie-break makes the drop set
+# engine-identical.
+# ---------------------------------------------------------------------------
+TRIM_PCT = 10
+
+
+_TRIMMED_ORACLE = f"""
+    WITH l AS (SELECT n.n_name AS nation,
+                      CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS p_c,
+                      l.l_orderkey, l.l_linenumber
+               FROM lineitem l
+               JOIN orders o ON o.o_orderkey = l.l_orderkey
+               JOIN customer c ON c.c_custkey = o.o_custkey
+               JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    r AS (SELECT nation, p_c,
+                 ROW_NUMBER() OVER (PARTITION BY nation
+                                    ORDER BY p_c, l_orderkey, l_linenumber)
+                   AS rk,
+                 COUNT(*) OVER (PARTITION BY nation) AS n_w
+          FROM l),
+    k AS (SELECT nation, p_c, n_w, (n_w * {TRIM_PCT}) // 100 AS cut
+          FROM r WHERE rk > (n_w * {TRIM_PCT}) // 100
+                   AND rk <= n_w - (n_w * {TRIM_PCT}) // 100)
+    SELECT nation, MAX(n_w)::BIGINT AS n_items,
+           COUNT(*)::BIGINT AS n_kept,
+           (SUM(p_c) // COUNT(*))::BIGINT AS trimmed_mean_c,
+           MIN(p_c) AS kept_min_c, MAX(p_c) AS kept_max_c
+    FROM k GROUP BY nation
+    """
+
+
+@query("nation_trimmed_mean_price", _TRIMMED_ORACLE)
+def q_nation_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation {TRIM_PCT}%-trimmed mean of lineitem prices: rank
+    within nation with a total tie-break, drop ⌊n·{TRIM_PCT}/100⌋ from
+    each end, integer mean of the keeps. The rank window partitions by
+    nation (parallel); broadcast dims route lineitem to its nation in
+    one fact pass. Rank-based trimming needs no percentile
+    interpolation — every output cell is exact."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.expr("cast(floor(l_extendedprice * 100) as bigint)").alias("p_c"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    l = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), "p_c", "l_orderkey", "l_linenumber")
+    )
+    wn = Window.partitionBy("nation")
+    r = l.select(
+        "nation", "p_c",
+        F.row_number()
+        .over(wn.orderBy("p_c", "l_orderkey", "l_linenumber"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n_w"),
+    )
+    k = r.filter(
+        (F.col("rk") > F.expr(f"(n_w * {TRIM_PCT}) div 100"))
+        & (F.col("rk") <= F.expr(f"n_w - (n_w * {TRIM_PCT}) div 100"))
+    )
+    return k.groupBy("nation").agg(
+        F.max("n_w").cast("bigint").alias("n_items"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.expr("cast(sum(p_c) div count(1) as bigint)").alias("trimmed_mean_c"),
+        F.min("p_c").alias("kept_min_c"),
+        F.max("p_c").alias("kept_max_c"),
+    )

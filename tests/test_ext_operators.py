@@ -4557,3 +4557,109 @@ def test_chi2_matches_pure_python_reference(spark):
     }
     _, _, c0, _ = chi2_u6(indep)
     assert c0 <= len(indep)  # only truncation residue
+
+
+def test_cohort_ltv_matches_pure_python_reference(spark):
+    """Independent reference: cohort assignment, month ages and
+    cumulative revenue replayed in python. Laws: cum_rev is
+    monotone non-decreasing within a cohort; summing each cohort's
+    final cum_rev reproduces total corpus revenue."""
+    import math
+    from collections import defaultdict
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    orders = [
+        (r["o_custkey"], r["o_orderdate"], int(math.floor(r["o_totalprice"] * 100)))
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .collect()
+    ]
+    first = {}
+    for ck, d, _ in orders:
+        m = (d.year, d.month)
+        if ck not in first or m < first[ck]:
+            first[ck] = m
+    cohort_n = defaultdict(int)
+    for m in first.values():
+        cohort_n[m] += 1
+    rev = defaultdict(int)
+    for ck, d, rc in orders:
+        cy, cm = first[ck]
+        age = (d.year - cy) * 12 + (d.month - cm)
+        rev[(first[ck], age)] += rc
+    want = {}
+    for (cm, age), rc in rev.items():
+        want[(f"{cm[0]:04d}-{cm[1]:02d}", age)] = rc
+    got = {
+        (r["cohort_month"], r["age_m"]): r
+        for r in w.QUERIES["cohort_ltv_curve"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    by_cohort = defaultdict(list)
+    for (cmon, age), r in got.items():
+        assert r["rev_c"] == want[(cmon, age)]
+        assert r["cohort_n"] == cohort_n[(int(cmon[:4]), int(cmon[5:]))]
+        assert r["cum_ltv_c"] == r["cum_rev_c"] // r["cohort_n"]
+        by_cohort[cmon].append((age, r["rev_c"], r["cum_rev_c"]))
+    total = 0
+    for cmon, rows in by_cohort.items():
+        rows.sort()
+        run = 0
+        for age, rc, cum in rows:
+            run += rc
+            assert cum == run, (cmon, age)
+        total += run
+    assert total == sum(rc for _, _, rc in orders)
+
+
+def test_trimmed_mean_matches_pure_python_reference(spark):
+    """Independent reference: per-nation sort with the full tie-break,
+    drop ⌊n/10⌋ each end, integer mean. Robustness law: the trimmed
+    mean sits within the kept min/max and differs from the plain mean
+    wherever tails are asymmetric."""
+    import math
+    from collections import defaultdict
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load_table(spark, SF_SMOKE, "orders").collect()
+    }
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, SF_SMOKE, "nation").collect()
+    }
+    cnat = {
+        r["c_custkey"]: nat[r["c_nationkey"]]
+        for r in load_table(spark, SF_SMOKE, "customer").collect()
+    }
+    per = defaultdict(list)
+    for r in load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).collect():
+        per[cnat[orders[r["l_orderkey"]]]].append(
+            (
+                int(math.floor(r["l_extendedprice"] * 100)),
+                r["l_orderkey"],
+                r["l_linenumber"],
+            )
+        )
+    got = {
+        r["nation"]: r
+        for r in w.QUERIES["nation_trimmed_mean_price"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(per)
+    for nation, items in per.items():
+        items.sort()
+        n = len(items)
+        cut = n * 10 // 100
+        kept = [p for p, _, _ in items[cut : n - cut]]
+        r = got[nation]
+        assert r["n_items"] == n and r["n_kept"] == len(kept)
+        assert r["trimmed_mean_c"] == sum(kept) // len(kept)
+        assert r["kept_min_c"] == kept[0] and r["kept_max_c"] == kept[-1]
+        assert r["kept_min_c"] <= r["trimmed_mean_c"] <= r["kept_max_c"]
