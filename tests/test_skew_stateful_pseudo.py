@@ -309,3 +309,141 @@ def test_join_explosion_guard_flags_duplicate_dimension_keys(spark):
     assert rep[7].n_out == 100 * 501
     with _pytest.raises(ValueError, match="explode"):
         assert_join_safe(fact, dup_dim, ["k"], max_rows_per_key=1_000)
+
+
+def test_streaming_markov_increments_sum_to_batch_matrix(spark, tmp_path):
+    """Stream-vs-batch equality for the Markov family: events split
+    into 3 chronological day-sliced parquet files, streamed one file
+    per trigger through the stateful transition kernel; the summed
+    increments must equal the batch twin's matrix exactly (state
+    carries each user's tail across micro-batches)."""
+    import time
+
+    from hubsit_health_analytics_etl_spark.streaming.markov import (
+        markov_transitions_batch,
+        markov_transitions_stream,
+    )
+
+    from .conftest import fix_event_ts
+
+    events = fix_event_ts(spark.read.parquet(f"{SF_SMOKE}/events.parquet")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    days = sorted(r["d"] for r in events.select(F.to_date("ts").alias("d")).distinct().collect())
+    cuts = [days[len(days) // 3], days[2 * len(days) // 3]]
+    src = str(tmp_path / "slices")
+    slices = [
+        events.filter(F.to_date("ts") < F.lit(cuts[0])),
+        events.filter(
+            (F.to_date("ts") >= F.lit(cuts[0])) & (F.to_date("ts") < F.lit(cuts[1]))
+        ),
+        events.filter(F.to_date("ts") >= F.lit(cuts[1])),
+    ]
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.parquet(f"{src}/slice={i}")
+    # file listing order is not chronological by construction here, so
+    # stream the slice dirs via 3 separate single-dir loads appended to
+    # one dir in order, each committed before the next trigger:
+    ordered = str(tmp_path / "ordered")
+    import os, shutil
+    os.makedirs(ordered)
+    for i in range(3):
+        part = [f for f in os.listdir(f"{src}/slice={i}") if f.endswith(".parquet")]
+        assert len(part) == 1
+        dst = f"{ordered}/{i:03d}.parquet"
+        shutil.copy(f"{src}/slice={i}/{part[0]}", dst)
+        # FileStreamSource orders files by MODIFICATION TIME, not name;
+        # same-second copies would tie and the slices could trigger out
+        # of order — pin strictly increasing mtimes
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(ordered)
+    )
+    q = (
+        markov_transitions_stream(stream)
+        .writeStream.format("memory")
+        .queryName("markov_smoke")
+        .outputMode("append")
+        .start()
+    )
+    expected = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in markov_transitions_batch(events).collect()
+    }
+    want_total = sum(expected.values())
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if not q.isActive:
+            break
+        n = spark.sql("SELECT coalesce(sum(n),0) FROM markov_smoke").collect()[0][0]
+        if n >= want_total:
+            break
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(30)
+    got = {
+        (r["from_type"], r["to_type"]): r["s"]
+        for r in spark.sql(
+            "SELECT from_type, to_type, sum(n) AS s FROM markov_smoke "
+            "GROUP BY 1, 2"
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_streaming_markov_kernel_carries_tail_across_chunks(spark):
+    """Kernel-level: feeding one user's stream in two chunks must
+    produce the same transition multiset as one chunk — the stored
+    tail splices the boundary pair in."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from hubsit_health_analytics_etl_spark.streaming.markov import (
+        _update_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * 4,
+            "ts": pd.to_datetime([t0 + dt.timedelta(minutes=i) for i in range(4)]),
+            "event_id": [10, 11, 12, 13],
+            "event_type": ["A", "B", "A", "C"],
+        }
+    )
+
+    def run(chunks):
+        st = _FakeValueState()
+
+        class _GS:
+            hasTimedOut = False
+
+            @property
+            def exists(self):
+                return st.exists()
+
+            @property
+            def get(self):
+                return st.get()
+
+            def update(self, v):
+                st.update(v)
+
+        out = []
+        for ch in chunks:
+            out.extend(_update_transitions((1,), iter([ch]), _GS()))
+        agg = {}
+        for o in out:
+            for _, r in o.iterrows():
+                k = (r["from_type"], r["to_type"])
+                agg[k] = agg.get(k, 0) + int(r["n"])
+        return agg
+
+    whole = run([pdf])
+    split = run([pdf.iloc[:2], pdf.iloc[2:]])
+    assert whole == split == {("A", "B"): 1, ("B", "A"): 1, ("A", "C"): 1}
