@@ -54,3 +54,57 @@ def quality_profile(
             "pct_preenchido"
         ),
     )
+
+
+def event_stream_hygiene_audit(e: DataFrame) -> DataFrame:
+    """Four stream-plausibility counters over an event frame with
+    (user_id, ts, event_id, event_type, value): event-time inversions
+    against ARRIVAL order (lag over event_id per user — catches a
+    producer whose clock jumped), duplicate event ids (excess
+    occurrences beyond the first), missing types, null/negative
+    values. One row per check: (check_name, n_bad, n_total,
+    bad_pct_u6) with the rate as an integral micro-unit division.
+    Each check costs at most one key shuffle; the union is 4 rows.
+    The ingest gate a streaming pipeline promotes or quarantines a
+    batch on — the events-table sibling of quality_profile (columns)
+    and referential_integrity_audit (keys)."""
+    from pyspark.sql import Window
+
+    e = e.localCheckpoint(eager=False)
+    n = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ooo = (
+        e.select(
+            F.when(F.col("ts") < F.lag("ts").over(w), 1).otherwise(0).alias("inv")
+        )
+        .agg(F.sum("inv").cast("bigint").alias("bad"))
+        .select(F.lit("arrival_order_inversions").alias("check_name"), "bad")
+    )
+    dup = (
+        e.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("bad")
+        )
+        .select(F.lit("duplicate_event_ids").alias("check_name"), "bad")
+    )
+    mt = (
+        e.filter(F.col("event_type").isNull() | (F.col("event_type") == ""))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bad"))
+        .select(F.lit("null_or_empty_type").alias("check_name"), "bad")
+    )
+    neg = (
+        e.filter(F.col("value").isNull() | (F.col("value") < 0))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("bad"))
+        .select(F.lit("null_or_negative_value").alias("check_name"), "bad")
+    )
+    u = ooo.unionByName(dup).unionByName(mt).unionByName(neg)
+    return u.crossJoin(F.broadcast(n)).select(
+        "check_name",
+        F.col("bad").alias("n_bad"),
+        "n_total",
+        F.expr("cast(bad * 1000000 div n_total as bigint)").alias("bad_pct_u6"),
+    )

@@ -14414,3 +14414,99 @@ def q_nation_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_c").alias("kept_min_c"),
         F.max("p_c").alias("kept_max_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream hygiene — the INGEST-GATE member of the data-quality
+# family for the events table (referential_integrity_audit checks
+# keys, quality_profile checks columns; this checks STREAM
+# plausibility): arrival-order inversions, duplicate event ids,
+# missing types, negative values — the four checks a streaming ingest
+# promotes or quarantines a batch on.
+# ---------------------------------------------------------------------------
+
+_HYGIENE_ORACLE = """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts, event_id,
+                      event_type, value
+               FROM events),
+    n AS (SELECT COUNT(*)::BIGINT AS n_total FROM e),
+    ooo AS (SELECT COUNT(*)::BIGINT AS bad FROM (
+              SELECT CASE WHEN ts < LAG(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY event_id)
+                          THEN 1 ELSE 0 END AS inv
+              FROM e) WHERE inv = 1),
+    dup AS (SELECT COALESCE(SUM(c - 1), 0)::BIGINT AS bad FROM (
+              SELECT COUNT(*)::BIGINT AS c FROM e GROUP BY event_id)
+            WHERE c > 1),
+    mt AS (SELECT COUNT(*)::BIGINT AS bad FROM e
+           WHERE event_type IS NULL OR event_type = ''),
+    neg AS (SELECT COUNT(*)::BIGINT AS bad FROM e
+            WHERE value IS NULL OR value < 0),
+    u AS (SELECT 'arrival_order_inversions' AS check_name, bad FROM ooo
+          UNION ALL SELECT 'duplicate_event_ids', bad FROM dup
+          UNION ALL SELECT 'null_or_empty_type', bad FROM mt
+          UNION ALL SELECT 'null_or_negative_value', bad FROM neg)
+    SELECT u.check_name, u.bad AS n_bad, n.n_total,
+           CAST(u.bad * 1000000 // n.n_total AS BIGINT) AS bad_pct_u6
+    FROM u CROSS JOIN n
+    """
+
+
+@query("event_stream_hygiene", _HYGIENE_ORACLE)
+def q_event_stream_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four stream-plausibility counters in a handful of aggregates:
+    event-time inversions against ARRIVAL order (lag over event_id per
+    user — the check that catches a producer whose clock jumped),
+    duplicate event ids (excess occurrences), missing types, negative
+    or null values. One row per check with the rate in micro-units.
+    Each check is one key shuffle at most; the union is 4 rows."""
+    from .operators.profile import event_stream_hygiene_audit
+
+    return event_stream_hygiene_audit(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip — the third columnar format edge next to the parquet
+# sink (S7) and the PBI CSV dialect (S5): some downstreams (Hive
+# ecosystems) mandate ORC, and Spark writes/reads it natively. The
+# timed body is the honest write+read+aggregate round-trip; the
+# oracle aggregates the source directly, so the hash match proves the
+# format preserved every value bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_ORC_ORACLE = """
+    SELECT o_orderstatus,
+           COUNT(*)::BIGINT AS n_orders,
+           SUM(CAST(floor(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_c,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_day
+    FROM orders GROUP BY o_orderstatus
+    """
+
+
+@query("export_orc_roundtrip", _ORC_ORACLE)
+def q_export_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders to ORC (zlib, the Hive default), read it back and
+    aggregate per status — counts, integer cents, date range. A value
+    the format mangled (timestamp precision, decimal rounding) would
+    break the hash. Scale posture: format edges are map-only; the
+    aggregate is the usual one-shuffle."""
+    import os
+
+    orc_dir = os.path.join(_run_scoped_index_dir("orc"), "orders_orc")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice", "o_orderdate"
+    ).write.mode("overwrite").format("orc").save(orc_dir)
+    back = spark.read.format("orc").load(orc_dir)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr(
+            "cast(sum(cast(floor(o_totalprice * 100) as bigint)) as bigint)"
+        ).alias("rev_c"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"),
+    )

@@ -4663,3 +4663,68 @@ def test_trimmed_mean_matches_pure_python_reference(spark):
         assert r["trimmed_mean_c"] == sum(kept) // len(kept)
         assert r["kept_min_c"] == kept[0] and r["kept_max_c"] == kept[-1]
         assert r["kept_min_c"] <= r["trimmed_mean_c"] <= r["kept_max_c"]
+
+
+def test_hygiene_audit_counts_crafted_dirt(spark):
+    """The audit on a crafted DIRTY frame: one arrival-order
+    inversion, one duplicated id (appearing 3× → 2 excess), one empty
+    type, one negative value — each counter must fire with the exact
+    count (the fixture is clean, so this is where nonzero paths are
+    exercised); rates are the integral micro-unit division."""
+    import datetime as dt
+
+    from hubsit_health_analytics_etl_spark.operators.profile import (
+        event_stream_hygiene_audit,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, ts(0), 1, "view", 1.0),
+        (1, ts(5), 2, "click", 2.0),
+        (1, ts(3), 3, "view", 1.0),     # arrives later, ts earlier → inversion
+        (2, ts(0), 7, "view", 1.0),
+        (2, ts(1), 7, "view", 1.0),     # dup id ×3 → 2 excess
+        (2, ts(2), 7, "view", 1.0),
+        (3, ts(0), 9, "", 1.0),         # empty type
+        (3, ts(1), 10, "view", -4.0),   # negative value
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp_ntz, event_id long, event_type string,"
+        " value double",
+    )
+    got = {
+        r["check_name"]: (r["n_bad"], r["n_total"], r["bad_pct_u6"])
+        for r in event_stream_hygiene_audit(e).collect()
+    }
+    n = len(rows)
+    assert got == {
+        "arrival_order_inversions": (1, n, 1000000 // n),
+        "duplicate_event_ids": (2, n, 2 * 1000000 // n),
+        "null_or_empty_type": (1, n, 1000000 // n),
+        "null_or_negative_value": (1, n, 1000000 // n),
+    }
+
+
+def test_orc_roundtrip_preserves_types(spark, tmp_path):
+    """ORC write→read preserves long/double/date/timestamp_ntz/string
+    values bit-for-bit (the format edge the export query's hash
+    depends on)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (1, 1.25, dt.date(2024, 2, 29), dt.datetime(2024, 1, 1, 12, 0, 0, 123456), "ação"),
+            (2, -0.0, dt.date(1999, 1, 1), dt.datetime(1999, 1, 1, 0, 0, 0), "plain"),
+        ],
+        "id long, x double, d date, t timestamp_ntz, s string",
+    )
+    p = str(tmp_path / "orc_rt")
+    df.write.format("orc").save(p)
+    assert sorted(map(tuple, spark.read.format("orc").load(p).collect())) == sorted(
+        map(tuple, df.collect())
+    )
