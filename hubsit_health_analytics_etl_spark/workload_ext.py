@@ -14510,3 +14510,204 @@ def q_export_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pack utilization — the QA report over token_pack_bins' plan (the
+# packing step says where docs go; this says how well the bins fill —
+# the number a training-throughput owner watches): per shard, bin
+# count, token totals and fill rate vs budget, plus the tail (max
+# overshoot: a doc can straddle its bin boundary by design, since
+# bins quantize START offsets).
+# ---------------------------------------------------------------------------
+
+_PACK_UTIL_ORACLE = f"""
+    WITH t AS (SELECT doc_id,
+                      (doc_id % {PACK_SHARDS}) AS shard,
+                      len(regexp_extract_all(lower(text),
+                                             '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
+                        AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, shard, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t),
+    b AS (SELECT shard, ((cum - n_tokens) // {PACK_BUDGET}) AS bin,
+                 COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS toks
+          FROM c GROUP BY 1, 2)
+    SELECT shard::BIGINT AS shard,
+           COUNT(*)::BIGINT AS n_bins,
+           SUM(n_docs)::BIGINT AS n_docs,
+           SUM(toks)::BIGINT AS n_tokens,
+           CAST(SUM(toks) * 1000000 // (COUNT(*) * {PACK_BUDGET}) AS BIGINT)
+             AS fill_pct_u6,
+           MAX(toks)::BIGINT AS max_bin_tokens,
+           MIN(toks)::BIGINT AS min_bin_tokens
+    FROM b GROUP BY shard
+    """
+
+
+@query("pack_utilization_report", _PACK_UTIL_ORACLE)
+def q_pack_utilization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing QA: bins, docs, tokens, fill rate vs the
+    {PACK_BUDGET}-token budget (integral micro-units) and the
+    min/max bin loads. Same shard-partitioned cumsum as
+    token_pack_bins (no global sort), one extra |bins|-sized
+    aggregate on top."""
+    from pyspark.sql import Window
+
+    from .operators.textanalysis import token_count_bpe_ish
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        token_count_bpe_ish("text").cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = (
+        t.select(
+            "shard",
+            "n_tokens",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET
+            ).alias("bin"),
+        )
+        .groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("toks"),
+        )
+    )
+    return b.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"cast(sum(toks) * 1000000 div (count(1) * {PACK_BUDGET}) as bigint)"
+        ).alias("fill_pct_u6"),
+        F.max("toks").cast("bigint").alias("max_bin_tokens"),
+        F.min("toks").cast("bigint").alias("min_bin_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility — the TOKENIZER-QA member of the text family
+# (bpe_doc_token_counts counts one doc at a time; this reports the
+# per-language ratios a tokenizer is judged on): subword tokens per
+# whitespace word (fertility — high values mean the tokenizer
+# fragments that language) and characters per subword token.
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = """
+    WITH d AS (SELECT lang,
+                      len(regexp_extract_all(lower(text),
+                                             '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
+                        AS n_sub,
+                      len(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> ''))::BIGINT AS n_words,
+                      length(text)::BIGINT AS n_chars
+               FROM documents)
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_sub)::BIGINT AS n_subwords,
+           SUM(n_words)::BIGINT AS n_words,
+           CAST(SUM(n_sub) * 1000000 // SUM(n_words) AS BIGINT)
+             AS fertility_u6,
+           CAST(SUM(n_chars) * 1000000 // SUM(n_sub) AS BIGINT)
+             AS chars_per_token_u6
+    FROM d GROUP BY lang
+    """
+
+
+@query("tokenizer_fertility", _FERTILITY_ORACLE)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility of the BPE-ish tokenizer: subword count
+    (the token_count_bpe_ish regex), whitespace word count and char
+    count fold map-side into per-language sums; both ratios are
+    integral micro-unit divisions. One scan, |langs| output rows."""
+    from .operators.textanalysis import token_count_bpe_ish
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "lang",
+        token_count_bpe_ish("text").cast("bigint").alias("n_sub"),
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).cast("bigint").alias("n_words"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_sub").cast("bigint").alias("n_subwords"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.expr("cast(sum(n_sub) * 1000000 div sum(n_words) as bigint)").alias(
+            "fertility_u6"
+        ),
+        F.expr("cast(sum(n_chars) * 1000000 div sum(n_sub) as bigint)").alias(
+            "chars_per_token_u6"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate fraction — the INTER-document repetition member of the
+# dedup family (doc_repetition measures repetition INSIDE a doc;
+# duplicate_text_spans finds exact shared substrings; this scores how
+# much of a doc is made of corpus-COMMON shingles — navigation chrome,
+# license headers, templates — the CCNet/RefinedWeb boilerplate
+# signal): a shingle is boilerplate when its document frequency
+# reaches BP_MIN_DF documents — the absolute-count convention of the
+# line-dedup/CCNet family (a template shared by 5 documents is
+# boilerplate whether the corpus holds 10³ or 10⁹ docs; a RELATIVE
+# threshold goes silent as the corpus grows) — and a doc's score is
+# the fraction of its distinct shingles that are boilerplate.
+# ---------------------------------------------------------------------------
+BP_MIN_DF = 5
+
+
+_BOILERPLATE_ORACLE = f"""
+    WITH g AS (SELECT doc_id, unnest({_sql_shingles('text', 3)}) AS gram
+               FROM documents),
+    df AS (SELECT gram, COUNT(*)::BIGINT AS df FROM g GROUP BY gram),
+    j AS (SELECT g.doc_id,
+                 CASE WHEN df.df >= {BP_MIN_DF} THEN 1 ELSE 0 END AS is_bp
+          FROM g JOIN df USING (gram))
+    SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+           CAST(SUM(is_bp) AS BIGINT) AS n_boilerplate,
+           CAST(SUM(is_bp) * 1000000 // COUNT(*) AS BIGINT)
+             AS boilerplate_u6
+    FROM j GROUP BY doc_id
+    """
+
+
+@query("doc_boilerplate_fraction", _BOILERPLATE_ORACLE)
+def q_doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate score: distinct 3-word shingles explode
+    once, the shingle→document-frequency table aggregates them once,
+    and the equi-join back tags each doc shingle as boilerplate when
+    df ≥ {BP_MIN_DF} (the absolute-count convention — a shared
+    template is boilerplate at any corpus size). The df table is the postings-table shuffle shape every
+    dedup sibling uses; nothing is quadratic. At 100 TB the df table
+    is a standing index maintained additively like BM25 terms."""
+    from .operators.dedup import shingles_from_text
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    g = docs.select(
+        "doc_id", F.explode(shingles_from_text("text", 3)).alias("gram")
+    ).localCheckpoint(eager=False)
+    df = g.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    j = g.join(df, "gram").select(
+        "doc_id",
+        F.when(F.col("df") >= BP_MIN_DF, 1).otherwise(0).alias("is_bp"),
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum("is_bp").cast("bigint").alias("n_boilerplate"),
+        F.expr("cast(sum(is_bp) * 1000000 div count(1) as bigint)").alias(
+            "boilerplate_u6"
+        ),
+    )

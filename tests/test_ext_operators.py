@@ -4728,3 +4728,105 @@ def test_orc_roundtrip_preserves_types(spark, tmp_path):
     assert sorted(map(tuple, spark.read.format("orc").load(p).collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+def test_pack_utilization_consistent_with_pack_bins(spark):
+    """Cross-query law: the report's per-shard totals must equal
+    token_pack_bins' assignment aggregated in python; fill rate is the
+    integral division of its own counters; per shard, bin ids are the
+    quantized start offsets, so the bins' token loads telescope back
+    to the shard total."""
+    from collections import defaultdict
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.workload_ext import PACK_BUDGET
+
+    bins = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for r in w.QUERIES["token_pack_bins"](spark, SF_SMOKE).collect():
+        b = bins[r["shard"]][r["bin"]]
+        b[0] += 1
+        b[1] += r["n_tokens"]
+    got = {
+        r["shard"]: r
+        for r in w.QUERIES["pack_utilization_report"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(bins)
+    for shard, per_bin in bins.items():
+        r = got[shard]
+        assert r["n_bins"] == len(per_bin)
+        assert r["n_docs"] == sum(v[0] for v in per_bin.values())
+        assert r["n_tokens"] == sum(v[1] for v in per_bin.values())
+        assert r["fill_pct_u6"] == r["n_tokens"] * 1000000 // (
+            r["n_bins"] * PACK_BUDGET
+        )
+        assert r["max_bin_tokens"] == max(v[1] for v in per_bin.values())
+        assert r["min_bin_tokens"] == min(v[1] for v in per_bin.values())
+
+
+def test_fertility_matches_pure_python_reference(spark):
+    """Independent reference: the BPE-ish regex and whitespace word
+    count replayed in python per language. Law: fertility ≥ 10⁶
+    (a word is at least one subword)."""
+    import re
+    from collections import defaultdict
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 ]")
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in load_table(spark, SF_SMOKE, "documents").select("lang", "text").collect():
+        t = r["text"].lower()
+        a = agg[r["lang"]]
+        a[0] += 1
+        a[1] += len(pat.findall(t))
+        a[2] += sum(1 for x in t.split(" ") if x)
+        a[3] += len(r["text"])
+    got = {
+        r["lang"]: r
+        for r in w.QUERIES["tokenizer_fertility"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(agg)
+    for lang, (nd, ns, nw, nc) in agg.items():
+        r = got[lang]
+        assert (r["n_docs"], r["n_subwords"], r["n_words"]) == (nd, ns, nw)
+        assert r["fertility_u6"] == ns * 1000000 // nw
+        assert r["chars_per_token_u6"] == nc * 1000000 // ns
+        assert r["fertility_u6"] >= 1000000
+
+
+def test_boilerplate_fraction_matches_pure_python_reference(spark):
+    """Independent reference: distinct 3-word shingles, document
+    frequency, relative threshold and per-doc fraction replayed in
+    python. Laws: fraction ∈ [0, 10⁶]; a doc whose every shingle is
+    unique scores 0 iff no shingle clears the df threshold."""
+    from collections import Counter
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.workload_ext import BP_MIN_DF
+
+    def shingles(text):
+        toks = text.lower().split(" ")
+        n = max(len(toks) - 2, 1)
+        return {" ".join(toks[i : i + 3]) for i in range(n)}
+
+    per_doc = {
+        r["doc_id"]: shingles(r["text"])
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    df = Counter(g for gs in per_doc.values() for g in gs)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_boilerplate"], r["boilerplate_u6"])
+        for r in w.QUERIES["doc_boilerplate_fraction"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(per_doc)
+    any_bp = False
+    for doc_id, gs in per_doc.items():
+        nb = sum(1 for g in gs if df[g] >= BP_MIN_DF)
+        assert got[doc_id] == (len(gs), nb, nb * 1000000 // len(gs)), doc_id
+        assert 0 <= got[doc_id][2] <= 1000000
+        any_bp = any_bp or nb > 0
+    assert any_bp  # the fixture's near-dup clusters guarantee common shingles
