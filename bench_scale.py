@@ -71,6 +71,14 @@ SCALE_QUERIES = [
     "part_hops_bfs",
     "jaccard_prefix_filtered",
     "dsir_doc_weights",
+    # r13 session-2 additions: adjacency-index maintenance, the
+    # day-partitioned sweep line, the df-join repetition score and the
+    # top-K law fit — each a different shuffle shape over events/docs
+    "event_markov_transitions",
+    "markov_new_batch",
+    "peak_concurrent_sessions",
+    "doc_boilerplate_fraction",
+    "corpus_zipf_fit",
 ]
 
 BASE_DOCS, BASE_EVENTS, BASE_VECS, BASE_USERS = 5_000, 100_000, 2_000, 2_000

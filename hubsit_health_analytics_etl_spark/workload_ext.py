@@ -14711,3 +14711,111 @@ def q_doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boilerplate_u6"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency — the HOW-FAST companion to event_funnel's how-many:
+# per converting user, the time from the most recent qualifying view
+# to their FIRST qualified click, summarized as exact rank-based
+# percentiles (percentile_disc convention: the value at rank
+# ⌈p·n⌉ — a real element, no interpolation, hence exact integers).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_LAT_ORACLE = f"""
+    WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) ts
+               FROM events),
+    q AS (SELECT *, MAX(CASE WHEN event_type = 'view' THEN ts END) OVER w
+                      AS prior_view
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    c AS (SELECT user_id, ts, event_id,
+                 epoch_us(ts) - epoch_us(prior_view) AS lat_us
+          FROM q
+          WHERE event_type = 'click' AND prior_view IS NOT NULL
+            AND prior_view >= ts - INTERVAL {{win}} MINUTES),
+    f AS (SELECT user_id, lat_us,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM c),
+    l AS (SELECT user_id, lat_us::BIGINT AS lat_us FROM f WHERE rn = 1),
+    r AS (SELECT lat_us,
+                 ROW_NUMBER() OVER (ORDER BY lat_us, user_id) AS rk,
+                 COUNT(*) OVER () AS n
+          FROM l)
+    SELECT MAX(n)::BIGINT AS n_converters,
+           MIN(lat_us)::BIGINT AS min_lat_us,
+           MAX(CASE WHEN rk = (n * 50 + 99) // 100 THEN lat_us END)::BIGINT
+             AS p50_lat_us,
+           MAX(CASE WHEN rk = (n * 90 + 99) // 100 THEN lat_us END)::BIGINT
+             AS p90_lat_us,
+           MAX(lat_us)::BIGINT AS max_lat_us,
+           (SUM(lat_us) // MAX(n))::BIGINT AS mean_lat_us
+    FROM r
+    """.replace("{win}", str(FUNNEL_WINDOW_MIN))
+
+
+@query("funnel_conversion_latency", _FUNNEL_LAT_ORACLE)
+def q_funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→click conversion latency: the event_funnel qualifying rule
+    verbatim (strictly-prior frame, deadline test), first qualified
+    click per user, then exact discrete percentiles by rank over the
+    |converters|-row latency table. Micros end to end — no division
+    until the final integral mean."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    q = ev.select(
+        "*",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w1)
+        .alias("prior_view"),
+    )
+    c = q.filter(
+        (F.col("event_type") == "click")
+        & F.col("prior_view").isNotNull()
+        & (
+            F.col("prior_view")
+            >= F.col("ts") - F.expr(f"interval {FUNNEL_WINDOW_MIN} minutes")
+        )
+    ).select(
+        "user_id", "ts", "event_id",
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) "
+            "- unix_micros(cast(prior_view as timestamp))"
+        ).alias("lat_us"),
+    )
+    f = c.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    l = f.filter(F.col("rn") == 1).select(
+        "user_id", F.col("lat_us").cast("bigint").alias("lat_us")
+    )
+    r = l.select(
+        "lat_us",
+        F.row_number().over(Window.orderBy("lat_us", "user_id")).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_converters"),
+        F.min("lat_us").cast("bigint").alias("min_lat_us"),
+        F.expr(
+            "cast(max(case when rk = (n * 50 + 99) div 100 then lat_us end) "
+            "as bigint)"
+        ).alias("p50_lat_us"),
+        F.expr(
+            "cast(max(case when rk = (n * 90 + 99) div 100 then lat_us end) "
+            "as bigint)"
+        ).alias("p90_lat_us"),
+        F.max("lat_us").cast("bigint").alias("max_lat_us"),
+        F.expr("cast(sum(lat_us) div max(n) as bigint)").alias("mean_lat_us"),
+    )

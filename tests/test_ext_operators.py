@@ -4830,3 +4830,56 @@ def test_boilerplate_fraction_matches_pure_python_reference(spark):
         assert 0 <= got[doc_id][2] <= 1000000
         any_bp = any_bp or nb > 0
     assert any_bp  # the fixture's near-dup clusters guarantee common shingles
+
+
+def test_funnel_latency_matches_pure_python_reference(spark):
+    """Independent reference: the qualifying rule replayed in python
+    (most recent prior view within the deadline, first qualified
+    click per user), then discrete percentiles at rank ⌈p·n⌉. Laws:
+    min ≤ p50 ≤ p90 ≤ max and both percentiles are actual latency
+    elements; converter count equals the funnel's step-2 user count."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.workload_ext import FUNNEL_WINDOW_MIN
+
+    by_user = defaultdict(list)
+    for r in load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect():
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    lats = []
+    for user, evs in by_user.items():
+        evs.sort()
+        last_view, got_lat = None, None
+        for ts, _, et in evs:
+            if (
+                et == "click"
+                and last_view is not None
+                and last_view >= ts - timedelta(minutes=FUNNEL_WINDOW_MIN)
+                and got_lat is None
+            ):
+                got_lat = int((ts - last_view).total_seconds() * 1_000_000)
+            if et == "view":
+                last_view = ts
+        if got_lat is not None:
+            lats.append(got_lat)
+    lats.sort()
+    n = len(lats)
+    [row] = w.QUERIES["funnel_conversion_latency"](spark, SF_SMOKE).collect()
+    assert row["n_converters"] == n
+    assert row["min_lat_us"] == lats[0] and row["max_lat_us"] == lats[-1]
+    assert row["p50_lat_us"] == lats[(n * 50 + 99) // 100 - 1]
+    assert row["p90_lat_us"] == lats[(n * 90 + 99) // 100 - 1]
+    assert row["mean_lat_us"] == sum(lats) // n
+    assert (
+        row["min_lat_us"] <= row["p50_lat_us"] <= row["p90_lat_us"]
+        <= row["max_lat_us"]
+    )
+    funnel = {
+        r["step"]: r["n_users"]
+        for r in w.QUERIES["event_funnel"](spark, SF_SMOKE).collect()
+    }
+    assert n == funnel["click"]
