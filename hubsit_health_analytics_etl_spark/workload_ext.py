@@ -14819,3 +14819,98 @@ def q_funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("lat_us").cast("bigint").alias("max_lat_us"),
         F.expr("cast(sum(lat_us) div max(n) as bigint)").alias("mean_lat_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Median/MAD outliers — the ROBUST twin of user_value_outliers' mean
+# z-test (one 10000× fat-finger event drags a user's mean AND sigma,
+# masking itself; the median and the median-absolute-deviation don't
+# move): per user, median event value, MAD, and the count of events
+# beyond 3·MAD. Rank-based lower medians (the value at rank
+# ⌈n/2⌉) keep every number an exact integer — two ranked passes, no
+# interpolation — and the flag comparison is pure integer arithmetic.
+# ---------------------------------------------------------------------------
+MAD_K = 3
+
+
+_MAD_ORACLE = f"""
+    WITH e AS (SELECT user_id, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY v, event_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n
+           FROM e),
+    med AS (SELECT user_id, MAX(CASE WHEN rk = (n + 1) // 2 THEN v END)
+                              ::BIGINT AS med_c
+            FROM r1 GROUP BY user_id),
+    d AS (SELECT e.user_id, e.event_id, e.v, med.med_c,
+                 abs(e.v - med.med_c) AS ad
+          FROM e JOIN med USING (user_id)),
+    r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ad, event_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n
+           FROM d),
+    mad AS (SELECT user_id, MAX(CASE WHEN rk = (n + 1) // 2 THEN ad END)
+                              ::BIGINT AS mad_c
+            FROM r2 GROUP BY user_id)
+    SELECT d.user_id, MAX(r2.n)::BIGINT AS n_events,
+           MAX(d.med_c)::BIGINT AS median_c, MAX(mad.mad_c)::BIGINT AS mad_c,
+           CAST(SUM(CASE WHEN d.ad > {MAD_K} * mad.mad_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad USING (user_id)
+           JOIN r2 ON r2.user_id = d.user_id AND r2.event_id = d.event_id
+    GROUP BY d.user_id
+    """
+
+
+@query("user_value_mad_outliers", _MAD_ORACLE)
+def q_user_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust outlier counts: lower median of integer cents
+    (rank ⌈n/2⌉ with event_id tie-break), MAD as the lower median of
+    absolute deviations, flag |x − med| > {MAD_K}·MAD. Two
+    user-partitioned rank windows on the SAME key partitioning (one
+    shuffle reused), everything exact integers. The robust sibling of
+    user_value_outliers — certified against the same events."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("v"),
+    )
+    wu = Window.partitionBy("user_id")
+    r1 = e.select(
+        "*",
+        F.row_number().over(wu.orderBy("v", "event_id")).alias("rk"),
+        F.count(F.lit(1)).over(wu).alias("n"),
+    )
+    med = r1.groupBy("user_id").agg(
+        F.expr("cast(max(case when rk = (n + 1) div 2 then v end) as bigint)")
+        .alias("med_c")
+    )
+    d = e.join(med, "user_id").select(
+        "user_id", "event_id", "v", "med_c",
+        F.abs(F.col("v") - F.col("med_c")).alias("ad"),
+    )
+    r2 = d.select(
+        "*",
+        F.row_number().over(wu.orderBy("ad", "event_id")).alias("rk"),
+        F.count(F.lit(1)).over(wu).alias("n"),
+    )
+    mad = r2.groupBy("user_id").agg(
+        F.expr("cast(max(case when rk = (n + 1) div 2 then ad end) as bigint)")
+        .alias("mad_c")
+    )
+    return (
+        r2.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.max("med_c").cast("bigint").alias("median_c"),
+            F.max("mad_c").cast("bigint").alias("mad_c"),
+            F.expr(
+                f"cast(sum(case when ad > {MAD_K} * mad_c then 1 else 0 end) "
+                "as bigint)"
+            ).alias("n_outliers"),
+        )
+    )

@@ -4883,3 +4883,50 @@ def test_funnel_latency_matches_pure_python_reference(spark):
         for r in w.QUERIES["event_funnel"](spark, SF_SMOKE).collect()
     }
     assert n == funnel["click"]
+
+
+def test_mad_outliers_match_pure_python_and_resist_masking(spark):
+    """Independent reference: lower medians and MAD flags replayed in
+    python. Masking law on crafted data: one enormous event makes the
+    MEAN z-test miss it (it drags sigma up) while the MAD test flags
+    it — the reason the robust twin exists."""
+    from collections import defaultdict
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    per = defaultdict(list)
+    for r in load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "value"
+    ).collect():
+        per[r["user_id"]].append((int(round(r["value"] * 100)), r["event_id"]))
+
+    def lower_median(pairs):  # pairs pre-sorted by (val, id)
+        return pairs[(len(pairs) + 1) // 2 - 1][0]
+
+    got = {
+        r["user_id"]: (r["n_events"], r["median_c"], r["mad_c"], r["n_outliers"])
+        for r in w.QUERIES["user_value_mad_outliers"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(per)
+    for user, vals in per.items():
+        vals.sort()
+        med = lower_median(vals)
+        ads = sorted((abs(v - med), eid) for v, eid in vals)
+        mad = lower_median(ads)
+        n_out = sum(1 for ad, _ in ads if ad > 3 * mad)
+        assert got[user] == (len(vals), med, mad, n_out), user
+    # masking: 9 normal values + one 10000x spike
+    base = [(100 + i, i) for i in range(9)] + [(1_000_000, 99)]
+    vals = sorted(base)
+    med = lower_median(vals)
+    ads = sorted((abs(v - med), i) for v, i in vals)
+    mad = lower_median(ads)
+    assert sum(1 for ad, _ in ads if ad > 3 * mad) == 1  # MAD flags the spike
+    xs = [v for v, _ in base]
+    n, sx = len(xs), sum(xs)
+    sxx = sum(x * x for x in xs)
+    flagged = sum(
+        1 for x in xs if (x * n - sx) ** 2 > 9 * (n * sxx - sx * sx)
+    )
+    assert flagged == 0  # the mean z-test (k=3) is masked by its own sigma
