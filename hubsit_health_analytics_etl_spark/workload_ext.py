@@ -13933,11 +13933,17 @@ def q_markov_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_parquet(_markov_counts(corpus), idx_path)
     idx = spark.read.parquet(idx_path)
 
+    # batch rows all belong to affected users by definition, so the
+    # merged affected stream is (affected users' history) ∪ batch —
+    # materialize both once: the returned plan reads the index, the
+    # batch and the affected slice, never the corpus again
+    batch = batch.localCheckpoint(eager=False)
     affected = batch.select("user_id").distinct()
-    old = _markov_counts(corpus.join(affected, "user_id", "left_semi"))
-    new = _markov_counts(
-        corpus.unionByName(batch).join(affected, "user_id", "left_semi")
+    corpus_aff = corpus.join(affected, "user_id", "left_semi").localCheckpoint(
+        eager=False
     )
+    old = _markov_counts(corpus_aff)
+    new = _markov_counts(corpus_aff.unionByName(batch))
     return _markov_maintain(idx, old, new)
 
 
@@ -13970,11 +13976,15 @@ def q_markov_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_parquet(_markov_counts(events), idx_path)
     idx = spark.read.parquet(idx_path)
 
+    # the affected slice (all of the affected users' events, deleted
+    # rows included) materializes once; old counts read it whole, new
+    # counts read its kept subset — the corpus is never re-scanned
     affected = events.filter(is_del).select("user_id").distinct()
-    old = _markov_counts(events.join(affected, "user_id", "left_semi"))
-    new = _markov_counts(
-        events.filter(~is_del).join(affected, "user_id", "left_semi")
+    events_aff = events.join(affected, "user_id", "left_semi").localCheckpoint(
+        eager=False
     )
+    old = _markov_counts(events_aff)
+    new = _markov_counts(events_aff.filter(~is_del))
     return _markov_maintain(idx, old, new)
 
 
@@ -14892,11 +14902,14 @@ def q_user_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "v", "med_c",
         F.abs(F.col("v") - F.col("med_c")).alias("ad"),
     )
+    # r2 feeds both the MAD aggregate and the final flag join —
+    # materialize the windowed frame once instead of re-running the
+    # rank window (and the events scan under it) per consumer
     r2 = d.select(
         "*",
         F.row_number().over(wu.orderBy("ad", "event_id")).alias("rk"),
         F.count(F.lit(1)).over(wu).alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     mad = r2.groupBy("user_id").agg(
         F.expr("cast(max(case when rk = (n + 1) div 2 then ad end) as bigint)")
         .alias("mad_c")

@@ -1735,3 +1735,64 @@ def test_bellman_ford_rounds_relax_from_checkpoints_only(spark):
     assert p.count("lineitem.parquet") == 0
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_markov_lifecycle_never_rescans_corpus(spark):
+    """markov_new_batch / markov_forget: the returned plan reads the
+    persisted index plus materialized affected/batch slices — zero
+    full events scans survive (the corpus re-read would defeat the
+    affected-key contract), equi-joins only, JVM-only."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    for name in ("markov_new_batch", "markov_forget"):
+        p = physical_plan(_q(name)(spark, SF_SMOKE))
+        assert "markov_idx" in p
+        assert p.count("events.parquet") == 0, name
+        assert "CartesianProduct" not in p and "EvalPython" not in p
+
+
+def test_zipf_head_via_takeordered_not_full_sort(spark):
+    """corpus_zipf_fit: the head selection must plan
+    TakeOrderedAndProject (distributed partial top-K), never a global
+    sort of the full vocabulary."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("corpus_zipf_fit")(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p
+    assert p.count("documents.parquet") == 1
+
+
+def test_session2_scan_counts_and_shapes(spark):
+    """One-scan / partitioned-window / no-cartesian pins for the
+    session-2 additions that aren't covered by a dedicated test."""
+    from hubsit_health_analytics_etl_spark.plans.explain import physical_plan
+
+    p = physical_plan(_q("cohort_ltv_curve")(spark, SF_SMOKE))
+    assert p.count("orders.parquet") <= 1
+    assert "windowspecdefinition(cm#" in p  # cohort-partitioned cumsum
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+
+    p = physical_plan(_q("nation_trimmed_mean_price")(spark, SF_SMOKE))
+    assert p.count("lineitem.parquet") == 1
+    assert "windowspecdefinition(nation#" in p
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+
+    p = physical_plan(_q("funnel_conversion_latency")(spark, SF_SMOKE))
+    assert p.count("events.parquet") == 1
+    assert "windowspecdefinition(user_id#" in p
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+
+    p = physical_plan(_q("user_value_mad_outliers")(spark, SF_SMOKE))
+    # the windowed deviation frame materializes once (localCheckpoint),
+    # so the returned plan reads it instead of re-running the rank
+    # window — no full events scan survives
+    assert p.count("events.parquet") <= 2
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+
+    p = physical_plan(_q("doc_boilerplate_fraction")(spark, SF_SMOKE))
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p  # df join is an equi-join
+
+    p = physical_plan(_q("tokenizer_fertility")(spark, SF_SMOKE))
+    assert p.count("documents.parquet") == 1
+    assert "EvalPython" not in p
