@@ -14927,3 +14927,168 @@ def q_user_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast interval coverage — the UNCERTAINTY member of the
+# forecasting family (monthly_forecast_backtest scores point error;
+# this asks whether a split-conformal interval actually covers):
+# calibration months (first ⌈2n/3⌉ of the month spine) supply the
+# naive/seasonal forecast residuals, whose discrete rank-⌈p·n⌉
+# quantiles become the [lo, hi] interval offsets; the held-out
+# months report empirical coverage. Everything rank-based and
+# integer — the conformal guarantee (coverage ≥ nominal up to
+# discreteness) is testable arithmetic, not a float approximation.
+# ---------------------------------------------------------------------------
+
+_FC_INTERVAL_ORACLE = """
+    WITH rev AS (
+      SELECT n.n_name AS nation, strftime(o.o_orderdate, '%Y-%m') AS m,
+             SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT))::BIGINT AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2),
+    months AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m FROM orders),
+    mr AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk,
+                  COUNT(*) OVER () AS n
+           FROM months),
+    cut AS (SELECT MAX(CASE WHEN rk = (2 * n + 2) // 3 THEN m END) AS cutoff
+            FROM mr),
+    spine AS (SELECT n.n_name AS nation, months.m
+              FROM nation n CROSS JOIN months),
+    s AS (SELECT spine.nation, spine.m, rev.rev_c,
+                 LAG(rev.rev_c, 1) OVER w AS f1,
+                 LAG(rev.rev_c, 12) OVER w AS f12
+          FROM spine LEFT JOIN rev USING (nation, m)
+          WINDOW w AS (PARTITION BY spine.nation ORDER BY spine.m)),
+    u AS (SELECT nation, m, rev_c, 'naive1' AS model, f1 AS fc FROM s
+          UNION ALL
+          SELECT nation, m, rev_c, 'snaive12', f12 FROM s),
+    v AS (SELECT u.*, cut.cutoff FROM u CROSS JOIN cut
+          WHERE u.rev_c IS NOT NULL AND u.fc IS NOT NULL),
+    calq AS (SELECT model, r AS res,
+                    ROW_NUMBER() OVER (PARTITION BY model ORDER BY r) AS rk,
+                    COUNT(*) OVER (PARTITION BY model) AS n
+             FROM (SELECT model, rev_c - fc AS r FROM v WHERE m <= cutoff)),
+    q AS (SELECT model, MAX(n)::BIGINT AS n_cal,
+                 MAX(CASE WHEN rk = (n * 10 + 99) // 100 THEN res END)
+                   ::BIGINT AS lo_c,
+                 MAX(CASE WHEN rk = (n * 90 + 99) // 100 THEN res END)
+                   ::BIGINT AS hi_c
+          FROM calq GROUP BY model),
+    ev AS (SELECT v.model, v.rev_c - v.fc AS r FROM v WHERE v.m > v.cutoff)
+    SELECT q.model, q.n_cal, COUNT(*)::BIGINT AS n_eval, q.lo_c, q.hi_c,
+           CAST(SUM(CASE WHEN ev.r BETWEEN q.lo_c AND q.hi_c
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN ev.r BETWEEN q.lo_c AND q.hi_c
+                         THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS coverage_u6
+    FROM ev JOIN q USING (model)
+    GROUP BY q.model, q.n_cal, q.lo_c, q.hi_c
+    """
+
+
+@query("forecast_interval_coverage", _FC_INTERVAL_ORACLE)
+def q_forecast_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal check of the backtest's two baselines: pooled
+    calibration residuals (months up to the ⌈2n/3⌉ cutoff) give
+    discrete p10/p90 offsets; held-out months report how often the
+    actual lands inside. Same spine/lag discipline as the backtest;
+    the quantile table is 2 rows and broadcasts onto the eval slice."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+            F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("p_c"),
+        )
+        .groupBy("nation", "m")
+        .agg(F.sum("p_c").cast("bigint").alias("rev_c"))
+    )
+    months = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m")
+    ).distinct().localCheckpoint(eager=False)
+    mr = months.select(
+        "m",
+        F.row_number().over(Window.orderBy("m")).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    cut = mr.agg(
+        F.expr("max(case when rk = (2 * n + 2) div 3 then m end)").alias("cutoff")
+    )
+    spine = nat.select(F.col("n_name").alias("nation")).crossJoin(
+        F.broadcast(months)
+    )
+    w = Window.partitionBy("nation").orderBy("m")
+    s = spine.join(rev, ["nation", "m"], "left").select(
+        "nation", "m", "rev_c",
+        F.lag("rev_c", 1).over(w).alias("f1"),
+        F.lag("rev_c", 12).over(w).alias("f12"),
+    )
+    u = s.select(
+        "nation", "m", "rev_c", F.lit("naive1").alias("model"),
+        F.col("f1").alias("fc"),
+    ).unionByName(
+        s.select(
+            "nation", "m", "rev_c", F.lit("snaive12").alias("model"),
+            F.col("f12").alias("fc"),
+        )
+    )
+    v = (
+        u.filter(F.col("rev_c").isNotNull() & F.col("fc").isNotNull())
+        .crossJoin(F.broadcast(cut))
+        .localCheckpoint(eager=False)
+    )
+    calq = v.filter(F.col("m") <= F.col("cutoff")).select(
+        "model", (F.col("rev_c") - F.col("fc")).alias("res")
+    ).select(
+        "model", "res",
+        F.row_number().over(
+            Window.partitionBy("model").orderBy("res")
+        ).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("model")).alias("n"),
+    )
+    q = calq.groupBy("model").agg(
+        F.max("n").cast("bigint").alias("n_cal"),
+        F.expr(
+            "cast(max(case when rk = (n * 10 + 99) div 100 then res end) "
+            "as bigint)"
+        ).alias("lo_c"),
+        F.expr(
+            "cast(max(case when rk = (n * 90 + 99) div 100 then res end) "
+            "as bigint)"
+        ).alias("hi_c"),
+    )
+    ev = v.filter(F.col("m") > F.col("cutoff")).select(
+        "model", (F.col("rev_c") - F.col("fc")).alias("r")
+    )
+    return (
+        ev.join(F.broadcast(q), "model")
+        .groupBy("model", "n_cal", "lo_c", "hi_c")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.expr(
+                "cast(sum(case when r between lo_c and hi_c then 1 else 0 end) "
+                "as bigint)"
+            ).alias("n_covered"),
+            F.expr(
+                "cast(sum(case when r between lo_c and hi_c then 1 else 0 end) "
+                "* 1000000 div count(1) as bigint)"
+            ).alias("coverage_u6"),
+        )
+        .select(
+            "model", "n_cal", "n_eval", "lo_c", "hi_c", "n_covered",
+            "coverage_u6",
+        )
+    )

@@ -4930,3 +4930,64 @@ def test_mad_outliers_match_pure_python_and_resist_masking(spark):
         1 for x in xs if (x * n - sx) ** 2 > 9 * (n * sxx - sx * sx)
     )
     assert flagged == 0  # the mean z-test (k=3) is masked by its own sigma
+
+
+def test_forecast_interval_matches_pure_python_reference(spark):
+    """Independent reference: spine, lags, the ⌈2n/3⌉ month cutoff,
+    discrete residual quantiles and held-out coverage replayed in
+    python. Laws: lo ≤ 0 ≤ hi (residual quantiles straddle zero for
+    an unbiased-ish baseline on this corpus), n_covered ≤ n_eval, and
+    coverage is the integral division of its own counters."""
+    import math
+    from collections import defaultdict
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, SF_SMOKE, "nation").collect()
+    }
+    cnat = {
+        r["c_custkey"]: nat[r["c_nationkey"]]
+        for r in load_table(spark, SF_SMOKE, "customer").collect()
+    }
+    rev = defaultdict(int)
+    months = set()
+    for r in load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    ).collect():
+        m = f"{r['o_orderdate'].year:04d}-{r['o_orderdate'].month:02d}"
+        months.add(m)
+        rev[(cnat[r["o_custkey"]], m)] += int(math.floor(r["o_totalprice"] * 100))
+    months = sorted(months)
+    cutoff = months[(2 * len(months) + 2) // 3 - 1]
+    rows = []  # (model, m, residual)
+    for nation in set(nat.values()):
+        series = [rev.get((nation, m)) for m in months]
+        for i, m in enumerate(months):
+            a = series[i]
+            if a is None:
+                continue
+            for model, lag in (("naive1", 1), ("snaive12", 12)):
+                if i >= lag and series[i - lag] is not None:
+                    rows.append((model, m, a - series[i - lag]))
+    got = {
+        r["model"]: r
+        for r in w.QUERIES["forecast_interval_coverage"](spark, SF_SMOKE).collect()
+    }
+    for model in ("naive1", "snaive12"):
+        cal = sorted(r for mo, m, r in rows if mo == model and m <= cutoff)
+        ev = [r for mo, m, r in rows if mo == model and m > cutoff]
+        n = len(cal)
+        lo = cal[(n * 10 + 99) // 100 - 1]
+        hi = cal[(n * 90 + 99) // 100 - 1]
+        cov = sum(1 for r in ev if lo <= r <= hi)
+        g = got[model]
+        assert (g["n_cal"], g["n_eval"], g["lo_c"], g["hi_c"]) == (
+            n, len(ev), lo, hi,
+        ), model
+        assert g["n_covered"] == cov
+        assert g["coverage_u6"] == cov * 1000000 // len(ev)
+        assert g["lo_c"] <= 0 <= g["hi_c"]
+        assert g["n_covered"] <= g["n_eval"]
