@@ -15092,3 +15092,89 @@ def q_forecast_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_u6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity — the MIXING-PATTERN member of the graph
+# family (triangles measure local cohesion; this asks whether hubs
+# attach to hubs or to leaves — the single number that most shapes
+# how the co-purchase graph percolates): Pearson correlation of
+# endpoint degrees over the symmetrized edge list. Symmetrization
+# makes the two marginals IDENTICAL, so Pearson's sqrt cancels:
+# r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — one integral micro-unit
+# division of exact widened integers, no transcendentals at all.
+# ---------------------------------------------------------------------------
+
+_ASSORT_ORACLE = f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    und AS MATERIALIZED (
+      SELECT u, v FROM (
+        SELECT a.pk AS u, b.pk AS v, COUNT(*) AS c
+        FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2)
+      WHERE c >= {TRI_MIN_SUPPORT}),
+    e AS (SELECT u AS src, v AS dst FROM und
+          UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT src AS node, COUNT(*)::BIGINT AS d FROM e GROUP BY 1),
+    p AS (SELECT da.d AS x, db.d AS y
+          FROM e JOIN deg da ON da.node = e.src
+                 JOIN deg db ON db.node = e.dst),
+    a AS (SELECT COUNT(*)::HUGEINT AS m,
+                 SUM(CAST(x AS HUGEINT)) AS sx,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy
+          FROM p)
+    SELECT (SELECT COUNT(*) FROM deg)::BIGINT AS n_nodes,
+           CAST(m / 2 AS BIGINT) AS n_edges,
+           CAST((m * sxy - sx * sx) * 1000000
+                // (m * sxx - sx * sx) AS BIGINT) AS assortativity_u6
+    FROM a
+    """
+
+
+@query("copurchase_assortativity", _ASSORT_ORACLE)
+def q_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the support-pruned co-purchase graph
+    (same graph as triangles/PPR/BFS): degrees from the symmetrized
+    edge list, one broadcast-degree join onto the edges, one widened
+    integer fold. Negative values = hub-and-spoke mixing (hubs attach
+    to leaves), positive = core-periphery. Everything after the
+    basket expansion is edge-table-sized."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    b = op.select(F.col("ok"), F.col("pk").alias("pb"))
+    und = (
+        op.join(b, (op["ok"] == b["ok"]) & (op["pk"] < b["pb"]))
+        .groupBy(F.col("pk").alias("u"), F.col("pb").alias("v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    e = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    ).localCheckpoint(eager=False)
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("x"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))
+    p = e.join(F.broadcast(da), "src").join(F.broadcast(db), "dst")
+    a = p.agg(
+        F.expr("cast(count(1) as decimal(38,0))").alias("m"),
+        F.expr("sum(cast(x as decimal(38,0)))").alias("sx"),
+        F.expr("sum(cast(x as decimal(38,0)) * x)").alias("sxx"),
+        F.expr("sum(cast(x as decimal(38,0)) * y)").alias("sxy"),
+    )
+    n = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return n.crossJoin(F.broadcast(a)).select(
+        "n_nodes",
+        F.expr("cast(m / 2 as bigint)").alias("n_edges"),
+        F.expr(
+            "cast((m * sxy - sx * sx) * 1000000 div (m * sxx - sx * sx) "
+            "as bigint)"
+        ).alias("assortativity_u6"),
+    )

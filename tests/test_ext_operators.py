@@ -4991,3 +4991,56 @@ def test_forecast_interval_matches_pure_python_reference(spark):
         assert g["coverage_u6"] == cov * 1000000 // len(ev)
         assert g["lo_c"] <= 0 <= g["hi_c"]
         assert g["n_covered"] <= g["n_eval"]
+
+
+def test_assortativity_matches_pure_python_reference(spark):
+    """Independent reference: support-pruned graph rebuilt in python,
+    symmetrized-endpoint-degree Pearson via big-int arithmetic (the
+    sqrt cancels because the marginals coincide). Laws: |r| ≤ 10⁶;
+    a crafted star graph scores exactly -10⁶ (perfect disassortative
+    mixing)."""
+    from collections import Counter, defaultdict
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.workload_ext import TRI_MIN_SUPPORT
+
+    op = {
+        (r["l_orderkey"], r["l_partkey"])
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    }
+    by_order = defaultdict(set)
+    for ok, pk in op:
+        by_order[ok].add(pk)
+    support = Counter()
+    for parts in by_order.values():
+        parts = sorted(parts)
+        for i, u in enumerate(parts):
+            for v in parts[i + 1 :]:
+                support[(u, v)] += 1
+    edges = [(u, v) for (u, v), c in support.items() if c >= TRI_MIN_SUPPORT]
+
+    def assort_u6(edge_list):
+        deg = Counter()
+        for u, v in edge_list:
+            deg[u] += 1
+            deg[v] += 1
+        pts = [(deg[u], deg[v]) for u, v in edge_list]
+        pts += [(y, x) for x, y in pts]
+        m = len(pts)
+        sx = sum(x for x, _ in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        num, den = m * sxy - sx * sx, m * sxx - sx * sx
+        q = abs(num) * 1000000 // abs(den)
+        return (q if (num >= 0) == (den >= 0) else -q), len(deg), m // 2
+
+    want_r, n_nodes, n_edges = assort_u6(edges)
+    [row] = w.QUERIES["copurchase_assortativity"](spark, SF_SMOKE).collect()
+    assert (row["n_nodes"], row["n_edges"]) == (n_nodes, n_edges)
+    assert row["assortativity_u6"] == want_r
+    assert -1000000 <= row["assortativity_u6"] <= 1000000
+    star, _, _ = assort_u6([(0, i) for i in range(1, 6)])
+    assert star == -1000000
