@@ -15178,3 +15178,157 @@ def q_copurchase_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "as bigint)"
         ).alias("assortativity_u6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz deciles — the CURVE the Gini coefficient summarizes
+# (nation_revenue_gini reports the area number; this reports the ten
+# points a dashboard actually plots): per nation, customers ascend by
+# lifetime revenue into NTILE(10) deciles, each row giving the
+# decile's share and the cumulative share below-and-including it.
+# ---------------------------------------------------------------------------
+
+_LORENZ_ORACLE = """
+    WITH x AS MATERIALIZED (
+      SELECT n.n_name AS nation, c.c_custkey,
+             COALESCE(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)), 0)
+               ::BIGINT AS rev_c
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    t AS (SELECT nation, rev_c,
+                 NTILE(10) OVER (PARTITION BY nation
+                                 ORDER BY rev_c, c_custkey) AS decile
+          FROM x),
+    g AS (SELECT nation, decile, COUNT(*)::BIGINT AS n_cust,
+                 SUM(rev_c)::BIGINT AS rev_c
+          FROM t GROUP BY 1, 2),
+    w AS (SELECT *,
+                 SUM(rev_c) OVER (PARTITION BY nation ORDER BY decile
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_c,
+                 SUM(rev_c) OVER (PARTITION BY nation)::BIGINT AS tot_c
+          FROM g)
+    SELECT nation, decile::BIGINT AS decile, n_cust, rev_c,
+           CAST(rev_c * 1000000 // tot_c AS BIGINT) AS share_u6,
+           CAST(cum_c * 1000000 // tot_c AS BIGINT) AS cum_share_u6
+    FROM w
+    """
+
+
+@query("nation_lorenz_deciles", _LORENZ_ORACLE)
+def q_nation_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten Lorenz-curve points per nation over customer lifetime
+    revenue (zero-order customers included at zero, the
+    nation_revenue_gini population verbatim — the two queries plot and
+    summarize the SAME curve): total-order NTILE(10), decile
+    aggregate, nation-partitioned cumulative share in integral
+    micro-units. Windows order customer-level rows only."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    x = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(
+            F.expr(
+                "cast(coalesce(sum(cast(floor(o_totalprice * 100) as bigint)), 0)"
+                " as bigint)"
+            ).alias("rev_c")
+        )
+    )
+    t = x.select(
+        "nation", "rev_c",
+        F.ntile(10).over(
+            Window.partitionBy("nation").orderBy("rev_c", "c_custkey")
+        ).cast("bigint").alias("decile"),
+    )
+    g = t.groupBy("nation", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("rev_c").cast("bigint").alias("rev_c"),
+    )
+    wn = Window.partitionBy("nation")
+    w = g.select(
+        "*",
+        F.sum("rev_c").over(
+            wn.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint").alias("cum_c"),
+        F.sum("rev_c").over(wn).cast("bigint").alias("tot_c"),
+    )
+    return w.select(
+        "nation", "decile", "n_cust", "rev_c",
+        F.expr("cast(rev_c * 1000000 div tot_c as bigint)").alias("share_u6"),
+        F.expr("cast(cum_c * 1000000 div tot_c as bigint)").alias(
+            "cum_share_u6"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS — regression PER KEY as a pure aggregate (theilsen/zipf
+# fit one global line; real feature pipelines fit thousands of
+# per-segment lines in one pass): quantity-on-discount slope per part
+# type, the "does a deeper discount move volume for THIS category"
+# table. Five widened integer sums per group, one integral division —
+# a grouped regression with zero iterations and zero floats.
+# ---------------------------------------------------------------------------
+
+_ELASTICITY_ORACLE = """
+    WITH j AS (SELECT p.p_type AS ptype,
+                      CAST(round(l.l_discount * 100) AS BIGINT) AS d_pct,
+                      CAST(l.l_quantity AS BIGINT) AS qty
+               FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    a AS (SELECT ptype, COUNT(*)::HUGEINT AS n,
+                 SUM(CAST(d_pct AS HUGEINT)) AS sx,
+                 SUM(CAST(qty AS HUGEINT)) AS sy,
+                 SUM(CAST(d_pct AS HUGEINT) * qty) AS sxy,
+                 SUM(CAST(d_pct AS HUGEINT) * d_pct) AS sxx
+          FROM j GROUP BY ptype)
+    SELECT ptype, CAST(n AS BIGINT) AS n_items,
+           CAST((n * sxy - sx * sy) * 1000000
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_u6,
+           CAST((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx)
+                // (n * (n * sxx - sx * sx)) AS BIGINT) AS intercept_u6
+    FROM a WHERE n * sxx - sx * sx <> 0
+    """
+
+
+@query("discount_quantity_elasticity", _ELASTICITY_ORACLE)
+def q_discount_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part-type OLS of quantity on discount points: one broadcast
+    dim join, five map-side integer sums per group, slope and
+    intercept as integral micro-unit divisions (degenerate
+    zero-variance groups drop). The grouped-regression shape — every
+    group fits in the same single shuffle an ordinary aggregate
+    costs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("cast(round(l_discount * 100) as bigint)").alias("d_pct"),
+        F.expr("cast(l_quantity as bigint)").alias("qty"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        F.col("p_type").alias("ptype"), "d_pct", "qty"
+    )
+    a = j.groupBy("ptype").agg(
+        F.expr("cast(count(1) as decimal(38,0))").alias("n"),
+        F.expr("sum(cast(d_pct as decimal(38,0)))").alias("sx"),
+        F.expr("sum(cast(qty as decimal(38,0)))").alias("sy"),
+        F.expr("sum(cast(d_pct as decimal(38,0)) * qty)").alias("sxy"),
+        F.expr("sum(cast(d_pct as decimal(38,0)) * d_pct)").alias("sxx"),
+    )
+    return a.filter(F.expr("n * sxx - sx * sx <> 0")).select(
+        "ptype",
+        F.expr("cast(n as bigint)").alias("n_items"),
+        F.expr(
+            "cast((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) "
+            "as bigint)"
+        ).alias("slope_u6"),
+        F.expr(
+            "cast((sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx) "
+            "div (n * (n * sxx - sx * sx)) as bigint)"
+        ).alias("intercept_u6"),
+    )

@@ -5044,3 +5044,83 @@ def test_assortativity_matches_pure_python_reference(spark):
     assert -1000000 <= row["assortativity_u6"] <= 1000000
     star, _, _ = assort_u6([(0, i) for i in range(1, 6)])
     assert star == -1000000
+
+
+def test_lorenz_deciles_consistent_with_gini(spark):
+    """Cross-query laws against nation_revenue_gini over the SAME
+    population: per nation the deciles' n_cust sums to n_cust and
+    rev_c to total_rev_c; cum_share is monotone ending at 10⁶ within
+    truncation; the top decile's share equals the Gini query's
+    top_decile_u6 wherever the decile split lands on the same cut
+    (n divisible by 10 — NTILE's first-buckets-bigger rule vs the
+    Gini query's ceil rule coincide there)."""
+    from collections import defaultdict
+
+    from hubsit_health_analytics_etl_spark import workload as w
+
+    gini = {
+        r["nation"]: r
+        for r in w.QUERIES["nation_revenue_gini"](spark, SF_SMOKE).collect()
+    }
+    per = defaultdict(list)
+    for r in w.QUERIES["nation_lorenz_deciles"](spark, SF_SMOKE).collect():
+        per[r["nation"]].append(r)
+    assert set(per) == set(gini)
+    for nation, rows in per.items():
+        rows.sort(key=lambda r: r["decile"])
+        # NTILE emits min(10, n) buckets — tiny nations have fewer rows
+        k = min(10, gini[nation]["n_cust"])
+        assert [r["decile"] for r in rows] == list(range(1, k + 1))
+        assert sum(r["n_cust"] for r in rows) == gini[nation]["n_cust"]
+        assert sum(r["rev_c"] for r in rows) == gini[nation]["total_rev_c"]
+        shares = [r["cum_share_u6"] for r in rows]
+        assert all(a <= b for a, b in zip(shares, shares[1:]))
+        assert 1000000 - 10 <= shares[-1] <= 1000000
+        if gini[nation]["n_cust"] % 10 == 0:
+            assert rows[-1]["share_u6"] == gini[nation]["top_decile_u6"]
+
+
+def test_elasticity_matches_pure_python_reference(spark):
+    """Independent reference: per-type big-int OLS replayed from the
+    joined rows; degenerate (zero x-variance) groups must be absent."""
+    from collections import defaultdict
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    ptype = {
+        r["p_partkey"]: r["p_type"]
+        for r in load_table(spark, SF_SMOKE, "part").collect()
+    }
+    per = defaultdict(list)
+    for r in load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_partkey", "l_discount", "l_quantity"
+    ).collect():
+        per[ptype[r["l_partkey"]]].append(
+            (int(round(r["l_discount"] * 100)), int(r["l_quantity"]))
+        )
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    got = {
+        r["ptype"]: r
+        for r in w.QUERIES["discount_quantity_elasticity"](spark, SF_SMOKE).collect()
+    }
+    for t, pts in per.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        den = n * sxx - sx * sx
+        if den == 0:
+            assert t not in got
+            continue
+        num = n * sxy - sx * sy
+        r = got[t]
+        assert r["n_items"] == n
+        assert r["slope_u6"] == trunc_div(num * 1000000, den)
+        assert r["intercept_u6"] == trunc_div(sy * den - num * sx, n * den)
+    assert set(got) <= set(per)
