@@ -15332,3 +15332,57 @@ def q_discount_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFram
             "div (n * (n * sxx - sx * sx)) as bigint)"
         ).alias("intercept_u6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounce rate — the QUALITY number over the sessionization family
+# (session_30m builds sessions, peak_concurrent_sessions measures
+# load; this measures engagement): per session-start day, how many
+# sessions were single-event bounces.
+# ---------------------------------------------------------------------------
+
+_BOUNCE_ORACLE = """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) ts FROM events),
+    m AS (SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s0 AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m),
+    s AS (SELECT user_id, sid, MIN(ts) AS a0, COUNT(*)::BIGINT AS n_ev
+          FROM s0 GROUP BY 1, 2)
+    SELECT strftime(CAST(a0 AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*)::BIGINT AS n_sessions,
+           CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS bounce_u6
+    FROM s GROUP BY 1
+    """
+
+
+@query("daily_bounce_rate", _BOUNCE_ORACLE)
+def q_daily_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per start-day bounce rate of 30-minute sessions (the same
+    F.session_window op the family shares): single-event sessions over
+    all sessions, integral micro-units. One user-key shuffle for the
+    session build, one day aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.min("ts").alias("a0"), F.count(F.lit(1)).cast("bigint").alias("n_ev"))
+        .drop("w", "user_id")
+    )
+    return s.groupBy(
+        F.date_format(F.to_date("a0"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.expr(
+            "cast(sum(case when n_ev = 1 then 1 else 0 end) as bigint)"
+        ).alias("n_bounces"),
+        F.expr(
+            "cast(sum(case when n_ev = 1 then 1 else 0 end) * 1000000 "
+            "div count(1) as bigint)"
+        ).alias("bounce_u6"),
+    )

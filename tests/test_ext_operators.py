@@ -5124,3 +5124,25 @@ def test_elasticity_matches_pure_python_reference(spark):
         assert r["slope_u6"] == trunc_div(num * 1000000, den)
         assert r["intercept_u6"] == trunc_div(sy * den - num * sx, n * den)
     assert set(got) <= set(per)
+
+
+def test_bounce_rate_consistent_with_sessions(spark):
+    """Cross-query law: bounce counts recomputed from session_30m's
+    own output (n_eventos == 1, day = session_start date) must match
+    day-for-day; rates are the integral division of their counters."""
+    from collections import defaultdict
+
+    from hubsit_health_analytics_etl_spark import workload as w
+
+    per = defaultdict(lambda: [0, 0])
+    for r in w.QUERIES["session_30m"](spark, SF_SMOKE).collect():
+        day = r["session_start"][:10]
+        per[day][0] += 1
+        per[day][1] += int(r["n_eventos"] == 1)
+    got = {
+        r["day"]: (r["n_sessions"], r["n_bounces"], r["bounce_u6"])
+        for r in w.QUERIES["daily_bounce_rate"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(per)
+    for day, (n, b) in per.items():
+        assert got[day] == (n, b, b * 1000000 // n), day
