@@ -113,11 +113,21 @@ def test_gate_rotation_puts_stalest_queries_first():
     if not covered_last:
         return  # fresh clone without artifacts: any order is fine
     never = [n for n in w.QUERIES if covered_last.get(n, -1) < 0]
-    # every never-covered query must land inside the driver's 50-sample
-    assert all(names.index(n) < 50 for n in never), (
-        f"never-driver-checked queries outside the first 50: "
-        f"{[n for n in never if names.index(n) >= 50]}"
-    )
+    # every never-covered query sorts BEFORE every previously-passed
+    # one; when a round adds more than 50 new queries the 50-sample
+    # cannot hold them all (r13 session 2 did exactly that), so the
+    # containment assertion applies only while the pool fits — the
+    # overflow sweeps in on the next window by the same ordering
+    if len(never) <= 50:
+        assert all(names.index(n) < 50 for n in never), (
+            f"never-driver-checked queries outside the first 50: "
+            f"{[n for n in never if names.index(n) >= 50]}"
+        )
+    else:
+        first = set(names[: len(never)])
+        assert first == set(never), (
+            "never-driver-checked queries must all precede checked ones"
+        )
     # and the order must be monotone in last-covered round
     rounds = [covered_last.get(n, -1) for n in names]
     assert rounds == sorted(rounds)
