@@ -94,6 +94,11 @@ ITERATIVE_ALLOWLIST = {
     "textrank_keywords",  # page_rank composition — same driver-sequenced class
     "versioned_bloom_read",  # commit (write + bloom build) inside the timed query
     "copurchase_triangles",  # eager edge materialization inside the timed query
+    # r13 session 2 members of the same classes
+    "part_weighted_distance",  # Bellman-Ford driver-sequenced relaxation rounds
+    "markov_new_batch",  # transition index write+read round-trip inside the query
+    "markov_forget",  # same posture: index write+read inside the query
+    "export_orc_roundtrip",  # ORC write+read round-trip inside the timed query
 }
 
 PASS_RATIO, WARN_RATIO = 1.10, 1.25
