@@ -13668,9 +13668,13 @@ def q_daily_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = d.crossJoin(F.broadcast(m)).select(
         "rev_c", F.datediff("day", "d0").cast("bigint").alias("x")
     )
-    a = x.select(F.col("rev_c").alias("ra"), F.col("x").alias("xa"))
+    # fan the probe side across cores: the day series materializes on
+    # a couple of partitions, and without this the |days|²/2 pair
+    # expansion (and the percentile's pre-aggregation) would run on
+    # ONE task — slope generation is embarrassingly parallel
+    a = x.select(F.col("rev_c").alias("ra"), F.col("x").alias("xa")).repartition(32)
     b = x.select(F.col("rev_c").alias("rb"), F.col("x").alias("xb"))
-    p = a.join(b, F.col("xa") < F.col("xb")).select(
+    p = a.join(F.broadcast(b), F.col("xa") < F.col("xb")).select(
         F.expr("(rb - ra) * 1000000 div (xb - xa)").alias("slope_u6")
     )
     ols = x.agg(
@@ -13680,13 +13684,32 @@ def q_daily_revenue_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(cast(x as decimal(38,0)) * rev_c)").alias("sxy"),
         F.expr("sum(cast(x as decimal(38,0)) * x)").alias("sxx"),
     )
-    stats = p.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.expr("cast(percentile(slope_u6, 0.5) * 2 as bigint)").alias(
-            "sen_slope2_u6"
-        ),
-    )
+    # doubled median by RANK SELECTION, not the percentile aggregate:
+    # the hash-buffered exact percentile merges ~|days|²/2 longs on one
+    # reducer (~3× slower measured); a distributed sort + two rank
+    # picks gives the identical value (lower+upper rank elements; an
+    # odd count picks the middle twice). n_pairs is CLOSED FORM —
+    # days are distinct, so the xa<xb join yields exactly n·(n−1)/2 —
+    # which keeps the rank thresholds in-plan (no driver collect).
+    from pyspark.sql import Window
+
     nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    ndp = nd.select(
+        "n_days",
+        F.expr("n_days * (n_days - 1) div 2").alias("n_pairs"),
+    )
+    r = p.select(
+        "slope_u6",
+        F.row_number().over(Window.orderBy("slope_u6")).alias("rk"),
+    ).crossJoin(F.broadcast(ndp))
+    stats = r.agg(
+        F.max("n_pairs").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "cast(sum(case when rk = (n_pairs + 1) div 2 then slope_u6 "
+            "else 0 end) + sum(case when rk = n_pairs div 2 + 1 then "
+            "slope_u6 else 0 end) as bigint)"
+        ).alias("sen_slope2_u6"),
+    )
     return (
         nd.crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(ols))
