@@ -15409,3 +15409,65 @@ def q_daily_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div count(1) as bigint)"
         ).alias("bounce_u6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality — the CALENDAR member of the time-series
+# family (LOCF fills gaps, the backtest scores models; this measures
+# the weekly rhythm those models must beat): revenue share per
+# weekday vs the uniform 1/7, as a seasonality index. Weekday comes
+# from PURE DATE ARITHMETIC — days since a known Monday, mod 7 —
+# because the engines' dayofweek()/strftime conventions differ
+# (Sunday=1 vs Sunday=0) while integer datediff does not.
+# ---------------------------------------------------------------------------
+
+_DOW_ANCHOR = "1990-01-01"  # a Monday; fixture dates all follow it
+_DOW_NAMES = (
+    "CASE dow WHEN 0 THEN 'Mon' WHEN 1 THEN 'Tue' WHEN 2 THEN 'Wed' "
+    "WHEN 3 THEN 'Thu' WHEN 4 THEN 'Fri' WHEN 5 THEN 'Sat' "
+    "WHEN 6 THEN 'Sun' END"
+)
+
+_DOW_ORACLE = f"""
+    WITH o AS (SELECT date_diff('day', DATE '{_DOW_ANCHOR}',
+                                CAST(o_orderdate AS DATE)) % 7 AS dow,
+                      CAST(floor(o_totalprice * 100) AS BIGINT) AS rev_c
+               FROM orders),
+    g AS (SELECT dow, COUNT(*)::BIGINT AS n_orders,
+                 SUM(rev_c)::BIGINT AS rev_c
+          FROM o GROUP BY dow)
+    SELECT dow::BIGINT AS dow, {_DOW_NAMES} AS dow_name, n_orders, rev_c,
+           CAST(rev_c * 1000000 // SUM(rev_c) OVER () AS BIGINT) AS share_u6,
+           CAST(rev_c * 7000000 // SUM(rev_c) OVER () AS BIGINT) AS index_u6
+    FROM g
+    """
+
+
+@query("dow_revenue_seasonality", _DOW_ORACLE)
+def q_dow_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday revenue profile: dow = datediff from the {_DOW_ANCHOR}
+    Monday mod 7 (convention-free across engines), revenue share and
+    the ×7 seasonality index in integral micro-units (10⁶ = exactly
+    uniform). One scan, a 7-row aggregate, a tiny window."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            f"datediff(to_date(o_orderdate), date'{_DOW_ANCHOR}') % 7"
+        ).alias("dow"),
+        F.expr("cast(floor(o_totalprice * 100) as bigint)").alias("rev_c"),
+    )
+    g = o.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("rev_c").cast("bigint").alias("rev_c"),
+    )
+    return g.select(
+        F.col("dow").cast("bigint").alias("dow"),
+        F.expr(_DOW_NAMES).alias("dow_name"),
+        "n_orders",
+        "rev_c",
+        F.expr("cast(rev_c * 1000000 div sum(rev_c) over () as bigint)").alias(
+            "share_u6"
+        ),
+        F.expr("cast(rev_c * 7000000 div sum(rev_c) over () as bigint)").alias(
+            "index_u6"
+        ),
+    )

@@ -5146,3 +5146,39 @@ def test_bounce_rate_consistent_with_sessions(spark):
     assert set(got) == set(per)
     for day, (n, b) in per.items():
         assert got[day] == (n, b, b * 1000000 // n), day
+
+
+def test_dow_seasonality_matches_pure_python_reference(spark):
+    """Independent reference: weekday() from python's calendar (Monday
+    = 0, the same convention the anchor-Monday datediff produces),
+    shares and the ×7 index recomputed with integer division; indexes
+    average to 10⁶ within truncation."""
+    import math
+    from collections import defaultdict
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    agg = defaultdict(lambda: [0, 0])
+    for r in load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).collect():
+        d = r["o_orderdate"]
+        d = d.date() if hasattr(d, "date") else d
+        a = agg[d.weekday()]
+        a[0] += 1
+        a[1] += int(math.floor(r["o_totalprice"] * 100))
+    tot = sum(v[1] for v in agg.values())
+    got = {
+        r["dow"]: r
+        for r in w.QUERIES["dow_revenue_seasonality"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(agg)
+    names = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+    for dow, (n, rc) in agg.items():
+        r = got[dow]
+        assert (r["dow_name"], r["n_orders"], r["rev_c"]) == (names[dow], n, rc)
+        assert r["share_u6"] == rc * 1000000 // tot
+        assert r["index_u6"] == rc * 7000000 // tot
+    mean_idx = sum(r["index_u6"] for r in got.values()) // len(got)
+    assert abs(mean_idx - 1000000) < 10
