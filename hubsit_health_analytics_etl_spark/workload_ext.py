@@ -15471,3 +15471,109 @@ def q_dow_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "index_u6"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time SCD2 probe — the READ side of scd2_priority_history
+# (building the dimension is half the pattern; the Kimball payoff is
+# joining facts to the version that was CURRENT at fact time): each
+# shipment joins its customer's priority segment valid at ship date.
+# Spark-first shape: equi-join on the customer key (fan-out = that
+# customer's few segments), then the [valid_from, valid_to) range
+# filter — never a blind non-equi join. A fact dated BEFORE the
+# customer's first segment has no valid dimension row and drops (the
+# Kimball "unknown member" case — this fixture's synthetic ship dates
+# can precede the order date); everything else matches EXACTLY one
+# segment, the conservation law the test pins.
+# ---------------------------------------------------------------------------
+
+_SCD2_PIT_ORACLE = """
+    WITH o AS (SELECT o_custkey, o_orderkey,
+                      o_orderpriority AS priority,
+                      CAST(o_orderdate AS DATE) AS d
+               FROM orders),
+    s AS (SELECT *, CASE WHEN LAG(priority) OVER
+                      (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+                      IS DISTINCT FROM priority THEN 1 ELSE 0 END AS chg
+          FROM o),
+    g AS (SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                                   ORDER BY d, o_orderkey
+                                   ROWS UNBOUNDED PRECEDING) AS seg
+          FROM s),
+    dim AS (SELECT o_custkey, seg, priority, MIN(d) AS vf
+            FROM g GROUP BY o_custkey, seg, priority),
+    dim2 AS (SELECT o_custkey, priority, vf,
+                    COALESCE(LEAD(vf) OVER (PARTITION BY o_custkey
+                                            ORDER BY seg),
+                             DATE '9999-12-31') AS vt
+             FROM dim),
+    f AS (SELECT o.o_custkey, CAST(l.l_shipdate AS DATE) AS ship_d,
+                 CAST(l.l_quantity AS BIGINT) AS qty,
+                 CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS price_c
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT d.priority AS priority_at_ship,
+           COUNT(*)::BIGINT AS n_items,
+           SUM(f.qty)::BIGINT AS total_qty,
+           SUM(f.price_c)::BIGINT AS total_price_c
+    FROM f JOIN dim2 d ON d.o_custkey = f.o_custkey
+                      AND f.ship_d >= d.vf AND f.ship_d < d.vt
+    GROUP BY 1
+    """
+
+
+@query("scd2_point_in_time_shipments", _SCD2_PIT_ORACLE)
+def q_scd2_point_in_time_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipment volume by the priority that was CURRENT for the
+    customer at ship time: the scd2_priority_history dimension
+    verbatim ([valid_from, valid_to) half-open intervals, 9999-12-31
+    sentinel), probed by lineitem ship dates through an equi-join on
+    the customer key with the range test as a post-filter; facts
+    predating the customer's history drop (unknown member). One
+    customer-keyed shuffle each side; the fan-out is bounded by
+    segments-per-customer, never |dim|."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    s = o.withColumn(
+        "chg",
+        F.when(
+            F.lag("priority").over(w).eqNullSafe(F.col("priority")), F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    g = s.withColumn(
+        "seg", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    dim = g.groupBy("o_custkey", "seg", "priority").agg(F.min("d").alias("vf"))
+    dim2 = dim.select(
+        "o_custkey", "priority", "vf",
+        F.coalesce(
+            F.lead("vf").over(Window.partitionBy("o_custkey").orderBy("seg")),
+            F.lit("9999-12-31").cast("date"),
+        ).alias("vt"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.to_date("l_shipdate").alias("ship_d"),
+        F.expr("cast(l_quantity as bigint)").alias("qty"),
+        F.expr("cast(floor(l_extendedprice * 100) as bigint)").alias("price_c"),
+    )
+    okeys = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    f = li.join(okeys, li["l_orderkey"] == okeys["o_orderkey"]).select(
+        "o_custkey", "ship_d", "qty", "price_c"
+    )
+    j = f.join(
+        dim2,
+        (f["o_custkey"] == dim2["o_custkey"])
+        & (F.col("ship_d") >= F.col("vf"))
+        & (F.col("ship_d") < F.col("vt")),
+    )
+    return j.groupBy(F.col("priority").alias("priority_at_ship")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("qty").cast("bigint").alias("total_qty"),
+        F.sum("price_c").cast("bigint").alias("total_price_c"),
+    )

@@ -5182,3 +5182,56 @@ def test_dow_seasonality_matches_pure_python_reference(spark):
         assert r["index_u6"] == rc * 7000000 // tot
     mean_idx = sum(r["index_u6"] for r in got.values()) // len(got)
     assert abs(mean_idx - 1000000) < 10
+
+
+def test_scd2_point_in_time_conserves_every_lineitem(spark):
+    """Conservation law: every lineitem whose ship date is at or
+    after its customer's first segment start matches EXACTLY one
+    segment (facts predating the history drop — the unknown-member
+    case this fixture's synthetic ship dates exercise); per-priority
+    rows recomputed in python from the SCD2 history query's own
+    output, and the matched count reconciles to |lineitem| minus the
+    pre-history facts."""
+    import bisect
+    import math
+    from collections import defaultdict
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    segs = defaultdict(list)  # custkey -> sorted [(valid_from, priority)]
+    for r in w.QUERIES["scd2_priority_history"](spark, SF_SMOKE).collect():
+        segs[r["o_custkey"]].append((r["valid_from"], r["priority"]))
+    for v in segs.values():
+        v.sort()
+    ocust = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load_table(spark, SF_SMOKE, "orders").collect()
+    }
+    want = defaultdict(lambda: [0, 0, 0])
+    n_li = n_early = 0
+    for r in load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    ).collect():
+        n_li += 1
+        ck = ocust[r["l_orderkey"]]
+        d = r["l_shipdate"]
+        d = d.date() if hasattr(d, "date") else d
+        ds = str(d)
+        starts = [vf for vf, _ in segs[ck]]
+        i = bisect.bisect_right(starts, ds) - 1
+        if i < 0:
+            n_early += 1  # shipped before the customer's first segment
+            continue
+        pri = segs[ck][i][1]
+        a = want[pri]
+        a[0] += 1
+        a[1] += int(r["l_quantity"])
+        a[2] += int(math.floor(r["l_extendedprice"] * 100))
+    got = {
+        r["priority_at_ship"]: (r["n_items"], r["total_qty"], r["total_price_c"])
+        for r in w.QUERIES["scd2_point_in_time_shipments"](spark, SF_SMOKE).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert sum(v[0] for v in got.values()) == n_li - n_early
+    assert n_early < n_li // 2  # most facts postdate their history
