@@ -15577,3 +15577,86 @@ def q_scd2_point_in_time_shipments(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("qty").cast("bigint").alias("total_qty"),
         F.sum("price_c").cast("bigint").alias("total_price_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Order inter-arrival — the REPURCHASE-CADENCE member of the
+# behavioral family (RFM scores recency once; this measures the whole
+# gap distribution): per market segment, discrete percentiles of the
+# days between a customer's consecutive orders. The number a
+# replenishment/retention team sets reminder windows by.
+# ---------------------------------------------------------------------------
+
+_INTERARRIVAL_ORACLE = """
+    WITH o AS (SELECT c.c_mktsegment AS segment, o.o_custkey,
+                      CAST(o.o_orderdate AS DATE) AS d, o.o_orderkey
+               FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    g AS (SELECT segment, o_custkey,
+                 date_diff('day',
+                           LAG(d) OVER (PARTITION BY o_custkey
+                                        ORDER BY d, o_orderkey),
+                           d)::BIGINT AS gap_d
+          FROM o),
+    l AS (SELECT segment, gap_d FROM g WHERE gap_d IS NOT NULL),
+    r AS (SELECT segment, gap_d,
+                 ROW_NUMBER() OVER (PARTITION BY segment
+                                    ORDER BY gap_d) AS rk,
+                 COUNT(*) OVER (PARTITION BY segment) AS n
+          FROM l)
+    SELECT segment, MAX(n)::BIGINT AS n_gaps,
+           MIN(gap_d)::BIGINT AS min_gap_d,
+           MAX(CASE WHEN rk = (n * 50 + 99) // 100 THEN gap_d END)::BIGINT
+             AS p50_gap_d,
+           MAX(CASE WHEN rk = (n * 90 + 99) // 100 THEN gap_d END)::BIGINT
+             AS p90_gap_d,
+           MAX(gap_d)::BIGINT AS max_gap_d,
+           (SUM(gap_d) // MAX(n))::BIGINT AS mean_gap_d
+    FROM r GROUP BY segment
+    """
+
+
+@query("segment_order_interarrival", _INTERARRIVAL_ORACLE)
+def q_segment_order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between consecutive orders per customer (lag within the
+    customer's date-ordered stream, orderkey tie-break), summarized
+    per segment at exact discrete rank-⌈p·n⌉ percentiles. The lag
+    window keys by customer, the percentile window by segment —
+    both natural partitionings, no global sort; the gap ordering
+    inside a segment is value-based, so equal gaps permute freely
+    without touching any output."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("d")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"), "o_custkey", "d", "o_orderkey"
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    l = o.select(
+        "segment",
+        F.datediff("d", F.lag("d").over(wl)).cast("bigint").alias("gap_d"),
+    ).filter(F.col("gap_d").isNotNull())
+    ws = Window.partitionBy("segment")
+    r = l.select(
+        "segment", "gap_d",
+        F.row_number().over(ws.orderBy("gap_d")).alias("rk"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+    )
+    return r.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        F.min("gap_d").cast("bigint").alias("min_gap_d"),
+        F.expr(
+            "cast(max(case when rk = (n * 50 + 99) div 100 then gap_d end) "
+            "as bigint)"
+        ).alias("p50_gap_d"),
+        F.expr(
+            "cast(max(case when rk = (n * 90 + 99) div 100 then gap_d end) "
+            "as bigint)"
+        ).alias("p90_gap_d"),
+        F.max("gap_d").cast("bigint").alias("max_gap_d"),
+        F.expr("cast(sum(gap_d) div max(n) as bigint)").alias("mean_gap_d"),
+    )

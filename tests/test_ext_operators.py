@@ -5235,3 +5235,54 @@ def test_scd2_point_in_time_conserves_every_lineitem(spark):
     assert got == {k: tuple(v) for k, v in want.items()}
     assert sum(v[0] for v in got.values()) == n_li - n_early
     assert n_early < n_li // 2  # most facts postdate their history
+
+
+def test_interarrival_matches_pure_python_reference(spark):
+    """Independent reference: per-customer date-sorted gaps, grouped
+    per segment, discrete percentiles at rank ⌈p·n⌉. Laws: min ≤ p50
+    ≤ p90 ≤ max; gap count per segment = orders in segment − buying
+    customers in segment (one lag hole per customer)."""
+    from collections import defaultdict
+
+    from hubsit_health_analytics_etl_spark import workload as w
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    seg_of = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in load_table(spark, SF_SMOKE, "customer").collect()
+    }
+    per_cust = defaultdict(list)
+    for r in load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    ).collect():
+        d = r["o_orderdate"]
+        d = d.date() if hasattr(d, "date") else d
+        per_cust[r["o_custkey"]].append((d, r["o_orderkey"]))
+    gaps = defaultdict(list)
+    n_orders = defaultdict(int)
+    for ck, ds in per_cust.items():
+        ds.sort()
+        n_orders[seg_of[ck]] += len(ds)
+        for (a, _), (b, _) in zip(ds, ds[1:]):
+            gaps[seg_of[ck]].append((b - a).days)
+    got = {
+        r["segment"]: r
+        for r in w.QUERIES["segment_order_interarrival"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(gaps)
+    buyers = defaultdict(int)
+    for ck in per_cust:
+        buyers[seg_of[ck]] += 1
+    for seg, gs in gaps.items():
+        gs.sort()
+        n = len(gs)
+        r = got[seg]
+        assert r["n_gaps"] == n == n_orders[seg] - buyers[seg]
+        assert r["min_gap_d"] == gs[0] and r["max_gap_d"] == gs[-1]
+        assert r["p50_gap_d"] == gs[(n * 50 + 99) // 100 - 1]
+        assert r["p90_gap_d"] == gs[(n * 90 + 99) // 100 - 1]
+        assert r["mean_gap_d"] == sum(gs) // n
+        assert (
+            r["min_gap_d"] <= r["p50_gap_d"] <= r["p90_gap_d"]
+            <= r["max_gap_d"]
+        )
