@@ -87,6 +87,7 @@ ITERATIVE_ALLOWLIST = {
     "moments_new_batch",  # moments index write+read inside the query
     "moments_forget",  # same posture: index write+read inside the query
     "llm_dataset_build",  # CC loop + BPE rounds + verified export in one job
+    "llm_dataset_new_batch",  # same classes: affected-CC + BPE retrain + export
     "theta_new_batch",  # theta index write+read round-trip inside the query
     "theta_forget",  # same posture: index write+read inside the query
     "supplier_customer_pagerank",  # driver-sequenced iterations + eager edge materialization

@@ -223,12 +223,29 @@ def invariants(spark, sf_dir: str) -> dict:
         .distinct()
         .count()
     )
+    # jaccard-prefix candidate volume (VERDICT r13 #4): the 12.5x
+    # wall-clock ratio at 100x is explained iff candidates track the
+    # true near-dup pair count (both data properties), not |docs|**2
+    from hubsit_health_analytics_etl_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+    )
+
+    jobs = Observation("scale_jaccard_prefix")
+    n_true_pairs = jaccard_prefix_filter_pairs(
+        docs, 3, 10, observation=jobs
+    ).count()
+    try:
+        n_cand = int(jobs.get.get("n_candidates", 0) or 0)
+    except Exception:
+        n_cand = 0
     return {
         "n_docs": n_docs,
         "cc_rounds": stats.get("n_rounds"),
         "n_components": n_components,
         "lsh_dropped_members": int(dropped),
         "lsh_drop_rate": round(dropped / n_docs, 5),
+        "jaccard_prefix_candidates": n_cand,
+        "jaccard_prefix_true_pairs": int(n_true_pairs),
     }
 
 
@@ -307,8 +324,9 @@ def main() -> int:
         ],
         "totals": [grids[t]["total"] for t in tags],
     }
+    prefix = os.environ.get("SPARK_GRAFT_SCALE_PREFIX", "r14")
     path = os.path.join(
-        HERE, "bench_evidence", f"r13_scale_grid_{'_'.join(tags)}.json"
+        HERE, "bench_evidence", f"{prefix}_scale_grid_{'_'.join(tags)}.json"
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

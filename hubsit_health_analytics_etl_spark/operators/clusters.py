@@ -375,6 +375,82 @@ def forget_documents(
     return unaffected.select("node", "component").unionByName(relabelled)
 
 
+def splice_cluster_edges(
+    index_labels: DataFrame,
+    index_edges: DataFrame,
+    new_edges: DataFrame,
+    removed_edges: DataFrame | None = None,
+    new_nodes: DataFrame | None = None,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Incremental label maintenance under edge ADDITIONS and
+    REMOVALS in one pass — the general splice the dataset-build
+    incremental needs: a new ingest batch both adds duplicate edges
+    (batch↔corpus, batch↔batch) and can RETRACT standing edges (an
+    LSH bucket crossing its cap at union time withdraws the pairs it
+    alone supported).
+
+    Additions alone are served by :func:`incremental_dedup_clusters`
+    (star-edge contraction); removals alone by
+    :func:`forget_documents`. Mixed changes need the forget-style
+    shape for BOTH: a removed edge may be a bridge, so affected
+    components must be rebuilt from the REAL persisted pair table
+    ``index_edges`` (canonical ``src < dst``), never from star edges
+    (which would keep split halves spuriously connected).
+
+    Affected components = components containing an endpoint of any
+    added or removed edge (plus ``new_nodes``, the batch ids absent
+    from the index — singletons if untouched by edges). Those members'
+    real edges, minus ``removed_edges``, plus ``new_edges``, re-label
+    through :func:`connected_components`; every other component's
+    labels pass through untouched. Component ids are min node ids, so
+    the spliced table equals the full recompute — the invariant the
+    dataset-build oracle hash-checks.
+
+    Scale shape: two equi-joins on the label table, two semi-joins +
+    one anti-join on the edge table, then an iterative re-label of the
+    affected subgraph only (≈ batch-sized). Keep labels and edges
+    partitioned by component so both probes prune files."""
+    e_add = new_edges.select(F.col(src).alias("doc_a"), F.col(dst).alias("doc_b"))
+    if removed_edges is not None:
+        e_rm = removed_edges.select(
+            F.col(src).alias("doc_a"), F.col(dst).alias("doc_b")
+        )
+        delta = e_add.unionByName(e_rm)
+    else:
+        e_rm = None
+        delta = e_add
+    touched = (
+        delta.select(F.col("doc_a").alias("node"))
+        .union(delta.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    affected_comps = (
+        touched.join(index_labels, "node", "left")
+        .select(F.coalesce(F.col("component"), F.col("node")).alias("component"))
+        .distinct()
+    )
+    affected = index_labels.join(affected_comps, "component")
+    e = index_edges.select(F.col(src).alias("doc_a"), F.col(dst).alias("doc_b"))
+    e = e.join(
+        affected.select(F.col("node").alias("doc_a")), "doc_a", "left_semi"
+    )
+    if e_rm is not None:
+        e = e.join(e_rm, ["doc_a", "doc_b"], "left_anti")
+    sub_edges = e.unionByName(e_add)
+    sub_labels = connected_components(sub_edges, "doc_a", "doc_b")
+    all_nodes = affected.select("node").union(touched)
+    if new_nodes is not None:
+        all_nodes = all_nodes.union(new_nodes.select("node"))
+    relabelled = all_nodes.distinct().join(sub_labels, "node", "left").select(
+        "node",
+        F.coalesce(F.col("component"), F.col("node")).alias("component"),
+    )
+    unaffected = index_labels.join(affected_comps, "component", "left_anti")
+    return unaffected.select("node", "component").unionByName(relabelled)
+
+
 def _incremental_labels(
     index_labels: DataFrame,
     new_edges: DataFrame,

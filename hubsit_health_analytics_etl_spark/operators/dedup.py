@@ -604,6 +604,112 @@ def simhash_candidate_pairs(
     )
 
 
+def capped_pair_retractions(
+    index_bands: DataFrame,
+    index_bucket_sizes: DataFrame,
+    new_bands: DataFrame,
+    standing_pairs: DataFrame,
+    bucket_cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Standing candidate pairs WITHDRAWN by an ingest batch: the cap
+    in :func:`minhash_candidates` drops any band bucket above
+    ``bucket_cap`` members, and bucket sizes only GROW under ingest —
+    so the single possible transition is a standing below-cap bucket
+    crossing the cap when the batch posts into it, retracting the
+    pairs that bucket alone supported. (The dual transition — a pair
+    APPEARING between two standing docs — is impossible: standing
+    postings never change.)
+
+    Returns the (doc_a, doc_b) subset of ``standing_pairs`` with NO
+    surviving below-cap supporting band at union time — exactly the
+    edges a full capped recompute would no longer emit, which the
+    caller feeds to clusters.splice_cluster_edges as removals.
+
+    Inputs: the persisted postings ``index_bands`` (doc_id, band_idx,
+    band_key), their precomputed ``index_bucket_sizes`` (band_idx,
+    band_key, n), the batch's ``new_bands`` postings, and the
+    persisted ``standing_pairs`` edge table (canonical doc_a < doc_b).
+
+    Scale shape: candidate re-pairs come only from NEWLY-overfull
+    buckets (≤ cap members each → ≤ cap²/2 pairs per bucket); the
+    support re-check joins those pairs' own postings (N_BANDS rows
+    per side) against the union size table. Nothing touches text or
+    the corpus-wide pair set."""
+    sizes = (
+        index_bucket_sizes.join(
+            new_bands.groupBy("band_idx", "band_key").agg(
+                F.count(F.lit(1)).alias("n_new")
+            ),
+            ["band_idx", "band_key"],
+            "outer",
+        )
+        .select(
+            "band_idx",
+            "band_key",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_std"),
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("n_new"), F.lit(0))
+            ).alias("n_union"),
+        )
+    )
+    cap = int(bucket_cap)
+    newly_over = sizes.filter(
+        (F.col("n_std") <= cap) & (F.col("n_union") > cap)
+    ).select("band_idx", "band_key")
+    over_members = index_bands.join(newly_over, ["band_idx", "band_key"])
+    cand = (
+        over_members.alias("x")
+        .join(
+            over_members.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+        .join(
+            standing_pairs.select("doc_a", "doc_b"),
+            ["doc_a", "doc_b"],
+            "left_semi",
+        )
+    )
+    ok_buckets = sizes.filter(F.col("n_union") <= cap).select(
+        "band_idx", "band_key"
+    )
+    supported = (
+        cand.join(
+            index_bands.select(
+                F.col(id_col).alias("doc_a"),
+                "band_idx",
+                F.col("band_key").alias("key_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            index_bands.select(
+                F.col(id_col).alias("doc_b"),
+                "band_idx",
+                F.col("band_key").alias("key_b"),
+            ),
+            ["doc_b", "band_idx"],
+        )
+        .filter(F.col("key_a") == F.col("key_b"))
+        .join(
+            ok_buckets.withColumnRenamed("band_key", "key_a"),
+            ["band_idx", "key_a"],
+            "left_semi",
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return cand.join(supported, ["doc_a", "doc_b"], "left_anti")
+
+
 def exact_fingerprint_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -716,6 +822,7 @@ def jaccard_prefix_filter_pairs(
     tau_den: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    observation=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ tau_num/tau_den via PREFIX FILTERING
     (the AllPairs/PPJoin candidate-pruning principle: Bayardo et al.
@@ -777,6 +884,13 @@ def jaccard_prefix_filter_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    if observation is not None:
+        # candidate-volume audit (VERDICT r13 #4): the scale grid reads
+        # n_candidates next to the verified-pair count to show the
+        # prefix generator tracks true near-dup volume, not |docs|²
+        cand = cand.observe(
+            observation, F.count(F.lit(1)).alias("n_candidates")
+        )
     ia = inv.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"), "s")
     ib = inv.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"), "s")
     inter = (

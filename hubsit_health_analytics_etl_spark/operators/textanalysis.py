@@ -296,6 +296,33 @@ def winnow_candidate_pairs(
     )
 
 
+def decon_grams(
+    docs: "DataFrame",
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """(id, g): one row per k-token gram OCCURRENCE, hashed to a
+    60-bit md5-prefix int — the exploded gram stream
+    :func:`contamination_report` consumes. Factored out so the
+    incremental decontamination index builds from the IDENTICAL
+    expression: per-gram occurrence counts over disjoint doc slices
+    are additive, and the (g, doc_id) postings table is the standing
+    artifact a new eval slice probes without re-gramming the corpus."""
+    from .dedup import _spread, shingles_from_text
+
+    return _spread(docs).select(
+        F.col(id_col), shingles_from_text(text_col, k).alias("sh")
+    ).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sh, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))"
+            )
+        ).alias("g"),
+    )
+
+
 def contamination_report(
     corpus: "DataFrame",
     benchmark: "DataFrame",
@@ -321,28 +348,14 @@ def contamination_report(
     ``df_cap`` drops grams appearing in more than ``cap`` corpus docs
     (boilerplate that would flag everything and hot-key the join).
     """
-    from .dedup import _spread, shingles_from_text
-
-    cg = _spread(corpus).select(
-        F.col(id_col), shingles_from_text(text_col, k).alias("sh")
-    ).select(
-        id_col,
-        F.explode(
-            F.expr("transform(sh, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))")
-        ).alias("g"),
-    )
+    cg = decon_grams(corpus, k, id_col, text_col)
     if df_cap is not None:
         keep = cg.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
             F.col("df") <= int(df_cap)
         )
         cg = cg.join(keep.select("g"), "g")
-    bg = _spread(benchmark).select(
-        F.col(id_col).alias("eval_id"), shingles_from_text(text_col, k).alias("sh")
-    ).select(
-        "eval_id",
-        F.explode(
-            F.expr("transform(sh, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))")
-        ).alias("g"),
+    bg = decon_grams(benchmark, k, id_col, text_col).withColumnRenamed(
+        id_col, "eval_id"
     )
     hits = cg.join(F.broadcast(bg), "g")
     return hits.groupBy(id_col).agg(
@@ -752,7 +765,18 @@ def bpe_train_merges(
     hash_sample) so the per-round shuffle runs over a bounded word
     table; the trained merges then apply to the FULL corpus as one
     map-only projection (bpe_apply_merges)."""
-    wf = bpe_word_table(docs, text_col)
+    return bpe_train_merges_from_words(bpe_word_table(docs, text_col), n_merges)
+
+
+def bpe_train_merges_from_words(
+    wf, n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """:func:`bpe_train_merges` from a pre-aggregated ``(word, n)``
+    frequency table — the incremental-trainer entry point: word counts
+    over disjoint doc slices are ADDITIVE, so a standing word table
+    plus a batch's partial counts (one sum-groupBy) retrains the
+    EXACT full-corpus tokenizer without re-reading any text. Cost per
+    round ∝ distinct words, corpus-size-independent."""
     cur = bpe_seq_table(wf).persist()
     live = [cur]
     merges: list[tuple[int, str, str, str, int]] = []

@@ -190,3 +190,41 @@ def lint_driver_output(df: DataFrame) -> list[Finding]:
                 )
             )
     return f
+
+
+def lint_source_fixture_constants(source: str) -> list[Finding]:
+    """Source-level gate: no dev-box core counts baked into query
+    bodies (VERDICT r13 nit #1 — ``repartition(32)`` in a query that
+    claims cluster posture follows the fixture box, not the cluster).
+
+    Flags ``repartition(<int literal> ...)`` / ``coalesce(<int>)``
+    outside comments. Cluster-sized fan-out must come from
+    ``spark.sparkContext.defaultParallelism`` (or be left to AQE).
+    A literal that is genuinely a SCENARIO constant — e.g. "write 64
+    small files so compaction has something to compact", "8 bloom
+    files so point lookups can skip" — opts out with an explicit
+    ``# lint: fixture-files`` marker on the same line or the line
+    above, which doubles as the reviewer-facing justification."""
+    f: list[Finding] = []
+    lines = source.splitlines()
+    for i, line in enumerate(lines):
+        code = line.split("#", 1)[0]
+        m = re.search(r"\.(repartition|coalesce)\(\s*(\d+)", code)
+        if not m:
+            continue
+        marked = "lint: fixture-files" in line or (
+            i > 0 and "lint: fixture-files" in lines[i - 1]
+        )
+        if marked:
+            continue
+        f.append(
+            Finding(
+                "error",
+                "literal-core-count",
+                f"line {i + 1}: .{m.group(1)}({m.group(2)}…) hardcodes a "
+                "partition count — use spark.sparkContext."
+                "defaultParallelism (or AQE), or mark a deliberate "
+                "file-count scenario with '# lint: fixture-files'.",
+            )
+        )
+    return f

@@ -1,0 +1,551 @@
+"""Incremental LLM dataset build — a new document batch updates the
+training dump with text-processing cost ∝ batch (VERDICT r13 #3).
+
+The flagship ``llm_dataset_build`` (w10) proves the 8-stage chain
+from scratch; the per-index ``*_new_batch`` queries prove each
+standing index merges a batch exactly. This module composes them:
+``llm_dataset_new_batch`` maintains the standing artifacts (exact
+fingerprint index, rep-level MinHash signature index + bucket sizes,
+duplicate-edge table + cluster labels, decontamination gram counts /
+postings / hit pairs, scrub postings + cut table + per-doc scrubbed
+token and word counts, raw word-frequency table) against a 10% ingest
+batch and re-derives ONLY the affected rows — then runs the flagship's
+verbatim shard/pack/export tail and reads the VERIFIED dump back. The
+oracle is the from-scratch flagship SQL on the full corpus, so the
+hash match proves incremental == full rebuild (the markov_new_batch
+splice precedent, stage-composed).
+
+Registration order note: this module imports AFTER w01–w17 (new
+queries append to the registry tail so the driver-gate rotation
+spends its window on the verification backlog first).
+"""
+
+from __future__ import annotations
+
+from ._shared import *  # noqa: F401,F403
+
+from ..operators.sampling import sql_hash_bucket  # noqa: E402
+from .w01_windows_text import (  # noqa: E402
+    KEEP_MAX_TOKENS,
+    KEEP_MIN_QUALITY,
+    KEEP_MIN_TOKENS,
+)
+from .w02_dedup import (  # noqa: E402
+    DECON_DF_CAP,
+    DECON_EVAL_PCT,
+    DECON_K,
+    NEW_BATCH_PCT,
+    SPAN_GRAM,
+    _run_scoped_index_dir,
+)
+from .w08_ann_composites import SPLIT_TEST_PCT  # noqa: E402
+from .w09_curation_lifecycle import BPE_MERGES, N_TRAIN_SHARDS  # noqa: E402
+from .w10_dataset_build import (  # noqa: E402
+    _llm_dataset_build_oracle,
+    _shard_pack_plan,
+)
+
+
+def _llm_selection(ann, labels, contaminated):
+    """The flagship's stage-1-4 keep decision from METADATA tables
+    only (no text): per-doc annotations, spliced (node, component)
+    labels, and the contaminated id set. Shared verbatim by the
+    standing fixture and the timed splice so both apply the identical
+    rule (w10 `_llm_dataset_plan` stages 1-4)."""
+    from ..operators.sampling import hash_bucket
+
+    is_eval = hash_bucket("doc_id", salt="eval") < DECON_EVAL_PCT
+    return (
+        ann.join(
+            labels.withColumnRenamed("node", "doc_id"), "doc_id"
+        )
+        .join(contaminated.withColumn("_ct", F.lit(1)), "doc_id", "left")
+        .filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("quality_score") >= KEEP_MIN_QUALITY)
+            & F.col("n_tokens").between(KEEP_MIN_TOKENS, KEEP_MAX_TOKENS)
+            & ~is_eval
+            & F.col("_ct").isNull()
+            & (F.col("doc_id") == F.col("component"))
+            & (hash_bucket("component", 100, "split") >= SPLIT_TEST_PCT)
+        )
+        .select("doc_id")
+    )
+
+
+def _scrub_wordcounts(scrubbed):
+    """(doc_id, word, cnt) over scrubbed text — the per-doc sufficient
+    statistic for trained-tokenizer counts (n_bpe = Σ cnt·n_syms), so
+    a tokenizer retrain re-prices every document with one vocab join
+    instead of re-reading any text."""
+    return (
+        scrubbed.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(scrubbed_text), '[a-z]+', 0)")
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_LLM_STANDING: dict[str, dict[str, str]] = {}
+
+_STANDING_KEYS = (
+    "ann",
+    "fps",
+    "bands",
+    "shingles",
+    "bucket_sizes",
+    "mh_edges",
+    "exact_edges",
+    "labels",
+    "decon_counts",
+    "decon_postings",
+    "bench_grams",
+    "decon_hits",
+    "sel",
+    "scrub_postings",
+    "cut",
+    "skept",
+    "dwc",
+    "rwf",
+)
+
+
+def _prepare_llm_standing(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Persist the standing-corpus (90% slice) artifacts of the
+    dataset-build chain, memoized per (process, sf_dir) — what a
+    production pipeline owns across ingests and amortizes. Every
+    artifact is the persisted form its sibling ``*_new_batch`` query
+    already proves mergeable (fingerprints, rep-level LSH postings,
+    duplicate edges + labels, decon gram counts/postings/hits, scrub
+    postings + outputs, raw word counts)."""
+    got = _LLM_STANDING.get(sf_dir)
+    if got is not None:
+        return got
+    import os
+
+    from ..operators.clusters import connected_components
+    from ..operators.dedup import (
+        exact_dup_edges,
+        exact_dup_representatives,
+        exact_fingerprint_index,
+        minhash_signature_index,
+    )
+    from ..operators.sampling import hash_bucket
+    from ..operators.textanalysis import (
+        _doc_grams,
+        annotate_documents,
+        apply_cut_positions,
+        bpe_word_table,
+        decon_grams,
+    )
+    from ..sources.sinks import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    standing = docs.filter(~(hash_bucket("doc_id") < NEW_BATCH_PCT))
+    base = _run_scoped_index_dir("llm_standing")
+    paths = {k: os.path.join(base, k) for k in _STANDING_KEYS}
+
+    # per-doc annotations (stage-1 record)
+    write_parquet(annotate_documents(_spread(standing)), paths["ann"])
+    ann = spark.read.parquet(paths["ann"])
+
+    # exact-dedup index + rep-level MinHash signature index. The LSH
+    # postings are over exact-group REPRESENTATIVES (the flagship's
+    # pre_exact_dedup=True posture), so bucket sizes — what the cap
+    # reads — are group-level and a batch doc joining an existing
+    # group adds NO posting.
+    write_parquet(exact_fingerprint_index(standing), paths["fps"])
+    reps = exact_dup_representatives(standing)
+    bands, shingles = minhash_signature_index(reps)
+    write_parquet(bands, paths["bands"])
+    write_parquet(shingles, paths["shingles"])
+    bands = spark.read.parquet(paths["bands"])
+    write_parquet(
+        bands.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+        paths["bucket_sizes"],
+    )
+
+    # duplicate-edge table (the artifact forget/splice re-reads) and
+    # cluster labels — flagship edge recipe: capped MinHash ∪ exact
+    near = minhash_candidates(
+        standing, bucket_cap=MINHASH_BUCKET_CAP, pre_exact_dedup=True
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    write_parquet(near.select("doc_a", "doc_b"), paths["mh_edges"])
+    write_parquet(
+        exact_dup_edges(standing).select("doc_a", "doc_b"),
+        paths["exact_edges"],
+    )
+    mh_edges = spark.read.parquet(paths["mh_edges"])
+    exact_edges = spark.read.parquet(paths["exact_edges"])
+    comps = connected_components(mh_edges.unionByName(exact_edges))
+    labels = (
+        standing.select(F.col("doc_id").alias("node"))
+        .join(comps, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )
+    write_parquet(labels, paths["labels"])
+    labels = spark.read.parquet(paths["labels"])
+
+    # decontamination indexes: per-gram occurrence counts (the df-cap
+    # statistic — additive), distinct (g, doc_id) postings (how a new
+    # eval gram finds old corpus docs), the bench gram set, and the
+    # standing hit pairs
+    is_eval = hash_bucket("doc_id", salt="eval") < DECON_EVAL_PCT
+    cg = decon_grams(standing.filter(~is_eval), DECON_K)
+    write_parquet(
+        cg.groupBy("g").agg(F.count(F.lit(1)).alias("occ")),
+        paths["decon_counts"],
+    )
+    write_parquet(
+        cg.select("g", "doc_id").distinct(), paths["decon_postings"]
+    )
+    bg = decon_grams(standing.filter(is_eval), DECON_K).select("g").distinct()
+    write_parquet(bg, paths["bench_grams"])
+    counts = spark.read.parquet(paths["decon_counts"])
+    postings = spark.read.parquet(paths["decon_postings"])
+    bench = spark.read.parquet(paths["bench_grams"])
+    hits = (
+        postings.join(
+            counts.filter(F.col("occ") <= DECON_DF_CAP).select("g"), "g"
+        )
+        .join(bench, "g")
+        .select("doc_id", "g")
+        .distinct()
+    )
+    write_parquet(hits, paths["decon_hits"])
+
+    # standing selection + scrub artifacts over the selected set
+    contaminated = (
+        spark.read.parquet(paths["decon_hits"]).select("doc_id").distinct()
+    )
+    sel = _llm_selection(ann, labels, contaminated)
+    write_parquet(sel, paths["sel"])
+    sel = spark.read.parquet(paths["sel"])
+    sel_docs = docs.join(sel, "doc_id")
+    spost = _doc_grams(_spread(sel_docs), SPAN_GRAM)
+    write_parquet(spost, paths["scrub_postings"])
+    spost = spark.read.parquet(paths["scrub_postings"])
+    owners = (
+        spost.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner"))
+        .filter(F.col("df") >= 2)
+        .select("gh", "owner")
+    )
+    cut = spost.join(owners, "gh").filter(
+        F.col("doc_id") != F.col("owner")
+    ).select("doc_id", "pos")
+    write_parquet(cut, paths["cut"])
+    cut = spark.read.parquet(paths["cut"])
+    scr = apply_cut_positions(sel_docs, cut, SPAN_GRAM)
+    write_parquet(scr.select("doc_id", "n_tokens_kept"), paths["skept"])
+    write_parquet(_scrub_wordcounts(scr), paths["dwc"])
+
+    # raw word-frequency table (the BPE trainer's sufficient statistic)
+    write_parquet(bpe_word_table(_spread(standing)), paths["rwf"])
+
+    _LLM_STANDING[sf_dir] = paths
+    return paths
+
+
+PREPARES["llm_dataset_new_batch"] = _prepare_llm_standing
+
+
+@query("llm_dataset_new_batch", _llm_dataset_build_oracle())
+def q_llm_dataset_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dataset build: merge the 10% ingest batch into the
+    persisted standing artifacts (PREPARES fixture — owned across
+    ingests in production) and emit the SAME verified dump as the
+    from-scratch flagship, whose oracle this query hash-matches.
+
+    Text-scale work in the timed body touches ONLY the batch plus
+    provably-affected standing docs:
+
+    1. annotate the batch (map-only, batch-sized);
+    2. exact dedup — batch fingerprints probe the index; edges attach
+       batch docs to their standing group (and to each other). Full
+       recompute may pick a different group REPRESENTATIVE (a batch
+       id below the standing min), but exact edges keep every member
+       connected, and only COMPONENTS feed the keep decision — so the
+       spliced graph is component-identical by construction;
+    3. MinHash — only NEW fingerprint groups sign (a batch doc whose
+       text already exists adds no posting, keeping bucket sizes
+       group-level); incremental candidates cap on UNION bucket
+       sizes == the full-corpus capped pair set restricted to the
+       batch. Standing pairs whose every supporting bucket crossed
+       the cap at union time are RETRACTED (sizes only grow, so
+       overfull is the only transition) — found by re-pairing members
+       of newly-overfull buckets (≤ cap² each) and checking for a
+       surviving below-cap band;
+    4. clusters — operators/clusters.py::splice_cluster_edges rebuilds
+       ONLY affected components from the persisted edge table (real
+       edges, not star edges: a retracted edge may split);
+    5. decontamination — gram occurrence counts are additive; grams
+       crossing DECON_DF_CAP retract their standing hits, batch corpus
+       grams probe the (grown) bench gram set, batch BENCH grams probe
+       the standing postings index. The corpus is never re-grammed;
+    6. selection re-evaluates from metadata only (annotations, spliced
+       labels, updated contamination) — no text;
+    7. scrub — postings of deselected docs anti-join away, added docs
+       gram in; ownership re-derives from the postings (hash-scale
+       groupBy — the scrub_from_postings transfer law); docs whose cut
+       set CHANGED (symmetric diff vs the standing cut table) are the
+       only ones re-scrubbed and re-word-counted;
+    8. tokenizer — raw word counts merge additively and
+       bpe_train_merges_from_words retrains the EXACT full-corpus
+       merges at vocab scale; every doc re-prices via one
+       (doc_id, word, cnt) ⋈ (word, n_syms) join — no text;
+    9. the flagship's verbatim _shard_pack_plan tail + manifest-
+       verified export, read back so the hash covers what a trainer
+       loads.
+
+    Oracle: w10._llm_dataset_build_oracle() — the FULL-corpus
+    from-scratch chain. Hash match == splice ≡ rebuild."""
+    import os
+
+    from ..operators.clusters import splice_cluster_edges
+    from ..operators.dedup import (
+        capped_pair_retractions,
+        fingerprint,
+        incremental_minhash_candidates,
+        minhash_signature_index,
+    )
+    from ..operators.sampling import hash_bucket
+    from ..operators.textanalysis import (
+        _doc_grams,
+        annotate_documents,
+        apply_cut_positions,
+        bpe_apply_merges,
+        bpe_train_merges_from_words,
+        bpe_word_table,
+        decon_grams,
+    )
+    from ..sources.export import (
+        export_training_shards,
+        read_export,
+        verify_export,
+    )
+
+    paths = _prepare_llm_standing(spark, sf_dir)
+    rd = spark.read.parquet
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = hash_bucket("doc_id") < NEW_BATCH_PCT
+    batch = docs.filter(is_new)
+
+    # 1. annotations splice
+    ann_all = rd(paths["ann"]).unionByName(annotate_documents(_spread(batch)))
+
+    # 2. exact-dedup probe → connecting edges
+    fp_new = batch.withColumn("fp", fingerprint("text")).select("fp", "doc_id")
+    idx = rd(paths["fps"]).select("fp", F.col("doc_id").alias("idx_rep"))
+    batch_rep = fp_new.groupBy("fp").agg(F.min("doc_id").alias("batch_rep"))
+    fx = fp_new.join(batch_rep, "fp").join(idx, "fp", "left")
+    exact_new = (
+        fx.filter(F.col("idx_rep").isNotNull())
+        .select(
+            F.least("idx_rep", "doc_id").alias("doc_a"),
+            F.greatest("idx_rep", "doc_id").alias("doc_b"),
+        )
+        .unionByName(
+            fx.filter(F.col("doc_id") != F.col("batch_rep")).select(
+                F.col("batch_rep").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+            )
+        )
+        .distinct()
+    )
+
+    # 3. MinHash: sign only NEW fingerprint groups; cap on union sizes
+    new_group_docs = batch.join(
+        fx.filter(
+            F.col("idx_rep").isNull()
+            & (F.col("doc_id") == F.col("batch_rep"))
+        ).select("doc_id"),
+        "doc_id",
+    )
+    nb, ns = minhash_signature_index(new_group_docs)
+    nb = nb.localCheckpoint()  # consumed by the probe AND the size/retract math
+    bands = rd(paths["bands"])
+    near_new = incremental_minhash_candidates(
+        new_group_docs,
+        bands,
+        rd(paths["shingles"]),
+        bucket_cap=MINHASH_BUCKET_CAP,
+        new_index=(nb, ns),
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+    # 3b. retract standing pairs whose every supporting bucket
+    # crossed the cap at union time (operators/dedup.py::
+    # capped_pair_retractions — sizes only grow, so this is the one
+    # possible standing-pair transition)
+    removed_mh = capped_pair_retractions(
+        bands,
+        rd(paths["bucket_sizes"]),
+        nb,
+        rd(paths["mh_edges"]),
+        MINHASH_BUCKET_CAP,
+    )
+
+    # 4. affected-component relabel from the persisted edge table
+    labels_new = splice_cluster_edges(
+        rd(paths["labels"]),
+        rd(paths["mh_edges"]).unionByName(rd(paths["exact_edges"])),
+        new_edges=near_new.select("doc_a", "doc_b").unionByName(exact_new),
+        removed_edges=removed_mh,
+        new_nodes=batch.select(F.col("doc_id").alias("node")),
+    ).localCheckpoint()
+
+    # 5. decontamination splice
+    is_eval = hash_bucket("doc_id", salt="eval") < DECON_EVAL_PCT
+    cg_b = decon_grams(batch.filter(~is_eval), DECON_K)
+    bg_b = decon_grams(batch.filter(is_eval), DECON_K).select("g").distinct()
+    occ_union = (
+        rd(paths["decon_counts"])
+        .unionByName(cg_b.groupBy("g").agg(F.count(F.lit(1)).alias("occ")))
+        .groupBy("g")
+        .agg(F.sum("occ").alias("occ"))
+    )
+    over_g = occ_union.filter(F.col("occ") > DECON_DF_CAP).select("g")
+    bench_all = rd(paths["bench_grams"]).unionByName(bg_b).distinct()
+    hits_kept = rd(paths["decon_hits"]).join(over_g, "g", "left_anti")
+    hits_batch = (
+        cg_b.select("doc_id", "g")
+        .distinct()
+        .join(over_g, "g", "left_anti")
+        .join(bench_all, "g", "left_semi")
+    )
+    hits_std_new = (
+        rd(paths["decon_postings"])
+        .join(bg_b, "g", "left_semi")
+        .join(over_g, "g", "left_anti")
+        .select("doc_id", "g")
+    )
+    contaminated = (
+        hits_kept.select("doc_id")
+        .union(hits_batch.select("doc_id"))
+        .union(hits_std_new.select("doc_id"))
+        .distinct()
+    )
+
+    # 6. selection re-evaluation (metadata only) + diff vs standing
+    sel_new = _llm_selection(ann_all, labels_new, contaminated).localCheckpoint()
+    sel_old = rd(paths["sel"])
+    added = sel_new.join(sel_old, "doc_id", "left_anti")
+    removed = sel_old.join(sel_new, "doc_id", "left_anti")
+
+    # 7. scrub splice: postings update → ownership re-derivation →
+    # re-scrub only docs whose cut set changed
+    spost_new = (
+        rd(paths["scrub_postings"])
+        .join(removed, "doc_id", "left_anti")
+        .unionByName(_doc_grams(_spread(docs.join(added, "doc_id")), SPAN_GRAM))
+    )
+    owners = (
+        spost_new.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner"))
+        .filter(F.col("df") >= 2)
+        .select("gh", "owner")
+    )
+    cut_new = (
+        spost_new.join(owners, "gh")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "pos")
+        .localCheckpoint()
+    )
+    cut_diff_docs = (
+        cut_new.withColumn("_n", F.lit(1))
+        .join(
+            rd(paths["cut"]).withColumn("_o", F.lit(1)),
+            ["doc_id", "pos"],
+            "outer",
+        )
+        .filter(F.col("_n").isNull() | F.col("_o").isNull())
+        .select("doc_id")
+        .distinct()
+    )
+    changed = (
+        cut_diff_docs.join(sel_new, "doc_id", "left_semi")
+        .union(added.select("doc_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    scr_changed = apply_cut_positions(
+        docs.join(changed, "doc_id"),
+        cut_new.join(changed, "doc_id", "left_semi"),
+        SPAN_GRAM,
+    ).localCheckpoint()
+    skept_new = (
+        rd(paths["skept"])
+        .join(sel_new, "doc_id", "left_semi")
+        .join(changed, "doc_id", "left_anti")
+        .unionByName(scr_changed.select("doc_id", "n_tokens_kept"))
+    )
+    dwc_new = (
+        rd(paths["dwc"])
+        .join(sel_new, "doc_id", "left_semi")
+        .join(changed, "doc_id", "left_anti")
+        .unionByName(_scrub_wordcounts(scr_changed))
+    )
+
+    # 8. tokenizer retrain from merged word counts + per-doc re-price
+    rwf_union = (
+        rd(paths["rwf"])
+        .unionByName(bpe_word_table(_spread(batch)))
+        .groupBy("word")
+        .agg(F.sum("n").alias("n"))
+        .localCheckpoint()
+    )
+    merges = bpe_train_merges_from_words(rwf_union, BPE_MERGES)
+    from ..operators.textanalysis import BPE_SEP
+
+    seq = F.concat(
+        F.lit(BPE_SEP),
+        F.concat_ws(BPE_SEP + BPE_SEP, F.split(F.col("word"), "")),
+        F.lit(BPE_SEP),
+    )
+    wsym = bpe_apply_merges(
+        rwf_union.select("word", seq.alias("seq")), merges
+    ).select(
+        "word",
+        F.size(F.expr("filter(split(seq, char(1)), x -> x <> '')"))
+        .cast("bigint")
+        .alias("n_syms"),
+    )
+    scount = (
+        dwc_new.join(wsym, "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("n_syms")).cast("bigint").alias("n_bpe"))
+    )
+    tokd = skept_new.join(scount, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens_kept",
+        F.coalesce(F.col("n_bpe"), F.lit(0)).cast("bigint").alias("n_bpe"),
+    )
+
+    # 9. flagship tail: shard/pack plan + verified export + read-back
+    final = _shard_pack_plan(tokd)
+    out_dir = _run_scoped_index_dir("llm_increment") + "/dump"
+    export_training_shards(final, out_dir, N_TRAIN_SHARDS, "doc_id")
+    ok = 1 if not verify_export(spark, out_dir) else 0
+    dump = read_export(spark, out_dir)
+    return dump.select(
+        "doc_id",
+        "shard",
+        "shard_pos",
+        "bin",
+        "n_tokens_kept",
+        "n_bpe_tokens",
+        F.lit(ok).cast("bigint").alias("verified"),
+    )

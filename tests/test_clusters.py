@@ -322,3 +322,110 @@ def test_forget_documents_reelects_keeper_and_drops_singletons(spark):
     deleted = spark.createDataFrame([(1,), (8,), (9,), (999,)], "node long")
     out = {r["node"]: r["component"] for r in forget_documents(labels, edges, deleted).collect()}
     assert out == {2: 2, 3: 2, 7: 7}  # keeper re-elected; 7 now singleton
+
+
+def test_splice_cluster_edges_add_remove_and_split(spark):
+    """The mixed add+remove splice law on crafted data: a retracted
+    BRIDGE must split its component (star edges can't do this), an
+    added edge must merge across standing components, and untouched
+    components must pass through — all equal to a from-scratch CC over
+    the edited edge set."""
+    from hubsit_health_analytics_etl_spark.operators.clusters import (
+        connected_components,
+        splice_cluster_edges,
+    )
+
+    # standing graph: {1-2-3} (2-3 is a bridge), {10-11}, {20,21} singles
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 10, 11, 20, 21)], "node long"
+    )
+    labels = nodes.join(
+        connected_components(edges), "node", "left"
+    ).selectExpr("node", "coalesce(component, node) as component")
+
+    # batch: retract the 2-3 bridge, add 3-10 (merges 3 into {10,11}),
+    # add a brand-new node 30 linked to 20
+    new_edges = spark.createDataFrame(
+        [(3, 10), (20, 30)], "doc_a long, doc_b long"
+    )
+    removed = spark.createDataFrame([(2, 3)], "doc_a long, doc_b long")
+    new_nodes = spark.createDataFrame([(30,)], "node long")
+
+    got = {
+        r["node"]: r["component"]
+        for r in splice_cluster_edges(
+            labels, edges, new_edges, removed, new_nodes
+        ).collect()
+    }
+    # from-scratch truth over the edited graph
+    edited = spark.createDataFrame(
+        [(1, 2), (10, 11), (3, 10), (20, 30)], "doc_a long, doc_b long"
+    )
+    all_nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 10, 11, 20, 21, 30)], "node long"
+    )
+    want = {
+        r["node"]: r["component"]
+        for r in all_nodes.join(connected_components(edited), "node", "left")
+        .selectExpr("node", "coalesce(component, node) as component")
+        .collect()
+    }
+    assert got == want
+    # and the law is visible: split {1,2} vs {3,10,11}, merged 20-30,
+    # untouched singleton 21
+    assert want[1] == want[2] != want[3]
+    assert want[3] == want[10] == want[11]
+    assert want[20] == want[30] and want[21] == 21
+
+
+def test_capped_pair_retractions_crafted_overflow(spark):
+    """The cap-retraction law on crafted postings: a batch posting
+    pushes ONE bucket over the cap — the standing pair that bucket
+    alone supported is retracted; a pair with a second (still
+    below-cap) supporting band survives; an already-overfull bucket
+    (never a pair source) retracts nothing."""
+    from hubsit_health_analytics_etl_spark.operators.dedup import (
+        capped_pair_retractions,
+    )
+
+    cap = 2
+    # band postings: bucket (0,'k') holds docs 1,2 (AT cap);
+    # bucket (1,'m') holds docs 1,2 as a second support for (1,2);
+    # bucket (0,'q') holds docs 5,6 (at cap, no second support);
+    # bucket (2,'z') holds docs 7,8,9 (ALREADY over cap — no pairs)
+    bands = spark.createDataFrame(
+        [
+            (1, 0, "k"), (2, 0, "k"),
+            (1, 1, "m"), (2, 1, "m"),
+            (5, 0, "q"), (6, 0, "q"),
+            (7, 2, "z"), (8, 2, "z"), (9, 2, "z"),
+        ],
+        "doc_id long, band_idx int, band_key string",
+    )
+    sizes = bands.groupBy("band_idx", "band_key").count().withColumnRenamed(
+        "count", "n"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (5, 6)], "doc_a long, doc_b long"
+    )
+    # batch posts into (0,'k') and (0,'q'), pushing both over cap
+    nb = spark.createDataFrame(
+        [(100, 0, "k"), (101, 0, "q")],
+        "doc_id long, band_idx int, band_key string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in capped_pair_retractions(bands, sizes, nb, pairs, cap).collect()
+    }
+    # (5,6) loses its only support -> retracted; (1,2) survives via
+    # band (1,'m') which the batch never touched
+    assert got == {(5, 6)}
+
+    # no batch postings -> nothing retracts
+    empty = nb.filter("doc_id < 0")
+    assert (
+        capped_pair_retractions(bands, sizes, empty, pairs, cap).count() == 0
+    )

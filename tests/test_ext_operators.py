@@ -1519,17 +1519,20 @@ def test_user_value_drift_ks_per_key_guard(spark):
     import pandas as pd
     import pytest as _pytest
 
-    import hubsit_health_analytics_etl_spark.workload_ext as wx
+    # patch the DEFINING family module (workload_ext is a re-export
+    # facade since the workloads/ split — its copy of the name is not
+    # the one the kernel closure reads)
+    import hubsit_health_analytics_etl_spark.workloads.w11_warehouse_ops as wmod
 
-    old = wx.DRIFT_KS_MAX_ROWS_PER_KEY
-    wx.DRIFT_KS_MAX_ROWS_PER_KEY = 10
+    old = wmod.DRIFT_KS_MAX_ROWS_PER_KEY
+    wmod.DRIFT_KS_MAX_ROWS_PER_KEY = 10
     try:
         from hubsit_health_analytics_etl_spark import workload as w
 
         with _pytest.raises(Exception, match="single-.?cogroup"):
             w.QUERIES["user_value_drift_ks"](spark, SF_SMOKE).collect()
     finally:
-        wx.DRIFT_KS_MAX_ROWS_PER_KEY = old
+        wmod.DRIFT_KS_MAX_ROWS_PER_KEY = old
 
 
 def test_ngram_containment_catches_quote_inclusion_jaccard_misses(spark):
@@ -2564,8 +2567,11 @@ def test_weekly_cohort_retention_matches_python_model(spark, monkeypatch):
         for (c, off), us in cells.items()
     )
 
-    # Spark side on the crafted frame (loader stubbed)
-    monkeypatch.setattr(wx, "load_table", lambda s, d, n, **kw: df)
+    # Spark side on the crafted frame (loader stubbed on the DEFINING
+    # family module — workload_ext is a re-export facade post-split)
+    import hubsit_health_analytics_etl_spark.workloads.w11_warehouse_ops as w11
+
+    monkeypatch.setattr(w11, "load_table", lambda s, d, n, **kw: df)
     got_spark = sorted(
         (r.cohort_week, r.offset_weeks, r.n_users, r.cohort_size, r.rate_ppm)
         for r in wx.q_weekly_cohort_retention(spark, "unused").collect()
@@ -2602,7 +2608,9 @@ def test_user_value_outliers_match_float_zscore_model(spark, monkeypatch):
         for v in vs:
             rows.append((eid, u, v)); eid += 1
     df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
-    monkeypatch.setattr(wx, "load_table", lambda s, d, n, **kw: df)
+    import hubsit_health_analytics_etl_spark.workloads.w11_warehouse_ops as w11
+
+    monkeypatch.setattr(w11, "load_table", lambda s, d, n, **kw: df)
     got = {
         r.user_id: (r.n_events, r.mean_u2, r.n_outliers)
         for r in wx.q_user_value_outliers(spark, "unused").collect()
