@@ -774,4 +774,4 @@ def q_revenue_by_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # EXT workload registers itself through the same decorator (import at
 # the bottom: `query` must exist first).
-from . import workload_ext  # noqa: E402,F401
+from . import workloads  # noqa: E402,F401  (ordered EXT registration)

@@ -1796,3 +1796,53 @@ def test_session2_scan_counts_and_shapes(spark):
     p = physical_plan(_q("tokenizer_fertility")(spark, SF_SMOKE))
     assert p.count("documents.parquet") == 1
     assert "EvalPython" not in p
+
+
+def test_llm_dataset_new_batch_text_work_is_batch_proportional(spark, monkeypatch):
+    """The incremental build's TEXT-SCALE operators (annotation, gram
+    explode, scrub rewrite, raw word count) must be fed batch-/
+    affected-sized inputs only — never the corpus (the 'cost ∝ batch'
+    contract the oracle hash can't see). Spies wrap the operator entry
+    points the timed body calls; the standing fixture builds FIRST
+    (unspied) so only timed-body feeds are measured."""
+    import hubsit_health_analytics_etl_spark.operators.textanalysis as ta
+    from hubsit_health_analytics_etl_spark.operators.sampling import hash_bucket
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.workloads.w02_dedup import (
+        NEW_BATCH_PCT,
+    )
+    from hubsit_health_analytics_etl_spark.workloads.w18_dataset_increment import (
+        _prepare_llm_standing,
+        q_llm_dataset_new_batch,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_corpus = docs.count()
+    n_batch = docs.filter(hash_bucket("doc_id") < NEW_BATCH_PCT).count()
+    assert 0 < n_batch < n_corpus // 2
+
+    _prepare_llm_standing(spark, SF_SMOKE)  # fixture builds unspied
+
+    feeds: dict[str, list[int]] = {}
+    for fname in ("annotate_documents", "_doc_grams", "apply_cut_positions",
+                  "bpe_word_table"):
+        real = getattr(ta, fname)
+
+        def spy(df, *a, _real=real, _n=fname, **kw):
+            feeds.setdefault(_n, []).append(df.count())
+            return _real(df, *a, **kw)
+
+        monkeypatch.setattr(ta, fname, spy)
+
+    out = q_llm_dataset_new_batch(spark, SF_SMOKE)
+    assert out.count() > 0
+
+    # generous affected-slack: selection flips can pull standing docs
+    # into the re-scrub set, but never anything near the corpus
+    cap = 2 * n_batch + 50
+    for fname, sizes in feeds.items():
+        for n in sizes:
+            assert n <= cap, (fname, n, "cap", cap, "corpus", n_corpus)
+    # every text entry point was actually exercised through the spies
+    assert set(feeds) >= {"annotate_documents", "_doc_grams",
+                          "apply_cut_positions", "bpe_word_table"}
