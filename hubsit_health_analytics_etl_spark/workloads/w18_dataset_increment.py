@@ -90,11 +90,142 @@ def _scrub_wordcounts(scrubbed):
     )
 
 
+def _scrub_splice(spark, docs, paths, sel_old, sel_new):
+    """Stage-7 splice shared by the incremental build and the forget
+    pass: postings of deselected docs anti-join away, newly selected
+    docs gram in, ownership re-derives from the updated postings
+    (hash-scale groupBy — the scrub_from_postings transfer law), and
+    ONLY docs whose cut set changed (symmetric diff vs the standing
+    cut table) re-scrub and re-word-count. Returns (skept', dwc')."""
+    from ..operators.textanalysis import _doc_grams, apply_cut_positions
+
+    rd = spark.read.parquet
+    added = sel_new.join(sel_old, "doc_id", "left_anti")
+    removed = sel_old.join(sel_new, "doc_id", "left_anti")
+    spost_new = (
+        rd(paths["scrub_postings"])
+        .join(removed, "doc_id", "left_anti")
+        .unionByName(_doc_grams(_spread(docs.join(added, "doc_id")), SPAN_GRAM))
+    )
+    owners = (
+        spost_new.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner"))
+        .filter(F.col("df") >= 2)
+        .select("gh", "owner")
+    )
+    cut_new = (
+        spost_new.join(owners, "gh")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "pos")
+        .localCheckpoint()
+    )
+    cut_diff_docs = (
+        cut_new.withColumn("_n", F.lit(1))
+        .join(
+            rd(paths["cut"]).withColumn("_o", F.lit(1)),
+            ["doc_id", "pos"],
+            "outer",
+        )
+        .filter(F.col("_n").isNull() | F.col("_o").isNull())
+        .select("doc_id")
+        .distinct()
+    )
+    changed = (
+        cut_diff_docs.join(sel_new, "doc_id", "left_semi")
+        .union(added.select("doc_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    scr_changed = apply_cut_positions(
+        docs.join(changed, "doc_id"),
+        cut_new.join(changed, "doc_id", "left_semi"),
+        SPAN_GRAM,
+    ).localCheckpoint()
+    skept_new = (
+        rd(paths["skept"])
+        .join(sel_new, "doc_id", "left_semi")
+        .join(changed, "doc_id", "left_anti")
+        .unionByName(scr_changed.select("doc_id", "n_tokens_kept"))
+    )
+    dwc_new = (
+        rd(paths["dwc"])
+        .join(sel_new, "doc_id", "left_semi")
+        .join(changed, "doc_id", "left_anti")
+        .unionByName(_scrub_wordcounts(scr_changed))
+    )
+    return skept_new, dwc_new
+
+
+def _retrain_and_reprice(rwf_union, skept_new, dwc_new):
+    """Stage-8 shared tail: retrain the EXACT full-corpus tokenizer
+    from the spliced (word, n) table (vocab-scale driver loop), then
+    re-price every document with one word-dimension join — no text."""
+    from ..operators.textanalysis import (
+        BPE_SEP,
+        bpe_apply_merges,
+        bpe_train_merges_from_words,
+    )
+
+    merges = bpe_train_merges_from_words(rwf_union, BPE_MERGES)
+    seq = F.concat(
+        F.lit(BPE_SEP),
+        F.concat_ws(BPE_SEP + BPE_SEP, F.split(F.col("word"), "")),
+        F.lit(BPE_SEP),
+    )
+    wsym = bpe_apply_merges(
+        rwf_union.select("word", seq.alias("seq")), merges
+    ).select(
+        "word",
+        F.size(F.expr("filter(split(seq, char(1)), x -> x <> '')"))
+        .cast("bigint")
+        .alias("n_syms"),
+    )
+    scount = (
+        dwc_new.join(wsym, "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("n_syms")).cast("bigint").alias("n_bpe"))
+    )
+    return skept_new.join(scount, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens_kept",
+        F.coalesce(F.col("n_bpe"), F.lit(0)).cast("bigint").alias("n_bpe"),
+    )
+
+
+def _export_verified(spark, tokd, tag: str):
+    """Stage-9 shared tail: flagship shard/pack plan + manifest-
+    verified export, read back so the hash covers what a trainer
+    loads."""
+    from ..sources.export import (
+        export_training_shards,
+        read_export,
+        verify_export,
+    )
+
+    final = _shard_pack_plan(tokd)
+    out_dir = _run_scoped_index_dir(tag) + "/dump"
+    export_training_shards(final, out_dir, N_TRAIN_SHARDS, "doc_id")
+    ok = 1 if not verify_export(spark, out_dir) else 0
+    dump = read_export(spark, out_dir)
+    return dump.select(
+        "doc_id",
+        "shard",
+        "shard_pos",
+        "bin",
+        "n_tokens_kept",
+        "n_bpe_tokens",
+        F.lit(ok).cast("bigint").alias("verified"),
+    )
+
+
 _LLM_STANDING: dict[str, dict[str, str]] = {}
 
 _STANDING_KEYS = (
     "ann",
     "fps",
+    "fp_members",
     "bands",
     "shingles",
     "bucket_sizes",
@@ -115,16 +246,48 @@ _STANDING_KEYS = (
 
 
 def _prepare_llm_standing(spark: SparkSession, sf_dir: str) -> dict[str, str]:
-    """Persist the standing-corpus (90% slice) artifacts of the
-    dataset-build chain, memoized per (process, sf_dir) — what a
-    production pipeline owns across ingests and amortizes. Every
-    artifact is the persisted form its sibling ``*_new_batch`` query
-    already proves mergeable (fingerprints, rep-level LSH postings,
-    duplicate edges + labels, decon gram counts/postings/hits, scrub
-    postings + outputs, raw word counts)."""
+    """Standing artifacts over the 90% slice (the ingest-batch
+    complement) — what llm_dataset_new_batch merges into. Memoized
+    per (process, sf_dir)."""
     got = _LLM_STANDING.get(sf_dir)
     if got is not None:
         return got
+    from ..operators.sampling import hash_bucket
+
+    paths = _build_llm_standing(
+        spark,
+        sf_dir,
+        ~(hash_bucket("doc_id") < NEW_BATCH_PCT),
+        "llm_standing",
+    )
+    _LLM_STANDING[sf_dir] = paths
+    return paths
+
+
+_LLM_STANDING_FULL: dict[str, dict[str, str]] = {}
+
+
+def _prepare_llm_standing_full(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Standing artifacts over the FULL corpus — what
+    llm_dataset_forget deletes from. Memoized per (process, sf_dir)."""
+    got = _LLM_STANDING_FULL.get(sf_dir)
+    if got is not None:
+        return got
+    paths = _build_llm_standing(spark, sf_dir, F.lit(True), "llm_standing_full")
+    _LLM_STANDING_FULL[sf_dir] = paths
+    return paths
+
+
+def _build_llm_standing(spark, sf_dir, corpus_filter, tag) -> dict[str, str]:
+    """Persist the standing-corpus artifacts of the dataset-build
+    chain — what a production pipeline owns across ingests and
+    amortizes. Every artifact is the persisted form its sibling
+    ``*_new_batch`` / ``*_forget`` query already proves mergeable or
+    invertible (fingerprint index + full group membership, rep-level
+    LSH postings + bucket sizes, duplicate edges + labels, decon gram
+    occurrence counts / postings / bench-gram doc counts / hit pairs,
+    scrub postings + cut + per-doc token and word counts, raw word
+    counts)."""
     import os
 
     from ..operators.clusters import connected_components
@@ -132,6 +295,7 @@ def _prepare_llm_standing(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         exact_dup_edges,
         exact_dup_representatives,
         exact_fingerprint_index,
+        fingerprint,
         minhash_signature_index,
     )
     from ..operators.sampling import hash_bucket
@@ -145,8 +309,8 @@ def _prepare_llm_standing(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     from ..sources.sinks import write_parquet
 
     docs = load_table(spark, sf_dir, "documents")
-    standing = docs.filter(~(hash_bucket("doc_id") < NEW_BATCH_PCT))
-    base = _run_scoped_index_dir("llm_standing")
+    standing = docs.filter(corpus_filter)
+    base = _run_scoped_index_dir(tag)
     paths = {k: os.path.join(base, k) for k in _STANDING_KEYS}
 
     # per-doc annotations (stage-1 record)
@@ -159,6 +323,12 @@ def _prepare_llm_standing(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     # reads — are group-level and a batch doc joining an existing
     # group adds NO posting.
     write_parquet(exact_fingerprint_index(standing), paths["fps"])
+    write_parquet(
+        standing.select(
+            fingerprint("text").alias("fp"), "doc_id"
+        ),
+        paths["fp_members"],
+    )
     reps = exact_dup_representatives(standing)
     bands, shingles = minhash_signature_index(reps)
     write_parquet(bands, paths["bands"])
@@ -208,11 +378,17 @@ def _prepare_llm_standing(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     write_parquet(
         cg.select("g", "doc_id").distinct(), paths["decon_postings"]
     )
-    bg = decon_grams(standing.filter(is_eval), DECON_K).select("g").distinct()
+    bg = (
+        decon_grams(standing.filter(is_eval), DECON_K)
+        .select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_eval"))
+    )
     write_parquet(bg, paths["bench_grams"])
     counts = spark.read.parquet(paths["decon_counts"])
     postings = spark.read.parquet(paths["decon_postings"])
-    bench = spark.read.parquet(paths["bench_grams"])
+    bench = spark.read.parquet(paths["bench_grams"]).select("g")
     hits = (
         postings.join(
             counts.filter(F.col("occ") <= DECON_DF_CAP).select("g"), "g"
@@ -254,11 +430,11 @@ def _prepare_llm_standing(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     # raw word-frequency table (the BPE trainer's sufficient statistic)
     write_parquet(bpe_word_table(_spread(standing)), paths["rwf"])
 
-    _LLM_STANDING[sf_dir] = paths
     return paths
 
 
 PREPARES["llm_dataset_new_batch"] = _prepare_llm_standing
+PREPARES["llm_dataset_forget"] = _prepare_llm_standing_full
 
 
 @query("llm_dataset_new_batch", _llm_dataset_build_oracle())
@@ -311,8 +487,6 @@ def q_llm_dataset_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: w10._llm_dataset_build_oracle() — the FULL-corpus
     from-scratch chain. Hash match == splice ≡ rebuild."""
-    import os
-
     from ..operators.clusters import splice_cluster_edges
     from ..operators.dedup import (
         capped_pair_retractions,
@@ -322,18 +496,9 @@ def q_llm_dataset_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.sampling import hash_bucket
     from ..operators.textanalysis import (
-        _doc_grams,
         annotate_documents,
-        apply_cut_positions,
-        bpe_apply_merges,
-        bpe_train_merges_from_words,
         bpe_word_table,
         decon_grams,
-    )
-    from ..sources.export import (
-        export_training_shards,
-        read_export,
-        verify_export,
     )
 
     paths = _prepare_llm_standing(spark, sf_dir)
@@ -416,7 +581,9 @@ def q_llm_dataset_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("occ").alias("occ"))
     )
     over_g = occ_union.filter(F.col("occ") > DECON_DF_CAP).select("g")
-    bench_all = rd(paths["bench_grams"]).unionByName(bg_b).distinct()
+    bench_all = (
+        rd(paths["bench_grams"]).select("g").unionByName(bg_b).distinct()
+    )
     hits_kept = rd(paths["decon_hits"]).join(over_g, "g", "left_anti")
     hits_batch = (
         cg_b.select("doc_id", "g")
@@ -439,65 +606,9 @@ def q_llm_dataset_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 6. selection re-evaluation (metadata only) + diff vs standing
     sel_new = _llm_selection(ann_all, labels_new, contaminated).localCheckpoint()
-    sel_old = rd(paths["sel"])
-    added = sel_new.join(sel_old, "doc_id", "left_anti")
-    removed = sel_old.join(sel_new, "doc_id", "left_anti")
 
-    # 7. scrub splice: postings update → ownership re-derivation →
-    # re-scrub only docs whose cut set changed
-    spost_new = (
-        rd(paths["scrub_postings"])
-        .join(removed, "doc_id", "left_anti")
-        .unionByName(_doc_grams(_spread(docs.join(added, "doc_id")), SPAN_GRAM))
-    )
-    owners = (
-        spost_new.select("gh", "doc_id")
-        .distinct()
-        .groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner"))
-        .filter(F.col("df") >= 2)
-        .select("gh", "owner")
-    )
-    cut_new = (
-        spost_new.join(owners, "gh")
-        .filter(F.col("doc_id") != F.col("owner"))
-        .select("doc_id", "pos")
-        .localCheckpoint()
-    )
-    cut_diff_docs = (
-        cut_new.withColumn("_n", F.lit(1))
-        .join(
-            rd(paths["cut"]).withColumn("_o", F.lit(1)),
-            ["doc_id", "pos"],
-            "outer",
-        )
-        .filter(F.col("_n").isNull() | F.col("_o").isNull())
-        .select("doc_id")
-        .distinct()
-    )
-    changed = (
-        cut_diff_docs.join(sel_new, "doc_id", "left_semi")
-        .union(added.select("doc_id"))
-        .distinct()
-        .localCheckpoint()
-    )
-    scr_changed = apply_cut_positions(
-        docs.join(changed, "doc_id"),
-        cut_new.join(changed, "doc_id", "left_semi"),
-        SPAN_GRAM,
-    ).localCheckpoint()
-    skept_new = (
-        rd(paths["skept"])
-        .join(sel_new, "doc_id", "left_semi")
-        .join(changed, "doc_id", "left_anti")
-        .unionByName(scr_changed.select("doc_id", "n_tokens_kept"))
-    )
-    dwc_new = (
-        rd(paths["dwc"])
-        .join(sel_new, "doc_id", "left_semi")
-        .join(changed, "doc_id", "left_anti")
-        .unionByName(_scrub_wordcounts(scr_changed))
-    )
+    # 7. scrub splice (shared stage helper)
+    skept_new, dwc_new = _scrub_splice(spark, docs, paths, rd(paths["sel"]), sel_new)
 
     # 8. tokenizer retrain from merged word counts + per-doc re-price
     rwf_union = (
@@ -507,45 +618,317 @@ def q_llm_dataset_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n"))
         .localCheckpoint()
     )
-    merges = bpe_train_merges_from_words(rwf_union, BPE_MERGES)
-    from ..operators.textanalysis import BPE_SEP
-
-    seq = F.concat(
-        F.lit(BPE_SEP),
-        F.concat_ws(BPE_SEP + BPE_SEP, F.split(F.col("word"), "")),
-        F.lit(BPE_SEP),
-    )
-    wsym = bpe_apply_merges(
-        rwf_union.select("word", seq.alias("seq")), merges
-    ).select(
-        "word",
-        F.size(F.expr("filter(split(seq, char(1)), x -> x <> '')"))
-        .cast("bigint")
-        .alias("n_syms"),
-    )
-    scount = (
-        dwc_new.join(wsym, "word")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("cnt") * F.col("n_syms")).cast("bigint").alias("n_bpe"))
-    )
-    tokd = skept_new.join(scount, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens_kept",
-        F.coalesce(F.col("n_bpe"), F.lit(0)).cast("bigint").alias("n_bpe"),
-    )
+    tokd = _retrain_and_reprice(rwf_union, skept_new, dwc_new)
 
     # 9. flagship tail: shard/pack plan + verified export + read-back
-    final = _shard_pack_plan(tokd)
-    out_dir = _run_scoped_index_dir("llm_increment") + "/dump"
-    export_training_shards(final, out_dir, N_TRAIN_SHARDS, "doc_id")
-    ok = 1 if not verify_export(spark, out_dir) else 0
-    dump = read_export(spark, out_dir)
-    return dump.select(
-        "doc_id",
-        "shard",
-        "shard_pos",
-        "bin",
-        "n_tokens_kept",
-        "n_bpe_tokens",
-        F.lit(ok).cast("bigint").alias("verified"),
+    return _export_verified(spark, tokd, "llm_increment")
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten for the WHOLE dataset build — the inverse pass
+# completing the lifecycle triad (build / new_batch / forget), composing
+# the per-index forget queries the same way new_batch composes the
+# per-index merges. Deletion reverses every cap transition: LSH buckets
+# SHRINK below their cap (suppressed pairs reappear), decon gram
+# occurrences fall back under DECON_DF_CAP (new contamination hits
+# appear), bench grams can vanish (hits disappear), exact-group
+# representatives transfer to the next-min survivor, cluster components
+# can SPLIT at deleted cut vertices, and the tokenizer retrains on the
+# shrunken word counts. Oracle: the flagship SQL verbatim with the
+# corpus replaced by a kept-docs CTE — hash match proves
+# forget ≡ rebuild-without-the-deleted.
+# ---------------------------------------------------------------------------
+LLM_FORGET_PCT = 5  # doc ids with hash bucket (salt 'forget') < 5 deleted
+
+
+def _llm_forget_oracle() -> str:
+    import re
+
+    base = _llm_dataset_build_oracle()
+    filtered = re.sub(r"\bdocuments\b", "kept_docs", base)
+    head = "\n    WITH RECURSIVE "
+    assert filtered.startswith(head)
+    kept = (
+        "kept_docs AS (SELECT * FROM documents WHERE "
+        f"{sql_hash_bucket('doc_id', salt='forget')} >= {LLM_FORGET_PCT}),\n    "
     )
+    return head + kept + filtered[len(head):]
+
+
+@query("llm_dataset_forget", _llm_forget_oracle())
+def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete a 5% hash-selected doc set from the FULL-corpus standing
+    artifacts (PREPARES fixture) and emit the dump a from-scratch
+    build over the surviving corpus would produce — the GDPR pass for
+    the entire pipeline, cost ∝ deleted + affected, never the corpus:
+
+    1. annotations: deleted rows anti-join away;
+    2. exact groups: the deleted docs' fingerprints (recomputed from
+       the deleted TEXT only) name the affected groups; the
+       representative transfers to the min survivor, postings RENAME
+       (bucket sizes unchanged) or DROP (group extinct — sizes
+       shrink), and group edges rebuild around the new rep;
+    3. MinHash: buckets whose size falls back to ≤ cap re-pair their
+       surviving members (≤ cap² each) and verify exact Jaccard on
+       the stored shingle hashes — the pairs the cap had suppressed;
+       standing pairs remap through the rep transfer and pairs of
+       extinct groups drop. Surviving pairs stay valid for free:
+       sizes only shrink, so their supporting buckets remain under
+       cap;
+    4. clusters: affected components (deleted members, new-pair
+       endpoints) rebuild from the updated REAL edge table — a
+       deleted cut vertex splits its component
+       (operators/clusters.py::forget_documents law);
+    5. decontamination: occurrence counts decrement by the deleted
+       docs' grams; newly-under-cap grams probe the surviving
+       postings × surviving bench grams (bench-gram doc counts
+       decrement, zero-count grams leave); hits of deleted docs and
+       vanished bench grams drop;
+    6. selection re-evaluates from metadata; 7. the shared scrub
+       splice re-scrubs only cut-set-changed docs; 8. word counts
+       SUBTRACT (disjointness makes the inverse exact) and the
+       tokenizer retrains at vocab scale; 9. flagship verified-export
+       tail.
+
+    Oracle: flagship SQL over the kept corpus. Hash match ==
+    forget ≡ rebuild."""
+    from ..operators.clusters import connected_components
+    from ..operators.dedup import fingerprint
+    from ..operators.sampling import hash_bucket
+    from ..operators.textanalysis import bpe_word_table, decon_grams
+
+    paths = _prepare_llm_standing_full(spark, sf_dir)
+    rd = spark.read.parquet
+    docs = load_table(spark, sf_dir, "documents")
+    is_del = hash_bucket("doc_id", salt="forget") < LLM_FORGET_PCT
+    deleted = docs.filter(is_del)
+    del_ids = deleted.select("doc_id").localCheckpoint()
+
+    # 1. annotations
+    ann_new = rd(paths["ann"]).join(del_ids, "doc_id", "left_anti")
+
+    # 2. exact groups: affected fps from the deleted docs' text only
+    members = rd(paths["fp_members"])
+    aff_fp = (
+        deleted.select(fingerprint("text").alias("fp")).distinct()
+    )
+    aff_members = members.join(aff_fp, "fp", "left_semi")
+    old_rep = aff_members.groupBy("fp").agg(F.min("doc_id").alias("old_rep"))
+    surv_aff = aff_members.join(del_ids, "doc_id", "left_anti")
+    new_rep = surv_aff.groupBy("fp").agg(F.min("doc_id").alias("new_rep"))
+    rep_map = old_rep.join(new_rep, "fp", "left").localCheckpoint()
+    renames = rep_map.filter(
+        F.col("new_rep").isNotNull() & (F.col("old_rep") != F.col("new_rep"))
+    )
+    vanished = rep_map.filter(F.col("new_rep").isNull()).select(
+        F.col("old_rep").alias("doc_id")
+    )
+
+    def _remap_posts(df):
+        return (
+            df.join(vanished, "doc_id", "left_anti")
+            .join(
+                renames.select(
+                    F.col("old_rep").alias("doc_id"), "new_rep"
+                ),
+                "doc_id",
+                "left",
+            )
+            .withColumn("doc_id", F.coalesce("new_rep", "doc_id"))
+            .drop("new_rep")
+        )
+
+    bands_new = _remap_posts(rd(paths["bands"])).localCheckpoint()
+    sh_new = _remap_posts(rd(paths["shingles"]))
+
+    ex = rd(paths["exact_edges"])
+    ex_alive = ex.join(
+        del_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_anti"
+    ).join(del_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti")
+    rebuilt = (
+        surv_aff.join(
+            renames.select("fp", "new_rep"), "fp"
+        )
+        .filter(F.col("doc_id") != F.col("new_rep"))
+        .select(F.col("new_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    exact_edges_new = ex_alive.unionByName(rebuilt)
+
+    # 3. suppressed pairs reappear where buckets fall back under cap
+    drop_counts = (
+        rd(paths["bands"])
+        .join(vanished, "doc_id", "left_semi")
+        .groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_drop"))
+    )
+    sizes = (
+        rd(paths["bucket_sizes"])
+        .join(drop_counts, ["band_idx", "band_key"], "left")
+        .select(
+            "band_idx",
+            "band_key",
+            F.col("n").alias("n_std"),
+            (F.col("n") - F.coalesce(F.col("n_drop"), F.lit(0))).alias("n_new"),
+        )
+    )
+    newly_under = sizes.filter(
+        (F.col("n_std") > MINHASH_BUCKET_CAP)
+        & (F.col("n_new") <= MINHASH_BUCKET_CAP)
+        & (F.col("n_new") > 1)
+    ).select("band_idx", "band_key")
+    ub = bands_new.join(newly_under, ["band_idx", "band_key"])
+    add_cand = (
+        ub.alias("x")
+        .join(
+            ub.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    jac = F.size(F.array_intersect("hs_a", "hs_b")) / F.size(
+        F.array_union("hs_a", "hs_b")
+    ).cast("double")
+    added_mh = (
+        add_cand.join(
+            sh_new.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+            "doc_a",
+        )
+        .join(
+            sh_new.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+
+    mh = rd(paths["mh_edges"])
+    mh2 = (
+        mh.join(vanished.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_anti")
+        .join(vanished.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti")
+        .join(
+            renames.select(F.col("old_rep").alias("doc_a"), F.col("new_rep").alias("ra")),
+            "doc_a",
+            "left",
+        )
+        .join(
+            renames.select(F.col("old_rep").alias("doc_b"), F.col("new_rep").alias("rb")),
+            "doc_b",
+            "left",
+        )
+        .select(
+            F.least(
+                F.coalesce("ra", F.col("doc_a")), F.coalesce("rb", F.col("doc_b"))
+            ).alias("doc_a"),
+            F.greatest(
+                F.coalesce("ra", F.col("doc_a")), F.coalesce("rb", F.col("doc_b"))
+            ).alias("doc_b"),
+        )
+    )
+    mh_edges_new = mh2.unionByName(added_mh)
+    edges_new = mh_edges_new.unionByName(exact_edges_new)
+
+    # 4. affected-component relabel over surviving members
+    labels = rd(paths["labels"])
+    touched = (
+        del_ids.withColumnRenamed("doc_id", "node")
+        .unionByName(added_mh.select(F.col("doc_a").alias("node")))
+        .unionByName(added_mh.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    affected_comps = (
+        touched.join(labels, "node")
+        .select("component")
+        .distinct()
+    )
+    affected = labels.join(affected_comps, "component")
+    survivors_aff = affected.select("node").join(
+        del_ids.withColumnRenamed("doc_id", "node"), "node", "left_anti"
+    )
+    sub_edges = edges_new.join(
+        survivors_aff.withColumnRenamed("node", "doc_a"), "doc_a", "left_semi"
+    ).join(survivors_aff.withColumnRenamed("node", "doc_b"), "doc_b", "left_semi")
+    sub_labels = connected_components(sub_edges, "doc_a", "doc_b")
+    relabelled = survivors_aff.join(sub_labels, "node", "left").select(
+        "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+    )
+    labels_new = (
+        labels.join(affected_comps, "component", "left_anti")
+        .select("node", "component")
+        .unionByName(relabelled)
+        .localCheckpoint()
+    )
+
+    # 5. decontamination inverse
+    is_eval = hash_bucket("doc_id", salt="eval") < DECON_EVAL_PCT
+    del_cg = decon_grams(deleted.filter(~is_eval), DECON_K)
+    del_bg = decon_grams(deleted.filter(is_eval), DECON_K)
+    occ = (
+        rd(paths["decon_counts"])
+        .join(
+            del_cg.groupBy("g").agg(F.count(F.lit(1)).alias("n_del")),
+            "g",
+            "left",
+        )
+        .select(
+            "g",
+            F.col("occ").alias("occ_std"),
+            (F.col("occ") - F.coalesce(F.col("n_del"), F.lit(0))).alias("occ_new"),
+        )
+    )
+    newly_under_g = occ.filter(
+        (F.col("occ_std") > DECON_DF_CAP)
+        & (F.col("occ_new") <= DECON_DF_CAP)
+        & (F.col("occ_new") > 0)
+    ).select("g")
+    bench_new = (
+        rd(paths["bench_grams"])
+        .join(
+            del_bg.select("g", "doc_id")
+            .distinct()
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n_del")),
+            "g",
+            "left",
+        )
+        .filter(F.col("n_eval") - F.coalesce(F.col("n_del"), F.lit(0)) > 0)
+        .select("g")
+    )
+    postings_new = rd(paths["decon_postings"]).join(del_ids, "doc_id", "left_anti")
+    hits_kept = (
+        rd(paths["decon_hits"])
+        .join(del_ids, "doc_id", "left_anti")
+        .join(bench_new, "g", "left_semi")
+    )
+    hits_back = (
+        postings_new.join(newly_under_g, "g", "left_semi")
+        .join(bench_new, "g", "left_semi")
+        .select("doc_id", "g")
+    )
+    contaminated = (
+        hits_kept.select("doc_id").union(hits_back.select("doc_id")).distinct()
+    )
+
+    # 6-9: shared selection / scrub / tokenizer / export tail
+    sel_new = _llm_selection(ann_new, labels_new, contaminated).localCheckpoint()
+    skept_new, dwc_new = _scrub_splice(spark, docs, paths, rd(paths["sel"]), sel_new)
+    rwf_new = (
+        rd(paths["rwf"])
+        .unionByName(
+            bpe_word_table(_spread(deleted)).select(
+                "word", (-F.col("n")).alias("n")
+            )
+        )
+        .groupBy("word")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") > 0)
+        .localCheckpoint()
+    )
+    tokd = _retrain_and_reprice(rwf_new, skept_new, dwc_new)
+    return _export_verified(spark, tokd, "llm_forget")
