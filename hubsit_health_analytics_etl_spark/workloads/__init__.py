@@ -25,9 +25,10 @@ from .w16_behavioral_stats import *  # noqa: F401,F403,E402
 from .w17_quality_calendar import *  # noqa: F401,F403,E402
 from .w18_dataset_increment import *  # noqa: F401,F403,E402
 from .w19_incremental_dims import *  # noqa: F401,F403,E402
+from .w20_sequential_monitors import *  # noqa: F401,F403,E402
 
-from . import w01_windows_text, w02_dedup, w03_similarity_multimodal, w04_relational, w05_clusters_ann, w06_joins_chunking, w07_cluster_maintenance, w08_ann_composites, w09_curation_lifecycle, w10_dataset_build, w11_warehouse_ops, w12_retrieval_sketches, w13_index_lifecycle, w14_graph, w15_linkage_dsir, w16_behavioral_stats, w17_quality_calendar, w18_dataset_increment, w19_incremental_dims  # noqa: E402,F401
+from . import w01_windows_text, w02_dedup, w03_similarity_multimodal, w04_relational, w05_clusters_ann, w06_joins_chunking, w07_cluster_maintenance, w08_ann_composites, w09_curation_lifecycle, w10_dataset_build, w11_warehouse_ops, w12_retrieval_sketches, w13_index_lifecycle, w14_graph, w15_linkage_dsir, w16_behavioral_stats, w17_quality_calendar, w18_dataset_increment, w19_incremental_dims, w20_sequential_monitors  # noqa: E402,F401
 
 # ordered module objects — the workload_ext facade resolves attribute
 # lookups (incl. underscore helpers) against these at access time
-FAMILY_MODULES = [w01_windows_text, w02_dedup, w03_similarity_multimodal, w04_relational, w05_clusters_ann, w06_joins_chunking, w07_cluster_maintenance, w08_ann_composites, w09_curation_lifecycle, w10_dataset_build, w11_warehouse_ops, w12_retrieval_sketches, w13_index_lifecycle, w14_graph, w15_linkage_dsir, w16_behavioral_stats, w17_quality_calendar, w18_dataset_increment, w19_incremental_dims]
+FAMILY_MODULES = [w01_windows_text, w02_dedup, w03_similarity_multimodal, w04_relational, w05_clusters_ann, w06_joins_chunking, w07_cluster_maintenance, w08_ann_composites, w09_curation_lifecycle, w10_dataset_build, w11_warehouse_ops, w12_retrieval_sketches, w13_index_lifecycle, w14_graph, w15_linkage_dsir, w16_behavioral_stats, w17_quality_calendar, w18_dataset_increment, w19_incremental_dims, w20_sequential_monitors]
