@@ -710,6 +710,67 @@ def capped_pair_retractions(
     return cand.join(supported, ["doc_a", "doc_b"], "left_anti")
 
 
+def bucket_underflow_candidates(
+    surviving_bands: DataFrame,
+    index_bucket_sizes: DataFrame,
+    dropped_bands: DataFrame,
+    bucket_cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs REINSTATED by a deletion — the dual of
+    :func:`capped_pair_retractions`: bucket sizes only SHRINK under
+    deletion, so the one standing-pair transition is a previously
+    OVERFULL bucket falling back to ≤ ``bucket_cap`` members, making
+    the pairs it had suppressed generable again.
+
+    Inputs: the post-deletion postings ``surviving_bands`` (already
+    renamed/pruned by the caller's representative-transfer step), the
+    persisted pre-deletion ``index_bucket_sizes`` (band_idx, band_key,
+    n), and ``dropped_bands`` — the postings rows that left (extinct
+    groups only; representative RENAMES keep sizes unchanged).
+
+    Returns distinct (doc_a, doc_b) candidates from newly-under
+    buckets (≤ cap members each → ≤ cap²/2 pairs per bucket); the
+    caller verifies exact Jaccard on the stored shingle hashes and
+    thresholds. Pairs that were ALREADY generable through some other
+    below-cap bucket may re-appear here — harmless to downstream
+    connected components, which deduplicate by construction."""
+    drop_counts = dropped_bands.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("n_drop")
+    )
+    cap = int(bucket_cap)
+    newly_under = (
+        index_bucket_sizes.join(drop_counts, ["band_idx", "band_key"], "left")
+        .select(
+            "band_idx",
+            "band_key",
+            F.col("n").alias("n_std"),
+            (F.col("n") - F.coalesce(F.col("n_drop"), F.lit(0))).alias("n_new"),
+        )
+        .filter(
+            (F.col("n_std") > cap)
+            & (F.col("n_new") <= cap)
+            & (F.col("n_new") > 1)
+        )
+        .select("band_idx", "band_key")
+    )
+    ub = surviving_bands.join(newly_under, ["band_idx", "band_key"])
+    return (
+        ub.alias("x")
+        .join(
+            ub.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def exact_fingerprint_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

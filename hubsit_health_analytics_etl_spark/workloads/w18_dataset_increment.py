@@ -693,7 +693,7 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: flagship SQL over the kept corpus. Hash match ==
     forget ≡ rebuild."""
     from ..operators.clusters import connected_components
-    from ..operators.dedup import fingerprint
+    from ..operators.dedup import bucket_underflow_candidates, fingerprint
     from ..operators.sampling import hash_bucket
     from ..operators.textanalysis import bpe_word_table, decon_grams
 
@@ -755,40 +755,13 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_edges_new = ex_alive.unionByName(rebuilt)
 
     # 3. suppressed pairs reappear where buckets fall back under cap
-    drop_counts = (
-        rd(paths["bands"])
-        .join(vanished, "doc_id", "left_semi")
-        .groupBy("band_idx", "band_key")
-        .agg(F.count(F.lit(1)).alias("n_drop"))
-    )
-    sizes = (
-        rd(paths["bucket_sizes"])
-        .join(drop_counts, ["band_idx", "band_key"], "left")
-        .select(
-            "band_idx",
-            "band_key",
-            F.col("n").alias("n_std"),
-            (F.col("n") - F.coalesce(F.col("n_drop"), F.lit(0))).alias("n_new"),
-        )
-    )
-    newly_under = sizes.filter(
-        (F.col("n_std") > MINHASH_BUCKET_CAP)
-        & (F.col("n_new") <= MINHASH_BUCKET_CAP)
-        & (F.col("n_new") > 1)
-    ).select("band_idx", "band_key")
-    ub = bands_new.join(newly_under, ["band_idx", "band_key"])
-    add_cand = (
-        ub.alias("x")
-        .join(
-            ub.alias("y"),
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
+    # (operators/dedup.py::bucket_underflow_candidates — sizes only
+    # shrink, so this is the one possible standing-pair transition)
+    add_cand = bucket_underflow_candidates(
+        bands_new,
+        rd(paths["bucket_sizes"]),
+        rd(paths["bands"]).join(vanished, "doc_id", "left_semi"),
+        MINHASH_BUCKET_CAP,
     )
     jac = F.size(F.array_intersect("hs_a", "hs_b")) / F.size(
         F.array_union("hs_a", "hs_b")

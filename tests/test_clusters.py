@@ -429,3 +429,47 @@ def test_capped_pair_retractions_crafted_overflow(spark):
     assert (
         capped_pair_retractions(bands, sizes, empty, pairs, cap).count() == 0
     )
+
+
+def test_bucket_underflow_candidates_crafted(spark):
+    """The deletion dual of the cap law: a bucket OVER cap emits no
+    pairs; dropping one member brings it to cap and its suppressed
+    pairs become generable; a bucket already under cap re-emits
+    nothing (its pairs were never suppressed); a bucket still over
+    cap after the drop stays silent."""
+    from hubsit_health_analytics_etl_spark.operators.dedup import (
+        bucket_underflow_candidates,
+    )
+
+    cap = 2
+    # pre-deletion postings: (0,'k') has 3 members (over cap),
+    # (1,'m') has 2 (at cap), (2,'z') has 4 (over, stays over)
+    bands = spark.createDataFrame(
+        [
+            (1, 0, "k"), (2, 0, "k"), (9, 0, "k"),
+            (1, 1, "m"), (2, 1, "m"),
+            (5, 2, "z"), (6, 2, "z"), (7, 2, "z"), (8, 2, "z"),
+        ],
+        "doc_id long, band_idx int, band_key string",
+    )
+    sizes = bands.groupBy("band_idx", "band_key").count().withColumnRenamed(
+        "count", "n"
+    )
+    # doc 9 deleted (extinct group): (0,'k') falls 3 -> 2 = cap;
+    # (2,'z') loses nothing and stays over
+    dropped = bands.filter("doc_id = 9")
+    surviving = bands.filter("doc_id != 9")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in bucket_underflow_candidates(
+            surviving, sizes, dropped, cap
+        ).collect()
+    }
+    assert got == {(1, 2)}
+    # nothing dropped -> nothing reinstated
+    assert (
+        bucket_underflow_candidates(
+            bands, sizes, bands.filter("doc_id < 0"), cap
+        ).count()
+        == 0
+    )

@@ -1846,3 +1846,154 @@ def test_llm_dataset_new_batch_text_work_is_batch_proportional(spark, monkeypatc
     # every text entry point was actually exercised through the spies
     assert set(feeds) >= {"annotate_documents", "_doc_grams",
                           "apply_cut_positions", "bpe_word_table"}
+
+
+def test_llm_dataset_forget_crafted_transitions(spark, tmp_path):
+    """End-to-end forget on a CRAFTED corpus that deliberately drives
+    every hand-written splice path — then hash-compared against the
+    kept-docs oracle, exactly like the driver gate:
+
+    - group {0, 5, 9} identical; rep 0 is DELETED (hash salt
+      'forget' < 5) → representative transfers to 5, LSH postings
+      rename, the standing near-dup pair (0, 12) remaps to (5, 12);
+    - group {28, 73} identical, BOTH deleted → group extinct,
+      postings drop;
+    - eval doc 275 (deleted AND in the 5% eval slice) shares a 4-gram
+      with kept doc 3; no surviving eval doc has it → doc 3
+      de-contaminates and ENTERS the selection after the forget;
+    - docs 3 and 4 share an 8-token span: once 3 is selected the span
+      becomes df≥2, doc 4 loses it to owner 3 → the cut-diff re-scrub
+      path fires for a STANDING doc."""
+    import hashlib
+
+    from hubsit_health_analytics_etl_spark.workloads.w18_dataset_increment import (
+        _LLM_STANDING_FULL,
+        q_llm_dataset_forget,
+    )
+    from hubsit_health_analytics_etl_spark.workload import ORACLES
+
+    from .oracle_check import compare, duckdb_conn
+
+    def b(i, salt):
+        return int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:8], 16) % 100
+
+    # sanity-pin the hash roles the corpus is built around
+    for i in (0, 28, 73, 151, 275):
+        assert b(i, "forget") < 5
+    for i in (1, 2, 3, 4, 5, 9, 12, 20):
+        assert b(i, "forget") >= 5
+    assert b(275, "eval") < 5 and all(b(i, "eval") >= 5 for i in (3, 4, 5, 12))
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the small "
+        "red hen walks along the quiet river bank every single morning "
+        "and the old grey owl watches from the tall green tree"
+    )  # 33 tokens of plain English — passes lang/quality/token band
+    near = base.replace("morning", "evening")  # J >> 0.3 with base
+    span = "one two three four five six seven eight nine ten eleven twelve"
+    doc3 = f"{span} and then the people walk to the market near the harbour every day with friends"
+    doc4 = f"{span} but later the children run across the field toward the school before the bell rings"
+    secret = "zebra quokka lemur axolotl"  # the contaminating 4-gram
+    doc275 = f"this is the held out evaluation text with {secret} inside it and some more plain words to pass the token band easily enough here"
+    filler = (
+        "it was a bright cold day in april and the clocks were striking "
+        "thirteen while people hurried along the wet streets under small "
+        "umbrellas toward the station"
+    )
+    rows = [
+        (0, base, "en", "web", len(base)),
+        (5, base, "en", "web", len(base)),
+        (9, base, "en", "web", len(base)),
+        (28, "twenty eight " + filler, "en", "web", 10),
+        (73, "twenty eight " + filler, "en", "web", 10),
+        (12, near, "en", "web", len(near)),
+        (3, doc3 + f" also it mentions {secret} for the contamination path", "en", "web", 10),
+        (4, doc4, "en", "web", 10),
+        (275, doc275, "en", "web", len(doc275)),
+        (151, "one fifty one " + filler + " again", "en", "web", 10),
+        (1, "first extra " + filler, "en", "web", 10),
+        (2, "second extra " + filler.replace("april", "march"), "en", "web", 10),
+        (20, "kept eval doc " + filler.replace("station", "harbour"), "en", "web", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "crafted")
+    import os
+    import shutil
+
+    os.makedirs(sf_dir)
+    # the fixture layout is a single FILE per table (DuckDB
+    # read_parquet on the same path) — not a Spark directory
+    staged = str(tmp_path / "staged")
+    df.coalesce(1).write.parquet(staged)
+    part = [f for f in os.listdir(staged) if f.endswith(".parquet")]
+    assert len(part) == 1
+    shutil.copy(f"{staged}/{part[0]}", f"{sf_dir}/documents.parquet")
+
+    _LLM_STANDING_FULL.pop(sf_dir, None)  # fresh fixture for this corpus
+    out = q_llm_dataset_forget(spark, sf_dir)
+    con = duckdb_conn(sf_dir)
+    problems = compare(out, con, ORACLES["llm_dataset_forget"], "llm_dataset_forget")
+    assert problems == [], problems
+
+    got = {r["doc_id"]: r for r in out.collect()}
+    # deleted ids are gone from the dump
+    assert not ({0, 28, 73, 151, 275} & set(got))
+    # doc 3 de-contaminated and entered the dump (eval doc 275 left)
+    assert 3 in got
+    # rep transfer: the surviving group keeps exactly its min-id keeper
+    # (5), and absorbed member 9 stays deduplicated away
+    assert 5 in got and 9 not in got
+    # near-dup 12 merged into 5's cluster -> deduplicated away too
+    assert 12 not in got
+    # doc 4 lost its shared span to new owner 3: fewer tokens kept
+    # than its raw token count
+    n4 = got[4]["n_tokens_kept"]
+    assert 0 < n4 < len(doc4.split())
+
+
+def test_llm_dataset_forget_text_work_is_deletion_proportional(spark, monkeypatch):
+    """Forget twin of the batch-proportionality pin: the timed body's
+    text-scale operators must be fed deleted-/affected-sized inputs
+    only — the corpus never re-reads. (decon_grams and bpe_word_table
+    run over the DELETED docs to compute the count decrements;
+    apply_cut_positions over cut-set-changed docs; _doc_grams over
+    newly selected docs.)"""
+    import hubsit_health_analytics_etl_spark.operators.textanalysis as ta
+    from hubsit_health_analytics_etl_spark.operators.sampling import hash_bucket
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.workloads.w18_dataset_increment import (
+        LLM_FORGET_PCT,
+        _prepare_llm_standing_full,
+        q_llm_dataset_forget,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_corpus = docs.count()
+    n_del = docs.filter(
+        hash_bucket("doc_id", salt="forget") < LLM_FORGET_PCT
+    ).count()
+    assert 0 < n_del < n_corpus // 4
+
+    _prepare_llm_standing_full(spark, SF_SMOKE)  # fixture builds unspied
+
+    feeds: dict[str, list[int]] = {}
+    for fname in ("decon_grams", "_doc_grams", "apply_cut_positions",
+                  "bpe_word_table"):
+        real = getattr(ta, fname)
+
+        def spy(df, *a, _real=real, _n=fname, **kw):
+            feeds.setdefault(_n, []).append(df.count())
+            return _real(df, *a, **kw)
+
+        monkeypatch.setattr(ta, fname, spy)
+
+    out = q_llm_dataset_forget(spark, SF_SMOKE)
+    assert out.count() > 0
+
+    cap = 3 * n_del + 50  # generous affected-slack, far below corpus
+    for fname, sizes in feeds.items():
+        for n in sizes:
+            assert n <= cap, (fname, n, "cap", cap, "corpus", n_corpus)
+    assert set(feeds) >= {"decon_grams", "apply_cut_positions", "bpe_word_table"}
