@@ -568,7 +568,7 @@ def q_llm_dataset_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_edges=near_new.select("doc_a", "doc_b").unionByName(exact_new),
         removed_edges=removed_mh,
         new_nodes=batch.select(F.col("doc_id").alias("node")),
-    ).localCheckpoint()
+    )  # single consumer (sel_new, itself checkpointed) — no materialization
 
     # 5. decontamination splice
     is_eval = hash_bucket("doc_id", salt="eval") < DECON_EVAL_PCT
@@ -835,8 +835,7 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.join(affected_comps, "component", "left_anti")
         .select("node", "component")
         .unionByName(relabelled)
-        .localCheckpoint()
-    )
+    )  # single consumer (sel_new, itself checkpointed)
 
     # 5. decontamination inverse
     is_eval = hash_bucket("doc_id", salt="eval") < DECON_EVAL_PCT
