@@ -540,3 +540,188 @@ def test_prefix_filter_lemma_candidates_cover_all_qualifying_pairs(
                 assert prefix(a) & prefix(b), (
                     a, b, jac, prefix(a), prefix(b)
                 )
+
+
+def _py_cc(edges, nodes):
+    """Union-find reference: node -> min-id component."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+@given(
+    st.lists(  # base edges over a small node universe
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        max_size=18,
+    ),
+    st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14)), max_size=8),
+    st.sets(st.integers(0, 17), max_size=12),  # removal CANDIDATES
+)
+@SET
+def test_splice_cluster_edges_equals_full_cc_random_graphs(
+    spark, base, added, rm_seed
+):
+    """splice == from-scratch CC over the edited edge set, for random
+    base graphs, random additions (possibly touching brand-new nodes),
+    and random removals (bridges included) — the general law the
+    crafted test samples once."""
+    from hubsit_health_analytics_etl_spark.operators.clusters import (
+        connected_components,
+        splice_cluster_edges,
+    )
+
+    canon = lambda es: sorted(
+        {(min(a, b), max(a, b)) for a, b in es if a != b}
+    )
+    base_e = canon(base)
+    added_e = canon(added)
+    # removals: a pseudo-random subset of the base edges
+    removed_e = [e for i, e in enumerate(base_e) if (e[0] * 7 + e[1] + i) % 3 in rm_seed or i in rm_seed]
+    base_nodes = sorted({n for e in base_e for n in e} | set(range(12)))
+    new_nodes = sorted({n for e in added_e for n in e} - set(base_nodes))
+
+    if base_e:
+        bdf = spark.createDataFrame(base_e, "doc_a long, doc_b long")
+    else:
+        bdf = spark.createDataFrame([], "doc_a long, doc_b long")
+    labels = (
+        spark.createDataFrame([(n,) for n in base_nodes], "node long")
+        .join(connected_components(bdf), "node", "left")
+        .selectExpr("node", "coalesce(component, node) as component")
+    )
+    adf = (
+        spark.createDataFrame(added_e, "doc_a long, doc_b long")
+        if added_e
+        else spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+    rdf = (
+        spark.createDataFrame(removed_e, "doc_a long, doc_b long")
+        if removed_e
+        else spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+    ndf = (
+        spark.createDataFrame([(n,) for n in new_nodes], "node long")
+        if new_nodes
+        else None
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in splice_cluster_edges(labels, bdf, adf, rdf, ndf).collect()
+    }
+    edited = (set(base_e) - set(removed_e)) | set(added_e)
+    want = _py_cc(edited, set(base_nodes) | set(new_nodes))
+    assert got == want
+
+
+def _py_capped_pairs(posts, cap):
+    """Reference: pairs co-bucketed in any (band, key) bucket of size
+    2..cap. posts = iterable of (doc_id, band_idx, band_key)."""
+    from collections import defaultdict
+
+    buckets = defaultdict(set)
+    for d, b, k in posts:
+        buckets[(b, k)].add(d)
+    out = set()
+    for ids in buckets.values():
+        if 2 <= len(ids) <= cap:
+            ids = sorted(ids)
+            for i, a in enumerate(ids):
+                for b2 in ids[i + 1:]:
+                    out.add((a, b2))
+    return out
+
+
+_POST = st.tuples(
+    st.integers(0, 9), st.integers(0, 2), st.sampled_from("pqr")
+)
+
+
+@given(
+    st.lists(_POST, max_size=25),  # standing postings
+    st.lists(
+        st.tuples(st.integers(100, 105), st.integers(0, 2), st.sampled_from("pqr")),
+        max_size=10,
+    ),  # batch postings (disjoint id space)
+    st.integers(2, 4),  # cap
+    st.sets(st.integers(0, 9), max_size=4),  # deleted doc ids
+)
+@SET
+def test_cap_retraction_and_underflow_laws_random(
+    spark, standing, batch, cap, deleted
+):
+    """The two cap-transition operators against a pure-Python capped
+    pair model, over random postings:
+
+    INGEST — capped pairs of the union restricted to standing docs
+    == standing pairs − retractions (sizes only grow, so retraction
+    is the only transition; exact equality).
+
+    DELETION — reinstated candidates sit between the two capped sets:
+    every pair newly generable after the deletion is produced, and
+    nothing outside the post-deletion capped set is (re-emission of
+    still-generable pairs is documented and allowed)."""
+    from hubsit_health_analytics_etl_spark.operators.dedup import (
+        bucket_underflow_candidates,
+        capped_pair_retractions,
+    )
+
+    standing = sorted(set(standing))
+    batch = sorted(set(batch))
+    sdf = (
+        spark.createDataFrame(standing, "doc_id long, band_idx int, band_key string")
+        if standing
+        else spark.createDataFrame([], "doc_id long, band_idx int, band_key string")
+    )
+    sizes = sdf.groupBy("band_idx", "band_key").count().withColumnRenamed("count", "n")
+    std_pairs = _py_capped_pairs(standing, cap)
+    pdf = (
+        spark.createDataFrame(sorted(std_pairs), "doc_a long, doc_b long")
+        if std_pairs
+        else spark.createDataFrame([], "doc_a long, doc_b long")
+    )
+
+    # ingest law
+    bdf = (
+        spark.createDataFrame(batch, "doc_id long, band_idx int, band_key string")
+        if batch
+        else spark.createDataFrame([], "doc_id long, band_idx int, band_key string")
+    )
+    got_rm = {
+        (r["doc_a"], r["doc_b"])
+        for r in capped_pair_retractions(sdf, sizes, bdf, pdf, cap).collect()
+    }
+    union_pairs = _py_capped_pairs(standing + batch, cap)
+    want_rm = std_pairs - union_pairs
+    assert got_rm == want_rm
+
+    # deletion law
+    surv = [p for p in standing if p[0] not in deleted]
+    dropped = [p for p in standing if p[0] in deleted]
+    vdf = (
+        spark.createDataFrame(surv, "doc_id long, band_idx int, band_key string")
+        if surv
+        else spark.createDataFrame([], "doc_id long, band_idx int, band_key string")
+    )
+    ddf = (
+        spark.createDataFrame(dropped, "doc_id long, band_idx int, band_key string")
+        if dropped
+        else spark.createDataFrame([], "doc_id long, band_idx int, band_key string")
+    )
+    got_add = {
+        (r["doc_a"], r["doc_b"])
+        for r in bucket_underflow_candidates(vdf, sizes, ddf, cap).collect()
+    }
+    surv_pairs = _py_capped_pairs(surv, cap)
+    surv_std = {p for p in std_pairs if p[0] not in deleted and p[1] not in deleted}
+    want_new = surv_pairs - surv_std
+    assert want_new <= got_add <= surv_pairs
