@@ -93,7 +93,33 @@ def q_scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_parquet(dim, path)
     dim = spark.read.parquet(path)
 
-    # ---- apply the change batch ----
+    out = apply_scd2_changes(dim, batch)
+    return out.select(
+        "o_custkey",
+        "priority",
+        F.date_format("valid_from_d", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to_d", "yyyy-MM-dd"), F.lit("9999-12-31")
+        ).alias("valid_to"),
+        "n_orders",
+        F.col("is_current").cast("bigint").alias("is_current"),
+    )
+
+
+def apply_scd2_changes(dim: DataFrame, batch: DataFrame) -> DataFrame:
+    """The SCD2 apply core — shared by the registered batch query and
+    the streaming twin (streaming/scd2.py): merge a strictly-later
+    event batch (o_custkey, o_orderkey, priority, d) into a
+    (o_custkey, priority, valid_from_d, valid_to_d, n_orders,
+    is_current) dimension via seed-event replay. Closed rows never
+    change (segmentation is prefix-stable); each affected key's open
+    row collapses to one weighted pseudo-event and replays with the
+    batch through the standard gaps-and-islands build — extend /
+    close / insert with no branching."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy("seg")
     affected = batch.select("o_custkey").distinct()
     open_rows = dim.filter(F.col("is_current") == 1).join(
         affected, "o_custkey", "left_semi"
@@ -144,14 +170,4 @@ def q_scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             affected, "o_custkey", "left_anti"
         )
     )
-    out = untouched.unionByName(replayed)
-    return out.select(
-        "o_custkey",
-        "priority",
-        F.date_format("valid_from_d", "yyyy-MM-dd").alias("valid_from"),
-        F.coalesce(
-            F.date_format("valid_to_d", "yyyy-MM-dd"), F.lit("9999-12-31")
-        ).alias("valid_to"),
-        "n_orders",
-        F.col("is_current").cast("bigint").alias("is_current"),
-    )
+    return untouched.unionByName(replayed)
