@@ -119,7 +119,7 @@ def _scrub_splice(spark, docs, paths, sel_old, sel_new):
         spost_new.join(owners, "gh")
         .filter(F.col("doc_id") != F.col("owner"))
         .select("doc_id", "pos")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cut_diff_docs = (
         cut_new.withColumn("_n", F.lit(1))
@@ -136,13 +136,13 @@ def _scrub_splice(spark, docs, paths, sel_old, sel_new):
         cut_diff_docs.join(sel_new, "doc_id", "left_semi")
         .union(added.select("doc_id"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     scr_changed = apply_cut_positions(
         docs.join(changed, "doc_id"),
         cut_new.join(changed, "doc_id", "left_semi"),
         SPAN_GRAM,
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     skept_new = (
         rd(paths["skept"])
         .join(sel_new, "doc_id", "left_semi")
@@ -539,7 +539,7 @@ def q_llm_dataset_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     nb, ns = minhash_signature_index(new_group_docs)
-    nb = nb.localCheckpoint()  # consumed by the probe AND the size/retract math
+    nb = nb.localCheckpoint(eager=False)  # two consumers (probe + retract math)
     bands = rd(paths["bands"])
     near_new = incremental_minhash_candidates(
         new_group_docs,
@@ -605,7 +605,7 @@ def q_llm_dataset_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # 6. selection re-evaluation (metadata only) + diff vs standing
-    sel_new = _llm_selection(ann_all, labels_new, contaminated).localCheckpoint()
+    sel_new = _llm_selection(ann_all, labels_new, contaminated).localCheckpoint(eager=False)
 
     # 7. scrub splice (shared stage helper)
     skept_new, dwc_new = _scrub_splice(spark, docs, paths, rd(paths["sel"]), sel_new)
@@ -616,7 +616,7 @@ def q_llm_dataset_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bpe_word_table(_spread(batch)))
         .groupBy("word")
         .agg(F.sum("n").alias("n"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tokd = _retrain_and_reprice(rwf_union, skept_new, dwc_new)
 
@@ -702,7 +702,7 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     is_del = hash_bucket("doc_id", salt="forget") < LLM_FORGET_PCT
     deleted = docs.filter(is_del)
-    del_ids = deleted.select("doc_id").localCheckpoint()
+    del_ids = deleted.select("doc_id").localCheckpoint(eager=False)
 
     # 1. annotations
     ann_new = rd(paths["ann"]).join(del_ids, "doc_id", "left_anti")
@@ -716,7 +716,7 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_rep = aff_members.groupBy("fp").agg(F.min("doc_id").alias("old_rep"))
     surv_aff = aff_members.join(del_ids, "doc_id", "left_anti")
     new_rep = surv_aff.groupBy("fp").agg(F.min("doc_id").alias("new_rep"))
-    rep_map = old_rep.join(new_rep, "fp", "left").localCheckpoint()
+    rep_map = old_rep.join(new_rep, "fp", "left").localCheckpoint(eager=False)
     renames = rep_map.filter(
         F.col("new_rep").isNotNull() & (F.col("old_rep") != F.col("new_rep"))
     )
@@ -738,7 +738,7 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("new_rep")
         )
 
-    bands_new = _remap_posts(rd(paths["bands"])).localCheckpoint()
+    bands_new = _remap_posts(rd(paths["bands"])).localCheckpoint(eager=False)
     sh_new = _remap_posts(rd(paths["shingles"]))
 
     ex = rd(paths["exact_edges"])
@@ -778,7 +778,7 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     mh = rd(paths["mh_edges"])
@@ -888,7 +888,7 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # 6-9: shared selection / scrub / tokenizer / export tail
-    sel_new = _llm_selection(ann_new, labels_new, contaminated).localCheckpoint()
+    sel_new = _llm_selection(ann_new, labels_new, contaminated).localCheckpoint(eager=False)
     skept_new, dwc_new = _scrub_splice(spark, docs, paths, rd(paths["sel"]), sel_new)
     rwf_new = (
         rd(paths["rwf"])
@@ -900,7 +900,7 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.sum("n").alias("n"))
         .filter(F.col("n") > 0)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tokd = _retrain_and_reprice(rwf_new, skept_new, dwc_new)
     return _export_verified(spark, tokd, "llm_forget")
