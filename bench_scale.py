@@ -79,6 +79,13 @@ SCALE_QUERIES = [
     "peak_concurrent_sessions",
     "doc_boilerplate_fraction",
     "corpus_zipf_fit",
+    # r15 lifecycle family (VERDICT r14 #5): the composite splice /
+    # forget / pinned-tokenizer merge bodies (standing fixtures via
+    # PREPARES, untimed) and the SCD2 batch apply
+    "llm_dataset_new_batch",
+    "llm_dataset_merge_only",
+    "llm_dataset_forget",
+    "scd2_apply_changes",
 ]
 
 BASE_DOCS, BASE_EVENTS, BASE_VECS, BASE_USERS = 5_000, 100_000, 2_000, 2_000
@@ -144,6 +151,9 @@ def gen_corpus(spark, out_dir: str, n_docs: int, n_events: int,
                 f"timestamp(date_add(date'1995-01-01', cast({h('od', 2436)} as int)))"
             ).alias("o_orderdate"),
             F.expr(f"({h('op', 100000)}) / 100.0 + 1000.0").alias("o_totalprice"),
+            F.expr(
+                f"concat(cast(1 + {h('opr', 5)} as string), '-PRIORITY')"
+            ).alias("o_orderpriority"),
         )
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "orders.parquet"))
@@ -249,6 +259,73 @@ def invariants(spark, sf_dir: str) -> dict:
     }
 
 
+FIXED_BATCH_DOCS = 500
+
+
+def lifecycle_fixed_batch(spark, sf_dir: str) -> dict:
+    """The batch-proportionality invariant for the dataset-lifecycle
+    splice (VERDICT r14 #5): the registered llm_dataset_* queries take
+    a PERCENTAGE batch (grows with the corpus), so their time ratios
+    track the corpus and cannot distinguish cost ∝ batch from cost ∝
+    corpus. Here the batch is FIXED at {FIXED_BATCH_DOCS} docs while
+    the standing corpus scales 1x/10x/100x: the splice stages' wall
+    clock and the changed-doc count should stay ≈ flat (the standing
+    tables are only probed/anti-joined, never re-processed); the
+    export tail is corpus-∝ BY CONTRACT (the output IS the full dump)
+    and is timed separately so the two shapes stay distinguishable."""
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.workloads.w18_dataset_increment import (
+        _build_llm_standing,
+        _export_verified,
+        _retrain_and_reprice,
+        _scrub_splice,
+        _splice_selection,
+    )
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        bpe_word_table,
+    )
+    from hubsit_health_analytics_etl_spark.operators.dedup import _spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") < FIXED_BATCH_DOCS
+    # standing fixture over corpus-minus-fixed-batch (untimed; owned
+    # across ingests in production)
+    paths = _build_llm_standing(
+        spark, sf_dir, ~is_batch, f"scale_fixed_{os.path.basename(sf_dir)}"
+    )
+    batch = docs.filter(is_batch)
+    rd = spark.read.parquet
+
+    t0 = time.perf_counter()
+    sel_new = _splice_selection(spark, docs, paths, batch)
+    skept_new, dwc_new, changed, _ = _scrub_splice(
+        spark, docs, paths, rd(paths["sel"]), sel_new
+    )
+    n_changed = changed.count()
+    skept_new.write.format("noop").mode("overwrite").save()
+    dwc_new.write.format("noop").mode("overwrite").save()
+    splice_secs = round(time.perf_counter() - t0, 3)
+
+    t1 = time.perf_counter()
+    rwf_union = (
+        rd(paths["rwf"])
+        .unionByName(bpe_word_table(_spread(batch)))
+        .groupBy("word")
+        .agg(F.sum("n").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tokd = _retrain_and_reprice(rwf_union, skept_new, dwc_new)
+    n_dump = _export_verified(spark, tokd, "scale_fixed_dump").count()
+    tail_secs = round(time.perf_counter() - t1, 3)
+    return {
+        "fixed_batch_docs": FIXED_BATCH_DOCS,
+        "n_changed_docs": n_changed,
+        "splice_secs": splice_secs,
+        "retrain_export_secs": tail_secs,
+        "n_dump_rows": n_dump,
+    }
+
+
 def timed_pass(spark, sf_dir: str) -> dict:
     from hubsit_health_analytics_etl_spark.workload import PREPARES, QUERIES
 
@@ -285,9 +362,9 @@ def main() -> int:
     for mult in mults:
         tag = "base" if mult == 1 else f"x{mult}"
         d = os.path.join(root, tag)
-        # v2: corpora now include orders/lineitem for the graph/basket
-        # families — older v1 dirs regenerate
-        marker = os.path.join(d, "_complete_v2")
+        # v3: orders gained o_orderpriority for the SCD2 scale rows
+        # (v2 added orders/lineitem) — older dirs regenerate
+        marker = os.path.join(d, "_complete_v3")
         if not os.path.exists(marker):
             shutil.rmtree(d, ignore_errors=True)
             gen_corpus(
@@ -298,6 +375,7 @@ def main() -> int:
             )
             open(marker, "w").close()
         inv = invariants(spark, d)
+        inv["lifecycle_fixed_batch"] = lifecycle_fixed_batch(spark, d)
         timings = timed_pass(spark, d)
         grids[tag] = {"invariants": inv, "queries": timings,
                       "total": round(sum(timings.values()), 3)}
@@ -322,6 +400,14 @@ def main() -> int:
         "n_components": [
             grids[t]["invariants"]["n_components"] for t in tags
         ],
+        "fixed_batch_splice_secs": [
+            grids[t]["invariants"]["lifecycle_fixed_batch"]["splice_secs"]
+            for t in tags
+        ],
+        "fixed_batch_changed_docs": [
+            grids[t]["invariants"]["lifecycle_fixed_batch"]["n_changed_docs"]
+            for t in tags
+        ],
         "totals": [grids[t]["total"] for t in tags],
     }
     prefix = os.environ.get("SPARK_GRAFT_SCALE_PREFIX", "r14")
@@ -332,7 +418,9 @@ def main() -> int:
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in (
         "metric", "mults", f"time_ratios_{top}_over_base",
-        "cc_rounds", "lsh_drop_rates", "totals")}))
+        "cc_rounds", "lsh_drop_rates",
+        "fixed_batch_splice_secs", "fixed_batch_changed_docs",
+        "totals")}))
     return 0
 
 

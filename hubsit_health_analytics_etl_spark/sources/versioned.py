@@ -398,6 +398,7 @@ def commit_version(
         "version": n,
         "parent": cur,
         "mode": mode,
+        "data_dir": os.path.relpath(data_dir, root),
         "files": files,
         "n_rows": n_rows,
         "n_new_files": len(new_files),
@@ -821,3 +822,202 @@ def expire_versions(
         elif now - os.path.getmtime(d) > orphan_grace_s:
             shutil.rmtree(d)
     return expired
+
+
+# ---------------------------------------------------------------------------
+# Multi-table atomic commit — the CATALOG layer (VERDICT r14 #4).
+#
+# A dataset lifecycle advances several standing tables TOGETHER (the
+# training dump plus the fingerprint / LSH / decon / scrub indexes it
+# was derived from); committing them one-by-one leaves a window where
+# a crash — or a concurrent reader — observes a TORN standing state
+# (new dump, old indexes). The catalog is a manifest-of-manifests:
+# one JSON file naming, for every member table, the (root-relative
+# table root, committed version) pair that belongs to this catalog
+# version, published with the exact table-level protocol (entry CAS
+# via expected_parent, age-gated crash repair, hardlink create-
+# exclusive on the catalog manifest, one atomic ``os.replace`` of the
+# ``_CATALOG`` pointer). Readers resolve the catalog pointer ONCE and
+# then read only the per-table versions it names — member tables may
+# advance underneath (their own commits are never torn), but no
+# reader ever sees a MIX of catalog generations. The Iceberg-catalog /
+# Delta-transaction-log shape in POSIX terms.
+# ---------------------------------------------------------------------------
+_CAT_POINTER = "_CATALOG"
+
+
+def _cat_manifest_path(cat_root: str, n: int) -> str:
+    return os.path.join(cat_root, "catalog", f"v{n:06d}.json")
+
+
+def catalog_current(cat_root: str) -> "int | None":
+    """The committed catalog version the pointer names; None for an
+    empty or never-committed catalog."""
+    p = os.path.join(cat_root, _CAT_POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def read_catalog(cat_root: str, n: "int | None" = None) -> dict:
+    """The catalog manifest for version ``n`` (default: current).
+    ``tables`` maps member name -> {"root": table root relative to
+    ``cat_root``, "version": that table's committed version}."""
+    if n is None:
+        n = catalog_current(cat_root)
+        if n is None:
+            raise FileNotFoundError(
+                f"catalog at {cat_root} has no committed version"
+            )
+    with open(_cat_manifest_path(cat_root, n)) as f:
+        return json.load(f)
+
+
+def _cat_repair(cat_root: str, grace_s: float = _CRASH_GRACE_S) -> None:
+    """Clear catalog manifests a crashed commit published above the
+    pointer — same age-gated posture as the table-level _repair (a
+    young manifest above the pointer may belong to a live racing
+    writer an instant from its pointer swap; leave it and lose the
+    CAS instead)."""
+    cur = catalog_current(cat_root)
+    floor = -1 if cur is None else cur
+    now = time.time()
+    for m in glob.glob(os.path.join(cat_root, "catalog", "v*.json")):
+        if int(os.path.basename(m)[1:-5]) > floor:
+            try:
+                if now - os.path.getmtime(m) > grace_s:
+                    os.remove(m)
+            except FileNotFoundError:
+                pass
+
+
+def catalog_commit(
+    cat_root: str,
+    tables: "dict[str, tuple[str, int] | int]",
+    expected_parent: "int | None" = _UNSET,
+    extra: "dict | None" = None,
+) -> int:
+    """Publish a new catalog version naming every member table's
+    committed version, atomically. ``tables`` maps name ->
+    (table_root, version) — table_root absolute or relative to
+    ``cat_root`` — or just ``version`` as shorthand for tables living
+    at ``{cat_root}/tables/{name}``.
+
+    Entry checks: every referenced (root, version) MANIFEST must
+    already exist (a catalog must never point at a missing or
+    uncommitted table version — the check is what makes "advance the
+    dump and its indexes together" safe: commit each member table
+    first, then one catalog_commit makes the whole set visible, and a
+    crash between any two steps leaves the previous catalog version
+    intact and fully consistent). ``expected_parent`` is the same
+    optimistic-concurrency gate as commit_version's: two writers that
+    both derived at catalog version k cannot both publish k+1 — the
+    loser gets :class:`ConcurrentWriteError` and must re-derive.
+
+    Returns the new catalog version number."""
+    norm: dict[str, dict] = {}
+    for name, spec in tables.items():
+        if isinstance(spec, int):
+            root_spec, ver = os.path.join("tables", name), spec
+        else:
+            root_spec, ver = spec
+        rel = (
+            os.path.relpath(root_spec, cat_root)
+            if os.path.isabs(root_spec)
+            else root_spec
+        )
+        troot = os.path.join(cat_root, rel)
+        if not os.path.exists(_manifest_path(troot, ver)):
+            raise ValueError(
+                f"catalog_commit: member table {name!r} at {troot} has "
+                f"no committed manifest for version {ver} — commit the "
+                f"table first; the catalog never points at a missing "
+                f"version."
+            )
+        norm[name] = {"root": rel, "version": ver}
+
+    os.makedirs(os.path.join(cat_root, "catalog"), exist_ok=True)
+    cur = catalog_current(cat_root)
+    if expected_parent is not _UNSET and expected_parent != cur:
+        raise ConcurrentWriteError(
+            f"catalog_commit: catalog at {cat_root} is at version {cur}, "
+            f"but this commit was derived at version {expected_parent} — "
+            f"another catalog commit landed in between. Nothing was "
+            f"published; re-read and retry."
+        )
+    _cat_repair(cat_root)
+    n = 0 if cur is None else cur + 1
+    manifest = {
+        "version": n,
+        "parent": cur,
+        "tables": norm,
+        "extra": dict(extra or {}),
+        "committed_at": time.time(),
+    }
+    token = uuid.uuid4().hex[:8]
+    mpath = _cat_manifest_path(cat_root, n)
+    tmp = mpath + f".{token}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, mpath)
+    except FileExistsError:
+        os.remove(tmp)
+        raise ConcurrentWriteError(
+            f"catalog_commit: catalog manifest v{n:06d} at {cat_root} "
+            f"was published by a concurrent writer; re-read and retry."
+        )
+    os.remove(tmp)
+    ptmp = os.path.join(cat_root, _CAT_POINTER + f".{token}.tmp")
+    with open(ptmp, "w") as f:
+        f.write(str(n))
+    os.replace(ptmp, os.path.join(cat_root, _CAT_POINTER))
+    return n
+
+
+def read_catalog_table(
+    spark: SparkSession,
+    cat_root: str,
+    name: str,
+    n: "int | None" = None,
+    predicate: "tuple | None" = None,
+) -> DataFrame:
+    """Read member table ``name`` at catalog version ``n`` (default:
+    current) — the consistent-snapshot read path: the catalog names
+    the table version, read_version scans only that version's
+    immutable files."""
+    cat = read_catalog(cat_root, n)
+    if name not in cat["tables"]:
+        raise KeyError(
+            f"catalog at {cat_root} v{cat['version']} has no table "
+            f"{name!r}; members: {sorted(cat['tables'])}"
+        )
+    t = cat["tables"][name]
+    return read_version(
+        spark,
+        os.path.join(cat_root, t["root"]),
+        t["version"],
+        predicate=predicate,
+    )
+
+
+def catalog_data_dir(cat_root: str, name: str, n: "int | None" = None) -> str:
+    """The (single) immutable data directory of member ``name`` at
+    catalog version ``n`` — valid only for tables whose named version
+    was one OVERWRITE commit (all files share one ``data/v*_{token}``
+    dir). Lets plain ``spark.read.parquet`` consumers read a
+    catalog-consistent snapshot without the manifest machinery."""
+    cat = read_catalog(cat_root, n)
+    t = cat["tables"][name]
+    man = read_manifest(os.path.join(cat_root, t["root"]), t["version"])
+    dirs = {os.path.dirname(f) for f in man["files"]}
+    if not dirs and "data_dir" in man:
+        dirs = {man["data_dir"]}  # empty overwrite commit (0-row table)
+    if len(dirs) != 1:
+        raise ValueError(
+            f"catalog member {name!r} v{t['version']} spans "
+            f"{len(dirs)} data dirs (append history?) — read it via "
+            f"read_catalog_table instead."
+        )
+    return os.path.join(cat_root, t["root"], dirs.pop())

@@ -1,0 +1,168 @@
+"""Streaming dataset-increment sink — a document readStream maintains
+the FULL standing-artifact set of the LLM dataset build and commits
+every micro-batch's training dump as a catalog version (VERDICT r14
+#3: the stream-equals-rebuild law applied to the flagship).
+
+Per micro-batch of new documents, the ``foreachBatch`` sink:
+
+1. BOOTSTRAP (first batch): builds the standing artifacts over the
+   batch corpus via the batch fixture's own table-commit core
+   (`workloads/w18_dataset_increment.py::_commit_standing_tables`);
+2. SPLICE (every later batch): re-runs the proven incremental laws —
+   `_splice_selection` (exact/MinHash/cluster/decon splices,
+   metadata-only selection) and `_scrub_splice` (changed-docs-only
+   re-scrub) — against the CURRENT catalog generation's members, with
+   the updated artifact frames captured via the helpers' ``arts``
+   hook;
+3. retrains the tokenizer from the merged word table and re-prices
+   via the word-dimension join (`_retrain_and_reprice` — the flagship
+   full-retrain semantics, so the streamed dump is comparable to the
+   from-scratch build);
+4. commits every updated member table (19 artifacts + the appended
+   ``docs`` corpus + the ``dump``) as new versions, then publishes
+   them with ONE `sources/versioned.py::catalog_commit` — the atomic
+   multi-table advance the catalog exists for: a crash between any
+   two table commits leaves the previous catalog generation fully
+   consistent, and the next delivery simply re-commits.
+
+Replay idempotence is by BATCH ID at the catalog level (the
+versioned_upsert_sink posture): each catalog commit records its
+``batch_id``; a re-delivered batch whose id matches the current
+catalog generation's is skipped outright.
+
+Law (tests/test_streaming_dataset_increment.py): stream the corpus in
+chronological slices — after the final batch, the ``dump`` member
+equals the from-scratch flagship plan (`w10::_llm_dataset_plan`) over
+the whole corpus, row-for-row, and every intermediate generation
+equals the from-scratch plan over the corpus-so-far.
+
+Scale notes: the SPLICE work per batch is batch-proportional (the
+per-index laws), but each member COMMIT here rewrites the member as
+one overwrite version — dimension-/index-sized state by contract,
+exactly the versioned_upsert_sink posture. At 100 TB the append-mode
+commit path (`commit_version(mode="append")`) and partition-level
+rewrites (`streaming/sinks.py::partitioned_upsert_sink`) carry the
+big members; the catalog protocol above them is unchanged. The
+tokenizer retrain is vocab-scale per batch by the flagship's
+contract; a production pipeline that pins its tokenizer instead uses
+the llm_dataset_merge_only pricing path (same module).
+
+No reference counterpart (the pandas reference has no streaming and
+no incremental maintenance); beyond-reference engine surface.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+# every member the sink maintains: the 19 standing artifacts plus the
+# appended raw corpus and the per-generation training dump
+DOCS_MEMBER = "docs"
+DUMP_MEMBER = "dump"
+
+
+def _member_spec(k: str, v: int) -> "tuple[str, int]":
+    return (os.path.join("tables", k), v)
+
+
+def llm_dataset_stream_sink(cat_root: str) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` callable maintaining the dataset-build standing
+    state at ``cat_root`` (a catalog of versioned member tables) from
+    a stream of new documents::
+
+        docs_stream.writeStream.foreachBatch(
+            llm_dataset_stream_sink(cat_root)).start()
+
+    Batch schema: the ``documents`` table's (doc_id, text, source,
+    ...). Batches must carry distinct, never-before-seen doc_ids (the
+    ingest contract of the batch *_new_batch laws).
+    """
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        from ..sources.versioned import (
+            catalog_commit,
+            catalog_current,
+            commit_version,
+            read_catalog,
+            read_catalog_table,
+        )
+        from ..workloads.w18_dataset_increment import (
+            _commit_standing_tables,
+            _retrain_and_reprice,
+            _scrub_splice,
+            _splice_selection,
+        )
+        from ..operators.dedup import _spread
+        from ..operators.textanalysis import bpe_word_table
+        from ..workloads.w10_dataset_build import _shard_pack_plan
+
+        if batch.isEmpty():
+            return  # idle trigger; no state change, replay-equivalent
+        spark = batch.sparkSession
+        # the sink re-reads the batch many times (fingerprint probe,
+        # signatures, grams, annotations, word table) — pin it once
+        batch = batch.localCheckpoint()
+        cur = catalog_current(cat_root)
+        if cur is not None:
+            if read_catalog(cat_root)["extra"].get("batch_id") == batch_id:
+                return  # re-delivered, already-committed batch
+            standing_docs = read_catalog_table(spark, cat_root, DOCS_MEMBER)
+            docs_all = standing_docs.unionByName(batch)
+            members = {
+                k: read_catalog_table(spark, cat_root, k)
+                for k in read_catalog(cat_root)["tables"]
+                if k not in (DOCS_MEMBER, DUMP_MEMBER)
+            }
+            arts: dict[str, DataFrame] = {}
+            sel_new = _splice_selection(spark, docs_all, members, batch, arts=arts)
+            skept_new, dwc_new, _, _ = _scrub_splice(
+                spark, docs_all, members, members["sel"], sel_new, arts=arts
+            )
+            arts["rwf"] = (
+                members["rwf"]
+                .unionByName(bpe_word_table(_spread(batch)))
+                .groupBy("word")
+                .agg(F.sum("n").alias("n"))
+            )
+            tokd = _retrain_and_reprice(arts["rwf"], skept_new, dwc_new)
+            versions = {
+                k: commit_version(df, os.path.join(cat_root, "tables", k))
+                for k, df in arts.items()
+            }
+            versions[DOCS_MEMBER] = commit_version(
+                batch,
+                os.path.join(cat_root, "tables", DOCS_MEMBER),
+                mode="append",  # the corpus only grows; O(batch) commit
+            )
+        else:
+            # bootstrap: the first batch IS the corpus — the batch
+            # fixture's table-commit core builds every artifact
+            versions, paths = _commit_standing_tables(
+                spark, batch, cat_root
+            )
+            versions[DOCS_MEMBER] = commit_version(
+                batch, os.path.join(cat_root, "tables", DOCS_MEMBER)
+            )
+            rd = spark.read.parquet
+            tokd = _retrain_and_reprice(
+                rd(paths["rwf"]), rd(paths["skept"]), rd(paths["dwc"])
+            )
+        versions[DUMP_MEMBER] = commit_version(
+            _shard_pack_plan(tokd),
+            os.path.join(cat_root, "tables", DUMP_MEMBER),
+            extra={"batch_id": batch_id},
+        )
+        # ONE atomic publish: dump + corpus + all indexes flip together
+        catalog_commit(
+            cat_root,
+            {k: _member_spec(k, v) for k, v in versions.items()},
+            expected_parent=cur,
+            extra={"batch_id": batch_id},
+        )
+
+    return _apply

@@ -765,17 +765,19 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 12
 
 
-def _bpe_ctes(k: int) -> str:
+def _bpe_ctes(k: int, src: str = "documents") -> str:
     """Unrolled k-round DuckDB replica of bpe_train_merges: wf (word
     freq) → w1 (chr(1)-terminated char sequences) → per round r:
     pair explode p{r} → counts pc{r} → 1-row argmax b{r} → rewritten
     w{r+1}. Every CTE is MATERIALIZED: w{r+1} references w{r} twice
     (directly and through b{r}'s argmax), so inlining would expand the
-    plan 2^k-fold."""
+    plan 2^k-fold. ``src`` re-targets the TRAINING corpus (the
+    pinned-tokenizer oracle trains on the standing slice while the
+    rest of its statement reads the full corpus)."""
     ctes = [
-        """wf AS (SELECT w AS word, COUNT(*)::BIGINT AS n
+        f"""wf AS (SELECT w AS word, COUNT(*)::BIGINT AS n
            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-                 FROM documents)
+                 FROM {src})
            GROUP BY w),
     w1 AS (SELECT word, chr(1) || array_to_string(list_transform(range(1, length(word) + 1),
                   i -> word[CAST(i AS INT)]), chr(1) || chr(1)) || chr(1) AS seq, n

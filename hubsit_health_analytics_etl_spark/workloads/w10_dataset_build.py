@@ -34,11 +34,50 @@ from .w09_curation_lifecycle import BPE_MERGES, N_TRAIN_SHARDS, _bpe_ctes, _bpe_
 # one statement, so the hash match certifies the whole chain, not each
 # stage alone.
 # ---------------------------------------------------------------------------
-def _llm_dataset_build_oracle() -> str:
-    bpe = _bpe_ctes(BPE_MERGES)
+def _bpe_vocab_apply_ctes(k: int, src: str = "documents") -> str:
+    """Apply the k merges LEARNED by _bpe_ctes' b1..bk to the full
+    ``src`` vocabulary: vf (distinct words) → v1 (chr(1)-terminated
+    char sequences) → v{r+1} = v{r} rewritten by b{r}. The SQL twin of
+    operators/textanalysis.py::bpe_apply_merges — how a PINNED
+    tokenizer (trained on the standing corpus) prices words the
+    training slice never saw. Returns a trailing-comma CTE block that
+    must follow _bpe_ctes(k) in the same WITH."""
+    ctes = [
+        f"""vf AS MATERIALIZED (SELECT DISTINCT w AS word
+           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                 FROM {src})),
+    v1 AS MATERIALIZED (SELECT word,
+           chr(1) || array_to_string(list_transform(range(1, length(word) + 1),
+                  i -> word[CAST(i AS INT)]), chr(1) || chr(1)) || chr(1) AS seq
+           FROM vf)"""
+    ]
+    for r in range(1, k + 1):
+        ctes.append(
+            f"""v{r + 1} AS MATERIALIZED (SELECT w.word, replace(w.seq,
+                        chr(1) || bb.left_sym || chr(1) || chr(1) || bb.right_sym || chr(1),
+                        chr(1) || bb.merged || chr(1)) AS seq
+                 FROM v{r} w CROSS JOIN b{r} bb)"""
+        )
+    return ",\n    ".join(ctes) + ",\n    "
+
+
+def _llm_dataset_build_oracle(prelude: str = "", bpe_src: str = "documents") -> str:
+    """The flagship from-scratch SQL. With the defaults this is the
+    oracle of llm_dataset_build / llm_dataset_new_batch /
+    llm_dataset_forget (byte-identical to the r12 original).
+    ``bpe_src`` != "documents" switches to PINNED-tokenizer semantics:
+    the BPE chain trains on ``bpe_src`` (a ``prelude`` CTE, e.g. the
+    standing 90% slice) and the learned merges are then APPLIED to the
+    full-corpus vocabulary via _bpe_vocab_apply_ctes — the
+    llm_dataset_merge_only production contract (a pipeline does not
+    retrain its tokenizer per ingest)."""
+    bpe = _bpe_ctes(BPE_MERGES, src=bpe_src)
     assert bpe.startswith("WITH ")
+    pinned = bpe_src != "documents"
+    vocab_apply = _bpe_vocab_apply_ctes(BPE_MERGES) if pinned else ""
+    wsym_src = f"v{BPE_MERGES + 1}" if pinned else f"w{BPE_MERGES + 1}"
     return f"""
-    WITH RECURSIVE {_sql_doc_annotations()},
+    WITH RECURSIVE {prelude}{_sql_doc_annotations()},
     {_decon_ctes()},
     contaminated AS (SELECT DISTINCT doc_id FROM dhits),
     {_minhash_pairs_ctes()},
@@ -97,10 +136,10 @@ def _llm_dataset_build_oracle() -> str:
                         COALESCE(k.n_kept, 0)::BIGINT AS n_tokens_kept
                  FROM st LEFT JOIN skept k USING (doc_id)),
     {bpe[len("WITH "):]},
-    wsym AS (SELECT word,
+    {vocab_apply}wsym AS (SELECT word,
                     len(list_filter(string_split(seq, chr(1)), x -> x <> ''))::BIGINT
                       AS n_syms
-             FROM w{BPE_MERGES + 1}),
+             FROM {wsym_src}),
     swords AS (SELECT doc_id,
                       unnest(regexp_extract_all(lower(s_text), '[a-z]+')) AS word
                FROM scrubbed),

@@ -90,16 +90,21 @@ def _scrub_wordcounts(scrubbed):
     )
 
 
-def _scrub_splice(spark, docs, paths, sel_old, sel_new):
+def _scrub_splice(spark, docs, paths, sel_old, sel_new, arts=None):
     """Stage-7 splice shared by the incremental build and the forget
     pass: postings of deselected docs anti-join away, newly selected
     docs gram in, ownership re-derives from the updated postings
     (hash-scale groupBy — the scrub_from_postings transfer law), and
     ONLY docs whose cut set changed (symmetric diff vs the standing
-    cut table) re-scrub and re-word-count. Returns (skept', dwc')."""
+    cut table) re-scrub and re-word-count. Returns (skept', dwc',
+    changed, scr_changed) — the trailing pair lets the pinned-tokenizer
+    merge-only query price ONLY the changed docs and pass every other
+    standing (doc, n_bpe) row through untouched."""
     from ..operators.textanalysis import _doc_grams, apply_cut_positions
 
-    rd = spark.read.parquet
+    def rd(x):
+        return x if isinstance(x, DataFrame) else spark.read.parquet(x)
+
     added = sel_new.join(sel_old, "doc_id", "left_anti")
     removed = sel_old.join(sel_new, "doc_id", "left_anti")
     spost_new = (
@@ -155,7 +160,12 @@ def _scrub_splice(spark, docs, paths, sel_old, sel_new):
         .join(changed, "doc_id", "left_anti")
         .unionByName(_scrub_wordcounts(scr_changed))
     )
-    return skept_new, dwc_new
+    if arts is not None:
+        arts["scrub_postings"] = spost_new
+        arts["cut"] = cut_new
+        arts["skept"] = skept_new
+        arts["dwc"] = dwc_new
+    return skept_new, dwc_new, changed, scr_changed
 
 
 def _retrain_and_reprice(rwf_union, skept_new, dwc_new):
@@ -287,7 +297,43 @@ def _build_llm_standing(spark, sf_dir, corpus_filter, tag) -> dict[str, str]:
     LSH postings + bucket sizes, duplicate edges + labels, decon gram
     occurrence counts / postings / bench-gram doc counts / hit pairs,
     scrub postings + cut + per-doc token and word counts, raw word
-    counts)."""
+    counts).
+
+    The 19 artifacts advance TOGETHER: each is committed as a
+    versioned table (sources/versioned.py::commit_version) and ONE
+    catalog_commit publishes the whole set atomically — a crash
+    between any two table commits leaves no torn standing state
+    (readers resolve the previous catalog version, which names a
+    mutually-consistent set). Returned paths are resolved THROUGH the
+    committed catalog (catalog_data_dir), so every consumer reads the
+    published snapshot."""
+    import os
+
+    from ..sources.versioned import catalog_commit, catalog_data_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _run_scoped_index_dir(tag)
+    versions, _ = _commit_standing_tables(
+        spark, docs.filter(corpus_filter), base
+    )
+    catalog_commit(
+        base,
+        {k: (os.path.join("tables", k), v) for k, v in versions.items()},
+        expected_parent=None,
+        extra={"sf_dir": sf_dir, "tag": tag},
+    )
+    return {k: catalog_data_dir(base, k) for k in versions}
+
+
+def _commit_standing_tables(
+    spark, standing, base
+) -> "tuple[dict[str, int], dict[str, str]]":
+    """Build every standing artifact over the ``standing`` corpus and
+    commit each as the next version of its member table under
+    ``{base}/tables/{k}`` — WITHOUT the catalog publish, so a caller
+    (the batch fixture above, the streaming sink's bootstrap) can fold
+    extra members (docs, dump) into ONE atomic catalog commit. Returns
+    (versions, interim read paths)."""
     import os
 
     from ..operators.clusters import connected_components
@@ -306,15 +352,24 @@ def _build_llm_standing(spark, sf_dir, corpus_filter, tag) -> dict[str, str]:
         bpe_word_table,
         decon_grams,
     )
-    from ..sources.sinks import write_parquet
+    from ..sources.versioned import commit_version, read_manifest
 
-    docs = load_table(spark, sf_dir, "documents")
-    standing = docs.filter(corpus_filter)
-    base = _run_scoped_index_dir(tag)
-    paths = {k: os.path.join(base, k) for k in _STANDING_KEYS}
+    versions: dict[str, int] = {}
+
+    def write_parquet(df, k: str) -> None:
+        """Commit artifact ``k`` as the next version of its member
+        table; the interim read-back path (the build is a sequential
+        chain — each artifact derives from previously-committed ones)
+        is the commit's immutable data dir."""
+        troot = os.path.join(base, "tables", k)
+        versions[k] = commit_version(df, troot)
+        man = read_manifest(troot, versions[k])
+        paths[k] = os.path.join(troot, man["data_dir"])
+
+    paths: dict[str, str] = {}
 
     # per-doc annotations (stage-1 record)
-    write_parquet(annotate_documents(_spread(standing)), paths["ann"])
+    write_parquet(annotate_documents(_spread(standing)), "ann")
     ann = spark.read.parquet(paths["ann"])
 
     # exact-dedup index + rep-level MinHash signature index. The LSH
@@ -322,23 +377,23 @@ def _build_llm_standing(spark, sf_dir, corpus_filter, tag) -> dict[str, str]:
     # pre_exact_dedup=True posture), so bucket sizes — what the cap
     # reads — are group-level and a batch doc joining an existing
     # group adds NO posting.
-    write_parquet(exact_fingerprint_index(standing), paths["fps"])
+    write_parquet(exact_fingerprint_index(standing), "fps")
     write_parquet(
         standing.select(
             fingerprint("text").alias("fp"), "doc_id"
         ),
-        paths["fp_members"],
+        "fp_members",
     )
     reps = exact_dup_representatives(standing)
     bands, shingles = minhash_signature_index(reps)
-    write_parquet(bands, paths["bands"])
-    write_parquet(shingles, paths["shingles"])
+    write_parquet(bands, "bands")
+    write_parquet(shingles, "shingles")
     bands = spark.read.parquet(paths["bands"])
     write_parquet(
         bands.groupBy("band_idx", "band_key").agg(
             F.count(F.lit(1)).alias("n")
         ),
-        paths["bucket_sizes"],
+        "bucket_sizes",
     )
 
     # duplicate-edge table (the artifact forget/splice re-reads) and
@@ -346,10 +401,10 @@ def _build_llm_standing(spark, sf_dir, corpus_filter, tag) -> dict[str, str]:
     near = minhash_candidates(
         standing, bucket_cap=MINHASH_BUCKET_CAP, pre_exact_dedup=True
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    write_parquet(near.select("doc_a", "doc_b"), paths["mh_edges"])
+    write_parquet(near.select("doc_a", "doc_b"), "mh_edges")
     write_parquet(
         exact_dup_edges(standing).select("doc_a", "doc_b"),
-        paths["exact_edges"],
+        "exact_edges",
     )
     mh_edges = spark.read.parquet(paths["mh_edges"])
     exact_edges = spark.read.parquet(paths["exact_edges"])
@@ -362,7 +417,7 @@ def _build_llm_standing(spark, sf_dir, corpus_filter, tag) -> dict[str, str]:
             F.coalesce(F.col("component"), F.col("node")).alias("component"),
         )
     )
-    write_parquet(labels, paths["labels"])
+    write_parquet(labels, "labels")
     labels = spark.read.parquet(paths["labels"])
 
     # decontamination indexes: per-gram occurrence counts (the df-cap
@@ -373,10 +428,10 @@ def _build_llm_standing(spark, sf_dir, corpus_filter, tag) -> dict[str, str]:
     cg = decon_grams(standing.filter(~is_eval), DECON_K)
     write_parquet(
         cg.groupBy("g").agg(F.count(F.lit(1)).alias("occ")),
-        paths["decon_counts"],
+        "decon_counts",
     )
     write_parquet(
-        cg.select("g", "doc_id").distinct(), paths["decon_postings"]
+        cg.select("g", "doc_id").distinct(), "decon_postings"
     )
     bg = (
         decon_grams(standing.filter(is_eval), DECON_K)
@@ -385,7 +440,7 @@ def _build_llm_standing(spark, sf_dir, corpus_filter, tag) -> dict[str, str]:
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_eval"))
     )
-    write_parquet(bg, paths["bench_grams"])
+    write_parquet(bg, "bench_grams")
     counts = spark.read.parquet(paths["decon_counts"])
     postings = spark.read.parquet(paths["decon_postings"])
     bench = spark.read.parquet(paths["bench_grams"]).select("g")
@@ -397,18 +452,18 @@ def _build_llm_standing(spark, sf_dir, corpus_filter, tag) -> dict[str, str]:
         .select("doc_id", "g")
         .distinct()
     )
-    write_parquet(hits, paths["decon_hits"])
+    write_parquet(hits, "decon_hits")
 
     # standing selection + scrub artifacts over the selected set
     contaminated = (
         spark.read.parquet(paths["decon_hits"]).select("doc_id").distinct()
     )
     sel = _llm_selection(ann, labels, contaminated)
-    write_parquet(sel, paths["sel"])
+    write_parquet(sel, "sel")
     sel = spark.read.parquet(paths["sel"])
-    sel_docs = docs.join(sel, "doc_id")
+    sel_docs = standing.join(sel, "doc_id")
     spost = _doc_grams(_spread(sel_docs), SPAN_GRAM)
-    write_parquet(spost, paths["scrub_postings"])
+    write_parquet(spost, "scrub_postings")
     spost = spark.read.parquet(paths["scrub_postings"])
     owners = (
         spost.select("gh", "doc_id")
@@ -421,16 +476,16 @@ def _build_llm_standing(spark, sf_dir, corpus_filter, tag) -> dict[str, str]:
     cut = spost.join(owners, "gh").filter(
         F.col("doc_id") != F.col("owner")
     ).select("doc_id", "pos")
-    write_parquet(cut, paths["cut"])
+    write_parquet(cut, "cut")
     cut = spark.read.parquet(paths["cut"])
     scr = apply_cut_positions(sel_docs, cut, SPAN_GRAM)
-    write_parquet(scr.select("doc_id", "n_tokens_kept"), paths["skept"])
-    write_parquet(_scrub_wordcounts(scr), paths["dwc"])
+    write_parquet(scr.select("doc_id", "n_tokens_kept"), "skept")
+    write_parquet(_scrub_wordcounts(scr), "dwc")
 
     # raw word-frequency table (the BPE trainer's sufficient statistic)
-    write_parquet(bpe_word_table(_spread(standing)), paths["rwf"])
+    write_parquet(bpe_word_table(_spread(standing)), "rwf")
 
-    return paths
+    return versions, paths
 
 
 PREPARES["llm_dataset_new_batch"] = _prepare_llm_standing
@@ -487,6 +542,52 @@ def q_llm_dataset_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: w10._llm_dataset_build_oracle() — the FULL-corpus
     from-scratch chain. Hash match == splice ≡ rebuild."""
+    from ..operators.textanalysis import bpe_word_table
+
+    paths = _prepare_llm_standing(spark, sf_dir)
+    rd = spark.read.parquet
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.sampling import hash_bucket
+
+    batch = docs.filter(hash_bucket("doc_id") < NEW_BATCH_PCT)
+
+    # 1-6. selection splice (shared with llm_dataset_merge_only)
+    sel_new = _splice_selection(spark, docs, paths, batch)
+
+    # 7. scrub splice (shared stage helper)
+    skept_new, dwc_new, _, _ = _scrub_splice(
+        spark, docs, paths, rd(paths["sel"]), sel_new
+    )
+
+    # 8. tokenizer retrain from merged word counts + per-doc re-price
+    rwf_union = (
+        rd(paths["rwf"])
+        .unionByName(bpe_word_table(_spread(batch)))
+        .groupBy("word")
+        .agg(F.sum("n").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tokd = _retrain_and_reprice(rwf_union, skept_new, dwc_new)
+
+    # 9. flagship tail: shard/pack plan + verified export + read-back
+    return _export_verified(spark, tokd, "llm_increment")
+
+
+def _splice_selection(spark, docs, paths, batch, arts=None):
+    """Stages 1-6 of the incremental build (annotations / exact /
+    MinHash / clusters / decontamination splices → re-evaluated
+    selection), shared verbatim by llm_dataset_new_batch and
+    llm_dataset_merge_only — see q_llm_dataset_new_batch's stage
+    docstring for the per-stage laws. Returns the lazily-checkpointed
+    sel_new (doc_id) frame.
+
+    ``arts`` (optional dict) receives the UPDATED standing-artifact
+    frames the splice implies — what the streaming dataset-increment
+    sink (streaming/dataset_increment.py) commits back as the next
+    catalog generation so the following micro-batch splices against
+    them. ``paths`` values may be parquet paths OR already-resolved
+    DataFrames (the streaming sink passes schema-safe
+    read_catalog_table frames, so an empty member round-trips)."""
     from ..operators.clusters import splice_cluster_edges
     from ..operators.dedup import (
         capped_pair_retractions,
@@ -495,17 +596,10 @@ def q_llm_dataset_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signature_index,
     )
     from ..operators.sampling import hash_bucket
-    from ..operators.textanalysis import (
-        annotate_documents,
-        bpe_word_table,
-        decon_grams,
-    )
+    from ..operators.textanalysis import annotate_documents, decon_grams
 
-    paths = _prepare_llm_standing(spark, sf_dir)
-    rd = spark.read.parquet
-    docs = load_table(spark, sf_dir, "documents")
-    is_new = hash_bucket("doc_id") < NEW_BATCH_PCT
-    batch = docs.filter(is_new)
+    def rd(x):
+        return x if isinstance(x, DataFrame) else spark.read.parquet(x)
 
     # 1. annotations splice
     ann_all = rd(paths["ann"]).unionByName(annotate_documents(_spread(batch)))
@@ -573,7 +667,10 @@ def q_llm_dataset_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 5. decontamination splice
     is_eval = hash_bucket("doc_id", salt="eval") < DECON_EVAL_PCT
     cg_b = decon_grams(batch.filter(~is_eval), DECON_K)
-    bg_b = decon_grams(batch.filter(is_eval), DECON_K).select("g").distinct()
+    bgp_b = decon_grams(batch.filter(is_eval), DECON_K).select(
+        "g", "doc_id"
+    ).distinct()
+    bg_b = bgp_b.select("g").distinct()
     occ_union = (
         rd(paths["decon_counts"])
         .unionByName(cg_b.groupBy("g").agg(F.count(F.lit(1)).alias("occ")))
@@ -605,23 +702,60 @@ def q_llm_dataset_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # 6. selection re-evaluation (metadata only) + diff vs standing
-    sel_new = _llm_selection(ann_all, labels_new, contaminated).localCheckpoint(eager=False)
-
-    # 7. scrub splice (shared stage helper)
-    skept_new, dwc_new = _scrub_splice(spark, docs, paths, rd(paths["sel"]), sel_new)
-
-    # 8. tokenizer retrain from merged word counts + per-doc re-price
-    rwf_union = (
-        rd(paths["rwf"])
-        .unionByName(bpe_word_table(_spread(batch)))
-        .groupBy("word")
-        .agg(F.sum("n").alias("n"))
-        .localCheckpoint(eager=False)
+    sel_new = _llm_selection(ann_all, labels_new, contaminated).localCheckpoint(
+        eager=False
     )
-    tokd = _retrain_and_reprice(rwf_union, skept_new, dwc_new)
-
-    # 9. flagship tail: shard/pack plan + verified export + read-back
-    return _export_verified(spark, tokd, "llm_increment")
+    if arts is not None:
+        # the updated standing artifacts this splice implies — each is
+        # the law its sibling *_new_batch query proves: splice ≡ the
+        # from-scratch artifact over corpus ∪ batch
+        arts["ann"] = ann_all
+        arts["fps"] = rd(paths["fps"]).unionByName(
+            fx.filter(
+                F.col("idx_rep").isNull()
+                & (F.col("doc_id") == F.col("batch_rep"))
+            ).select("fp", "doc_id")
+        )
+        arts["fp_members"] = rd(paths["fp_members"]).unionByName(fp_new)
+        arts["bands"] = bands.unionByName(nb)
+        arts["shingles"] = rd(paths["shingles"]).unionByName(ns)
+        arts["bucket_sizes"] = (
+            rd(paths["bucket_sizes"])
+            .unionByName(
+                nb.groupBy("band_idx", "band_key").agg(
+                    F.count(F.lit(1)).alias("n")
+                )
+            )
+            .groupBy("band_idx", "band_key")
+            .agg(F.sum("n").alias("n"))
+        )
+        arts["mh_edges"] = (
+            rd(paths["mh_edges"])
+            .join(removed_mh, ["doc_a", "doc_b"], "left_anti")
+            .unionByName(near_new.select("doc_a", "doc_b"))
+        )
+        arts["exact_edges"] = rd(paths["exact_edges"]).unionByName(exact_new)
+        arts["labels"] = labels_new
+        arts["decon_counts"] = occ_union
+        arts["decon_postings"] = rd(paths["decon_postings"]).unionByName(
+            cg_b.select("g", "doc_id").distinct()
+        )
+        arts["bench_grams"] = (
+            rd(paths["bench_grams"])
+            .unionByName(
+                bgp_b.groupBy("g").agg(F.count(F.lit(1)).alias("n_eval"))
+            )
+            .groupBy("g")
+            .agg(F.sum("n_eval").alias("n_eval"))
+        )
+        arts["decon_hits"] = (
+            hits_kept.select("doc_id", "g")
+            .unionByName(hits_batch.select("doc_id", "g"))
+            .unionByName(hits_std_new)
+            .distinct()
+        )
+        arts["sel"] = sel_new
+    return sel_new
 
 
 # ---------------------------------------------------------------------------
@@ -889,7 +1023,9 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 6-9: shared selection / scrub / tokenizer / export tail
     sel_new = _llm_selection(ann_new, labels_new, contaminated).localCheckpoint(eager=False)
-    skept_new, dwc_new = _scrub_splice(spark, docs, paths, rd(paths["sel"]), sel_new)
+    skept_new, dwc_new, _, _ = _scrub_splice(
+        spark, docs, paths, rd(paths["sel"]), sel_new
+    )
     rwf_new = (
         rd(paths["rwf"])
         .unionByName(
@@ -904,3 +1040,188 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tokd = _retrain_and_reprice(rwf_new, skept_new, dwc_new)
     return _export_verified(spark, tokd, "llm_forget")
+
+
+# ---------------------------------------------------------------------------
+# Merge-only twin of llm_dataset_new_batch (VERDICT r14 #2): the
+# 20.9 s end-to-end contract query retrains the tokenizer and re-prices
+# the corpus inside the timed body BY CONTRACT (its oracle is the
+# full-retrain flagship); what a production operator actually pays per
+# ingest is smaller, because a pipeline does NOT retrain its tokenizer
+# every batch — it PINS the tokenizer trained on the standing corpus
+# and prices new text with it. This query makes that amortized cost
+# visible: the pinned merges, the standing-vocab symbol table, and the
+# standing per-doc pricing are PREPARES fixtures (owned across
+# ingests), and the timed body is batch annotate + index splices +
+# changed-doc re-scrub/re-price + the export tail only. The oracle is
+# the flagship SQL with the BPE chain trained on the STANDING slice
+# and the learned merges applied to the full vocabulary — the exact
+# pinned-tokenizer contract, genuinely distinct from the full-retrain
+# dump (558 rows differ at sf0.001).
+# ---------------------------------------------------------------------------
+_LLM_MERGE_FIXTURE: dict[str, dict[str, str]] = {}
+
+
+def _word_seq_expr():
+    """chr(1)-wrapped char-sequence expression over a ``word`` column —
+    the bpe_seq_table shape with the word retained (shared by the
+    fixture build and the new-word pricing in the timed body)."""
+    from ..operators.textanalysis import BPE_SEP
+
+    return F.concat(
+        F.lit(BPE_SEP),
+        F.concat_ws(BPE_SEP + BPE_SEP, F.split(F.col("word"), "")),
+        F.lit(BPE_SEP),
+    )
+
+
+def _n_syms_col():
+    return (
+        F.size(F.expr("filter(split(seq, char(1)), x -> x <> '')"))
+        .cast("bigint")
+        .alias("n_syms")
+    )
+
+
+def _prepare_llm_merge_fixture(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """The llm_dataset_new_batch standing artifacts PLUS the pinned
+    tokenizer's: the merge list trained on the standing word table
+    (persisted as JSON — it is a k-row model), the standing-vocab
+    (word, n_syms) symbol table under those merges, and the standing
+    selection's per-doc pricing (doc_id, n_tokens_kept, n_bpe). All
+    three are what a production pipeline owns between ingests; the
+    timed body only reads them. Memoized per (process, sf_dir)."""
+    got = _LLM_MERGE_FIXTURE.get(sf_dir)
+    if got is not None:
+        return got
+    import json
+    import os
+
+    from ..operators.textanalysis import (
+        bpe_apply_merges,
+        bpe_train_merges_from_words,
+    )
+    from ..sources.sinks import write_parquet
+
+    paths = dict(_prepare_llm_standing(spark, sf_dir))
+    rd = spark.read.parquet
+    base = _run_scoped_index_dir("llm_merge_fixture")
+    merges = bpe_train_merges_from_words(rd(paths["rwf"]), BPE_MERGES)
+    paths["merges_json"] = os.path.join(base, "merges.json")
+    with open(paths["merges_json"], "w") as f:
+        json.dump(merges, f)
+    paths["wsym"] = os.path.join(base, "wsym")
+    wsym = bpe_apply_merges(
+        rd(paths["rwf"]).select("word", _word_seq_expr().alias("seq")), merges
+    ).select("word", _n_syms_col())
+    write_parquet(wsym, paths["wsym"])
+    scount = (
+        rd(paths["dwc"])
+        .join(rd(paths["wsym"]), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("n_syms")).cast("bigint").alias("n_bpe"))
+    )
+    tokd_std = rd(paths["skept"]).join(scount, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens_kept",
+        F.coalesce(F.col("n_bpe"), F.lit(0)).cast("bigint").alias("n_bpe"),
+    )
+    paths["tokd_std"] = os.path.join(base, "tokd_std")
+    write_parquet(tokd_std, paths["tokd_std"])
+    _LLM_MERGE_FIXTURE[sf_dir] = paths
+    return paths
+
+
+PREPARES["llm_dataset_merge_only"] = _prepare_llm_merge_fixture
+
+
+def _llm_merge_only_oracle() -> str:
+    std = (
+        "std_docs AS (SELECT * FROM documents WHERE "
+        f"{sql_hash_bucket('doc_id')} >= {NEW_BATCH_PCT}),\n    "
+    )
+    return _llm_dataset_build_oracle(prelude=std, bpe_src="std_docs")
+
+
+@query("llm_dataset_merge_only", _llm_merge_only_oracle())
+def q_llm_dataset_merge_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The amortized per-ingest dataset-build cost under a PINNED
+    tokenizer: standing indexes AND the trained merges / standing-vocab
+    symbol table / standing per-doc pricing come pre-built from parquet
+    (PREPARES fixture — a pipeline owns them across ingests and does
+    not retrain its tokenizer per batch). The timed body pays only
+    what every ingest pays:
+
+    1-6. the shared _splice_selection (batch annotate, index probes,
+         affected-component relabel, decon splice, metadata-only
+         selection re-evaluation);
+    7.   the shared _scrub_splice — ONLY cut-set-changed docs re-scrub;
+    8.   pricing: changed docs' (word, cnt) join the PERSISTED symbol
+         table; words the standing vocabulary never saw get their
+         n_syms from one map-only bpe_apply_merges over the new-word
+         dimension (batch-scale); every unchanged selected doc's
+         (n_tokens_kept, n_bpe) row passes through from the standing
+         pricing untouched — no retrain, no corpus re-price;
+    9.   the flagship's verbatim export tail (corpus-scale by contract:
+         the OUTPUT is the full dump).
+
+    Oracle: the flagship SQL with BPE trained on the standing slice
+    (_bpe_ctes src=std_docs) and the learned merges applied to the
+    full vocabulary (_bpe_vocab_apply_ctes) — hash match proves the
+    splice+passthrough dump ≡ a from-scratch build under the same
+    pinned tokenizer."""
+    import json
+
+    from ..operators.sampling import hash_bucket
+    from ..operators.textanalysis import bpe_apply_merges
+
+    paths = _prepare_llm_merge_fixture(spark, sf_dir)
+    rd = spark.read.parquet
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(hash_bucket("doc_id") < NEW_BATCH_PCT)
+
+    # 1-6. shared selection splice
+    sel_new = _splice_selection(spark, docs, paths, batch)
+
+    # 7. shared scrub splice; only (changed, scr_changed) are consumed
+    _, _, changed, scr_changed = _scrub_splice(
+        spark, docs, paths, rd(paths["sel"]), sel_new
+    )
+
+    # 8. pinned-tokenizer pricing of the changed docs only
+    with open(paths["merges_json"]) as f:
+        merges = json.load(f)
+    wsym_std = rd(paths["wsym"])
+    dwc_ch = _scrub_wordcounts(scr_changed)
+    new_words = (
+        dwc_ch.select("word")
+        .distinct()
+        .join(wsym_std.select("word"), "word", "left_anti")
+    )
+    wsym_add = bpe_apply_merges(
+        new_words.select("word", _word_seq_expr().alias("seq")), merges
+    ).select("word", _n_syms_col())
+    wsym = wsym_std.unionByName(wsym_add)
+    scount_ch = (
+        dwc_ch.join(wsym, "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("n_syms")).cast("bigint").alias("n_bpe"))
+    )
+    tokd_ch = (
+        scr_changed.select("doc_id", "n_tokens_kept")
+        .join(scount_ch, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens_kept",
+            F.coalesce(F.col("n_bpe"), F.lit(0)).cast("bigint").alias("n_bpe"),
+        )
+    )
+    tokd = (
+        rd(paths["tokd_std"])
+        .join(sel_new, "doc_id", "left_semi")
+        .join(changed, "doc_id", "left_anti")
+        .unionByName(tokd_ch)
+    )
+
+    # 9. flagship verified-export tail
+    return _export_verified(spark, tokd, "llm_merge_only")

@@ -655,3 +655,116 @@ def test_streaming_scd2_apply_equals_from_scratch_build(spark, tmp_path):
         "o_custkey"
     ).distinct().count()
     assert sum(v[4] for v in got) == n_total
+
+
+def test_aqe_handles_salted_priority_join_hot_key_natively(spark):
+    """The A/B the salting decision rule rests on (VERDICT r14 #6),
+    on the EXACT fact⋈dim shape of the registered salted_priority_join
+    (priority-keyed fact, 5-row weight dim, one pathologically hot
+    key), with broadcast disabled so the shuffle join is forced:
+
+    1. join-only: AQE splits the hot partition NATIVELY (final plan
+       skew=true) — explicit (key, salt) routing buys nothing;
+    2. join feeding a groupBy ON THE JOIN KEY: AQE DECLINES the split
+       (it would break the aggregate's required hash distribution and
+       add a shuffle) — the hot key lands on one reducer again. Either
+       spark.sql.adaptive.forceOptimizeSkewedJoin (accepts the extra
+       shuffle; pinned) or the two-phase salted path handles it;
+    3. the salted query and the AQE-forced plain query agree
+       row-for-row.
+
+    Decision rule (SCALING.md "Skew"): joins → broadcast if the dim
+    fits, else AQE; join+same-key agg → forceOptimizeSkewedJoin or
+    salted_agg; aggregation-only skew → salted_agg (AQE never splits
+    aggregates)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from hubsit_health_analytics_etl_spark.workloads.w06_joins_chunking import (
+            PRIORITY_WEIGHTS,
+        )
+
+        # the salted query's shape at a size AQE's detector can see:
+        # 200k rows on the hot priority, 10k spread over the other four
+        prios = [p for p, _ in PRIORITY_WEIGHTS]
+        hot = (
+            spark.range(0, 200_000)
+            .select(
+                F.lit("1-URGENT").alias("o_orderpriority"),
+                (F.col("id") % 1000 / 10.0 + 1000.0).alias("o_totalprice"),
+            )
+            .unionByName(
+                spark.range(0, 10_000).select(
+                    F.element_at(
+                        F.array(*[F.lit(x) for x in prios]),
+                        (F.col("id") % 4 + 2).cast("int"),
+                    ).alias("o_orderpriority"),
+                    (F.col("id") % 1000 / 10.0 + 1000.0).alias(
+                        "o_totalprice"
+                    ),
+                )
+            )
+        )
+        dim = spark.createDataFrame(
+            PRIORITY_WEIGHTS, "o_orderpriority string, weight double"
+        )
+
+        def agg(joined):
+            return joined.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.round(
+                    F.sum(F.col("o_totalprice") * F.col("weight")), 2
+                ).alias("receita_ponderada"),
+            )
+
+        def final_plan(df):
+            df.collect()
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        # 1. join-only: native AQE split
+        j = hot.join(dim.hint("shuffle_merge"), "o_orderpriority")
+        p1 = final_plan(j.select(F.col("o_totalprice") * F.col("weight")))
+        assert "isFinalPlan=true" in p1 and "skew=true" in p1, p1
+
+        # 2. join + same-key agg: AQE declines (no skew=true) ...
+        plain = agg(hot.join(dim.hint("shuffle_merge"), "o_orderpriority"))
+        p2 = final_plan(plain)
+        assert "isFinalPlan=true" in p2 and "skew=true" not in p2, p2
+        got = {r.o_orderpriority: (r.n_orders, r.receita_ponderada)
+               for r in plain.collect()}
+        # ... unless the extra shuffle is explicitly accepted
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        forced = agg(hot.join(dim.hint("shuffle_merge"), "o_orderpriority"))
+        p3 = final_plan(forced)
+        assert "skew=true" in p3, p3
+
+        # 3. equality vs the explicit (key, salt) routed path
+        from hubsit_health_analytics_etl_spark.operators.skew import (
+            salted_join_skewed_left,
+        )
+
+        salted = agg(salted_join_skewed_left(hot, dim, "o_orderpriority"))
+        want = {r.o_orderpriority: (r.n_orders, r.receita_ponderada)
+                for r in salted.collect()}
+        forced_rows = {r.o_orderpriority: (r.n_orders, r.receita_ponderada)
+                       for r in forced.collect()}
+        assert got == want == forced_rows
+        assert got["1-URGENT"][0] > 2 * max(
+            v[0] for k, v in got.items() if k != "1-URGENT"
+        )
+    finally:
+        spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

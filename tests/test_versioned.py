@@ -837,3 +837,157 @@ def test_manifest_blooms_prune_point_lookups(spark, tmp_path):
     got = read_version(spark, root, point=("k", 2050))
     assert [(r.k, r.v) for r in got.collect()] == [(2050, "2050")]
     assert len(got.inputFiles()) < len(m1["files"])
+
+
+# ---------------------------------------------------------------------------
+# Catalog layer: multi-table atomic commit (VERDICT r14 #4)
+# ---------------------------------------------------------------------------
+def _cat_imports():
+    from hubsit_health_analytics_etl_spark.sources.versioned import (
+        ConcurrentWriteError,
+        catalog_commit,
+        catalog_current,
+        catalog_data_dir,
+        read_catalog,
+        read_catalog_table,
+    )
+
+    return (
+        ConcurrentWriteError,
+        catalog_commit,
+        catalog_current,
+        catalog_data_dir,
+        read_catalog,
+        read_catalog_table,
+    )
+
+
+def test_catalog_commit_flips_all_members_together(spark, tmp_path):
+    """The torn-state scenario the catalog exists for: a crash (or a
+    reader) between two member-table commits must never observe a MIX
+    of generations — the dump at its new version with the index at its
+    old one."""
+    _, catalog_commit, catalog_current, _, read_catalog, read_catalog_table = (
+        _cat_imports()
+    )
+    cat = str(tmp_path / "cat")
+    dump_root = os.path.join(cat, "tables", "dump")
+    idx_root = os.path.join(cat, "tables", "idx")
+    commit_version(_mk(spark, [(1, "d0")]), dump_root)
+    commit_version(_mk(spark, [(1, "i0")]), idx_root)
+    assert catalog_commit(cat, {"dump": 0, "idx": 0}, expected_parent=None) == 0
+
+    # generation 1 advances the dump FIRST, then "crashes" before the
+    # index commit + catalog swap: readers still resolve (dump v0,
+    # idx v0) — fully consistent, no torn state
+    commit_version(_mk(spark, [(2, "d1")]), dump_root)
+    got = read_catalog(cat)
+    assert {k: t["version"] for k, t in got["tables"].items()} == {
+        "dump": 0,
+        "idx": 0,
+    }
+    assert [r.v for r in read_catalog_table(spark, cat, "dump").collect()] == [
+        "d0"
+    ]
+
+    # the recovered writer finishes: index commit + ONE catalog swap
+    commit_version(_mk(spark, [(2, "i1")]), idx_root)
+    assert catalog_commit(cat, {"dump": 1, "idx": 1}, expected_parent=0) == 1
+    assert catalog_current(cat) == 1
+    pair = {
+        n: sorted(r.v for r in read_catalog_table(spark, cat, n).collect())
+        for n in ("dump", "idx")
+    }
+    assert pair == {"dump": ["d1"], "idx": ["i1"]}
+    # time travel: catalog v0 still names the OLD consistent pair
+    old = read_catalog(cat, 0)["tables"]
+    assert {k: t["version"] for k, t in old.items()} == {"dump": 0, "idx": 0}
+
+
+def test_catalog_refuses_missing_member_version(spark, tmp_path):
+    """A catalog must never point at an uncommitted table version —
+    the entry check that makes commit-tables-then-catalog safe."""
+    _, catalog_commit, catalog_current, _, _, _ = _cat_imports()
+    cat = str(tmp_path / "cat")
+    commit_version(_mk(spark, [(1, "a")]), os.path.join(cat, "tables", "t"))
+    with pytest.raises(ValueError, match="no committed manifest"):
+        catalog_commit(cat, {"t": 7}, expected_parent=None)
+    assert catalog_current(cat) is None  # nothing published
+
+
+def test_catalog_two_writers_expected_parent_cas(spark, tmp_path):
+    """Two writers derive at catalog v0; the second commit is REFUSED
+    (never silently lost), and the catalog stays at the winner's
+    version set."""
+    ConcurrentWriteError, catalog_commit, catalog_current, _, read_catalog, _ = (
+        _cat_imports()
+    )
+    cat = str(tmp_path / "cat")
+    troot = os.path.join(cat, "tables", "t")
+    commit_version(_mk(spark, [(1, "a")]), troot)
+    catalog_commit(cat, {"t": 0}, expected_parent=None)
+
+    commit_version(_mk(spark, [(2, "w1")]), troot)  # writer 1's table v1
+    commit_version(_mk(spark, [(3, "w2")]), troot)  # writer 2's table v2
+    assert catalog_commit(cat, {"t": 1}, expected_parent=0) == 1
+    with pytest.raises(ConcurrentWriteError):
+        catalog_commit(cat, {"t": 2}, expected_parent=0)
+    assert catalog_current(cat) == 1
+    assert read_catalog(cat)["tables"]["t"]["version"] == 1
+
+
+def test_catalog_manifest_cas_refuses_duplicate_version(spark, tmp_path):
+    """Even without expected_parent, the hardlink create-exclusive on
+    the catalog manifest lets at most one writer publish version n."""
+    ConcurrentWriteError, catalog_commit, catalog_current, _, _, _ = (
+        _cat_imports()
+    )
+    cat = str(tmp_path / "cat")
+    troot = os.path.join(cat, "tables", "t")
+    commit_version(_mk(spark, [(1, "a")]), troot)
+    catalog_commit(cat, {"t": 0})
+    # a racing writer already published catalog v1 (fresh mtime — the
+    # age gate protects it from repair)
+    os.makedirs(os.path.join(cat, "catalog"), exist_ok=True)
+    with open(os.path.join(cat, "catalog", "v000001.json"), "w") as f:
+        json.dump({"version": 1, "tables": {}}, f)
+    with pytest.raises(ConcurrentWriteError):
+        catalog_commit(cat, {"t": 0})
+    assert catalog_current(cat) == 0
+
+
+def test_catalog_crashed_manifest_repaired_after_grace(spark, tmp_path):
+    """A STALE catalog manifest above the pointer (crashed writer) is
+    age-gate-cleared at the next commit, unwedging the version number."""
+    _, catalog_commit, catalog_current, _, read_catalog, _ = _cat_imports()
+    cat = str(tmp_path / "cat")
+    troot = os.path.join(cat, "tables", "t")
+    commit_version(_mk(spark, [(1, "a")]), troot)
+    catalog_commit(cat, {"t": 0})
+    crashed = os.path.join(cat, "catalog", "v000001.json")
+    with open(crashed, "w") as f:
+        json.dump({"version": 1, "tables": {"t": {"root": "tables/t", "version": 99}}}, f)
+    old = time.time() - 3600
+    os.utime(crashed, (old, old))
+    # readers never resolve the crashed manifest (pointer still at 0)
+    assert read_catalog(cat)["version"] == 0
+    commit_version(_mk(spark, [(2, "b")]), troot)
+    assert catalog_commit(cat, {"t": 1}, expected_parent=0) == 1
+    assert read_catalog(cat)["tables"]["t"]["version"] == 1
+
+
+def test_catalog_data_dir_resolves_single_overwrite_dir(spark, tmp_path):
+    """catalog_data_dir gives plain spark.read.parquet consumers (the
+    w18 standing fixture) the committed immutable dir — and refuses on
+    a multi-dir append history instead of returning a partial read."""
+    _, catalog_commit, _, catalog_data_dir, _, _ = _cat_imports()
+    cat = str(tmp_path / "cat")
+    troot = os.path.join(cat, "tables", "t")
+    commit_version(_mk(spark, [(1, "a"), (2, "b")]), troot)
+    catalog_commit(cat, {"t": 0})
+    d = catalog_data_dir(cat, "t")
+    assert sorted(r.v for r in spark.read.parquet(d).collect()) == ["a", "b"]
+    commit_version(_mk(spark, [(3, "c")]), troot, mode="append")
+    catalog_commit(cat, {"t": 1}, expected_parent=0)
+    with pytest.raises(ValueError, match="data dirs"):
+        catalog_data_dir(cat, "t")
