@@ -1997,3 +1997,62 @@ def test_llm_dataset_forget_text_work_is_deletion_proportional(spark, monkeypatc
         for n in sizes:
             assert n <= cap, (fname, n, "cap", cap, "corpus", n_corpus)
     assert set(feeds) >= {"decon_grams", "apply_cut_positions", "bpe_word_table"}
+
+
+def test_llm_dataset_merge_only_never_retrains_and_is_batch_proportional(
+    spark, monkeypatch
+):
+    """The pinned-tokenizer contract the merge-only query exists for
+    (VERDICT r14 #2): with the fixture pre-built, the timed body must
+    (a) NEVER call the tokenizer trainer (the pinned merges come from
+    the fixture), (b) never re-read the corpus word table
+    (bpe_word_table uncalled — unchanged docs pass their standing
+    pricing through), (c) feed the text-scale operators batch-/
+    affected-sized inputs only, and (d) apply the pinned merges only
+    to the NEW-WORD dimension (words the standing vocab never saw)."""
+    import hubsit_health_analytics_etl_spark.operators.textanalysis as ta
+    from hubsit_health_analytics_etl_spark.operators.sampling import hash_bucket
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+    from hubsit_health_analytics_etl_spark.workloads.w02_dedup import (
+        NEW_BATCH_PCT,
+    )
+    from hubsit_health_analytics_etl_spark.workloads.w18_dataset_increment import (
+        _prepare_llm_merge_fixture,
+        q_llm_dataset_merge_only,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n_corpus = docs.count()
+    n_batch = docs.filter(hash_bucket("doc_id") < NEW_BATCH_PCT).count()
+    assert 0 < n_batch < n_corpus // 2
+
+    _prepare_llm_merge_fixture(spark, SF_SMOKE)  # fixture builds unspied
+
+    def no_retrain(*a, **kw):
+        raise AssertionError(
+            "llm_dataset_merge_only must never retrain the tokenizer"
+        )
+
+    monkeypatch.setattr(ta, "bpe_train_merges_from_words", no_retrain)
+    monkeypatch.setattr(ta, "bpe_word_table", no_retrain)
+
+    feeds: dict[str, list[int]] = {}
+    for fname in ("annotate_documents", "_doc_grams", "apply_cut_positions",
+                  "bpe_apply_merges"):
+        real = getattr(ta, fname)
+
+        def spy(df, *a, _real=real, _n=fname, **kw):
+            feeds.setdefault(_n, []).append(df.count())
+            return _real(df, *a, **kw)
+
+        monkeypatch.setattr(ta, fname, spy)
+
+    out = q_llm_dataset_merge_only(spark, SF_SMOKE)
+    assert out.count() > 0
+
+    cap = 2 * n_batch + 50
+    for fname, sizes in feeds.items():
+        for n in sizes:
+            assert n <= cap, (fname, n, "cap", cap, "corpus", n_corpus)
+    assert set(feeds) >= {"annotate_documents", "_doc_grams",
+                          "apply_cut_positions", "bpe_apply_merges"}
