@@ -126,3 +126,57 @@ def test_streamed_dataset_increment_equals_from_scratch_build(
         n=0,
     )
     assert g0_docs.count() == slices[0].count()
+
+
+def test_sink_crash_between_member_and_catalog_commits_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """Fault injection on the atomic-publish boundary: the sink
+    commits member-table versions first and the catalog LAST, so a
+    crash after the member commits but before the catalog swap must
+    leave readers on the previous generation (no torn state), and the
+    at-least-once re-delivery must converge to exactly the state a
+    crash-free run produces."""
+    import hubsit_health_analytics_etl_spark.sources.versioned as v
+    from hubsit_health_analytics_etl_spark.streaming.dataset_increment import (
+        llm_dataset_stream_sink,
+    )
+    from hubsit_health_analytics_etl_spark.workloads.w10_dataset_build import (
+        _llm_dataset_plan,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    a = docs.filter(F.col("doc_id") < cut)
+    b = docs.filter(F.col("doc_id") >= cut)
+
+    cat_root = str(tmp_path / "cat")
+    sink = llm_dataset_stream_sink(cat_root)
+    sink(a, 0)  # bootstrap generation
+    assert v.catalog_current(cat_root) == 0
+
+    # deliver batch B but crash at the catalog publish
+    real_commit = v.catalog_commit
+
+    def crash(*args, **kw):
+        raise RuntimeError("injected crash before catalog swap")
+
+    monkeypatch.setattr(v, "catalog_commit", crash)
+    try:
+        sink(b, 1)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(v, "catalog_commit", real_commit)
+
+    # readers still resolve the pre-crash generation, fully consistent
+    assert v.catalog_current(cat_root) == 0
+    assert v.read_catalog_table(spark, cat_root, "docs").count() == a.count()
+
+    # at-least-once re-delivery converges: generation 1 publishes and
+    # the dump equals the from-scratch flagship plan over a ∪ b
+    sink(b, 1)
+    assert v.catalog_current(cat_root) == 1
+    got = _dump_rows(v.read_catalog_table(spark, cat_root, "dump"))
+    want = _dump_rows(_llm_dataset_plan(spark, SF_SMOKE))
+    assert got == want and len(got) > 0
