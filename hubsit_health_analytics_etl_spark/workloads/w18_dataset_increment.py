@@ -608,7 +608,11 @@ def _splice_selection(spark, docs, paths, batch, arts=None):
     fp_new = batch.withColumn("fp", fingerprint("text")).select("fp", "doc_id")
     idx = rd(paths["fps"]).select("fp", F.col("doc_id").alias("idx_rep"))
     batch_rep = fp_new.groupBy("fp").agg(F.min("doc_id").alias("batch_rep"))
-    fx = fp_new.join(batch_rep, "fp").join(idx, "fp", "left")
+    # three consumers (exact edges, new-group filter x2) — one lazy
+    # materialization instead of re-fingerprinting the batch per branch
+    fx = fp_new.join(batch_rep, "fp").join(idx, "fp", "left").localCheckpoint(
+        eager=False
+    )
     exact_new = (
         fx.filter(F.col("idx_rep").isNotNull())
         .select(
@@ -666,7 +670,10 @@ def _splice_selection(spark, docs, paths, batch, arts=None):
 
     # 5. decontamination splice
     is_eval = hash_bucket("doc_id", salt="eval") < DECON_EVAL_PCT
-    cg_b = decon_grams(batch.filter(~is_eval), DECON_K)
+    # two consumers (occurrence union, batch hit probe)
+    cg_b = decon_grams(batch.filter(~is_eval), DECON_K).localCheckpoint(
+        eager=False
+    )
     bgp_b = decon_grams(batch.filter(is_eval), DECON_K).select(
         "g", "doc_id"
     ).distinct()
@@ -677,7 +684,13 @@ def _splice_selection(spark, docs, paths, batch, arts=None):
         .groupBy("g")
         .agg(F.sum("occ").alias("occ"))
     )
-    over_g = occ_union.filter(F.col("occ") > DECON_DF_CAP).select("g")
+    # three anti-join consumers — without truncation each re-runs the
+    # full occurrence-count union aggregate
+    over_g = (
+        occ_union.filter(F.col("occ") > DECON_DF_CAP)
+        .select("g")
+        .localCheckpoint(eager=False)
+    )
     bench_all = (
         rd(paths["bench_grams"]).select("g").unionByName(bg_b).distinct()
     )
