@@ -1021,3 +1021,61 @@ def catalog_data_dir(cat_root: str, name: str, n: "int | None" = None) -> str:
             f"read_catalog_table instead."
         )
     return os.path.join(cat_root, t["root"], dirs.pop())
+
+
+def catalog_expire(
+    cat_root: str, keep_last: int, orphan_grace_s: float = 3600.0
+) -> "dict[str, list[int]]":
+    """Retention for the catalog: drop all but the newest ``keep_last``
+    catalog GENERATIONS, then expire each member table down to the
+    versions the kept generations still reference (delegating the
+    file-level GC to :func:`expire_versions`, age gates included).
+    Returns {member or "_catalog": expired version numbers}.
+
+    Consistency contract: every kept generation stays fully readable
+    (all referenced member manifests survive); a reader holding an
+    expired generation fails loudly on its missing catalog manifest,
+    never silently reads a partial set. Member versions NEWER than
+    anything referenced (an in-flight writer's just-committed table,
+    not yet published in a catalog generation) are never touched —
+    expiry only removes versions BELOW the oldest kept reference.
+    Members referenced only by expired generations (dropped from the
+    catalog since) are left untouched: expire or remove them
+    explicitly once they are truly retired. Destructive by contract —
+    run from the single catalog writer."""
+    if keep_last < 1:
+        raise ValueError("catalog_expire: keep_last must be >= 1")
+    cur = catalog_current(cat_root)
+    if cur is None:
+        return {}
+    gens = [
+        n
+        for n in range(cur + 1)
+        if os.path.exists(_cat_manifest_path(cat_root, n))
+    ]
+    kept_gens, expired_gens = gens[-keep_last:], gens[:-keep_last]
+    # oldest version of each member any kept generation references
+    floors: dict[str, tuple[str, int]] = {}
+    for n in kept_gens:
+        for name, t in read_catalog(cat_root, n)["tables"].items():
+            got = floors.get(name)
+            if got is None or t["version"] < got[1]:
+                floors[name] = (t["root"], t["version"])
+    out: dict[str, list[int]] = {}
+    for name, (rel, min_ref) in floors.items():
+        troot = os.path.join(cat_root, rel)
+        tcur = current_version(troot)
+        if tcur is None:
+            continue
+        # keep every version >= min_ref (contiguous ladder; keeping a
+        # few unreferenced newer versions is the conservative side)
+        expired = expire_versions(
+            troot, keep_last=tcur - min_ref + 1, orphan_grace_s=orphan_grace_s
+        )
+        if expired:
+            out[name] = expired
+    for n in expired_gens:
+        os.remove(_cat_manifest_path(cat_root, n))
+    if expired_gens:
+        out["_catalog"] = expired_gens
+    return out

@@ -180,3 +180,53 @@ def test_sink_crash_between_member_and_catalog_commits_recovers(
     got = _dump_rows(v.read_catalog_table(spark, cat_root, "dump"))
     want = _dump_rows(_llm_dataset_plan(spark, SF_SMOKE))
     assert got == want and len(got) > 0
+
+
+def test_sink_refuses_when_another_writer_advances_the_catalog(
+    spark, tmp_path, monkeypatch
+):
+    """The sink derives its splice at the generation it read on entry
+    and publishes with expected_parent=that generation — a writer that
+    lands a catalog commit DURING the splice must make the sink's
+    publish fail loudly (ConcurrentWriteError), never silently
+    overwrite the winner (the single-catalog-writer contract)."""
+    import hubsit_health_analytics_etl_spark.sources.versioned as v
+    from hubsit_health_analytics_etl_spark.streaming.dataset_increment import (
+        llm_dataset_stream_sink,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    a = docs.filter(F.col("doc_id") < cut)
+    b = docs.filter(F.col("doc_id") >= cut)
+
+    cat_root = str(tmp_path / "cat")
+    sink = llm_dataset_stream_sink(cat_root)
+    sink(a, 0)
+    assert v.catalog_current(cat_root) == 0
+
+    real_commit = v.catalog_commit
+    raced = {"done": False}
+
+    def racing(cat, tables, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            # a second writer publishes generation 1 first (it names
+            # the same member versions — any commit moves the pointer)
+            g0 = v.read_catalog(cat_root, 0)["tables"]
+            real_commit(
+                cat_root,
+                {k: (t["root"], t["version"]) for k, t in g0.items()},
+                expected_parent=0,
+            )
+        return real_commit(cat, tables, **kw)
+
+    monkeypatch.setattr(v, "catalog_commit", racing)
+    import pytest as _pytest
+
+    with _pytest.raises(v.ConcurrentWriteError):
+        sink(b, 1)
+    # the winner's generation stands; nothing was silently replaced
+    assert v.catalog_current(cat_root) == 1
+    assert v.read_catalog(cat_root)["tables"]["docs"]["version"] == 0

@@ -991,3 +991,44 @@ def test_catalog_data_dir_resolves_single_overwrite_dir(spark, tmp_path):
     catalog_commit(cat, {"t": 1}, expected_parent=0)
     with pytest.raises(ValueError, match="data dirs"):
         catalog_data_dir(cat, "t")
+
+
+def test_catalog_expire_keeps_referenced_member_versions(spark, tmp_path):
+    """Generation retention: catalog_expire(keep_last=1) drops the old
+    catalog manifests AND expires each member down to the versions the
+    kept generation references — the kept generation stays fully
+    readable, expired generations fail loudly, and member versions
+    newer than any reference (an in-flight writer's commit) survive."""
+    from hubsit_health_analytics_etl_spark.sources.versioned import (
+        catalog_commit,
+        catalog_current,
+        catalog_expire,
+        read_catalog,
+        read_catalog_table,
+    )
+
+    cat = str(tmp_path / "cat")
+    ta, tb = (os.path.join(cat, "tables", n) for n in ("a", "b"))
+    for gen in range(3):
+        commit_version(_mk(spark, [(gen, f"a{gen}")]), ta)
+        commit_version(_mk(spark, [(gen, f"b{gen}")]), tb)
+        catalog_commit(
+            cat, {"a": gen, "b": gen},
+            expected_parent=gen - 1 if gen else None,
+        )
+    # an in-flight writer's table commit, not yet in any generation
+    commit_version(_mk(spark, [(9, "a-next")]), ta)
+
+    out = catalog_expire(cat, keep_last=1)
+    assert out["_catalog"] == [0, 1]
+    assert out["a"] == [0, 1] and out["b"] == [0, 1]
+
+    # kept generation fully readable; expired ones fail loudly
+    assert catalog_current(cat) == 2
+    assert [r.v for r in read_catalog_table(spark, cat, "a", n=2).collect()] == ["a2"]
+    with pytest.raises(FileNotFoundError):
+        read_catalog(cat, 0)
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, ta, 0)
+    # the in-flight commit above the last reference survived
+    assert [r.v for r in read_version(spark, ta, 3).collect()] == ["a-next"]
