@@ -1032,3 +1032,80 @@ def test_catalog_expire_keeps_referenced_member_versions(spark, tmp_path):
         read_version(spark, ta, 0)
     # the in-flight commit above the last reference survived
     assert [r.v for r in read_version(spark, ta, 3).collect()] == ["a-next"]
+
+
+def test_catalog_lifecycle_random_ops_match_python_model(spark, tmp_path):
+    """Model-based check of the CATALOG protocol: a seeded random
+    sequence of member advances (some members, not others),
+    generation commits, and generation expiries against a Python
+    model (generation -> {member: rows}). After every op the current
+    resolution AND a random surviving generation must equal the
+    model exactly; expired generations raise; and member versions a
+    surviving generation references are always readable — the
+    no-torn-state and retention-safety invariants under interaction,
+    not just in single-feature tests."""
+    import random
+
+    from hubsit_health_analytics_etl_spark.sources.versioned import (
+        catalog_commit,
+        catalog_current,
+        catalog_expire,
+        read_catalog,
+        read_catalog_table,
+    )
+
+    rng = random.Random(23)
+    cat = str(tmp_path / "cat")
+    members = ["dump", "idx", "stats"]
+    troot = {m: os.path.join(cat, "tables", m) for m in members}
+    tv: dict[str, int] = {}  # member -> latest committed table version
+    trows: dict[tuple[str, int], list] = {}  # (member, version) -> rows
+    gens: dict[int, dict[str, int]] = {}  # generation -> member versions
+    expired: set[int] = set()
+    next_k = 0
+
+    def advance(m):
+        nonlocal next_k
+        rows = [(next_k + i, f"{m}{next_k + i}") for i in range(rng.randint(1, 3))]
+        next_k += len(rows)
+        v = commit_version(_mk(spark, rows), troot[m])
+        tv[m] = v
+        trows[(m, v)] = sorted(rows)
+
+    # generation 0 names every member
+    for m in members:
+        advance(m)
+    catalog_commit(cat, dict(tv), expected_parent=None)
+    gens[0] = dict(tv)
+
+    for step in range(12):
+        op = rng.choice(["advance_some", "advance_some", "commit", "expire"])
+        cur = max(g for g in gens if g not in expired)
+        if op == "advance_some":
+            for m in rng.sample(members, rng.randint(1, len(members))):
+                advance(m)
+        elif op == "commit":
+            g = catalog_commit(cat, dict(tv), expected_parent=cur)
+            gens[g] = dict(tv)
+        else:
+            live = sorted(set(gens) - expired)
+            keep = rng.randint(1, len(live))
+            out = catalog_expire(cat, keep_last=keep)
+            expired.update(out.get("_catalog", []))
+
+        live = sorted(set(gens) - expired)
+        assert catalog_current(cat) == live[-1]
+        # every member of the current AND one random surviving
+        # generation reads back exactly the modeled rows
+        for g in {live[-1], rng.choice(live)}:
+            named = read_catalog(cat, g)["tables"]
+            assert {m: t["version"] for m, t in named.items()} == gens[g]
+            for m, v in gens[g].items():
+                got = sorted(
+                    (r.k, r.v)
+                    for r in read_catalog_table(spark, cat, m, n=g).collect()
+                )
+                assert got == trows[(m, v)], f"step {step} gen {g} {m}"
+        if expired:
+            with pytest.raises(FileNotFoundError):
+                read_catalog(cat, sorted(expired)[0])
