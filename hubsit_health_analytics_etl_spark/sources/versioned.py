@@ -1079,3 +1079,95 @@ def catalog_expire(
     if expired_gens:
         out["_catalog"] = expired_gens
     return out
+
+
+def catalog_gc_orphans(
+    cat_root: str, orphan_grace_s: float = 3600.0
+) -> "dict[str, list[int]]":
+    """Reclaim member-table versions ABOVE the newest version any
+    existing catalog generation references (ADVICE r15, low): a sink
+    delivery that crashed — or lost the catalog CAS — after its member
+    commits leaves ~20 committed-but-unreferenced member versions (and
+    their data files) per failed attempt; on a replay-heavy stream
+    this grows disk unboundedly. ``catalog_expire`` never touches them
+    (it only retires versions BELOW the oldest kept reference), so
+    this is the matching opt-in sweep.
+
+    Per member of any surviving catalog generation: versions newer
+    than the newest referenced one are removed — manifests, plus data
+    files no kept version references — and the table pointer is reset
+    to the newest referenced version. Two safety gates, mirroring the
+    staging-dir GC in :func:`expire_versions`:
+
+    * AGE: a member is skipped entirely unless its WHOLE above-
+      reference suffix is older than ``orphan_grace_s`` (a fresh
+      version above the reference is an in-flight delivery an instant
+      from its catalog publish — an append version there may also be
+      the replay-adoption target of ``llm_dataset_stream_sink``, which
+      must survive until the stream is known dead).
+    * SUFFIX-WHOLENESS: the suffix is removed all-or-nothing (an
+      append manifest references its parent's files; removing a
+      middle version would tear its descendants).
+
+    Tables never referenced by any surviving generation are left
+    untouched (same contract as ``catalog_expire``). Destructive by
+    contract — run from the single catalog writer, never concurrently
+    with a live sink delivery. Returns {member: removed versions}."""
+    cur = catalog_current(cat_root)
+    if cur is None:
+        return {}
+    # newest version of each member ANY surviving generation references
+    ceilings: dict[str, tuple[str, int]] = {}
+    for n in range(cur + 1):
+        if not os.path.exists(_cat_manifest_path(cat_root, n)):
+            continue
+        for name, t in read_catalog(cat_root, n)["tables"].items():
+            got = ceilings.get(name)
+            if got is None or t["version"] > got[1]:
+                ceilings[name] = (t["root"], t["version"])
+    out: dict[str, list[int]] = {}
+    now = time.time()
+    for name, (rel, max_ref) in ceilings.items():
+        troot = os.path.join(cat_root, rel)
+        versions = list_versions(troot)
+        doomed = [v for v in versions if v > max_ref]
+        if not doomed:
+            continue
+        if any(
+            now - os.path.getmtime(_manifest_path(troot, v)) <= orphan_grace_s
+            for v in doomed
+        ):
+            continue  # age gate: possible in-flight delivery — skip whole member
+        kept_files = {
+            os.path.abspath(_abs_file(troot, f))
+            for v in versions
+            if v <= max_ref
+            for f in read_manifest(troot, v)["files"]
+        }
+        doomed_files: set[str] = set()
+        for v in doomed:
+            doomed_files.update(
+                os.path.abspath(_abs_file(troot, f))
+                for f in read_manifest(troot, v)["files"]
+            )
+        for f in sorted(doomed_files - kept_files):
+            if os.path.exists(f):
+                os.remove(f)
+        for v in doomed:
+            os.remove(_manifest_path(troot, v))
+        for d in glob.glob(os.path.join(troot, "data", "v*")):
+            if (
+                os.path.isdir(d)
+                and _data_dir_version(d) > max_ref
+                and not glob.glob(os.path.join(d, "*.parquet"))
+            ):
+                shutil.rmtree(d)
+        # reset the pointer to the newest surviving reference (the
+        # removed suffix included the old pointer target)
+        token = uuid.uuid4().hex[:8]
+        ptmp = os.path.join(troot, _POINTER + f".{token}.tmp")
+        with open(ptmp, "w") as f:
+            f.write(str(max_ref))
+        os.replace(ptmp, os.path.join(troot, _POINTER))
+        out[name] = doomed
+    return out

@@ -30,6 +30,24 @@ versioned_upsert_sink posture): each catalog commit records its
 ``batch_id``; a re-delivered batch whose id matches the current
 catalog generation's is skipped outright.
 
+The one member that needs batch-id idempotence at the TABLE level too
+is the append-mode ``docs`` corpus (ADVICE r15, high): an overwrite
+member recommitted on replay is recomputed fresh from the
+catalog-pinned generation, so the extra orphaned version is garbage
+but the newly published one is correct — an APPEND builds on the
+table's current pointer, so replaying it after a crash between the
+member commits and the catalog publish would append the batch ON TOP
+of the orphaned pre-crash append and silently duplicate the corpus.
+The sink therefore commits the docs append with
+``expected_parent = the catalog-pinned docs version`` and
+``extra={"batch_id"}``; on replay, when the table pointer sits ABOVE
+the pinned version, it ADOPTS the orphaned version iff its manifest
+proves it is this very delivery (parent == pinned, batch_id ==
+batch_id) and otherwise refuses loudly (a foreign writer owns the
+table). Orphaned member versions left by crashed deliveries are
+reclaimed by the opt-in `sources/versioned.py::catalog_gc_orphans`
+sweep (age-gated, run from the single catalog writer).
+
 Law (tests/test_streaming_dataset_increment.py): stream the corpus in
 chronological slices — after the final batch, the ``dump`` member
 equals the from-scratch flagship plan (`w10::_llm_dataset_plan`) over
@@ -85,11 +103,14 @@ def llm_dataset_stream_sink(cat_root: str) -> Callable[[DataFrame, int], None]:
         import pyspark.sql.functions as F
 
         from ..sources.versioned import (
+            ConcurrentWriteError,
             catalog_commit,
             catalog_current,
             commit_version,
+            current_version,
             read_catalog,
             read_catalog_table,
+            read_manifest,
         )
         from ..workloads.w18_dataset_increment import (
             _commit_standing_tables,
@@ -134,11 +155,43 @@ def llm_dataset_stream_sink(cat_root: str) -> Callable[[DataFrame, int], None]:
                 k: commit_version(df, os.path.join(cat_root, "tables", k))
                 for k, df in arts.items()
             }
-            versions[DOCS_MEMBER] = commit_version(
-                batch,
-                os.path.join(cat_root, "tables", DOCS_MEMBER),
-                mode="append",  # the corpus only grows; O(batch) commit
-            )
+            # append-mode corpus commit, replay-idempotent at the table
+            # level (module docstring, ADVICE r15 high): derive at the
+            # catalog-PINNED docs version, never the raw table pointer
+            docs_root = os.path.join(cat_root, "tables", DOCS_MEMBER)
+            pinned = read_catalog(cat_root)["tables"][DOCS_MEMBER][
+                "version"
+            ]
+            tcur = current_version(docs_root)
+            if tcur is not None and tcur != pinned:
+                orphan = read_manifest(docs_root, tcur)
+                if (
+                    orphan.get("parent") == pinned
+                    and orphan.get("extra", {}).get("batch_id") == batch_id
+                ):
+                    # a previous delivery of THIS batch appended the
+                    # corpus and crashed before the catalog publish —
+                    # adopt its version instead of appending the same
+                    # batch a second time
+                    versions[DOCS_MEMBER] = tcur
+                else:
+                    raise ConcurrentWriteError(
+                        f"dataset-increment sink: docs member at "
+                        f"{docs_root} is at version {tcur} but the "
+                        f"catalog pins {pinned}, and the orphan is not "
+                        f"this delivery (parent={orphan.get('parent')}, "
+                        f"batch_id={orphan.get('extra', {}).get('batch_id')!r} "
+                        f"vs {batch_id}) — another writer owns the "
+                        f"table; refusing to append onto foreign state."
+                    )
+            else:
+                versions[DOCS_MEMBER] = commit_version(
+                    batch,
+                    docs_root,
+                    mode="append",  # the corpus only grows; O(batch)
+                    extra={"batch_id": batch_id},
+                    expected_parent=pinned,
+                )
         else:
             # bootstrap: the first batch IS the corpus — the batch
             # fixture's table-commit core builds every artifact

@@ -128,6 +128,19 @@ def test_streamed_dataset_increment_equals_from_scratch_build(
     assert g0_docs.count() == slices[0].count()
 
 
+def _three_slices(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    return docs, [
+        docs.filter(F.col("doc_id") < cuts[0]),
+        docs.filter(
+            (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])
+        ),
+        docs.filter(F.col("doc_id") >= cuts[1]),
+    ]
+
+
 def test_sink_crash_between_member_and_catalog_commits_recovers(
     spark, tmp_path, monkeypatch
 ):
@@ -136,7 +149,11 @@ def test_sink_crash_between_member_and_catalog_commits_recovers(
     crash after the member commits but before the catalog swap must
     leave readers on the previous generation (no torn state), and the
     at-least-once re-delivery must converge to exactly the state a
-    crash-free run produces."""
+    crash-free run produces — in particular the append-mode ``docs``
+    corpus must NOT re-append the batch onto the orphaned pre-crash
+    append (ADVICE r15 high: the replay adopts the orphan by batch
+    id), and a FURTHER batch after recovery must still satisfy the
+    stream-equals-rebuild law."""
     import hubsit_health_analytics_etl_spark.sources.versioned as v
     from hubsit_health_analytics_etl_spark.streaming.dataset_increment import (
         llm_dataset_stream_sink,
@@ -145,18 +162,15 @@ def test_sink_crash_between_member_and_catalog_commits_recovers(
         _llm_dataset_plan,
     )
 
-    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
-    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
-    cut = ids[len(ids) // 2]
-    a = docs.filter(F.col("doc_id") < cut)
-    b = docs.filter(F.col("doc_id") >= cut)
+    docs, (a, b, c) = _three_slices(spark)
 
     cat_root = str(tmp_path / "cat")
     sink = llm_dataset_stream_sink(cat_root)
     sink(a, 0)  # bootstrap generation
     assert v.catalog_current(cat_root) == 0
 
-    # deliver batch B but crash at the catalog publish
+    # deliver batch B but crash at the catalog publish — every member
+    # commit (including the docs APPEND) has already landed
     real_commit = v.catalog_commit
 
     def crash(*args, **kw):
@@ -172,11 +186,203 @@ def test_sink_crash_between_member_and_catalog_commits_recovers(
     # readers still resolve the pre-crash generation, fully consistent
     assert v.catalog_current(cat_root) == 0
     assert v.read_catalog_table(spark, cat_root, "docs").count() == a.count()
+    # the orphaned docs append exists above the pinned version
+    docs_root = f"{cat_root}/tables/docs"
+    assert v.current_version(docs_root) == 1
 
-    # at-least-once re-delivery converges: generation 1 publishes and
-    # the dump equals the from-scratch flagship plan over a ∪ b
+    # at-least-once re-delivery converges: generation 1 publishes, the
+    # docs corpus holds a ∪ b EXACTLY ONCE (the orphan was adopted,
+    # not appended onto), and the dump equals the from-scratch plan
     sink(b, 1)
     assert v.catalog_current(cat_root) == 1
+    got_docs = v.read_catalog_table(spark, cat_root, "docs")
+    assert got_docs.count() == a.count() + b.count()
+    assert v.read_catalog(cat_root)["tables"]["docs"]["version"] == 1
+
+    # a third batch after recovery: the standing state the splice sees
+    # is uncorrupted, so the final dump equals the from-scratch
+    # flagship plan over the whole corpus
+    sink(c, 2)
+    assert v.catalog_current(cat_root) == 2
+    got_docs = v.read_catalog_table(spark, cat_root, "docs")
+    assert got_docs.count() == docs.count()
+    assert (
+        got_docs.select("doc_id").distinct().count() == docs.count()
+    )
+    got = _dump_rows(v.read_catalog_table(spark, cat_root, "dump"))
+    want = _dump_rows(_llm_dataset_plan(spark, SF_SMOKE))
+    assert got == want and len(got) > 0
+
+
+def test_sink_kill_and_restart_from_checkpoint_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Kill-and-restart through the REAL checkpoint machinery (VERDICT
+    r15 #5): a streaming query is terminated mid-batch (injected crash
+    at the catalog publish of batch 1, after its member commits), then
+    a NEW query restarts from the same checkpoint. Structured
+    Streaming re-delivers batch 1 under the same batch id; the sink
+    must adopt the orphaned docs append and the catalog must end at
+    exactly the generation chain of an uninterrupted run (exactly-once
+    via batch-id + CAS)."""
+    import hubsit_health_analytics_etl_spark.sources.versioned as v
+    from hubsit_health_analytics_etl_spark.streaming.dataset_increment import (
+        llm_dataset_stream_sink,
+    )
+    from hubsit_health_analytics_etl_spark.workloads.w10_dataset_build import (
+        _llm_dataset_plan,
+    )
+
+    docs, slices = _three_slices(spark)
+    ordered = str(tmp_path / "ordered")
+    os.makedirs(ordered)
+    for i, s in enumerate(slices):
+        d = str(tmp_path / f"slice_{i}")
+        s.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        dst = f"{ordered}/{i:03d}.parquet"
+        shutil.copy(f"{d}/{part[0]}", dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    cat_root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(ordered)
+            .writeStream.foreachBatch(llm_dataset_stream_sink(cat_root))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    real_commit = v.catalog_commit
+
+    def crash_on_batch_1(cat, tables, **kw):
+        if (kw.get("extra") or {}).get("batch_id") == 1:
+            raise RuntimeError("injected kill before catalog swap")
+        return real_commit(cat, tables, **kw)
+
+    monkeypatch.setattr(v, "catalog_commit", crash_on_batch_1)
+    q = start()
+    try:
+        q.awaitTermination(600)
+    except Exception:
+        pass  # awaitTermination re-raises the query's failure
+    assert q.exception() is not None  # the query died mid-batch
+    # torn-state check: batch 0 published, batch 1's members orphaned
+    assert v.catalog_current(cat_root) == 0
+    assert v.current_version(f"{cat_root}/tables/docs") == 1
+
+    monkeypatch.setattr(v, "catalog_commit", real_commit)
+    q2 = start()  # restart from the same checkpoint
+    q2.awaitTermination(600)
+    assert q2.exception() is None
+
+    # same generation chain as an uninterrupted run: 3 generations,
+    # batch ids 0/1/2, corpus exactly-once, dump == from-scratch plan
+    assert v.catalog_current(cat_root) == 2
+    assert [
+        v.read_catalog(cat_root, n)["extra"]["batch_id"] for n in range(3)
+    ] == [0, 1, 2]
+    got_docs = v.read_catalog_table(spark, cat_root, "docs")
+    assert got_docs.count() == docs.count()
+    assert got_docs.select("doc_id").distinct().count() == docs.count()
+    got = _dump_rows(v.read_catalog_table(spark, cat_root, "dump"))
+    want = _dump_rows(_llm_dataset_plan(spark, SF_SMOKE))
+    assert got == want and len(got) > 0
+
+
+def test_sink_refuses_foreign_docs_orphan(spark, tmp_path):
+    """The replay-adoption path is gated on proof of identity: a docs
+    version above the catalog-pinned one whose manifest does NOT carry
+    this delivery's batch id (a foreign writer appended to the member
+    table directly) must make the sink refuse loudly rather than adopt
+    or append onto foreign state."""
+    import hubsit_health_analytics_etl_spark.sources.versioned as v
+    from hubsit_health_analytics_etl_spark.streaming.dataset_increment import (
+        llm_dataset_stream_sink,
+    )
+    import pytest as _pytest
+
+    _, (a, b, c) = _three_slices(spark)
+    cat_root = str(tmp_path / "cat")
+    sink = llm_dataset_stream_sink(cat_root)
+    sink(a, 0)
+
+    # a foreign writer appends directly to the member table
+    v.commit_version(
+        b, f"{cat_root}/tables/docs", mode="append", extra={"who": "foreign"}
+    )
+    with _pytest.raises(v.ConcurrentWriteError):
+        sink(c, 1)
+    # nothing was published over the foreign state
+    assert v.catalog_current(cat_root) == 0
+
+
+def test_catalog_gc_orphans_reclaims_crashed_delivery(
+    spark, tmp_path, monkeypatch
+):
+    """catalog_gc_orphans (ADVICE r15 low): a crashed delivery leaves
+    ~20 committed-but-unreferenced member versions; the opt-in sweep
+    removes every member version above the newest catalog-referenced
+    one — age-gated (default grace keeps them; grace 0 reclaims) —
+    resets the member pointers, and a subsequent delivery appends
+    cleanly onto the swept state."""
+    import hubsit_health_analytics_etl_spark.sources.versioned as v
+    from hubsit_health_analytics_etl_spark.streaming.dataset_increment import (
+        llm_dataset_stream_sink,
+    )
+    from hubsit_health_analytics_etl_spark.workloads.w10_dataset_build import (
+        _llm_dataset_plan,
+    )
+
+    docs, (a, b, c) = _three_slices(spark)
+    cat_root = str(tmp_path / "cat")
+    sink = llm_dataset_stream_sink(cat_root)
+    sink(a, 0)
+    sink(b, 1)
+
+    real_commit = v.catalog_commit
+    monkeypatch.setattr(
+        v,
+        "catalog_commit",
+        lambda *ar, **kw: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    try:
+        sink(c, 2)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(v, "catalog_commit", real_commit)
+
+    docs_root = f"{cat_root}/tables/docs"
+    assert v.current_version(docs_root) == 2  # orphaned append
+    # age gate: fresh orphans (an in-flight delivery / adoption target)
+    # survive the sweep under the default grace
+    assert v.catalog_gc_orphans(cat_root) == {}
+    assert v.current_version(docs_root) == 2
+
+    swept = v.catalog_gc_orphans(cat_root, orphan_grace_s=0.0)
+    assert swept.get("docs") == [2]
+    assert len(swept) > 5  # the other standing members were swept too
+    assert v.current_version(docs_root) == 1
+    # every surviving generation still reads consistently
+    assert v.read_catalog_table(spark, cat_root, "docs").count() == (
+        a.count() + b.count()
+    )
+    assert v.read_catalog_table(spark, cat_root, "docs", n=0).count() == (
+        a.count()
+    )
+
+    # the re-delivery after the sweep appends cleanly (no orphan to
+    # adopt any more — the batch is simply re-run) and converges
+    sink(c, 2)
+    assert v.catalog_current(cat_root) == 2
+    got_docs = v.read_catalog_table(spark, cat_root, "docs")
+    assert got_docs.count() == docs.count()
     got = _dump_rows(v.read_catalog_table(spark, cat_root, "dump"))
     want = _dump_rows(_llm_dataset_plan(spark, SF_SMOKE))
     assert got == want and len(got) > 0
