@@ -297,9 +297,10 @@ def lifecycle_fixed_batch(spark, sf_dir: str) -> dict:
     rd = spark.read.parquet
 
     t0 = time.perf_counter()
-    sel_new = _splice_selection(spark, docs, paths, batch)
+    dlt: dict = {}
+    sel_new = _splice_selection(spark, docs, paths, batch, delta=dlt)
     skept_new, dwc_new, changed, _ = _scrub_splice(
-        spark, docs, paths, rd(paths["sel"]), sel_new
+        spark, docs, paths, rd(paths["sel"]), sel_new, delta=dlt
     )
     n_changed = changed.count()
     skept_new.write.format("noop").mode("overwrite").save()

@@ -383,6 +383,7 @@ def splice_cluster_edges(
     new_nodes: DataFrame | None = None,
     src: str = "doc_a",
     dst: str = "doc_b",
+    delta: "dict | None" = None,
 ) -> DataFrame:
     """Incremental label maintenance under edge ADDITIONS and
     REMOVALS in one pass — the general splice the dataset-build
@@ -408,46 +409,83 @@ def splice_cluster_edges(
     the spliced table equals the full recompute — the invariant the
     dataset-build oracle hash-checks.
 
-    Scale shape: two equi-joins on the label table, two semi-joins +
-    one anti-join on the edge table, then an iterative re-label of the
-    affected subgraph only (≈ batch-sized). Keep labels and edges
-    partitioned by component so both probes prune files."""
+    Scale shape (standing-corpus-independent): the label and edge
+    tables are only SCANNED — every probe broadcasts the delta-bounded
+    side (touched nodes, affected components, affected members), so no
+    corpus-∝ shuffle exists anywhere; the iterative re-label runs on
+    the affected subgraph only (≈ batch-sized). The broadcast hints
+    encode the splice contract — changed edges ≪ corpus (SCALING.md).
+    Keep labels and edges partitioned by component so the scans also
+    prune files.
+
+    ``delta`` (optional dict): receives ``relabelled`` (exactly the
+    rows that may differ from ``index_labels``) and
+    ``affected_comps`` — what an incremental consumer (the dataset-
+    build selection splice) needs to bound ITS work to changed rows
+    instead of re-deriving the diff from two corpus-sized frames."""
     e_add = new_edges.select(F.col(src).alias("doc_a"), F.col(dst).alias("doc_b"))
     if removed_edges is not None:
         e_rm = removed_edges.select(
             F.col(src).alias("doc_a"), F.col(dst).alias("doc_b")
         )
-        delta = e_add.unionByName(e_rm)
+        e_delta = e_add.unionByName(e_rm)
     else:
         e_rm = None
-        delta = e_add
+        e_delta = e_add
+    # broadcast-scan plans have no shuffle files to reuse across
+    # re-executions — every fan-out node truncates its lineage
     touched = (
-        delta.select(F.col("doc_a").alias("node"))
-        .union(delta.select(F.col("doc_b").alias("node")))
+        e_delta.select(F.col("doc_a").alias("node"))
+        .union(e_delta.select(F.col("doc_b").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    # label lookup for touched nodes: broadcast-probe the label SCAN,
+    # then outer-map the (small) touched set over the (small) hits —
+    # never a small-left/huge-right outer join
+    touched_hits = index_labels.join(F.broadcast(touched), "node")
     affected_comps = (
-        touched.join(index_labels, "node", "left")
+        touched.join(F.broadcast(touched_hits), "node", "left")
         .select(F.coalesce(F.col("component"), F.col("node")).alias("component"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    affected = index_labels.join(affected_comps, "component")
+    affected = index_labels.join(
+        F.broadcast(affected_comps), "component"
+    ).localCheckpoint(eager=False)
     e = index_edges.select(F.col(src).alias("doc_a"), F.col(dst).alias("doc_b"))
     e = e.join(
-        affected.select(F.col("node").alias("doc_a")), "doc_a", "left_semi"
+        F.broadcast(affected.select(F.col("node").alias("doc_a"))),
+        "doc_a",
+        "left_semi",
     )
     if e_rm is not None:
-        e = e.join(e_rm, ["doc_a", "doc_b"], "left_anti")
-    sub_edges = e.unionByName(e_add)
+        e = e.join(F.broadcast(e_rm), ["doc_a", "doc_b"], "left_anti")
+    # materialize the (affected-size) subgraph before the iterative
+    # re-label: connected_components re-joins its edge input every
+    # pointer-jumping round, and an unmaterialized sub_edges would
+    # re-SCAN the corpus-sized persisted edge table per round — the
+    # one corpus-∝ term the r16 attribution found left in the splice
+    sub_edges = e.unionByName(e_add).localCheckpoint(eager=False)
     sub_labels = connected_components(sub_edges, "doc_a", "doc_b")
     all_nodes = affected.select("node").union(touched)
     if new_nodes is not None:
         all_nodes = all_nodes.union(new_nodes.select("node"))
-    relabelled = all_nodes.distinct().join(sub_labels, "node", "left").select(
-        "node",
-        F.coalesce(F.col("component"), F.col("node")).alias("component"),
+    relabelled = (
+        all_nodes.distinct()
+        .join(sub_labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+        .localCheckpoint(eager=False)  # consumers: return union + delta
     )
-    unaffected = index_labels.join(affected_comps, "component", "left_anti")
+    unaffected = index_labels.join(
+        F.broadcast(affected_comps), "component", "left_anti"
+    )
+    if delta is not None:
+        delta["relabelled"] = relabelled
+        delta["affected_comps"] = affected_comps
     return unaffected.select("node", "component").unionByName(relabelled)
 
 

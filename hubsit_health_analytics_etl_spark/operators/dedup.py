@@ -276,6 +276,7 @@ def incremental_minhash_candidates(
     bucket_cap: int | None = None,
     new_index: tuple[DataFrame, DataFrame] | None = None,
     observation=None,
+    index_bucket_sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against a persisted signature index: only the
     batch is shingled/signed; the corpus contributes pre-computed
@@ -298,11 +299,108 @@ def incremental_minhash_candidates(
     (small) batch; the probe is an equi-join on (band_idx, band_key)
     against bucket-pruned index postings; Jaccard joins touch only the
     candidate ids. The corpus is never re-scanned.
-    """
+
+    ``index_bucket_sizes`` (band_idx, band_key, n — the persisted
+    bucket-size table the fixture already owns): the STANDING-CORPUS-
+    INDEPENDENT path (VERDICT r15 #1). Without it, the cap filter
+    re-aggregates the full postings index per call — a corpus-∝
+    SHUFFLE that grew the fixed-batch splice 1.7× at 100× standing
+    corpus. With it, every shuffle is batch-bounded: a pair needs a
+    bucket holding a NEW posting, so only the batch's buckets are
+    probed (a broadcast semi against the postings SCAN — the standing
+    index is read, never repartitioned), their union sizes come from
+    the stored table plus batch counts, and the shingle verify joins
+    only candidate ids' rows. Output is row-identical to the generic
+    path: untouched buckets cannot produce a batch pair, so their
+    cap-ness never matters. Broadcast hints here encode the splice
+    contract — batch ≪ standing corpus (SCALING.md); ``observation``
+    counts in this path cover the batch-touched buckets only (the
+    only ones whose drops can suppress a batch pair)."""
     if new_index is None:
         new_bands, new_shingles = minhash_signature_index(new_docs, id_col, text_col)
     else:
         new_bands, new_shingles = new_index
+    if bucket_cap is not None and index_bucket_sizes is not None:
+        # broadcast-scan plans have no shuffle files to reuse across
+        # re-executions, so every multi-consumer node here truncates
+        # its lineage (lazy localCheckpoint) — without it each
+        # downstream consumer re-runs the whole probe chain
+        aff = (
+            new_bands.select("band_idx", "band_key")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        idx_aff = index_bands.join(F.broadcast(aff), ["band_idx", "band_key"])
+        n_new = new_bands.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("n_new")
+        )
+        std_aff = index_bucket_sizes.join(
+            F.broadcast(aff), ["band_idx", "band_key"]
+        )
+        sizes = n_new.join(std_aff, ["band_idx", "band_key"], "left").select(
+            "band_idx",
+            "band_key",
+            (F.coalesce(F.col("n"), F.lit(0)) + F.col("n_new")).alias("n"),
+        )
+        oversized = F.col("n") > F.lit(int(bucket_cap))
+        if observation is not None:
+            sizes = sizes.observe(
+                observation,
+                F.sum(F.when(oversized, 1).otherwise(0)).alias("dropped_buckets"),
+                F.sum(F.when(oversized, F.col("n")).otherwise(0)).alias(
+                    "dropped_members"
+                ),
+            )
+        ok = sizes.filter(~oversized).select(
+            "band_idx", "band_key"
+        ).localCheckpoint(eager=False)
+        a = new_bands.join(F.broadcast(ok), ["band_idx", "band_key"]).select(
+            "band_idx", "band_key", F.col(id_col).alias("new_id")
+        )
+        b = (
+            idx_aff.unionByName(new_bands)
+            .join(F.broadcast(ok), ["band_idx", "band_key"])
+            .select("band_idx", "band_key", F.col(id_col).alias("other_id"))
+        )
+        pairs = (
+            a.join(b, ["band_idx", "band_key"])
+            .filter(F.col("new_id") != F.col("other_id"))
+            .select(
+                F.least("new_id", "other_id").alias("doc_a"),
+                F.greatest("new_id", "other_id").alias("doc_b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # candidate-bounded shingle verify: only candidate ids' stored
+        # hashes leave the index scan (no corpus-wide union join)
+        cand_ids = (
+            pairs.select(F.col("doc_a").alias(id_col))
+            .unionByName(pairs.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        hs_cand = (
+            index_shingles.join(F.broadcast(cand_ids), id_col, "left_semi")
+            .unionByName(
+                new_shingles.join(F.broadcast(cand_ids), id_col, "left_semi")
+            )
+            .localCheckpoint(eager=False)
+        )
+        pairs = pairs.join(
+            F.broadcast(
+                hs_cand.select(F.col(id_col).alias("doc_a"), F.col("hs").alias("hs_a"))
+            ),
+            "doc_a",
+        ).join(
+            F.broadcast(
+                hs_cand.select(F.col(id_col).alias("doc_b"), F.col("hs").alias("hs_b"))
+            ),
+            "doc_b",
+        )
+        jac = F.size(F.array_intersect("hs_a", "hs_b")) / F.size(
+            F.array_union("hs_a", "hs_b")
+        ).cast("double")
+        return pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     all_bands = index_bands.unionByName(new_bands)
     probe_side = all_bands
     if bucket_cap is not None:
@@ -631,35 +729,49 @@ def capped_pair_retractions(
     band_key, n), the batch's ``new_bands`` postings, and the
     persisted ``standing_pairs`` edge table (canonical doc_a < doc_b).
 
-    Scale shape: candidate re-pairs come only from NEWLY-overfull
-    buckets (≤ cap members each → ≤ cap²/2 pairs per bucket); the
-    support re-check joins those pairs' own postings (N_BANDS rows
-    per side) against the union size table. Nothing touches text or
-    the corpus-wide pair set."""
-    sizes = (
-        index_bucket_sizes.join(
-            new_bands.groupBy("band_idx", "band_key").agg(
-                F.count(F.lit(1)).alias("n_new")
+    Scale shape (standing-corpus-independent, VERDICT r15 #1): every
+    shuffle is batch-bounded. A bucket can newly cross the cap only
+    if the batch posted into it, so union sizes are evaluated for the
+    batch's buckets alone (stored sizes probed by a broadcast, the
+    size table is SCANNED, never outer-joined corpus-wide); candidate
+    re-pairs come only from those newly-overfull buckets (≤ cap
+    members each → ≤ cap²/2 pairs per bucket); the support re-check
+    reads only the candidate ids' own postings (a broadcast semi
+    against the postings scan, N_BANDS rows per doc) and looks up
+    union sizes for just the buckets those pairs share. Nothing
+    touches text, the corpus-wide pair set, or a corpus-wide
+    shuffle."""
+    cap = int(bucket_cap)
+    # broadcast-scan plans have no shuffle files to reuse across
+    # re-executions — every fan-out node truncates its lineage
+    n_new = new_bands.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("n_new")
+    ).localCheckpoint(eager=False)
+    touched_sizes = (
+        n_new.join(
+            index_bucket_sizes.join(
+                F.broadcast(n_new.select("band_idx", "band_key")),
+                ["band_idx", "band_key"],
             ),
             ["band_idx", "band_key"],
-            "outer",
+            "left",
         )
         .select(
             "band_idx",
             "band_key",
             F.coalesce(F.col("n"), F.lit(0)).alias("n_std"),
-            (
-                F.coalesce(F.col("n"), F.lit(0))
-                + F.coalesce(F.col("n_new"), F.lit(0))
-            ).alias("n_union"),
+            (F.coalesce(F.col("n"), F.lit(0)) + F.col("n_new")).alias(
+                "n_union"
+            ),
         )
     )
-    cap = int(bucket_cap)
-    newly_over = sizes.filter(
+    newly_over = touched_sizes.filter(
         (F.col("n_std") <= cap) & (F.col("n_union") > cap)
-    ).select("band_idx", "band_key")
-    over_members = index_bands.join(newly_over, ["band_idx", "band_key"])
-    cand = (
+    ).select("band_idx", "band_key").localCheckpoint(eager=False)
+    over_members = index_bands.join(
+        F.broadcast(newly_over), ["band_idx", "band_key"]
+    )
+    repairs = (
         over_members.alias("x")
         .join(
             over_members.alias("y"),
@@ -672,38 +784,69 @@ def capped_pair_retractions(
             F.col(f"y.{id_col}").alias("doc_b"),
         )
         .distinct()
-        .join(
-            standing_pairs.select("doc_a", "doc_b"),
-            ["doc_a", "doc_b"],
-            "left_semi",
-        )
     )
-    ok_buckets = sizes.filter(F.col("n_union") <= cap).select(
-        "band_idx", "band_key"
+    # keep the standing rows matching a re-pair (the pair-table scan
+    # is probed by the broadcast-small re-pair set, never shuffled)
+    cand = standing_pairs.select("doc_a", "doc_b").join(
+        F.broadcast(repairs), ["doc_a", "doc_b"], "left_semi"
+    ).localCheckpoint(eager=False)
+    # support re-check over the candidate ids' postings only: a pair
+    # survives iff SOME shared band bucket stays ≤ cap at union time
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
     )
-    supported = (
+    bands_cand = index_bands.join(
+        F.broadcast(cand_ids), id_col, "left_semi"
+    ).localCheckpoint(eager=False)
+    shared = (
         cand.join(
-            index_bands.select(
-                F.col(id_col).alias("doc_a"),
-                "band_idx",
-                F.col("band_key").alias("key_a"),
+            F.broadcast(
+                bands_cand.select(
+                    F.col(id_col).alias("doc_a"), "band_idx", "band_key"
+                )
             ),
             "doc_a",
         )
         .join(
-            index_bands.select(
-                F.col(id_col).alias("doc_b"),
-                "band_idx",
-                F.col("band_key").alias("key_b"),
+            F.broadcast(
+                bands_cand.select(
+                    F.col(id_col).alias("doc_b"),
+                    "band_idx",
+                    F.col("band_key").alias("key_b"),
+                )
             ),
             ["doc_b", "band_idx"],
         )
-        .filter(F.col("key_a") == F.col("key_b"))
-        .join(
-            ok_buckets.withColumnRenamed("band_key", "key_a"),
-            ["band_idx", "key_a"],
-            "left_semi",
+        .filter(F.col("band_key") == F.col("key_b"))
+        .select("doc_a", "doc_b", "band_idx", "band_key")
+        .localCheckpoint(eager=False)
+    )
+    shared_keys = shared.select("band_idx", "band_key").distinct()
+    shared_sizes = (
+        shared_keys.join(
+            index_bucket_sizes.join(
+                F.broadcast(shared_keys), ["band_idx", "band_key"]
+            ),
+            ["band_idx", "band_key"],
+            "left",
         )
+        .join(n_new, ["band_idx", "band_key"], "left")
+        .select(
+            "band_idx",
+            "band_key",
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("n_new"), F.lit(0))
+            ).alias("n_union"),
+        )
+    )
+    ok_shared = shared_sizes.filter(F.col("n_union") <= cap).select(
+        "band_idx", "band_key"
+    )
+    supported = (
+        shared.join(F.broadcast(ok_shared), ["band_idx", "band_key"])
         .select("doc_a", "doc_b")
         .distinct()
     )

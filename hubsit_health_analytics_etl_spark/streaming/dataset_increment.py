@@ -140,9 +140,18 @@ def llm_dataset_stream_sink(cat_root: str) -> Callable[[DataFrame, int], None]:
                 if k not in (DOCS_MEMBER, DUMP_MEMBER)
             }
             arts: dict[str, DataFrame] = {}
-            sel_new = _splice_selection(spark, docs_all, members, batch, arts=arts)
+            dlt: dict = {}
+            sel_new = _splice_selection(
+                spark, docs_all, members, batch, arts=arts, delta=dlt
+            )
             skept_new, dwc_new, _, _ = _scrub_splice(
-                spark, docs_all, members, members["sel"], sel_new, arts=arts
+                spark,
+                docs_all,
+                members,
+                members["sel"],
+                sel_new,
+                arts=arts,
+                delta=dlt,
             )
             arts["rwf"] = (
                 members["rwf"]
