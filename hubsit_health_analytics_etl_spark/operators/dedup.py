@@ -337,7 +337,9 @@ def incremental_minhash_candidates(
         std_aff = index_bucket_sizes.join(
             F.broadcast(aff), ["band_idx", "band_key"]
         )
-        sizes = n_new.join(std_aff, ["band_idx", "band_key"], "left").select(
+        sizes = n_new.join(
+            F.broadcast(std_aff), ["band_idx", "band_key"], "left"
+        ).select(
             "band_idx",
             "band_key",
             (F.coalesce(F.col("n"), F.lit(0)) + F.col("n_new")).alias("n"),
@@ -749,9 +751,11 @@ def capped_pair_retractions(
     ).localCheckpoint(eager=False)
     touched_sizes = (
         n_new.join(
-            index_bucket_sizes.join(
-                F.broadcast(n_new.select("band_idx", "band_key")),
-                ["band_idx", "band_key"],
+            F.broadcast(
+                index_bucket_sizes.join(
+                    F.broadcast(n_new.select("band_idx", "band_key")),
+                    ["band_idx", "band_key"],
+                )
             ),
             ["band_idx", "band_key"],
             "left",
@@ -826,13 +830,15 @@ def capped_pair_retractions(
     shared_keys = shared.select("band_idx", "band_key").distinct()
     shared_sizes = (
         shared_keys.join(
-            index_bucket_sizes.join(
-                F.broadcast(shared_keys), ["band_idx", "band_key"]
+            F.broadcast(
+                index_bucket_sizes.join(
+                    F.broadcast(shared_keys), ["band_idx", "band_key"]
+                )
             ),
             ["band_idx", "band_key"],
             "left",
         )
-        .join(n_new, ["band_idx", "band_key"], "left")
+        .join(F.broadcast(n_new), ["band_idx", "band_key"], "left")
         .select(
             "band_idx",
             "band_key",
@@ -882,13 +888,28 @@ def bucket_underflow_candidates(
         F.count(F.lit(1)).alias("n_drop")
     )
     cap = int(bucket_cap)
+    # a bucket can newly fall under the cap only if the deletion
+    # dropped postings from it (n_std > cap ≥ n_new needs n_drop > 0),
+    # so the stored size table is only SCANNED, probed by the
+    # broadcast-small deletion-touched buckets — never shuffled
     newly_under = (
-        index_bucket_sizes.join(drop_counts, ["band_idx", "band_key"], "left")
+        drop_counts.join(
+            F.broadcast(
+                index_bucket_sizes.join(
+                    F.broadcast(drop_counts.select("band_idx", "band_key")),
+                    ["band_idx", "band_key"],
+                )
+            ),
+            ["band_idx", "band_key"],
+            "left",
+        )
         .select(
             "band_idx",
             "band_key",
-            F.col("n").alias("n_std"),
-            (F.col("n") - F.coalesce(F.col("n_drop"), F.lit(0))).alias("n_new"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_std"),
+            (
+                F.coalesce(F.col("n"), F.lit(0)) - F.col("n_drop")
+            ).alias("n_new"),
         )
         .filter(
             (F.col("n_std") > cap)
@@ -896,8 +917,9 @@ def bucket_underflow_candidates(
             & (F.col("n_new") > 1)
         )
         .select("band_idx", "band_key")
+        .localCheckpoint(eager=False)
     )
-    ub = surviving_bands.join(newly_under, ["band_idx", "band_key"])
+    ub = surviving_bands.join(F.broadcast(newly_under), ["band_idx", "band_key"])
     return (
         ub.alias("x")
         .join(

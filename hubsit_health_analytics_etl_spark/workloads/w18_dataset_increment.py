@@ -802,7 +802,7 @@ def _splice_selection(spark, docs, paths, batch, arts=None, delta=None):
     std_cnt = rd(paths["decon_counts"]).join(bc(probe_g), "g")
     occ_probe = (
         probe_g.join(bc(std_cnt), "g", "left")
-        .join(occ_b, "g", "left")
+        .join(bc(occ_b), "g", "left")
         .select(
             "g",
             F.coalesce(F.col("occ"), F.lit(0)).alias("occ_std"),
@@ -1065,16 +1065,19 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_del = hash_bucket("doc_id", salt="forget") < LLM_FORGET_PCT
     deleted = docs.filter(is_del)
     del_ids = deleted.select("doc_id").localCheckpoint(eager=False)
+    bc = F.broadcast
 
     # 1. annotations
-    ann_new = rd(paths["ann"]).join(del_ids, "doc_id", "left_anti")
+    ann_new = rd(paths["ann"]).join(bc(del_ids), "doc_id", "left_anti")
 
     # 2. exact groups: affected fps from the deleted docs' text only
     members = rd(paths["fp_members"])
     aff_fp = (
         deleted.select(fingerprint("text").alias("fp")).distinct()
     )
-    aff_members = members.join(aff_fp, "fp", "left_semi")
+    aff_members = members.join(bc(aff_fp), "fp", "left_semi").localCheckpoint(
+        eager=False  # consumers: old_rep, surv_aff (member index scan ×1)
+    )
     old_rep = aff_members.groupBy("fp").agg(F.min("doc_id").alias("old_rep"))
     surv_aff = aff_members.join(del_ids, "doc_id", "left_anti")
     new_rep = surv_aff.groupBy("fp").agg(F.min("doc_id").alias("new_rep"))
@@ -1087,11 +1090,14 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _remap_posts(df):
+        # deletion-bounded probes: the posting index is only scanned
         return (
-            df.join(vanished, "doc_id", "left_anti")
+            df.join(bc(vanished), "doc_id", "left_anti")
             .join(
-                renames.select(
-                    F.col("old_rep").alias("doc_id"), "new_rep"
+                bc(
+                    renames.select(
+                        F.col("old_rep").alias("doc_id"), "new_rep"
+                    )
                 ),
                 "doc_id",
                 "left",
@@ -1105,8 +1111,10 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ex = rd(paths["exact_edges"])
     ex_alive = ex.join(
-        del_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_anti"
-    ).join(del_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti")
+        bc(del_ids.withColumnRenamed("doc_id", "doc_a")), "doc_a", "left_anti"
+    ).join(
+        bc(del_ids.withColumnRenamed("doc_id", "doc_b")), "doc_b", "left_anti"
+    )
     rebuilt = (
         surv_aff.join(
             renames.select("fp", "new_rep"), "fp"
@@ -1122,19 +1130,37 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     add_cand = bucket_underflow_candidates(
         bands_new,
         rd(paths["bucket_sizes"]),
-        rd(paths["bands"]).join(vanished, "doc_id", "left_semi"),
+        rd(paths["bands"]).join(bc(vanished), "doc_id", "left_semi"),
         MINHASH_BUCKET_CAP,
-    )
+    ).localCheckpoint(eager=False)  # consumers: cand-id probe + verify join
     jac = F.size(F.array_intersect("hs_a", "hs_b")) / F.size(
         F.array_union("hs_a", "hs_b")
     ).cast("double")
+    # candidate-bounded shingle verify: only candidate ids' stored
+    # hashes leave the (remapped) shingle-index scan
+    ac_ids = (
+        add_cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(add_cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh_new.join(bc(ac_ids), "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     added_mh = (
         add_cand.join(
-            sh_new.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+            bc(
+                sh_cand.select(
+                    F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
+                )
+            ),
             "doc_a",
         )
         .join(
-            sh_new.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+            bc(
+                sh_cand.select(
+                    F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")
+                )
+            ),
             "doc_b",
         )
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
@@ -1145,15 +1171,27 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mh = rd(paths["mh_edges"])
     mh2 = (
-        mh.join(vanished.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_anti")
-        .join(vanished.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_anti")
+        mh.join(
+            bc(vanished.withColumnRenamed("doc_id", "doc_a")), "doc_a", "left_anti"
+        )
         .join(
-            renames.select(F.col("old_rep").alias("doc_a"), F.col("new_rep").alias("ra")),
+            bc(vanished.withColumnRenamed("doc_id", "doc_b")), "doc_b", "left_anti"
+        )
+        .join(
+            bc(
+                renames.select(
+                    F.col("old_rep").alias("doc_a"), F.col("new_rep").alias("ra")
+                )
+            ),
             "doc_a",
             "left",
         )
         .join(
-            renames.select(F.col("old_rep").alias("doc_b"), F.col("new_rep").alias("rb")),
+            bc(
+                renames.select(
+                    F.col("old_rep").alias("doc_b"), F.col("new_rep").alias("rb")
+                )
+            ),
             "doc_b",
             "left",
         )
@@ -1176,25 +1214,40 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(added_mh.select(F.col("doc_a").alias("node")))
         .unionByName(added_mh.select(F.col("doc_b").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    # deletion-bounded probes of the label scan, never a shuffle of it
     affected_comps = (
-        touched.join(labels, "node")
+        labels.join(bc(touched), "node")
         .select("component")
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    affected = labels.join(affected_comps, "component")
+    affected = labels.join(bc(affected_comps), "component")
     survivors_aff = affected.select("node").join(
-        del_ids.withColumnRenamed("doc_id", "node"), "node", "left_anti"
+        bc(del_ids.withColumnRenamed("doc_id", "node")), "node", "left_anti"
+    ).localCheckpoint(eager=False)
+    # materialize the (affected-size) subgraph before the iterative
+    # re-label — connected_components re-joins its edges every round
+    sub_edges = (
+        edges_new.join(
+            bc(survivors_aff.withColumnRenamed("node", "doc_a")),
+            "doc_a",
+            "left_semi",
+        )
+        .join(
+            bc(survivors_aff.withColumnRenamed("node", "doc_b")),
+            "doc_b",
+            "left_semi",
+        )
+        .localCheckpoint(eager=False)
     )
-    sub_edges = edges_new.join(
-        survivors_aff.withColumnRenamed("node", "doc_a"), "doc_a", "left_semi"
-    ).join(survivors_aff.withColumnRenamed("node", "doc_b"), "doc_b", "left_semi")
     sub_labels = connected_components(sub_edges, "doc_a", "doc_b")
     relabelled = survivors_aff.join(sub_labels, "node", "left").select(
         "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
     )
     labels_new = (
-        labels.join(affected_comps, "component", "left_anti")
+        labels.join(bc(affected_comps), "component", "left_anti")
         .select("node", "component")
         .unionByName(relabelled)
     )  # single consumer (sel_new, itself checkpointed)
@@ -1203,46 +1256,67 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = hash_bucket("doc_id", salt="eval") < DECON_EVAL_PCT
     del_cg = decon_grams(deleted.filter(~is_eval), DECON_K)
     del_bg = decon_grams(deleted.filter(is_eval), DECON_K)
-    occ = (
-        rd(paths["decon_counts"])
-        .join(
-            del_cg.groupBy("g").agg(F.count(F.lit(1)).alias("n_del")),
-            "g",
-            "left",
-        )
+    # occurrence counts can only change for grams the DELETED docs
+    # held, so the count/bench/posting indexes are only SCANNED,
+    # probed by broadcast-small deletion-touched gram sets
+    del_cnt = del_cg.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_del")
+    ).localCheckpoint(eager=False)
+    std_cnt_del = rd(paths["decon_counts"]).join(bc(del_cnt.select("g")), "g")
+    newly_under_g = (
+        del_cnt.join(bc(std_cnt_del), "g", "left")
         .select(
             "g",
-            F.col("occ").alias("occ_std"),
-            (F.col("occ") - F.coalesce(F.col("n_del"), F.lit(0))).alias("occ_new"),
+            F.coalesce(F.col("occ"), F.lit(0)).alias("occ_std"),
+            (F.coalesce(F.col("occ"), F.lit(0)) - F.col("n_del")).alias(
+                "occ_new"
+            ),
         )
-    )
-    newly_under_g = occ.filter(
-        (F.col("occ_std") > DECON_DF_CAP)
-        & (F.col("occ_new") <= DECON_DF_CAP)
-        & (F.col("occ_new") > 0)
-    ).select("g")
-    bench_new = (
-        rd(paths["bench_grams"])
-        .join(
-            del_bg.select("g", "doc_id")
-            .distinct()
-            .groupBy("g")
-            .agg(F.count(F.lit(1)).alias("n_del")),
-            "g",
-            "left",
+        .filter(
+            (F.col("occ_std") > DECON_DF_CAP)
+            & (F.col("occ_new") <= DECON_DF_CAP)
+            & (F.col("occ_new") > 0)
         )
-        .filter(F.col("n_eval") - F.coalesce(F.col("n_del"), F.lit(0)) > 0)
         .select("g")
+        .localCheckpoint(eager=False)
     )
-    postings_new = rd(paths["decon_postings"]).join(del_ids, "doc_id", "left_anti")
+    # bench grams only SHRINK under deletion: the vanished set (eval
+    # doc-count decremented to zero) is deletion-bounded, and standing
+    # hits' grams are standing-bench by construction, so
+    # ⋉ surviving-bench ≡ anti vanished-bench
+    del_bg_cnt = (
+        del_bg.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_del"))
+        .localCheckpoint(eager=False)
+    )
+    std_bench_del = rd(paths["bench_grams"]).join(
+        bc(del_bg_cnt.select("g")), "g"
+    )
+    vanished_bench = (
+        del_bg_cnt.join(bc(std_bench_del), "g", "left")
+        .filter(
+            F.coalesce(F.col("n_eval"), F.lit(0)) - F.col("n_del") <= 0
+        )
+        .select("g")
+        .localCheckpoint(eager=False)
+    )
     hits_kept = (
         rd(paths["decon_hits"])
-        .join(del_ids, "doc_id", "left_anti")
-        .join(bench_new, "g", "left_semi")
+        .join(bc(del_ids), "doc_id", "left_anti")
+        .join(bc(vanished_bench), "g", "left_anti")
+    )
+    under_bench = (
+        rd(paths["bench_grams"])
+        .join(bc(newly_under_g), "g", "left_semi")
+        .select("g")
+        .join(bc(vanished_bench), "g", "left_anti")
     )
     hits_back = (
-        postings_new.join(newly_under_g, "g", "left_semi")
-        .join(bench_new, "g", "left_semi")
+        rd(paths["decon_postings"])
+        .join(bc(under_bench), "g", "left_semi")
+        .join(bc(del_ids), "doc_id", "left_anti")
         .select("doc_id", "g")
     )
     contaminated = (
