@@ -1041,8 +1041,10 @@ def catalog_expire(
     expiry only removes versions BELOW the oldest kept reference.
     Members referenced only by expired generations (dropped from the
     catalog since) are left untouched: expire or remove them
-    explicitly once they are truly retired. Destructive by contract —
-    run from the single catalog writer."""
+    explicitly once they are truly retired. Member versions ABOVE the
+    newest reference that a crashed or CAS-losing delivery left behind
+    are :func:`catalog_gc_orphans`'s job — the matching opt-in sweep.
+    Destructive by contract — run from the single catalog writer."""
     if keep_last < 1:
         raise ValueError("catalog_expire: keep_last must be >= 1")
     cur = catalog_current(cat_root)
