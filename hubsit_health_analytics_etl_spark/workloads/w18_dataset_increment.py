@@ -1046,8 +1046,12 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
        postings × surviving bench grams (bench-gram doc counts
        decrement, zero-count grams leave); hits of deleted docs and
        vanished bench grams drop;
-    6. selection re-evaluates from metadata; 7. the shared scrub
-       splice re-scrubs only cut-set-changed docs; 8. word counts
+    6. selection re-evaluates from metadata over A_f = deleted ∪
+       relabelled ∪ contamination-flipped docs ONLY (the
+       standing-corpus-independent form of the ingest splice — every
+       other doc's sel_old row passes through, standing tables are
+       only scanned via broadcast probes); 7. the shared scrub splice
+       (delta-fed) re-scrubs only cut-set-changed docs; 8. word counts
        SUBTRACT (disjointness makes the inverse exact) and the
        tokenizer retrains at vocab scale; 9. flagship verified-export
        tail.
@@ -1067,8 +1071,9 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     del_ids = deleted.select("doc_id").localCheckpoint(eager=False)
     bc = F.broadcast
 
-    # 1. annotations
-    ann_new = rd(paths["ann"]).join(bc(del_ids), "doc_id", "left_anti")
+    # 1. annotations need no materialized splice: deletion only REMOVES
+    # rows, and the A_f-scoped selection (stage 6) probes the standing
+    # table for surviving docs only
 
     # 2. exact groups: affected fps from the deleted docs' text only
     members = rd(paths["fp_members"])
@@ -1243,14 +1248,14 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     sub_labels = connected_components(sub_edges, "doc_a", "doc_b")
-    relabelled = survivors_aff.join(sub_labels, "node", "left").select(
-        "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+    relabelled = (
+        survivors_aff.join(sub_labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+        .localCheckpoint(eager=False)  # consumers: A_f, labels_A probe
     )
-    labels_new = (
-        labels.join(bc(affected_comps), "component", "left_anti")
-        .select("node", "component")
-        .unionByName(relabelled)
-    )  # single consumer (sel_new, itself checkpointed)
 
     # 5. decontamination inverse
     is_eval = hash_bucket("doc_id", salt="eval") < DECON_EVAL_PCT
@@ -1302,11 +1307,6 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
         .localCheckpoint(eager=False)
     )
-    hits_kept = (
-        rd(paths["decon_hits"])
-        .join(bc(del_ids), "doc_id", "left_anti")
-        .join(bc(vanished_bench), "g", "left_anti")
-    )
     under_bench = (
         rd(paths["bench_grams"])
         .join(bc(newly_under_g), "g", "left_semi")
@@ -1318,15 +1318,78 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bc(under_bench), "g", "left_semi")
         .join(bc(del_ids), "doc_id", "left_anti")
         .select("doc_id", "g")
+        .localCheckpoint(eager=False)  # consumers: Δ docs, contaminated_A
     )
-    contaminated = (
-        hits_kept.select("doc_id").union(hits_back.select("doc_id")).distinct()
+    # contamination can flip ONLY for docs gaining a reinstated hit or
+    # losing one to a vanished bench gram (a deleted doc's own hits
+    # die with it — it leaves the selection through A_f regardless)
+    contam_delta_docs = (
+        hits_back.select("doc_id")
+        .unionByName(
+            rd(paths["decon_hits"])
+            .join(bc(vanished_bench), "g", "left_semi")
+            .select("doc_id")
+        )
+        .distinct()
     )
 
-    # 6-9: shared selection / scrub / tokenizer / export tail
-    sel_new = _llm_selection(ann_new, labels_new, contaminated).localCheckpoint(eager=False)
+    # 6. selection re-evaluation over A_f only + pass-through (the
+    # standing-corpus-independent form of the ingest splice, applied
+    # to deletion): A_f = deleted ∪ relabelled ∪ contamination-flipped
+    # — any doc outside A_f has bit-identical annotations, component
+    # and contamination, so its sel_old row passes through
+    A_f = (
+        del_ids
+        .unionByName(relabelled.select(F.col("node").alias("doc_id")))
+        .unionByName(contam_delta_docs)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sel_eval = A_f.join(bc(del_ids), "doc_id", "left_anti").localCheckpoint(
+        eager=False  # the surviving A_f docs the selection re-evaluates
+    )
+    ann_A = rd(paths["ann"]).join(bc(sel_eval), "doc_id", "left_semi")
+    labels_A = relabelled.unionByName(
+        labels.join(
+            bc(
+                sel_eval.select(F.col("doc_id").alias("node")).join(
+                    relabelled.select("node"), "node", "left_anti"
+                )
+            ),
+            "node",
+            "left_semi",
+        )
+    )
+    contaminated_A = (
+        rd(paths["decon_hits"])
+        .join(bc(sel_eval), "doc_id", "left_semi")
+        .join(bc(vanished_bench), "g", "left_anti")
+        .select("doc_id")
+        .unionByName(
+            hits_back.join(bc(sel_eval), "doc_id", "left_semi").select(
+                "doc_id"
+            )
+        )
+        .distinct()
+    )
+    sel_cand = _llm_selection(ann_A, labels_A, contaminated_A).localCheckpoint(
+        eager=False
+    )
+    sel_old = rd(paths["sel"])
+    sel_old_A = sel_old.join(bc(A_f), "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
+    sel_new = sel_old.join(bc(A_f), "doc_id", "left_anti").unionByName(sel_cand)
+    dlt = {
+        "A": A_f,
+        "sel_cand": sel_cand,
+        "added": sel_cand.join(bc(sel_old_A), "doc_id", "left_anti"),
+        "removed": sel_old_A.join(bc(sel_cand), "doc_id", "left_anti"),
+    }
+
+    # 7-9: shared scrub / tokenizer / export tail
     skept_new, dwc_new, _, _ = _scrub_splice(
-        spark, docs, paths, rd(paths["sel"]), sel_new
+        spark, docs, paths, sel_old, sel_new, delta=dlt
     )
     rwf_new = (
         rd(paths["rwf"])
