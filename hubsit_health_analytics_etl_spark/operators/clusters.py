@@ -21,6 +21,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+# Broadcast guard for the edge-splice's COMPONENT-bounded membership
+# frame (ADVICE r16 medium): (node, component) rows ≈ 16 B, so 1M
+# rows ≈ 16 MB of driver/executor broadcast — fixture-scale splices
+# always take the fast path; a batch edge touching a mega-cluster
+# (skewed near-duplicate distributions) falls back to shuffle
+# semi-joins instead of OOMing the driver. See SCALING.md.
+SPLICE_MEMBER_BCAST_CAP = 1_000_000
+
 
 def connected_components(
     pairs: DataFrame,
@@ -453,9 +461,23 @@ def splice_cluster_edges(
     affected = index_labels.join(
         F.broadcast(affected_comps), "component"
     ).localCheckpoint(eager=False)
+    # ADVICE r16 medium: `affected` is COMPONENT-size bounded, not
+    # batch-bounded — one batch edge touching a giant near-duplicate
+    # cluster pulls the whole component in. Probe its size (the count
+    # doubles as the eager materialization of the checkpoint every
+    # consumer shares) and demote the membership broadcast to a
+    # shuffle semi-join past the cap; the skew assumption and this
+    # fallback are documented in SCALING.md. touched/affected_comps
+    # stay broadcast — those are delta-bounded by construction.
+    n_members = affected.count()
+    bcm = (
+        F.broadcast
+        if n_members <= SPLICE_MEMBER_BCAST_CAP
+        else (lambda df: df)
+    )
     e = index_edges.select(F.col(src).alias("doc_a"), F.col(dst).alias("doc_b"))
     e = e.join(
-        F.broadcast(affected.select(F.col("node").alias("doc_a"))),
+        bcm(affected.select(F.col("node").alias("doc_a"))),
         "doc_a",
         "left_semi",
     )

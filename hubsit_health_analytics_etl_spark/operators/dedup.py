@@ -315,7 +315,10 @@ def incremental_minhash_candidates(
     cap-ness never matters. Broadcast hints here encode the splice
     contract — batch ≪ standing corpus (SCALING.md); ``observation``
     counts in this path cover the batch-touched buckets only (the
-    only ones whose drops can suppress a batch pair)."""
+    only ones whose drops can suppress a batch pair) and are named
+    ``dropped_touched_buckets`` / ``dropped_touched_members`` so they
+    cannot be conflated with the generic path's all-oversized-bucket
+    ``dropped_buckets`` / ``dropped_members`` audit."""
     if new_index is None:
         new_bands, new_shingles = minhash_signature_index(new_docs, id_col, text_col)
     else:
@@ -346,11 +349,19 @@ def incremental_minhash_candidates(
         )
         oversized = F.col("n") > F.lit(int(bucket_cap))
         if observation is not None:
+            # distinct metric NAMES from the generic path (ADVICE r16
+            # low): this path audits only batch-TOUCHED buckets (the
+            # only ones whose drops can suppress a batch pair), so a
+            # dashboard comparing against the generic path's
+            # all-oversized-buckets counts must not conflate the two
+            # semantics under one column name.
             sizes = sizes.observe(
                 observation,
-                F.sum(F.when(oversized, 1).otherwise(0)).alias("dropped_buckets"),
+                F.sum(F.when(oversized, 1).otherwise(0)).alias(
+                    "dropped_touched_buckets"
+                ),
                 F.sum(F.when(oversized, F.col("n")).otherwise(0)).alias(
-                    "dropped_members"
+                    "dropped_touched_members"
                 ),
             )
         ok = sizes.filter(~oversized).select(

@@ -1131,11 +1131,16 @@ def catalog_gc_orphans(
     now = time.time()
     for name, (rel, max_ref) in ceilings.items():
         troot = os.path.join(cat_root, rel)
-        versions = list_versions(troot)
+        # ALL manifests on disk, not list_versions: that helper is
+        # pointer-scoped, and this sweep resets the pointer FIRST
+        # (see ordering note below) — a resumed sweep must still see
+        # the above-pointer manifests its crashed predecessor left
+        versions = sorted(
+            int(os.path.basename(m)[1:-5])
+            for m in glob.glob(os.path.join(troot, "manifests", "v*.json"))
+        )
         doomed = [v for v in versions if v > max_ref]
-        if not doomed:
-            continue
-        if any(
+        if doomed and any(
             now - os.path.getmtime(_manifest_path(troot, v)) <= orphan_grace_s
             for v in doomed
         ):
@@ -1146,30 +1151,67 @@ def catalog_gc_orphans(
             if v <= max_ref
             for f in read_manifest(troot, v)["files"]
         }
-        doomed_files: set[str] = set()
-        for v in doomed:
-            doomed_files.update(
-                os.path.abspath(_abs_file(troot, f))
-                for f in read_manifest(troot, v)["files"]
-            )
-        for f in sorted(doomed_files - kept_files):
-            if os.path.exists(f):
-                os.remove(f)
-        for v in doomed:
-            os.remove(_manifest_path(troot, v))
+        if doomed:
+            doomed_files: set[str] = set()
+            for v in doomed:
+                doomed_files.update(
+                    os.path.abspath(_abs_file(troot, f))
+                    for f in read_manifest(troot, v)["files"]
+                )
+            # Destruction ORDER is the crash-safety argument (ADVICE
+            # r16 medium): pointer first, then manifests newest-first,
+            # then data files. A crash at any point leaves either (a)
+            # intact manifests above the pointer whose files all still
+            # exist — re-doomed by the next sweep, and any replayed
+            # sink delivery sees current_version == the catalog pin,
+            # so it never adopts half-collected state — or (b)
+            # unreferenced data files only, invisible to every reader
+            # and swept by the aged above-pointer dir GC below (which
+            # runs even when nothing is doomed, so a crashed sweep's
+            # file debris is reclaimed on the next run). The OLD order
+            # (files before manifests) could strand an adoptable
+            # orphan manifest with some of its files deleted: a
+            # replayed delivery passing the parent/batch_id adoption
+            # gate would publish a catalog generation referencing
+            # missing files — silent torn reads.
+            token = uuid.uuid4().hex[:8]
+            ptmp = os.path.join(troot, _POINTER + f".{token}.tmp")
+            with open(ptmp, "w") as f:
+                f.write(str(max_ref))
+            os.replace(ptmp, os.path.join(troot, _POINTER))
+            for v in sorted(doomed, reverse=True):
+                os.remove(_manifest_path(troot, v))
+            for f in sorted(doomed_files - kept_files):
+                if os.path.exists(f):
+                    os.remove(f)
+            out[name] = doomed
         for d in glob.glob(os.path.join(troot, "data", "v*")):
-            if (
-                os.path.isdir(d)
-                and _data_dir_version(d) > max_ref
-                and not glob.glob(os.path.join(d, "*.parquet"))
+            dv = _data_dir_version(d)
+            if not os.path.isdir(d) or dv <= max_ref:
+                continue
+            manifestless = not os.path.exists(_manifest_path(troot, dv))
+            leftover = glob.glob(os.path.join(d, "*.parquet"))
+            if not leftover:
+                # empty dir: this sweep's own emptied dirs (dv in
+                # doomed) go immediately; a FOREIGN empty dir might be
+                # an in-flight writer's just-created staging — age-
+                # gate it like expire_versions' above-pointer GC
+                if dv in (doomed or []) or (
+                    manifestless
+                    and now - os.path.getmtime(d) > orphan_grace_s
+                ):
+                    shutil.rmtree(d)
+            elif (
+                manifestless
+                and now - os.path.getmtime(d) > orphan_grace_s
+                and not any(
+                    os.path.abspath(f) in kept_files for f in leftover
+                )
             ):
+                # debris of a PRIOR crashed sweep (manifests already
+                # gone, files not yet): no manifest references the
+                # dir, no kept version claims its files, and the age
+                # gate protects an in-flight delivery's fresh staging
+                # — same rule as expire_versions' above-pointer GC
                 shutil.rmtree(d)
-        # reset the pointer to the newest surviving reference (the
-        # removed suffix included the old pointer target)
-        token = uuid.uuid4().hex[:8]
-        ptmp = os.path.join(troot, _POINTER + f".{token}.tmp")
-        with open(ptmp, "w") as f:
-            f.write(str(max_ref))
-        os.replace(ptmp, os.path.join(troot, _POINTER))
-        out[name] = doomed
     return out

@@ -86,7 +86,12 @@ def _member_spec(k: str, v: int) -> "tuple[str, int]":
     return (os.path.join("tables", k), v)
 
 
-def llm_dataset_stream_sink(cat_root: str) -> Callable[[DataFrame, int], None]:
+def llm_dataset_stream_sink(
+    cat_root: str,
+    gc_every_n_batches: "int | None" = None,
+    gc_orphan_grace_s: float = 3600.0,
+    keep_last_generations: "int | None" = None,
+) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` callable maintaining the dataset-build standing
     state at ``cat_root`` (a catalog of versioned member tables) from
     a stream of new documents::
@@ -97,6 +102,30 @@ def llm_dataset_stream_sink(cat_root: str) -> Callable[[DataFrame, int], None]:
     Batch schema: the ``documents`` table's (doc_id, text, source,
     ...). Batches must carry distinct, never-before-seen doc_ids (the
     ingest contract of the batch *_new_batch laws).
+
+    ``gc_every_n_batches`` (opt-in, VERDICT r16 #6): every Nth
+    successfully published batch runs the
+    `sources/versioned.py::catalog_gc_orphans` sweep from inside the
+    sink — the single catalog writer, immediately after its own
+    publish, so the never-concurrent-with-a-delivery contract holds
+    by construction. ``gc_orphan_grace_s`` is the sweep's age gate;
+    keep it comfortably above the longest delivery time so a RACING
+    restart's in-flight adoption target is never collected (the
+    default 1 h matches the manual-sweep recipe).
+
+    ``keep_last_generations`` (opt-in retention, same cadence): also
+    runs `catalog_expire(cat_root, keep_last_generations)`. The TWO
+    sweeps together are what bounds a replay-heavy stream's disk:
+    a crashed delivery's member versions sit ABOVE the catalog
+    references only until the replayed delivery re-commits on top of
+    them — from then on they are MID-CHAIN garbage that only
+    generation retirement (`catalog_expire`, whose per-member floor
+    is the oldest KEPT generation's reference) can reclaim, while
+    `catalog_gc_orphans` covers the complementary tail (a stream that
+    died with orphans still on top and was swept before restart).
+    The drill in tests/test_streaming_dataset_increment.py pins the
+    boundedness law: with both sweeps on, a crashed-then-replayed
+    stream's final on-disk footprint equals an uninterrupted run's.
     """
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
@@ -104,6 +133,7 @@ def llm_dataset_stream_sink(cat_root: str) -> Callable[[DataFrame, int], None]:
 
         from ..sources.versioned import (
             ConcurrentWriteError,
+            _abs_file,
             catalog_commit,
             catalog_current,
             commit_version,
@@ -181,7 +211,28 @@ def llm_dataset_stream_sink(cat_root: str) -> Callable[[DataFrame, int], None]:
                     # a previous delivery of THIS batch appended the
                     # corpus and crashed before the catalog publish —
                     # adopt its version instead of appending the same
-                    # batch a second time
+                    # batch a second time. Adoption gate #3 (ADVICE
+                    # r16 medium): every file the orphan manifest
+                    # lists must still exist — a gc sweep that
+                    # crashed mid-collection must never be published
+                    # into a catalog generation as torn reads.
+                    missing = [
+                        f
+                        for f in orphan["files"]
+                        if not os.path.exists(_abs_file(docs_root, f))
+                    ]
+                    if missing:
+                        raise ConcurrentWriteError(
+                            f"dataset-increment sink: orphan docs "
+                            f"version {tcur} matches this delivery "
+                            f"(batch_id={batch_id!r}) but "
+                            f"{len(missing)} of its data files are "
+                            f"missing (e.g. {missing[0]!r}) — a "
+                            f"partial gc collected it; refusing to "
+                            f"adopt torn state. Run "
+                            f"catalog_gc_orphans to finish the sweep, "
+                            f"then restart the stream."
+                        )
                     versions[DOCS_MEMBER] = tcur
                 else:
                     raise ConcurrentWriteError(
@@ -226,5 +277,20 @@ def llm_dataset_stream_sink(cat_root: str) -> Callable[[DataFrame, int], None]:
             expected_parent=cur,
             extra={"batch_id": batch_id},
         )
+        if gc_every_n_batches and (batch_id + 1) % gc_every_n_batches == 0:
+            # steady-state sweeps (VERDICT r16 #6): we ARE the single
+            # catalog writer and our publish just landed, so nothing
+            # above the new generation's references is an in-flight
+            # delivery of ours — only the age gate's protection of a
+            # foreign/raced writer remains needed
+            from ..sources.versioned import catalog_expire, catalog_gc_orphans
+
+            catalog_gc_orphans(cat_root, orphan_grace_s=gc_orphan_grace_s)
+            if keep_last_generations:
+                catalog_expire(
+                    cat_root,
+                    keep_last_generations,
+                    orphan_grace_s=gc_orphan_grace_s,
+                )
 
     return _apply

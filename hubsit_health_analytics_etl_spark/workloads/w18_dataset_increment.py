@@ -46,6 +46,16 @@ from .w10_dataset_build import (  # noqa: E402
 )
 
 
+# Broadcast guard for the scrub-splice's HOLDER-bounded frames
+# (ADVICE r16 medium): rows of (doc_id, pos) ≈ 16 B each, so 1M rows
+# ≈ 16 MB — comfortably under driver/executor headroom while still
+# letting every fixture-scale splice take the broadcast fast path. A
+# batch touching a boilerplate gram with more standing holders than
+# this falls back to shuffle joins (correct, corpus-∝ shuffle on the
+# affected slice only — the price of a df-uncapped span-gram index).
+SPLICE_HOLDER_BCAST_CAP = 1_000_000
+
+
 def _llm_selection(ann, labels, contaminated):
     """The flagship's stage-1-4 keep decision from METADATA tables
     only (no text): per-doc annotations, spliced (node, component)
@@ -109,8 +119,9 @@ def _scrub_splice(spark, docs, paths, sel_old, sel_new, arts=None, delta=None):
 
     ``delta``: the in-bound dict `_splice_selection` filled —
     ``added``/``removed`` are taken from it when present instead of
-    being re-derived from two corpus-sized anti-joins (the forget
-    pass, which computes its own selection, omits it). Broadcast
+    being re-derived from two corpus-sized anti-joins (all three
+    callers — ingest, merge-only and the forget pass's A_f-scoped
+    selection — now supply it; commit 704c6a7). Broadcast
     hints encode the splice contract: added/removed/changed ≪ corpus
     (SCALING.md).
 
@@ -150,6 +161,18 @@ def _scrub_splice(spark, docs, paths, sel_old, sel_new, arts=None, delta=None):
     std_aff_pos = spost.join(bc(g_aff), "gh", "left_semi").localCheckpoint(
         eager=False
     )
+    # ADVICE r16 medium: the affected-holder slice is HOLDER-count
+    # bounded, not batch-bounded — span-gram postings carry no df cap,
+    # so ONE boilerplate gram in the batch makes this slice (and every
+    # frame derived from it: aff_positions, cut_diff_docs, changed)
+    # corpus-proportional. Broadcasting such a slice OOMs the driver
+    # at scale, so probe its size (the count doubles as the eager
+    # materialization of the checkpoint every consumer shares) and
+    # demote the holder-bounded broadcasts to shuffle joins past the
+    # cap. Batch-bounded frames (added/removed/g_aff/owners_aff) keep
+    # their hints unconditionally — those ARE ≪ corpus by contract.
+    n_aff_post = std_aff_pos.count()
+    bch = bc if n_aff_post <= SPLICE_HOLDER_BCAST_CAP else (lambda df: df)
     aff_pos = (
         std_aff_pos.join(bc(removed), "doc_id", "left_anti")
         .unionByName(add_grams)
@@ -175,10 +198,10 @@ def _scrub_splice(spark, docs, paths, sel_old, sel_new, arts=None, delta=None):
     # (every standing cut row's gram is a standing posting, so rows of
     # affected grams are exactly the rows at std_aff_pos positions)
     std_cut_aff = std_cut.join(
-        bc(aff_positions), ["doc_id", "pos"], "left_semi"
+        bch(aff_positions), ["doc_id", "pos"], "left_semi"
     ).join(bc(removed), "doc_id", "left_anti")
     cut_passthrough = std_cut.join(bc(removed), "doc_id", "left_anti").join(
-        bc(aff_positions), ["doc_id", "pos"], "left_anti"
+        bch(aff_positions), ["doc_id", "pos"], "left_anti"
     )
     # affected-scope symmetric diff == the full cut_new Δ cut diff
     # restricted to docs that can survive ⋉ sel_new
@@ -194,18 +217,18 @@ def _scrub_splice(spark, docs, paths, sel_old, sel_new, arts=None, delta=None):
         .distinct()
     )
     changed = (
-        sel_new.join(bc(cut_diff_docs), "doc_id", "left_semi")
+        sel_new.join(bch(cut_diff_docs), "doc_id", "left_semi")
         .union(added.select("doc_id"))
         .distinct()
         .localCheckpoint(eager=False)
     )
     cut_changed = (
-        std_cut.join(bc(changed), "doc_id", "left_semi")
-        .join(bc(aff_positions), ["doc_id", "pos"], "left_anti")
-        .unionByName(cut_aff.join(bc(changed), "doc_id", "left_semi"))
+        std_cut.join(bch(changed), "doc_id", "left_semi")
+        .join(bch(aff_positions), ["doc_id", "pos"], "left_anti")
+        .unionByName(cut_aff.join(bch(changed), "doc_id", "left_semi"))
     )
     scr_changed = apply_cut_positions(
-        docs.join(bc(changed), "doc_id"),
+        docs.join(bch(changed), "doc_id"),
         cut_changed,
         SPAN_GRAM,
     ).localCheckpoint(eager=False)
@@ -214,13 +237,13 @@ def _scrub_splice(spark, docs, paths, sel_old, sel_new, arts=None, delta=None):
     skept_new = (
         rd(paths["skept"])
         .join(bc(removed), "doc_id", "left_anti")
-        .join(bc(changed), "doc_id", "left_anti")
+        .join(bch(changed), "doc_id", "left_anti")
         .unionByName(scr_changed.select("doc_id", "n_tokens_kept"))
     )
     dwc_new = (
         rd(paths["dwc"])
         .join(bc(removed), "doc_id", "left_anti")
-        .join(bc(changed), "doc_id", "left_anti")
+        .join(bch(changed), "doc_id", "left_anti")
         .unionByName(_scrub_wordcounts(scr_changed))
     )
     if arts is not None:

@@ -473,3 +473,41 @@ def test_bucket_underflow_candidates_crafted(spark):
         ).count()
         == 0
     )
+
+
+def test_splice_cluster_edges_shuffle_fallback_equals_broadcast(
+    spark, monkeypatch
+):
+    """The member-broadcast skew guard (ADVICE r16 medium): forcing
+    SPLICE_MEMBER_BCAST_CAP to 0 demotes the affected-membership
+    broadcast to a shuffle semi-join — the splice result must be
+    row-identical to the broadcast fast path (same crafted
+    add+remove+split scenario as the law test above)."""
+    import hubsit_health_analytics_etl_spark.operators.clusters as c
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 10, 11, 20, 21)], "node long"
+    )
+    labels = nodes.join(
+        c.connected_components(edges), "node", "left"
+    ).selectExpr("node", "coalesce(component, node) as component")
+    new_edges = spark.createDataFrame(
+        [(3, 10), (20, 30)], "doc_a long, doc_b long"
+    )
+    removed = spark.createDataFrame([(2, 3)], "doc_a long, doc_b long")
+    new_nodes = spark.createDataFrame([(30,)], "node long")
+
+    def run():
+        return {
+            r["node"]: r["component"]
+            for r in c.splice_cluster_edges(
+                labels, edges, new_edges, removed, new_nodes
+            ).collect()
+        }
+
+    fast = run()
+    monkeypatch.setattr(c, "SPLICE_MEMBER_BCAST_CAP", 0)
+    assert run() == fast and len(fast) == 8

@@ -5294,3 +5294,26 @@ def test_interarrival_matches_pure_python_reference(spark):
             r["min_gap_d"] <= r["p50_gap_d"] <= r["p90_gap_d"]
             <= r["max_gap_d"]
         )
+
+
+def test_scrub_splice_shuffle_fallback_equals_broadcast(spark, monkeypatch):
+    """The holder-broadcast skew guard (ADVICE r16 medium): forcing
+    SPLICE_HOLDER_BCAST_CAP to 0 demotes every holder-bounded
+    broadcast in the scrub splice to a shuffle join — the full
+    llm_dataset_new_batch dump must be row-identical to the broadcast
+    fast path (splice ≡ rebuild is already oracle-pinned; this pins
+    fallback ≡ fast path)."""
+    import hubsit_health_analytics_etl_spark.workloads.w18_dataset_increment as w18
+    from hubsit_health_analytics_etl_spark.workload import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    def rows():
+        return sorted(
+            map(tuple, QUERIES["llm_dataset_new_batch"](
+                spark, SF_SMOKE
+            ).collect())
+        )
+
+    fast = rows()
+    monkeypatch.setattr(w18, "SPLICE_HOLDER_BCAST_CAP", 0)
+    assert rows() == fast and len(fast) > 0

@@ -494,3 +494,56 @@ def test_pca_reduce_scalars_match_exact_python_replay(spark):
         recon = math.floor(max(0.0, tot - kept) * 1000000.0 / float(dim))
         assert r.energy_kept_u6 == energy, (r.vec_id, r.energy_kept_u6, energy)
         assert r.recon_err_u6 == recon, (r.vec_id, r.recon_err_u6, recon)
+
+
+# Gate-shape contract for the rows-only queries (VERDICT r16 #7): the
+# driver's rows-only record is just a row count, and the numpy
+# replicas above pin exact shapes — a recall/accuracy harness is one
+# scalar row, ann_opq_adc_topk is 10 query vectors x k=10 ADC hits,
+# embedding_pca_reduce is one row per embeddings vector (the table
+# ships 500 vectors at EVERY sf — the driver generates a fixed-size
+# embedding fixture). These constants are sf-independent, so the
+# sf0.01 gate artifact and the sf0.001 replica suite must agree on
+# them; a silent row-shape drift can therefore no longer pass both.
+EXPECTED_GATE_ROWS = {
+    "ann_kmeans_ivf_recall": 1,
+    "ann_pq_trained_recall": 1,
+    "ann_opq_adc_topk": 100,
+    "doc_quality_trained_model": 1,
+    "embedding_pca_reduce": 500,
+}
+
+
+def test_latest_gate_artifact_rows_only_shapes_match_replicas():
+    """Cross-check the newest committed CORRECTNESS_r*.json against
+    the replica suite's expected shapes: every rows-only query the
+    gate recorded must carry err='no_oracle' and exactly the row
+    count the numpy replicas verify, and NO query outside ROWS_ONLY
+    may be a no_oracle row (a new rows-only query must opt in here
+    with a replica, never inherit the weaker record silently)."""
+    import json
+    import re
+
+    arts = sorted(
+        REPO.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    assert arts, "no CORRECTNESS_r*.json artifacts committed"
+    latest = json.loads(arts[-1].read_text())
+    assert set(EXPECTED_GATE_ROWS) == set(ROWS_ONLY)
+    for name, rec in latest.items():
+        if not isinstance(rec, dict):
+            continue
+        if name in EXPECTED_GATE_ROWS:
+            if rec.get("err") == "no_oracle":
+                assert rec.get("spark_rows") == EXPECTED_GATE_ROWS[name], (
+                    f"{name}: gate recorded spark_rows="
+                    f"{rec.get('spark_rows')}, replicas pin "
+                    f"{EXPECTED_GATE_ROWS[name]} ({arts[-1].name})"
+                )
+        else:
+            assert rec.get("err") != "no_oracle", (
+                f"{name} is a no_oracle gate row but has no numpy "
+                f"replica in tests/test_rows_only_verification.py "
+                f"({arts[-1].name})"
+            )

@@ -11,6 +11,7 @@ import os
 import shutil
 
 import pyspark.sql.functions as F
+import pytest
 
 from .conftest import SF_SMOKE
 
@@ -29,6 +30,7 @@ def _dump_rows(df):
     )
 
 
+@pytest.mark.slow
 def test_streamed_dataset_increment_equals_from_scratch_build(
     spark, tmp_path
 ):
@@ -214,6 +216,7 @@ def test_sink_crash_between_member_and_catalog_commits_recovers(
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_sink_kill_and_restart_from_checkpoint_converges(
     spark, tmp_path, monkeypatch
 ):
@@ -323,6 +326,7 @@ def test_sink_refuses_foreign_docs_orphan(spark, tmp_path):
     assert v.catalog_current(cat_root) == 0
 
 
+@pytest.mark.slow
 def test_catalog_gc_orphans_reclaims_crashed_delivery(
     spark, tmp_path, monkeypatch
 ):
@@ -436,3 +440,135 @@ def test_sink_refuses_when_another_writer_advances_the_catalog(
     # the winner's generation stands; nothing was silently replaced
     assert v.catalog_current(cat_root) == 1
     assert v.read_catalog(cat_root)["tables"]["docs"]["version"] == 0
+
+
+def _catalog_footprint(cat_root):
+    """Per-member on-disk file counts {(member, kind): n} — the
+    disk-boundedness statistic (file NAMES carry uuid tokens and
+    parquet bytes carry timestamps, so counts are the deterministic
+    comparable)."""
+    out: dict = {}
+    for dirpath, _, files in os.walk(cat_root):
+        rel = os.path.relpath(dirpath, cat_root)
+        parts = rel.split(os.sep)
+        key = "/".join(parts[:2]) if parts[0] == "tables" else "_catalog"
+        for f in files:
+            kind = (
+                "parquet"
+                if f.endswith(".parquet")
+                else "manifest" if f.endswith(".json") else "other"
+            )
+            out[(key, kind)] = out.get((key, kind), 0) + 1
+    return out
+
+
+@pytest.mark.slow
+def test_gc_hook_bounds_crashed_replay_disk_to_clean_baseline(
+    spark, tmp_path, monkeypatch
+):
+    """Steady-state disk boundedness (VERDICT r16 #6): with the
+    sink's opt-in sweeps on (gc_every_n_batches=1 orphan GC +
+    keep_last_generations=1 retention), a stream that CRASHES at a
+    catalog publish and is then replayed ends with exactly the
+    on-disk footprint of an uninterrupted run — the crashed
+    delivery's member versions (above-reference orphans that the
+    replay's re-commits turn into mid-chain garbage) are fully
+    reclaimed, and the final dump still equals the from-scratch
+    flagship plan."""
+    import hubsit_health_analytics_etl_spark.sources.versioned as v
+    from hubsit_health_analytics_etl_spark.streaming.dataset_increment import (
+        llm_dataset_stream_sink,
+    )
+    from hubsit_health_analytics_etl_spark.workloads.w10_dataset_build import (
+        _llm_dataset_plan,
+    )
+
+    docs, (a, b, c) = _three_slices(spark)
+    policy = dict(
+        gc_every_n_batches=1,
+        gc_orphan_grace_s=0.0,
+        keep_last_generations=1,
+    )
+
+    clean_root = str(tmp_path / "clean")
+    sink = llm_dataset_stream_sink(clean_root, **policy)
+    sink(a, 0)
+    sink(b, 1)
+    sink(c, 2)
+    baseline = _catalog_footprint(clean_root)
+
+    crash_root = str(tmp_path / "crashed")
+    sink2 = llm_dataset_stream_sink(crash_root, **policy)
+    sink2(a, 0)
+    real_commit = v.catalog_commit
+
+    def crash_on_batch_1(cat, tables, **kw):
+        if (kw.get("extra") or {}).get("batch_id") == 1:
+            raise RuntimeError("injected kill before catalog swap")
+        return real_commit(cat, tables, **kw)
+
+    monkeypatch.setattr(v, "catalog_commit", crash_on_batch_1)
+    try:
+        sink2(b, 1)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(v, "catalog_commit", real_commit)
+    # the crashed delivery left orphaned member versions on disk
+    assert _catalog_footprint(crash_root) != baseline
+    sink2(b, 1)  # replay: adopts the docs orphan, re-commits members
+    sink2(c, 2)
+
+    assert v.catalog_current(crash_root) == 2
+    assert _catalog_footprint(crash_root) == baseline
+    got = _dump_rows(v.read_catalog_table(spark, crash_root, "dump"))
+    want = _dump_rows(_llm_dataset_plan(spark, SF_SMOKE))
+    assert got == want and len(got) > 0
+
+
+def test_sink_refuses_to_adopt_orphan_with_missing_files(
+    spark, tmp_path, monkeypatch
+):
+    """Adoption gate #3 (ADVICE r16 medium): an orphan docs version
+    that matches this delivery by (parent, batch_id) but has LOST a
+    data file (the torn state a crashed pre-r17 gc sweep could leave)
+    must be refused loudly — publishing it into a catalog generation
+    would be silent torn reads at every consumer."""
+    import hubsit_health_analytics_etl_spark.sources.versioned as v
+    from hubsit_health_analytics_etl_spark.streaming.dataset_increment import (
+        llm_dataset_stream_sink,
+    )
+
+    _, (a, b, _c) = _three_slices(spark)
+    cat_root = str(tmp_path / "cat")
+    sink = llm_dataset_stream_sink(cat_root)
+    sink(a, 0)
+
+    # crash batch 1 at the catalog publish: docs orphan v1 remains
+    real_commit = v.catalog_commit
+    monkeypatch.setattr(
+        v,
+        "catalog_commit",
+        lambda *ar, **kw: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    try:
+        sink(b, 1)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(v, "catalog_commit", real_commit)
+
+    docs_root = f"{cat_root}/tables/docs"
+    assert v.current_version(docs_root) == 1
+    # tear the orphan: remove one data file its manifest lists while
+    # the manifest (and the batch_id adoption proof) stay intact
+    own = [
+        f
+        for f in v.read_manifest(docs_root, 1)["files"]
+        if f not in set(v.read_manifest(docs_root, 0)["files"])
+    ]
+    assert own, "append version lists no files of its own"
+    os.remove(v._abs_file(docs_root, own[0]))
+
+    with pytest.raises(v.ConcurrentWriteError, match="missing"):
+        sink(b, 1)
+    # nothing was published over the torn state
+    assert v.catalog_current(cat_root) == 0

@@ -1109,3 +1109,150 @@ def test_catalog_lifecycle_random_ops_match_python_model(spark, tmp_path):
         if expired:
             with pytest.raises(FileNotFoundError):
                 read_catalog(cat, sorted(expired)[0])
+
+
+def test_catalog_gc_orphans_crash_sweep_never_leaves_torn_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """Exhaustive crash-point sweep of catalog_gc_orphans' destruction
+    sequence (ADVICE r16 medium). The sweep's ORDER — pointer reset,
+    then doomed manifests newest-first, then data files, then dirs —
+    is the crash-safety argument: killing the sweep after ANY prefix
+    of its destructive filesystem ops must leave (a) every surviving
+    above-pointer manifest with ALL of its listed files on disk (so a
+    replayed sink delivery can never adopt torn state), and (b) a
+    state from which re-running the sweep converges to exactly the
+    clean-run end state (self-healing). The OLD order (files before
+    manifests) fails (a): a crash between the two loops strands an
+    adoptable manifest whose files are gone — silent torn reads."""
+    import shutil
+
+    import hubsit_health_analytics_etl_spark.sources.versioned as v
+
+    def build(root):
+        troot = os.path.join(root, "tables", "docs")
+        v0 = commit_version(_mk(spark, [(1, "a"), (2, "b")]), troot)
+        v.catalog_commit(
+            root,
+            {"docs": (os.path.join("tables", "docs"), v0)},
+            expected_parent=None,
+        )
+        # a crashed delivery's orphans above the catalog reference:
+        # two appends (manifest chains reference parent files) + the
+        # pointer sitting on the orphan top
+        v.commit_version(
+            _mk(spark, [(3, "c")]), troot, mode="append",
+            extra={"batch_id": 1},
+        )
+        v.commit_version(
+            _mk(spark, [(4, "d")]), troot, mode="append",
+            extra={"batch_id": 2},
+        )
+
+    def snapshot(root):
+        """Shape of the tree, token-normalized: data dirs are named
+        v{n}_{random token} and parquet parts carry uuids, so compare
+        (normalized dir, file kind) COUNTS plus pointer contents."""
+        import re
+
+        cnt: dict = {}
+        ptrs: dict = {}
+        for dirpath, _, files in os.walk(root):
+            rel = re.sub(
+                r"(v\d+)_[0-9a-f]+",
+                r"\1",
+                os.path.relpath(dirpath, root),
+            )
+            for f in files:
+                if f.endswith(".tmp"):
+                    # a crash at the pointer swap strands its token-
+                    # named staging file — invisible to every reader
+                    # (only the atomic os.replace publishes it)
+                    continue
+                if f in (v._POINTER, v._CAT_POINTER):
+                    ptrs[os.path.join(rel, f)] = open(
+                        os.path.join(dirpath, f)
+                    ).read()
+                    continue
+                kind = (
+                    "parquet"
+                    if f.endswith(".parquet")
+                    else "crc" if f.endswith(".crc") else f
+                )
+                key = (rel, kind)
+                cnt[key] = cnt.get(key, 0) + 1
+        return (sorted(cnt.items()), sorted(ptrs.items()))
+
+    def destructive_counter(limit):
+        """Wrap the three destructive primitives; raise at call #limit
+        (1-indexed); limit=None counts only."""
+        state = {"n": 0}
+        real = (os.remove, os.replace, shutil.rmtree)
+
+        def wrap(fn):
+            def inner(*a, **kw):
+                state["n"] += 1
+                if limit is not None and state["n"] == limit:
+                    raise RuntimeError("injected gc crash")
+                return fn(*a, **kw)
+
+            return inner
+
+        return state, wrap(real[0]), wrap(real[1]), wrap(real[2])
+
+    def torn_manifests(root):
+        """Above-pointer manifests with any listed file missing."""
+        torn = []
+        troot = os.path.join(root, "tables", "docs")
+        cur = current_version(troot)
+        for n in list_versions(troot):
+            if cur is not None and n <= cur:
+                continue
+            m = read_manifest(troot, n)
+            if any(
+                not os.path.exists(_abs_file(troot, f))
+                for f in m["files"]
+            ):
+                torn.append(n)
+        return torn
+
+    # clean run: count destructive ops + record the converged state
+    clean = str(tmp_path / "clean")
+    build(clean)
+    state, rm, rp, rt = destructive_counter(None)
+    monkeypatch.setattr(os, "remove", rm)
+    monkeypatch.setattr(os, "replace", rp)
+    monkeypatch.setattr(shutil, "rmtree", rt)
+    assert v.catalog_gc_orphans(clean, orphan_grace_s=0.0) == {
+        "docs": [1, 2]
+    }
+    monkeypatch.undo()
+    n_ops = state["n"]
+    assert n_ops >= 4  # pointer + 2 manifests + >=1 data file
+    want = snapshot(clean)
+
+    for k in range(1, n_ops + 1):
+        root = str(tmp_path / f"crash_{k}")
+        build(root)
+        _, rm, rp, rt = destructive_counter(k)
+        monkeypatch.setattr(os, "remove", rm)
+        monkeypatch.setattr(os, "replace", rp)
+        monkeypatch.setattr(shutil, "rmtree", rt)
+        try:
+            v.catalog_gc_orphans(root, orphan_grace_s=0.0)
+            raised = False
+        except RuntimeError:
+            raised = True
+        finally:
+            monkeypatch.undo()
+        assert raised, f"crash point {k} did not fire"
+        # (a) no adoptable torn manifest at any crash point
+        assert torn_manifests(root) == [], f"crash point {k}"
+        # (b) re-running the sweep converges to the clean end state
+        v.catalog_gc_orphans(root, orphan_grace_s=0.0)
+        assert snapshot(root) == want, f"crash point {k}"
+        # and the table still reads its referenced version cleanly
+        assert sorted(
+            (r.k, r.v)
+            for r in v.read_catalog_table(spark, root, "docs").collect()
+        ) == [(1, "a"), (2, "b")]
