@@ -768,15 +768,79 @@ def bpe_train_merges(
     return bpe_train_merges_from_words(bpe_word_table(docs, text_col), n_merges)
 
 
+# Vocab-size bound for driver-local BPE training. Below it the whole
+# merge loop runs in one Python pass over the collected (seq, n)
+# table instead of n_merges driver-sequenced Spark rounds (each round
+# = a shuffle job + a 1-row collect + a persist — ~3 jobs and two
+# Catalyst cycles of pure scheduling latency at any corpus size,
+# because the loop runs over DISTINCT WORDS, not documents). 256k
+# words × ~8 adjacent pairs × n_merges rounds stays well under a
+# second of driver CPU; a production-scale vocabulary above the cap
+# keeps the distributed loop. The decision costs one job (the
+# limit(cap+1) probe IS the collect the local path needs).
+BPE_LOCAL_VOCAB_CAP = 262_144
+
+
+def _bpe_train_merges_local(
+    seq_rows, n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-local replica of the distributed merge loop over
+    collected ``(seq, n)`` rows. Decision-for-decision identical:
+    pair keys are ``left + chr(10) + right`` over the chr(1)-framed
+    symbol sequence, counts weight by word frequency, the argmax
+    tie-breaks on the pair string ascending (ASCII-only symbols, so
+    Python's code-point compare == Spark's UTF8 binary collation),
+    and the rewrite is str.replace — the same non-overlapping
+    left-to-right scan as Spark/DuckDB ``replace``. Pinned by the
+    pure-Python BPE reference tests and every bpe_*/llm_dataset_*
+    oracle hash."""
+    seqs = [row[0] for row in seq_rows]
+    ns = [int(row[1]) for row in seq_rows]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        cnt: dict[str, int] = {}
+        for seq, n in zip(seqs, ns):
+            toks = [t for t in seq.split(BPE_SEP) if t]
+            for i in range(len(toks) - 1):
+                pr = toks[i] + BPE_PAIR_SEP + toks[i + 1]
+                cnt[pr] = cnt.get(pr, 0) + n
+        if not cnt:
+            break
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        a, b = best[0].split(BPE_PAIR_SEP)
+        merges.append((r, a, b, a + b, best[1]))
+        old = BPE_SEP + a + BPE_SEP + BPE_SEP + b + BPE_SEP
+        new = BPE_SEP + a + b + BPE_SEP
+        seqs = [s.replace(old, new) for s in seqs]
+    return merges
+
+
 def bpe_train_merges_from_words(
-    wf, n_merges: int
+    wf, n_merges: int, local_vocab_cap: int | None = BPE_LOCAL_VOCAB_CAP
 ) -> list[tuple[int, str, str, str, int]]:
     """:func:`bpe_train_merges` from a pre-aggregated ``(word, n)``
     frequency table — the incremental-trainer entry point: word counts
     over disjoint doc slices are ADDITIVE, so a standing word table
     plus a batch's partial counts (one sum-groupBy) retrains the
     EXACT full-corpus tokenizer without re-reading any text. Cost per
-    round ∝ distinct words, corpus-size-independent."""
+    round ∝ distinct words, corpus-size-independent.
+
+    Vocabularies of ≤ ``local_vocab_cap`` distinct words (probed with
+    the same single job that fetches them) train DRIVER-LOCALLY in
+    one pass — the merge decisions are a pure function of the tiny
+    (seq, n) table, and n_merges driver-sequenced Spark rounds cost
+    ~3 scheduling-bound jobs each regardless of data size. The Spark
+    expression :func:`bpe_seq_table` still builds the sequences, so
+    the local path shares the exact symbol framing; pass
+    ``local_vocab_cap=None`` (or 0) to force the distributed loop."""
+    if local_vocab_cap:
+        head = (
+            bpe_seq_table(wf)
+            .limit(local_vocab_cap + 1)
+            .collect()
+        )
+        if len(head) <= local_vocab_cap:
+            return _bpe_train_merges_local(head, n_merges)
     cur = bpe_seq_table(wf).persist()
     live = [cur]
     merges: list[tuple[int, str, str, str, int]] = []

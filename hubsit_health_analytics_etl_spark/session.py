@@ -34,12 +34,24 @@ RUNTIME_CONFS: dict[str, str] = {
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to an externally-created session."""
+    """Apply runtime-settable confs to an externally-created session.
+
+    Marker-guarded: load_table calls this on every read (the driver
+    owns the session and sets none of our confs), and each conf.set is
+    a py4j round trip — hundreds of redundant calls per bench run
+    otherwise. A fresh Python wrapper around the same JVM session just
+    pays the six sets once more."""
+    if getattr(spark, "_hubsit_confs_applied", False):
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build — keep going
+    try:
+        spark._hubsit_confs_applied = True
+    except Exception:
+        pass
     return spark
 
 

@@ -27,6 +27,34 @@ TABLES = [
 ]
 
 
+# Plan memo for IMMUTABLE parquet paths, keyed by (applicationId,
+# path): every spark.read.parquet() call launches a ~100 ms 1-task
+# schema-inference job even for a path the session already read —
+# across 236 bench queries × 1-4 load_table calls each (plus the
+# standing-index re-reads in the lifecycle queries) that is tens of
+# seconds of pure driver-side footer jobs. Reusing the LOGICAL PLAN is
+# not result caching: no .cache()/persist is involved, every action
+# still scans the parquet files — only the redundant footer/schema
+# re-inference is skipped. Valid ONLY for immutable paths (the
+# read-only /root/testdata fixtures; versioned-table data dirs, which
+# are write-once per version by construction) because the plan pins
+# the file listing captured at first read.
+_PLAN_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def read_parquet_immutable(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet(path)`` with the plan memoized per
+    (session, path). Callers must only pass paths whose file set can
+    never change (fixture tables, committed version data dirs)."""
+    key = (spark.sparkContext.applicationId, path)
+    got = _PLAN_MEMO.get(key)
+    if got is None:
+        if len(_PLAN_MEMO) > 4096:  # stale-session backstop
+            _PLAN_MEMO.clear()
+        got = _PLAN_MEMO.setdefault(key, spark.read.parquet(path))
+    return got
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table; normalizes events.ts to timestamp_ntz
     truncated to microseconds exactly like DuckDB's ns→us cast.
@@ -37,7 +65,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (already µs-truncated), so the guard is a no-op there — both paths
     yield identical values."""
     apply_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = read_parquet_immutable(spark, f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")

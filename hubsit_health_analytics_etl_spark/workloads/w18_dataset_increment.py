@@ -132,7 +132,11 @@ def _scrub_splice(spark, docs, paths, sel_old, sel_new, arts=None, delta=None):
     from ..operators.textanalysis import _doc_grams, apply_cut_positions
 
     def rd(x):
-        return x if isinstance(x, DataFrame) else spark.read.parquet(x)
+        if isinstance(x, DataFrame):
+            return x
+        from ..sources.parquet import read_parquet_immutable
+
+        return read_parquet_immutable(spark, x)
 
     bc = F.broadcast
     if delta is not None:
@@ -633,7 +637,10 @@ def q_llm_dataset_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textanalysis import bpe_word_table
 
     paths = _prepare_llm_standing(spark, sf_dir)
-    rd = spark.read.parquet
+    from ..sources.parquet import read_parquet_immutable
+
+    def rd(p):
+        return read_parquet_immutable(spark, p)
     docs = load_table(spark, sf_dir, "documents")
     from ..operators.sampling import hash_bucket
 
@@ -710,7 +717,11 @@ def _splice_selection(spark, docs, paths, batch, arts=None, delta=None):
     from ..operators.textanalysis import annotate_documents, decon_grams
 
     def rd(x):
-        return x if isinstance(x, DataFrame) else spark.read.parquet(x)
+        if isinstance(x, DataFrame):
+            return x
+        from ..sources.parquet import read_parquet_immutable
+
+        return read_parquet_immutable(spark, x)
 
     bc = F.broadcast
 
@@ -1087,7 +1098,10 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textanalysis import bpe_word_table, decon_grams
 
     paths = _prepare_llm_standing_full(spark, sf_dir)
-    rd = spark.read.parquet
+    from ..sources.parquet import read_parquet_immutable
+
+    def rd(p):
+        return read_parquet_immutable(spark, p)
     docs = load_table(spark, sf_dir, "documents")
     is_del = hash_bucket("doc_id", salt="forget") < LLM_FORGET_PCT
     deleted = docs.filter(is_del)
@@ -1492,7 +1506,10 @@ def _prepare_llm_merge_fixture(spark: SparkSession, sf_dir: str) -> dict[str, st
     from ..sources.sinks import write_parquet
 
     paths = dict(_prepare_llm_standing(spark, sf_dir))
-    rd = spark.read.parquet
+    from ..sources.parquet import read_parquet_immutable
+
+    def rd(p):
+        return read_parquet_immutable(spark, p)
     base = _run_scoped_index_dir("llm_merge_fixture")
     merges = bpe_train_merges_from_words(rd(paths["rwf"]), BPE_MERGES)
     paths["merges_json"] = os.path.join(base, "merges.json")
@@ -1564,7 +1581,10 @@ def q_llm_dataset_merge_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textanalysis import bpe_apply_merges
 
     paths = _prepare_llm_merge_fixture(spark, sf_dir)
-    rd = spark.read.parquet
+    from ..sources.parquet import read_parquet_immutable
+
+    def rd(p):
+        return read_parquet_immutable(spark, p)
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.filter(hash_bucket("doc_id") < NEW_BATCH_PCT)
 

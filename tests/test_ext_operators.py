@@ -1461,6 +1461,36 @@ def test_bpe_round_plans_single_shuffle(spark):
     assert "TakeOrderedAndProject" in physical_plan(best)
 
 
+def test_bpe_local_path_matches_distributed_loop(spark):
+    """The driver-local fast path (vocab ≤ BPE_LOCAL_VOCAB_CAP trains
+    in one Python pass over the collected (seq, n) table) must be
+    decision-for-decision identical to the distributed merge loop —
+    same argmax, same tie-break, same non-overlapping rewrite. Run
+    both on a corpus with ties, self-overlap runs ('aaaa') and
+    cascaded merges, and on the parquet fixture's word table."""
+    from hubsit_health_analytics_etl_spark.operators.textanalysis import (
+        bpe_train_merges_from_words,
+        bpe_word_table,
+    )
+    from hubsit_health_analytics_etl_spark.sources.parquet import load_table
+
+    texts = [
+        "low low low lower lower lowest",
+        "aaaa aaaa aaa newer newest wider",
+        "ab ba ab ba abba",  # count ties broken on pair string
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    for source in (
+        bpe_word_table(docs),
+        bpe_word_table(load_table(spark, SF_SMOKE, "documents")),
+    ):
+        local = bpe_train_merges_from_words(source, 8)
+        dist = bpe_train_merges_from_words(source, 8, local_vocab_cap=None)
+        assert local == dist, (local, dist)
+
+
 def test_user_value_drift_psi_semantics_and_plan(spark, tmp_path):
     """Crafted corpus pins PSI drift semantics end-to-end through the
     registered query: a user whose two hash-halves share one
