@@ -65,9 +65,42 @@ def export_training_shards(
         f" 16, 10) as bigint) % {n_shards}"
     )
     sharded = df.withColumn("_shard", shard)
-    sharded.write.mode("overwrite").partitionBy("_shard").parquet(path)
 
-    stats = _fingerprint_cols(sharded, "_shard").collect()
+    # Per-shard manifest stats ride the WRITE itself as Observation
+    # metrics instead of a second full execution of the (often deep —
+    # the lifecycle splices) input lineage: the previous
+    # _fingerprint_cols(...).collect() re-ran every upstream join and
+    # broadcast build a second time per export. The metrics are
+    # computed from the same pre-write rows (CollectMetrics sits under
+    # the writer), so the manifest still records what the pipeline
+    # MEANT to write and verify_export still independently re-reads
+    # the dump — the integrity contract is unchanged. _fp/_shard are
+    # projected once per row below the metrics node (n_shards
+    # conditional sums over a precomputed column, not n_shards md5
+    # evaluations) and dropped before the writer sees them.
+    from pyspark.sql import Observation
+
+    cols = [c for c in df.columns if c != "_shard"]
+    row_fp = F.expr(
+        "cast(conv(substr(md5(to_json(struct("
+        + ", ".join(cols)
+        + "))), 1, 8), 16, 10) as bigint)"
+    )
+    obs = Observation()
+    aggs = []
+    for i in range(n_shards):
+        hit = F.col("_shard") == i
+        aggs.append(F.sum(hit.cast("long")).alias(f"n_{i}"))
+        aggs.append(F.sum(F.when(hit, F.col("_fp"))).alias(f"fp_{i}"))
+    (
+        sharded.withColumn("_fp", row_fp)
+        .observe(obs, *aggs)
+        .drop("_fp")
+        .write.mode("overwrite")
+        .partitionBy("_shard")
+        .parquet(path)
+    )
+    vals = obs.get
     manifest = {
         "n_shards": n_shards,
         "key": key,
@@ -79,11 +112,12 @@ def export_training_shards(
         # UNABLE_TO_INFER_SCHEMA (found by bench_scale.py r13)
         "schema": sharded.schema.json(),
         "shards": {
-            str(r["_shard"]): {
-                "n_rows": r["n_rows"],
-                "content_fp": r["content_fp"],
+            str(i): {
+                "n_rows": int(vals[f"n_{i}"]),
+                "content_fp": int(vals[f"fp_{i}"]),
             }
-            for r in stats
+            for i in range(n_shards)
+            if vals[f"n_{i}"]
         },
     }
     with open(os.path.join(path, MANIFEST_NAME), "w") as f:

@@ -1302,6 +1302,19 @@ def q_user_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     side_a = hash_bucket("event_id", 100, "drift") < 50
     a = events.filter(side_a).select("user_id", "value")
     b = events.filter(~side_a).select("user_id", "value")
+    # Pin the cogroup's partition count to the session parallelism:
+    # AQE coalesces the two shuffles by BYTES (the (user_id, value)
+    # rows are ~16 B, so a small corpus lands on a handful of tasks)
+    # but the stage's real cost is one Python call + pandas frame pair
+    # PER GROUP — invisible to byte-based coalescing. An explicit
+    # repartition(N, user_id) satisfies the cogroup's required
+    # hash-partitioning (no second exchange) and is exempt from AQE
+    # coalescing, spreading the per-group Python cost across all
+    # cores (measured 5.3 s → 1.2 s at sf0.1 on 32 cores). N tracks
+    # defaultParallelism, not a constant, so a real cluster scales it.
+    n_part = spark.sparkContext.defaultParallelism
+    a = a.repartition(n_part, "user_id")
+    b = b.repartition(n_part, "user_id")
 
     def ks(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
