@@ -1103,8 +1103,26 @@ def jaccard_prefix_filter_pairs(
         ).alias("s"),
     ).localCheckpoint(eager=False)
     dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    ranked = inv.join(dfreq, "s").withColumn(
-        "pos", F.row_number().over(Window.partitionBy(id_col).orderBy("df", "s"))
+    # Pin the per-document window's partitioning (and with it every
+    # downstream stage, which inherits hashpartitioning(id) through
+    # the broadcast joins, the candidate distinct and the
+    # verification expansion): the rows are byte-tiny so AQE's
+    # byte-based coalescing shrinks this exchange to a handful of
+    # tasks, but verification is the COMPUTE-dense part (it expands
+    # to Σ_candidates |A| posting rows). REPARTITION_BY_NUM is the
+    # same exchange the window needs anyway, just exempt from
+    # coalescing; sized by spark.sql.shuffle.partitions, the
+    # deployment's scale knob (measured cold 8.8 s → 3.5 s at sf0.1
+    # on 32 cores).
+    ranked = (
+        inv.join(dfreq, "s")
+        .repartition(
+            int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+            id_col,
+        )
+        .withColumn(
+            "pos", F.row_number().over(Window.partitionBy(id_col).orderBy("df", "s"))
+        )
     )
     # p = n − ⌈τ·n⌉ + 1 with ⌈τ·n⌉ = (tau_num·n + tau_den − 1) div tau_den
     prefix = ranked.filter(

@@ -1311,8 +1311,9 @@ def q_user_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-partitioning (no second exchange) and is exempt from AQE
     # coalescing, spreading the per-group Python cost across all
     # cores (measured 5.3 s → 1.2 s at sf0.1 on 32 cores). N tracks
-    # defaultParallelism, not a constant, so a real cluster scales it.
-    n_part = spark.sparkContext.defaultParallelism
+    # spark.sql.shuffle.partitions — the deployment's scale knob —
+    # not a constant, so a real cluster sizes it with its data.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     a = a.repartition(n_part, "user_id")
     b = b.repartition(n_part, "user_id")
 
