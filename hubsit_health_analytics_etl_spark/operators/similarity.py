@@ -415,14 +415,19 @@ def ivf_forget_vectors(
     in the write, so an emptied cell would silently keep stale files —
     callers hitting this rewrite the full index (or tombstone) instead.
     """
+    from .concurrency import run_concurrent
+
     spark = assignments.sparkSession
     d = deleted.select(F.col(deleted.columns[0]).alias(id_col)).distinct()
     affected = assignments.join(d, id_col, "left_semi").select("cell").distinct()
     remainder = assignments.join(affected, "cell", "left_semi").join(
         d, id_col, "left_anti"
     )
-    n_affected = affected.count()
-    n_kept = remainder.select("cell").distinct().count()
+    # the two guard counts are independent actions — overlap them
+    # (guide §2.6) instead of paying two sequential job cascades
+    n_affected, n_kept = run_concurrent(
+        affected.count, remainder.select("cell").distinct().count
+    )
     if n_kept < n_affected:
         raise RuntimeError(
             f"ivf_forget_vectors would empty {n_affected - n_kept} cell(s): "

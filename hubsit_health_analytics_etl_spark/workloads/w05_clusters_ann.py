@@ -453,10 +453,18 @@ def q_ann_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = hash_bucket("vec_id") < ANN_NEW_PCT
     corpus, batch = emb.filter(~is_new), emb.filter(is_new)
 
+    from ..operators.concurrency import run_concurrent
+
     base = _run_scoped_index_dir("ivf_index")
     cents, assigned = ivf_index(corpus)
-    write_parquet(cents, os.path.join(base, "centroids"))
-    write_parquet(assigned, os.path.join(base, "assignments"), partition_by=["cell"])
+    # the index's two halves are independent writes — overlap them
+    # (guide §2.6) instead of two sequential write-job cascades
+    run_concurrent(
+        lambda: write_parquet(cents, os.path.join(base, "centroids")),
+        lambda: write_parquet(
+            assigned, os.path.join(base, "assignments"), partition_by=["cell"]
+        ),
+    )
     cents_rb = spark.read.parquet(os.path.join(base, "centroids"))
     assigned_rb = spark.read.parquet(os.path.join(base, "assignments"))
     out = ivf_search_index(assigned_rb, cents_rb, batch, ANN_K)
@@ -491,16 +499,27 @@ def q_ann_kmeans_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python third implementation of everything downstream of the fit
     (assignment, probe, top-k, recall — exact match) in
     tests/test_rows_only_verification.py."""
+    from ..operators.concurrency import run_concurrent
     from ..operators.similarity import ivf_topk, kmeans_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
     qf = F.col("vec_id") < ANN_QUERY_LIMIT
-    brute = q_ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    try:
-        brute = brute.localCheckpoint(eager=False)
-    except Exception:
-        brute = brute.cache()
-    cents = kmeans_centroids(emb, KMEANS_IVF_CELLS)
+    brute_p = q_ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+
+    def _brute():
+        # the exact baseline's checkpoint materialization is
+        # independent of the KMeans fit — overlap the two job
+        # cascades (guide §2.6)
+        try:
+            return brute_p.localCheckpoint(eager=False)
+        except Exception:
+            return brute_p.cache()
+
+    brute, cents = run_concurrent(
+        _brute, lambda: kmeans_centroids(emb, KMEANS_IVF_CELLS)
+    )
     approx = ivf_topk(emb, ANN_K, query_filter=qf, centroids=cents).select(
         "query_id", "neighbor_id"
     )

@@ -524,11 +524,17 @@ def q_ann_forget_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = hash_bucket("vec_id") < ANN_NEW_PCT
     corpus, batch = emb.filter(~is_new), emb.filter(is_new)
 
+    from ..operators.concurrency import run_concurrent
+
     base = _run_scoped_index_dir("ivf_forget")
     cents, assigned = ivf_index(corpus)
-    write_parquet(cents, os.path.join(base, "centroids"))
     apath = os.path.join(base, "assignments")
-    write_parquet(assigned, apath, partition_by=["cell"])
+    # the index's two halves are independent writes — overlap them
+    # (guide §2.6) instead of two sequential write-job cascades
+    run_concurrent(
+        lambda: write_parquet(cents, os.path.join(base, "centroids")),
+        lambda: write_parquet(assigned, apath, partition_by=["cell"]),
+    )
     deleted = corpus.filter(
         hash_bucket("vec_id", salt="forget") < ANN_FORGET_PCT
     ).select("vec_id")

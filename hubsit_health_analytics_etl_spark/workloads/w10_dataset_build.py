@@ -187,65 +187,73 @@ def _llm_dataset_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrub_duplicate_spans,
     )
 
+    from ..operators.concurrency import run_concurrent
+
     docs = load_table(spark, sf_dir, "documents")
 
-    # 1-4: the curation decision (shared rules with
-    # q_corpus_curation_pipeline, reduced to the selected set)
-    ann = annotate_documents(_spread(docs))
-    is_bench = hash_bucket("doc_id", salt="eval") < DECON_EVAL_PCT
-    contam = (
-        contamination_report(
-            docs.filter(~is_bench),
-            docs.filter(is_bench),
-            k=DECON_K,
-            df_cap=DECON_DF_CAP,
+    def _branch_scrubbed():
+        # 1-4: the curation decision (shared rules with
+        # q_corpus_curation_pipeline, reduced to the selected set)
+        ann = annotate_documents(_spread(docs))
+        is_bench = hash_bucket("doc_id", salt="eval") < DECON_EVAL_PCT
+        contam = (
+            contamination_report(
+                docs.filter(~is_bench),
+                docs.filter(is_bench),
+                k=DECON_K,
+                df_cap=DECON_DF_CAP,
+            )
+            .select("doc_id")
+            .withColumn("_ct", F.lit(1))
         )
-        .select("doc_id")
-        .withColumn("_ct", F.lit(1))
-    )
-    near = minhash_candidates(
-        docs, bucket_cap=MINHASH_BUCKET_CAP, pre_exact_dedup=True
-    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    edges = near.unionByName(exact_dup_edges(docs))
-    comps = connected_components(edges)
-    resolved = (
-        docs.select(F.col("doc_id").alias("node"))
-        .join(comps, "node", "left")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        near = minhash_candidates(
+            docs, bucket_cap=MINHASH_BUCKET_CAP, pre_exact_dedup=True
+        ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        edges = near.unionByName(exact_dup_edges(docs))
+        comps = connected_components(edges)
+        resolved = (
+            docs.select(F.col("doc_id").alias("node"))
+            .join(comps, "node", "left")
+            .select(
+                F.col("node").alias("doc_id"),
+                F.coalesce(F.col("component"), F.col("node")).alias("component"),
+            )
         )
-    )
-    sel = (
-        ann.join(resolved, "doc_id")
-        .join(contam, "doc_id", "left")
-        .filter(
-            (F.col("lang_pred") == "en")
-            & (F.col("quality_score") >= KEEP_MIN_QUALITY)
-            & F.col("n_tokens").between(KEEP_MIN_TOKENS, KEEP_MAX_TOKENS)
-            & ~is_bench
-            & F.col("_ct").isNull()
-            & (F.col("doc_id") == F.col("component"))
-            & (hash_bucket("component", 100, "split") >= SPLIT_TEST_PCT)
+        sel = (
+            ann.join(resolved, "doc_id")
+            .join(contam, "doc_id", "left")
+            .filter(
+                (F.col("lang_pred") == "en")
+                & (F.col("quality_score") >= KEEP_MIN_QUALITY)
+                & F.col("n_tokens").between(KEEP_MIN_TOKENS, KEEP_MAX_TOKENS)
+                & ~is_bench
+                & F.col("_ct").isNull()
+                & (F.col("doc_id") == F.col("component"))
+                & (hash_bucket("component", 100, "split") >= SPLIT_TEST_PCT)
+            )
+            .select("doc_id")
         )
-        .select("doc_id")
-    )
 
-    # 5: substring scrub over the selected survivors only. The
-    # scrubbed corpus is a real stage boundary (it IS the cleaned-text
-    # dump) and is consumed three times downstream (word explode +
-    # token-count join-back) — materialize it once (localCheckpoint,
-    # the CC lineage-truncation tool) instead of re-running
-    # curate+dedup+scrub per consumer; at cluster scale this is the
-    # checkpoint-to-durable-storage point (SCALING.md "Iterative
-    # jobs" posture).
-    scrubbed = scrub_duplicate_spans(
-        _spread(docs).join(sel, "doc_id"), k=SPAN_GRAM
-    ).localCheckpoint()
+        # 5: substring scrub over the selected survivors only. The
+        # scrubbed corpus is a real stage boundary (it IS the
+        # cleaned-text dump) and is consumed three times downstream
+        # (word explode + token-count join-back) — materialize it once
+        # (localCheckpoint, the CC lineage-truncation tool) instead of
+        # re-running curate+dedup+scrub per consumer; at cluster scale
+        # this is the checkpoint-to-durable-storage point (SCALING.md
+        # "Iterative jobs" posture).
+        return scrub_duplicate_spans(
+            _spread(docs).join(sel, "doc_id"), k=SPAN_GRAM
+        ).localCheckpoint()
 
     # 6: trained-tokenizer counts of the scrubbed text (frozen merges,
-    # applied map-only over the distinct-word dimension)
-    merges = _bpe_merges_for(spark, sf_dir)
+    # applied map-only over the distinct-word dimension). The trainer
+    # depends only on the raw word table, the scrub chain (CC rounds +
+    # eager checkpoint) only on the curation stages — two independent
+    # job cascades, overlapped (guide §2.6).
+    scrubbed, merges = run_concurrent(
+        _branch_scrubbed, lambda: _bpe_merges_for(spark, sf_dir)
+    )
     wf = bpe_word_table(_spread(docs))
     seq = F.concat(
         F.lit(BPE_SEP),

@@ -138,6 +138,8 @@ def _scrub_splice(spark, docs, paths, sel_old, sel_new, arts=None, delta=None):
 
         return read_parquet_immutable(spark, x)
 
+    from ..operators.concurrency import ckpt_wave
+
     bc = F.broadcast
     if delta is not None:
         added = delta["added"].select("doc_id")
@@ -145,8 +147,7 @@ def _scrub_splice(spark, docs, paths, sel_old, sel_new, arts=None, delta=None):
     else:
         added = sel_new.join(sel_old, "doc_id", "left_anti")
         removed = sel_old.join(sel_new, "doc_id", "left_anti")
-    added = added.localCheckpoint(eager=False)
-    removed = removed.localCheckpoint(eager=False)
+    added, removed = ckpt_wave(added, removed)
     spost = rd(paths["scrub_postings"])
     # grams whose posting set changes: added docs' grams + removed
     # docs' standing postings (one broadcast-probed postings scan)
@@ -260,17 +261,23 @@ def _scrub_splice(spark, docs, paths, sel_old, sel_new, arts=None, delta=None):
     return skept_new, dwc_new, changed, scr_changed
 
 
-def _retrain_and_reprice(rwf_union, skept_new, dwc_new):
+def _retrain_and_reprice(rwf_union, skept_new, dwc_new, merges=None):
     """Stage-8 shared tail: retrain the EXACT full-corpus tokenizer
     from the spliced (word, n) table (vocab-scale driver loop), then
-    re-price every document with one word-dimension join — no text."""
+    re-price every document with one word-dimension join — no text.
+
+    ``merges``: pass the already-trained list when the caller ran the
+    tokenizer branch concurrently with the splice (guide §2.6 — the
+    retrain depends only on the spliced word table, not on any splice
+    stage, so its collect+train hides under the splice's jobs)."""
     from ..operators.textanalysis import (
         BPE_SEP,
         bpe_apply_merges,
         bpe_train_merges_from_words,
     )
 
-    merges = bpe_train_merges_from_words(rwf_union, BPE_MERGES)
+    if merges is None:
+        merges = bpe_train_merges_from_words(rwf_union, BPE_MERGES)
     seq = F.concat(
         F.lit(BPE_SEP),
         F.concat_ws(BPE_SEP + BPE_SEP, F.split(F.col("word"), "")),
@@ -646,26 +653,45 @@ def q_llm_dataset_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batch = docs.filter(hash_bucket("doc_id") < NEW_BATCH_PCT)
 
-    # 1-6. selection splice (shared with llm_dataset_merge_only); the
-    # delta dict hands the batch-bounded added/removed frames to the
-    # scrub splice so no stage re-derives them corpus-wide
-    dlt: dict = {}
-    sel_new = _splice_selection(spark, docs, paths, batch, delta=dlt)
+    from ..operators.concurrency import run_concurrent
+    from ..operators.textanalysis import bpe_train_merges_from_words
 
-    # 7. scrub splice (shared stage helper)
-    skept_new, dwc_new, _, _ = _scrub_splice(
-        spark, docs, paths, rd(paths["sel"]), sel_new, delta=dlt
+    # Stages 1-7 (selection splice + scrub splice) and stage 8's
+    # tokenizer retrain share only the batch: the retrain consumes the
+    # spliced word table (standing rwf + batch counts), no splice
+    # output — so the vocab-scale collect + driver-local training runs
+    # CONCURRENTLY with the splice cascade (guide §2.6) and its cost
+    # hides entirely under the splice's jobs.
+    def _branch_splice():
+        # 1-6. selection splice (shared with llm_dataset_merge_only);
+        # the delta dict hands the batch-bounded added/removed frames
+        # to the scrub splice so no stage re-derives them corpus-wide
+        dlt: dict = {}
+        sel_new = _splice_selection(spark, docs, paths, batch, delta=dlt)
+
+        # 7. scrub splice (shared stage helper)
+        skept_new, dwc_new, _, _ = _scrub_splice(
+            spark, docs, paths, rd(paths["sel"]), sel_new, delta=dlt
+        )
+        return skept_new, dwc_new
+
+    def _branch_tokenizer():
+        # 8a. tokenizer retrain from merged word counts
+        rwf_union = (
+            rd(paths["rwf"])
+            .unionByName(bpe_word_table(_spread(batch)))
+            .groupBy("word")
+            .agg(F.sum("n").alias("n"))
+            .localCheckpoint(eager=False)
+        )
+        return rwf_union, bpe_train_merges_from_words(rwf_union, BPE_MERGES)
+
+    (skept_new, dwc_new), (rwf_union, merges) = run_concurrent(
+        _branch_splice, _branch_tokenizer
     )
 
-    # 8. tokenizer retrain from merged word counts + per-doc re-price
-    rwf_union = (
-        rd(paths["rwf"])
-        .unionByName(bpe_word_table(_spread(batch)))
-        .groupBy("word")
-        .agg(F.sum("n").alias("n"))
-        .localCheckpoint(eager=False)
-    )
-    tokd = _retrain_and_reprice(rwf_union, skept_new, dwc_new)
+    # 8b. per-doc re-price under the retrained tokenizer
+    tokd = _retrain_and_reprice(rwf_union, skept_new, dwc_new, merges=merges)
 
     # 9. flagship tail: shard/pack plan + verified export + read-back
     return _export_verified(spark, tokd, "llm_increment")
@@ -723,14 +749,20 @@ def _splice_selection(spark, docs, paths, batch, arts=None, delta=None):
 
         return read_parquet_immutable(spark, x)
 
+    from ..operators.concurrency import ckpt_wave, run_concurrent
+
     bc = F.broadcast
 
-    # 1. annotations: the batch's rows compute fresh (map-only); the
-    # standing table is consumed through the A-probe in stage 6
-    ann_batch = annotate_documents(_spread(batch)).localCheckpoint(eager=False)
+    # Stage graph (guide §2.6): stages 2-4 (exact/MinHash/cluster
+    # splice) and stage 5 (decon splice) share only the batch — two
+    # independent branches whose driver-sequenced checkpoint cascades
+    # run concurrently below; within each branch, sibling frames
+    # checkpoint in waves. Frames and their plans are IDENTICAL to the
+    # sequential form — only the scheduling overlaps.
 
-    # 2. exact-dedup probe → connecting edges (fingerprint index
-    # SCANNED via broadcast probe, never shuffled)
+    # 1+seeds wave: annotations (stage 1), the fingerprint-probe frame
+    # (stage 2 — three consumers: exact edges, new-group filter ×2),
+    # and the two decon gram tables (stage 5) are mutually independent
     fp_new = batch.withColumn("fp", fingerprint("text")).select("fp", "doc_id")
     idx_hits = (
         rd(paths["fps"])
@@ -738,155 +770,171 @@ def _splice_selection(spark, docs, paths, batch, arts=None, delta=None):
         .select("fp", F.col("doc_id").alias("idx_rep"))
     )
     batch_rep = fp_new.groupBy("fp").agg(F.min("doc_id").alias("batch_rep"))
-    # three consumers (exact edges, new-group filter x2) — one lazy
-    # materialization instead of re-fingerprinting the batch per branch
-    fx = (
-        fp_new.join(batch_rep, "fp")
-        .join(bc(idx_hits), "fp", "left")
-        .localCheckpoint(eager=False)
-    )
-    exact_new = (
-        fx.filter(F.col("idx_rep").isNotNull())
-        .select(
-            F.least("idx_rep", "doc_id").alias("doc_a"),
-            F.greatest("idx_rep", "doc_id").alias("doc_b"),
-        )
-        .unionByName(
-            fx.filter(F.col("doc_id") != F.col("batch_rep")).select(
-                F.col("batch_rep").alias("doc_a"),
-                F.col("doc_id").alias("doc_b"),
-            )
-        )
-        .distinct()
-        .localCheckpoint(eager=False)  # fan-out: label splice ×2 + arts
-    )
-
-    # 3. MinHash: sign only NEW fingerprint groups; cap on union sizes
-    # read from the STORED bucket-size table (the fast path — no
-    # corpus-wide size regroup)
-    new_group_docs = batch.join(
-        fx.filter(
-            F.col("idx_rep").isNull()
-            & (F.col("doc_id") == F.col("batch_rep"))
-        ).select("doc_id"),
-        "doc_id",
-    )
-    nb, ns = minhash_signature_index(new_group_docs)
-    nb = nb.localCheckpoint(eager=False)  # consumers: probe, retract, arts
-    ns = ns.localCheckpoint(eager=False)  # consumers: verify probe, arts
-    bands = rd(paths["bands"])
-    near_new = incremental_minhash_candidates(
-        new_group_docs,
-        bands,
-        rd(paths["shingles"]),
-        bucket_cap=MINHASH_BUCKET_CAP,
-        new_index=(nb, ns),
-        index_bucket_sizes=rd(paths["bucket_sizes"]),
-    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD).localCheckpoint(
-        eager=False  # fan-out: label splice ×2 + arts
-    )
-
-    # 3b. retract standing pairs whose every supporting bucket
-    # crossed the cap at union time (operators/dedup.py::
-    # capped_pair_retractions — sizes only grow, so this is the one
-    # possible standing-pair transition)
-    removed_mh = capped_pair_retractions(
-        bands,
-        rd(paths["bucket_sizes"]),
-        nb,
-        rd(paths["mh_edges"]),
-        MINHASH_BUCKET_CAP,
-    ).localCheckpoint(eager=False)  # fan-out: label splice ×2 + arts
-
-    # 4. affected-component relabel from the persisted edge table;
-    # the delta out-param hands back exactly the rows that may differ
-    lbl_delta: dict = {}
-    labels_new = splice_cluster_edges(
-        rd(paths["labels"]),
-        rd(paths["mh_edges"]).unionByName(rd(paths["exact_edges"])),
-        new_edges=near_new.select("doc_a", "doc_b").unionByName(exact_new),
-        removed_edges=removed_mh,
-        new_nodes=batch.select(F.col("doc_id").alias("node")),
-        delta=lbl_delta,
-    )
-    relabelled = lbl_delta["relabelled"]  # checkpointed by the splice
-
-    # 5. decontamination splice: union occurrence counts evaluated for
-    # the batch-probed grams alone (a gram the batch never touched
-    # cannot change over-ness, gain a hit, or lose one)
     is_eval = hash_bucket("doc_id", salt="eval") < DECON_EVAL_PCT
-    cg_b = decon_grams(batch.filter(~is_eval), DECON_K).localCheckpoint(
-        eager=False
-    )
-    bgp_b = (
+    ann_batch, fx, cg_b, bgp_b = ckpt_wave(
+        annotate_documents(_spread(batch)),
+        fp_new.join(batch_rep, "fp").join(bc(idx_hits), "fp", "left"),
+        decon_grams(batch.filter(~is_eval), DECON_K),
         decon_grams(batch.filter(is_eval), DECON_K)
         .select("g", "doc_id")
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
     )
-    bg_b = bgp_b.select("g").distinct().localCheckpoint(eager=False)
-    occ_b = cg_b.groupBy("g").agg(
-        F.count(F.lit(1)).alias("n_new")
-    ).localCheckpoint(eager=False)
-    probe_g = (
-        occ_b.select("g").unionByName(bg_b).distinct().localCheckpoint(
-            eager=False
+    bands = rd(paths["bands"])
+
+    def _branch_dedup():
+        # 2. exact-dedup probe → connecting edges (fingerprint index
+        # SCANNED via broadcast probe, never shuffled)
+        exact_new_p = (
+            fx.filter(F.col("idx_rep").isNotNull())
+            .select(
+                F.least("idx_rep", "doc_id").alias("doc_a"),
+                F.greatest("idx_rep", "doc_id").alias("doc_b"),
+            )
+            .unionByName(
+                fx.filter(F.col("doc_id") != F.col("batch_rep")).select(
+                    F.col("batch_rep").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"),
+                )
+            )
+            .distinct()
         )
-    )
-    std_cnt = rd(paths["decon_counts"]).join(bc(probe_g), "g")
-    occ_probe = (
-        probe_g.join(bc(std_cnt), "g", "left")
-        .join(bc(occ_b), "g", "left")
-        .select(
-            "g",
-            F.coalesce(F.col("occ"), F.lit(0)).alias("occ_std"),
-            (
-                F.coalesce(F.col("occ"), F.lit(0))
-                + F.coalesce(F.col("n_new"), F.lit(0))
-            ).alias("occ_union"),
+
+        # 3. MinHash: sign only NEW fingerprint groups; cap on union
+        # sizes read from the STORED bucket-size table (the fast path —
+        # no corpus-wide size regroup)
+        new_group_docs = batch.join(
+            fx.filter(
+                F.col("idx_rep").isNull()
+                & (F.col("doc_id") == F.col("batch_rep"))
+            ).select("doc_id"),
+            "doc_id",
         )
-        .localCheckpoint(eager=False)
-    )
-    newly_over = occ_probe.filter(
-        (F.col("occ_std") <= DECON_DF_CAP) & (F.col("occ_union") > DECON_DF_CAP)
-    ).select("g").localCheckpoint(eager=False)
-    over_probe = occ_probe.filter(
-        F.col("occ_union") > DECON_DF_CAP
-    ).select("g").localCheckpoint(eager=False)
-    # bench membership of the probed grams (scan); eval grams NEW to
-    # the bench set find standing postings without re-deriving rows
-    # the standing hit table already holds
-    bench_hit = (
-        rd(paths["bench_grams"])
-        .join(bc(probe_g), "g")
-        .select("g")
-        .localCheckpoint(eager=False)
-    )
-    hits_batch = (
-        cg_b.select("doc_id", "g")
-        .distinct()
-        .join(bc(over_probe), "g", "left_anti")
-        .join(bc(bench_hit.unionByName(bg_b)), "g", "left_semi")
-        .localCheckpoint(eager=False)  # fan-out: Δ, contaminated_A, arts
-    )
-    new_bench_g = bg_b.join(bc(bench_hit), "g", "left_anti")
-    hits_std_new = (
-        rd(paths["decon_postings"])
-        .join(bc(new_bench_g), "g", "left_semi")
-        .join(bc(over_probe), "g", "left_anti")
-        .select("doc_id", "g")
-        .localCheckpoint(eager=False)  # fan-out: Δ, contaminated_A, arts
-    )
-    # standing hits never hold an over-cap gram (fixture construction;
-    # preserved inductively by this very splice), so the retraction
-    # set is exactly the newly-over grams' standing hits
-    hits_rm_std = rd(paths["decon_hits"]).join(bc(newly_over), "g", "left_semi")
-    contam_delta_docs = (
-        hits_batch.select("doc_id")
-        .unionByName(hits_std_new.select("doc_id"))
-        .unionByName(hits_rm_std.select("doc_id"))
-        .distinct()
-    )
+        nb0, ns0 = minhash_signature_index(new_group_docs)
+        # fan-outs: exact_new → label splice ×2 + arts; nb → probe,
+        # retract, arts; ns → verify probe, arts
+        exact_new, nb, ns = ckpt_wave(exact_new_p, nb0, ns0)
+        near_new_p = incremental_minhash_candidates(
+            new_group_docs,
+            bands,
+            rd(paths["shingles"]),
+            bucket_cap=MINHASH_BUCKET_CAP,
+            new_index=(nb, ns),
+            index_bucket_sizes=rd(paths["bucket_sizes"]),
+        ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+        # 3b. retract standing pairs whose every supporting bucket
+        # crossed the cap at union time (operators/dedup.py::
+        # capped_pair_retractions — sizes only grow, so this is the one
+        # possible standing-pair transition)
+        removed_mh_p = capped_pair_retractions(
+            bands,
+            rd(paths["bucket_sizes"]),
+            nb,
+            rd(paths["mh_edges"]),
+            MINHASH_BUCKET_CAP,
+        )
+        # fan-out: label splice ×2 + arts (each)
+        near_new, removed_mh = ckpt_wave(near_new_p, removed_mh_p)
+
+        # 4. affected-component relabel from the persisted edge table;
+        # the delta out-param hands back exactly the rows that may
+        # differ
+        lbl_delta: dict = {}
+        labels_new = splice_cluster_edges(
+            rd(paths["labels"]),
+            rd(paths["mh_edges"]).unionByName(rd(paths["exact_edges"])),
+            new_edges=near_new.select("doc_a", "doc_b").unionByName(exact_new),
+            removed_edges=removed_mh,
+            new_nodes=batch.select(F.col("doc_id").alias("node")),
+            delta=lbl_delta,
+        )
+        # relabelled: checkpointed by the splice
+        return exact_new, nb, ns, near_new, removed_mh, labels_new, lbl_delta[
+            "relabelled"
+        ]
+
+    def _branch_decon():
+        # 5. decontamination splice: union occurrence counts evaluated
+        # for the batch-probed grams alone (a gram the batch never
+        # touched cannot change over-ness, gain a hit, or lose one)
+        occ_b, bg_b = ckpt_wave(
+            cg_b.groupBy("g").agg(F.count(F.lit(1)).alias("n_new")),
+            bgp_b.select("g").distinct(),
+        )
+        (probe_g,) = ckpt_wave(
+            occ_b.select("g").unionByName(bg_b).distinct()
+        )
+        std_cnt = rd(paths["decon_counts"]).join(bc(probe_g), "g")
+        (occ_probe,) = ckpt_wave(
+            probe_g.join(bc(std_cnt), "g", "left")
+            .join(bc(occ_b), "g", "left")
+            .select(
+                "g",
+                F.coalesce(F.col("occ"), F.lit(0)).alias("occ_std"),
+                (
+                    F.coalesce(F.col("occ"), F.lit(0))
+                    + F.coalesce(F.col("n_new"), F.lit(0))
+                ).alias("occ_union"),
+            )
+        )
+        # bench_hit: bench membership of the probed grams (scan); eval
+        # grams NEW to the bench set find standing postings without
+        # re-deriving rows the standing hit table already holds
+        newly_over, over_probe, bench_hit = ckpt_wave(
+            occ_probe.filter(
+                (F.col("occ_std") <= DECON_DF_CAP)
+                & (F.col("occ_union") > DECON_DF_CAP)
+            ).select("g"),
+            occ_probe.filter(F.col("occ_union") > DECON_DF_CAP).select("g"),
+            rd(paths["bench_grams"]).join(bc(probe_g), "g").select("g"),
+        )
+        new_bench_g = bg_b.join(bc(bench_hit), "g", "left_anti")
+        # fan-out: Δ, contaminated_A, arts (each)
+        hits_batch, hits_std_new = ckpt_wave(
+            cg_b.select("doc_id", "g")
+            .distinct()
+            .join(bc(over_probe), "g", "left_anti")
+            .join(bc(bench_hit.unionByName(bg_b)), "g", "left_semi"),
+            rd(paths["decon_postings"])
+            .join(bc(new_bench_g), "g", "left_semi")
+            .join(bc(over_probe), "g", "left_anti")
+            .select("doc_id", "g"),
+        )
+        # standing hits never hold an over-cap gram (fixture
+        # construction; preserved inductively by this very splice), so
+        # the retraction set is exactly the newly-over grams' standing
+        # hits
+        hits_rm_std = rd(paths["decon_hits"]).join(
+            bc(newly_over), "g", "left_semi"
+        )
+        contam_delta_docs = (
+            hits_batch.select("doc_id")
+            .unionByName(hits_std_new.select("doc_id"))
+            .unionByName(hits_rm_std.select("doc_id"))
+            .distinct()
+        )
+        return (
+            bg_b,
+            probe_g,
+            occ_probe,
+            newly_over,
+            hits_batch,
+            hits_std_new,
+            contam_delta_docs,
+        )
+
+    (
+        (exact_new, nb, ns, near_new, removed_mh, labels_new, relabelled),
+        (
+            bg_b,
+            probe_g,
+            occ_probe,
+            newly_over,
+            hits_batch,
+            hits_std_new,
+            contam_delta_docs,
+        ),
+    ) = run_concurrent(_branch_dedup, _branch_decon)
 
     # 6. selection re-evaluation over A only + pass-through
     A = (
@@ -919,12 +967,10 @@ def _splice_selection(spark, docs, paths, batch, arts=None, delta=None):
         .unionByName(hits_std_new.select("doc_id"))
         .distinct()
     )
-    sel_cand = _llm_selection(ann_A, labels_A, contaminated_A).localCheckpoint(
-        eager=False
-    )
     sel_old = rd(paths["sel"])
-    sel_old_A = sel_old.join(bc(A), "doc_id", "left_semi").localCheckpoint(
-        eager=False
+    sel_cand, sel_old_A = ckpt_wave(
+        _llm_selection(ann_A, labels_A, contaminated_A),
+        sel_old.join(bc(A), "doc_id", "left_semi"),
     )
     sel_new = sel_old.join(bc(A), "doc_id", "left_anti").unionByName(sel_cand)
     if delta is not None:
@@ -1093,9 +1139,14 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: flagship SQL over the kept corpus. Hash match ==
     forget ≡ rebuild."""
     from ..operators.clusters import connected_components
+    from ..operators.concurrency import ckpt_wave, run_concurrent
     from ..operators.dedup import bucket_underflow_candidates, fingerprint
     from ..operators.sampling import hash_bucket
-    from ..operators.textanalysis import bpe_word_table, decon_grams
+    from ..operators.textanalysis import (
+        bpe_train_merges_from_words,
+        bpe_word_table,
+        decon_grams,
+    )
 
     paths = _prepare_llm_standing_full(spark, sf_dir)
     from ..sources.parquet import read_parquet_immutable
@@ -1112,263 +1163,300 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows, and the A_f-scoped selection (stage 6) probes the standing
     # table for surviving docs only
 
-    # 2. exact groups: affected fps from the deleted docs' text only
-    members = rd(paths["fp_members"])
-    aff_fp = (
-        deleted.select(fingerprint("text").alias("fp")).distinct()
-    )
-    aff_members = members.join(bc(aff_fp), "fp", "left_semi").localCheckpoint(
-        eager=False  # consumers: old_rep, surv_aff (member index scan ×1)
-    )
-    old_rep = aff_members.groupBy("fp").agg(F.min("doc_id").alias("old_rep"))
-    surv_aff = aff_members.join(del_ids, "doc_id", "left_anti")
-    new_rep = surv_aff.groupBy("fp").agg(F.min("doc_id").alias("new_rep"))
-    rep_map = old_rep.join(new_rep, "fp", "left").localCheckpoint(eager=False)
-    renames = rep_map.filter(
-        F.col("new_rep").isNotNull() & (F.col("old_rep") != F.col("new_rep"))
-    )
-    vanished = rep_map.filter(F.col("new_rep").isNull()).select(
-        F.col("old_rep").alias("doc_id")
-    )
+    # Branch graph (guide §2.6): stages 2-4 (exact-group repair /
+    # MinHash underflow / affected-component relabel), stage 5 (the
+    # decon inverse) and stage 8a (tokenizer retrain on the shrunken
+    # word table) depend only on the deletion set — three independent
+    # branches whose driver-sequenced checkpoint cascades overlap.
+    # Frames and plans are identical to the sequential form.
+    def _branch_graph():
+        # 2. exact groups: affected fps from the deleted docs' text only
+        members = rd(paths["fp_members"])
+        aff_fp = (
+            deleted.select(fingerprint("text").alias("fp")).distinct()
+        )
+        aff_members = members.join(bc(aff_fp), "fp", "left_semi").localCheckpoint(
+            eager=False  # consumers: old_rep, surv_aff (member index scan ×1)
+        )
+        old_rep = aff_members.groupBy("fp").agg(F.min("doc_id").alias("old_rep"))
+        surv_aff = aff_members.join(del_ids, "doc_id", "left_anti")
+        new_rep = surv_aff.groupBy("fp").agg(F.min("doc_id").alias("new_rep"))
+        rep_map = old_rep.join(new_rep, "fp", "left").localCheckpoint(eager=False)
+        renames = rep_map.filter(
+            F.col("new_rep").isNotNull() & (F.col("old_rep") != F.col("new_rep"))
+        )
+        vanished = rep_map.filter(F.col("new_rep").isNull()).select(
+            F.col("old_rep").alias("doc_id")
+        )
 
-    def _remap_posts(df):
-        # deletion-bounded probes: the posting index is only scanned
-        return (
-            df.join(bc(vanished), "doc_id", "left_anti")
+        def _remap_posts(df):
+            # deletion-bounded probes: the posting index is only scanned
+            return (
+                df.join(bc(vanished), "doc_id", "left_anti")
+                .join(
+                    bc(
+                        renames.select(
+                            F.col("old_rep").alias("doc_id"), "new_rep"
+                        )
+                    ),
+                    "doc_id",
+                    "left",
+                )
+                .withColumn("doc_id", F.coalesce("new_rep", "doc_id"))
+                .drop("new_rep")
+            )
+
+        bands_new = _remap_posts(rd(paths["bands"])).localCheckpoint(eager=False)
+        sh_new = _remap_posts(rd(paths["shingles"]))
+
+        ex = rd(paths["exact_edges"])
+        ex_alive = ex.join(
+            bc(del_ids.withColumnRenamed("doc_id", "doc_a")), "doc_a", "left_anti"
+        ).join(
+            bc(del_ids.withColumnRenamed("doc_id", "doc_b")), "doc_b", "left_anti"
+        )
+        rebuilt = (
+            surv_aff.join(
+                renames.select("fp", "new_rep"), "fp"
+            )
+            .filter(F.col("doc_id") != F.col("new_rep"))
+            .select(F.col("new_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        )
+        exact_edges_new = ex_alive.unionByName(rebuilt)
+
+        # 3. suppressed pairs reappear where buckets fall back under cap
+        # (operators/dedup.py::bucket_underflow_candidates — sizes only
+        # shrink, so this is the one possible standing-pair transition)
+        add_cand = bucket_underflow_candidates(
+            bands_new,
+            rd(paths["bucket_sizes"]),
+            rd(paths["bands"]).join(bc(vanished), "doc_id", "left_semi"),
+            MINHASH_BUCKET_CAP,
+        ).localCheckpoint(eager=False)  # consumers: cand-id probe + verify join
+        jac = F.size(F.array_intersect("hs_a", "hs_b")) / F.size(
+            F.array_union("hs_a", "hs_b")
+        ).cast("double")
+        # candidate-bounded shingle verify: only candidate ids' stored
+        # hashes leave the (remapped) shingle-index scan
+        ac_ids = (
+            add_cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(add_cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh_cand = sh_new.join(bc(ac_ids), "doc_id", "left_semi").localCheckpoint(
+            eager=False
+        )
+        added_mh = (
+            add_cand.join(
+                bc(
+                    sh_cand.select(
+                        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
+                    )
+                ),
+                "doc_a",
+            )
+            .join(
+                bc(
+                    sh_cand.select(
+                        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")
+                    )
+                ),
+                "doc_b",
+            )
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=False)
+        )
+
+        mh = rd(paths["mh_edges"])
+        mh2 = (
+            mh.join(
+                bc(vanished.withColumnRenamed("doc_id", "doc_a")), "doc_a", "left_anti"
+            )
+            .join(
+                bc(vanished.withColumnRenamed("doc_id", "doc_b")), "doc_b", "left_anti"
+            )
             .join(
                 bc(
                     renames.select(
-                        F.col("old_rep").alias("doc_id"), "new_rep"
+                        F.col("old_rep").alias("doc_a"), F.col("new_rep").alias("ra")
                     )
                 ),
-                "doc_id",
+                "doc_a",
                 "left",
             )
-            .withColumn("doc_id", F.coalesce("new_rep", "doc_id"))
-            .drop("new_rep")
+            .join(
+                bc(
+                    renames.select(
+                        F.col("old_rep").alias("doc_b"), F.col("new_rep").alias("rb")
+                    )
+                ),
+                "doc_b",
+                "left",
+            )
+            .select(
+                F.least(
+                    F.coalesce("ra", F.col("doc_a")), F.coalesce("rb", F.col("doc_b"))
+                ).alias("doc_a"),
+                F.greatest(
+                    F.coalesce("ra", F.col("doc_a")), F.coalesce("rb", F.col("doc_b"))
+                ).alias("doc_b"),
+            )
         )
+        mh_edges_new = mh2.unionByName(added_mh)
+        edges_new = mh_edges_new.unionByName(exact_edges_new)
 
-    bands_new = _remap_posts(rd(paths["bands"])).localCheckpoint(eager=False)
-    sh_new = _remap_posts(rd(paths["shingles"]))
-
-    ex = rd(paths["exact_edges"])
-    ex_alive = ex.join(
-        bc(del_ids.withColumnRenamed("doc_id", "doc_a")), "doc_a", "left_anti"
-    ).join(
-        bc(del_ids.withColumnRenamed("doc_id", "doc_b")), "doc_b", "left_anti"
-    )
-    rebuilt = (
-        surv_aff.join(
-            renames.select("fp", "new_rep"), "fp"
+        # 4. affected-component relabel over surviving members
+        labels = rd(paths["labels"])
+        touched = (
+            del_ids.withColumnRenamed("doc_id", "node")
+            .unionByName(added_mh.select(F.col("doc_a").alias("node")))
+            .unionByName(added_mh.select(F.col("doc_b").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=False)
         )
-        .filter(F.col("doc_id") != F.col("new_rep"))
-        .select(F.col("new_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    )
-    exact_edges_new = ex_alive.unionByName(rebuilt)
+        # deletion-bounded probes of the label scan, never a shuffle of it
+        affected_comps = (
+            labels.join(bc(touched), "node")
+            .select("component")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        affected = labels.join(bc(affected_comps), "component")
+        survivors_aff = affected.select("node").join(
+            bc(del_ids.withColumnRenamed("doc_id", "node")), "node", "left_anti"
+        ).localCheckpoint(eager=False)
+        # materialize the (affected-size) subgraph before the iterative
+        # re-label — connected_components re-joins its edges every round
+        sub_edges = (
+            edges_new.join(
+                bc(survivors_aff.withColumnRenamed("node", "doc_a")),
+                "doc_a",
+                "left_semi",
+            )
+            .join(
+                bc(survivors_aff.withColumnRenamed("node", "doc_b")),
+                "doc_b",
+                "left_semi",
+            )
+            .localCheckpoint(eager=False)
+        )
+        sub_labels = connected_components(sub_edges, "doc_a", "doc_b")
+        relabelled = (
+            survivors_aff.join(sub_labels, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("component"), F.col("node")).alias("component"),
+            )
+            .localCheckpoint(eager=False)  # consumers: A_f, labels_A probe
+        )
+        return relabelled
 
-    # 3. suppressed pairs reappear where buckets fall back under cap
-    # (operators/dedup.py::bucket_underflow_candidates — sizes only
-    # shrink, so this is the one possible standing-pair transition)
-    add_cand = bucket_underflow_candidates(
-        bands_new,
-        rd(paths["bucket_sizes"]),
-        rd(paths["bands"]).join(bc(vanished), "doc_id", "left_semi"),
-        MINHASH_BUCKET_CAP,
-    ).localCheckpoint(eager=False)  # consumers: cand-id probe + verify join
-    jac = F.size(F.array_intersect("hs_a", "hs_b")) / F.size(
-        F.array_union("hs_a", "hs_b")
-    ).cast("double")
-    # candidate-bounded shingle verify: only candidate ids' stored
-    # hashes leave the (remapped) shingle-index scan
-    ac_ids = (
-        add_cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(add_cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sh_cand = sh_new.join(bc(ac_ids), "doc_id", "left_semi").localCheckpoint(
-        eager=False
-    )
-    added_mh = (
-        add_cand.join(
-            bc(
-                sh_cand.select(
-                    F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
+    def _branch_decon():
+        # 5. decontamination inverse
+        is_eval = hash_bucket("doc_id", salt="eval") < DECON_EVAL_PCT
+        del_cg = decon_grams(deleted.filter(~is_eval), DECON_K)
+        del_bg = decon_grams(deleted.filter(is_eval), DECON_K)
+        # occurrence counts can only change for grams the DELETED docs
+        # held, so the count/bench/posting indexes are only SCANNED,
+        # probed by broadcast-small deletion-touched gram sets
+        del_cnt = del_cg.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_del")
+        ).localCheckpoint(eager=False)
+        std_cnt_del = rd(paths["decon_counts"]).join(bc(del_cnt.select("g")), "g")
+        newly_under_g = (
+            del_cnt.join(bc(std_cnt_del), "g", "left")
+            .select(
+                "g",
+                F.coalesce(F.col("occ"), F.lit(0)).alias("occ_std"),
+                (F.coalesce(F.col("occ"), F.lit(0)) - F.col("n_del")).alias(
+                    "occ_new"
+                ),
+            )
+            .filter(
+                (F.col("occ_std") > DECON_DF_CAP)
+                & (F.col("occ_new") <= DECON_DF_CAP)
+                & (F.col("occ_new") > 0)
+            )
+            .select("g")
+            .localCheckpoint(eager=False)
+        )
+        # bench grams only SHRINK under deletion: the vanished set (eval
+        # doc-count decremented to zero) is deletion-bounded, and standing
+        # hits' grams are standing-bench by construction, so
+        # ⋉ surviving-bench ≡ anti vanished-bench
+        del_bg_cnt = (
+            del_bg.select("g", "doc_id")
+            .distinct()
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n_del"))
+            .localCheckpoint(eager=False)
+        )
+        std_bench_del = rd(paths["bench_grams"]).join(
+            bc(del_bg_cnt.select("g")), "g"
+        )
+        vanished_bench = (
+            del_bg_cnt.join(bc(std_bench_del), "g", "left")
+            .filter(
+                F.coalesce(F.col("n_eval"), F.lit(0)) - F.col("n_del") <= 0
+            )
+            .select("g")
+            .localCheckpoint(eager=False)
+        )
+        under_bench = (
+            rd(paths["bench_grams"])
+            .join(bc(newly_under_g), "g", "left_semi")
+            .select("g")
+            .join(bc(vanished_bench), "g", "left_anti")
+        )
+        hits_back = (
+            rd(paths["decon_postings"])
+            .join(bc(under_bench), "g", "left_semi")
+            .join(bc(del_ids), "doc_id", "left_anti")
+            .select("doc_id", "g")
+            .localCheckpoint(eager=False)  # consumers: Δ docs, contaminated_A
+        )
+        # contamination can flip ONLY for docs gaining a reinstated hit or
+        # losing one to a vanished bench gram (a deleted doc's own hits
+        # die with it — it leaves the selection through A_f regardless)
+        contam_delta_docs = (
+            hits_back.select("doc_id")
+            .unionByName(
+                rd(paths["decon_hits"])
+                .join(bc(vanished_bench), "g", "left_semi")
+                .select("doc_id")
+            )
+            .distinct()
+        )
+        return vanished_bench, hits_back, contam_delta_docs
+
+    def _branch_tokenizer():
+        # 8a. word counts SUBTRACT (disjointness makes the inverse
+        # exact) and the tokenizer retrains at vocab scale — depends
+        # only on the standing word table + deleted docs, so it runs
+        # concurrently with the graph/decon branches
+        rwf_new = (
+            rd(paths["rwf"])
+            .unionByName(
+                bpe_word_table(_spread(deleted)).select(
+                    "word", (-F.col("n")).alias("n")
                 )
-            ),
-            "doc_a",
+            )
+            .groupBy("word")
+            .agg(F.sum("n").alias("n"))
+            .filter(F.col("n") > 0)
+            .localCheckpoint(eager=False)
         )
-        .join(
-            bc(
-                sh_cand.select(
-                    F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")
-                )
-            ),
-            "doc_b",
-        )
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
-    )
+        return rwf_new, bpe_train_merges_from_words(rwf_new, BPE_MERGES)
 
-    mh = rd(paths["mh_edges"])
-    mh2 = (
-        mh.join(
-            bc(vanished.withColumnRenamed("doc_id", "doc_a")), "doc_a", "left_anti"
-        )
-        .join(
-            bc(vanished.withColumnRenamed("doc_id", "doc_b")), "doc_b", "left_anti"
-        )
-        .join(
-            bc(
-                renames.select(
-                    F.col("old_rep").alias("doc_a"), F.col("new_rep").alias("ra")
-                )
-            ),
-            "doc_a",
-            "left",
-        )
-        .join(
-            bc(
-                renames.select(
-                    F.col("old_rep").alias("doc_b"), F.col("new_rep").alias("rb")
-                )
-            ),
-            "doc_b",
-            "left",
-        )
-        .select(
-            F.least(
-                F.coalesce("ra", F.col("doc_a")), F.coalesce("rb", F.col("doc_b"))
-            ).alias("doc_a"),
-            F.greatest(
-                F.coalesce("ra", F.col("doc_a")), F.coalesce("rb", F.col("doc_b"))
-            ).alias("doc_b"),
-        )
-    )
-    mh_edges_new = mh2.unionByName(added_mh)
-    edges_new = mh_edges_new.unionByName(exact_edges_new)
-
-    # 4. affected-component relabel over surviving members
+    (
+        relabelled,
+        (vanished_bench, hits_back, contam_delta_docs),
+        (rwf_new, merges),
+    ) = run_concurrent(_branch_graph, _branch_decon, _branch_tokenizer)
     labels = rd(paths["labels"])
-    touched = (
-        del_ids.withColumnRenamed("doc_id", "node")
-        .unionByName(added_mh.select(F.col("doc_a").alias("node")))
-        .unionByName(added_mh.select(F.col("doc_b").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    # deletion-bounded probes of the label scan, never a shuffle of it
-    affected_comps = (
-        labels.join(bc(touched), "node")
-        .select("component")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    affected = labels.join(bc(affected_comps), "component")
-    survivors_aff = affected.select("node").join(
-        bc(del_ids.withColumnRenamed("doc_id", "node")), "node", "left_anti"
-    ).localCheckpoint(eager=False)
-    # materialize the (affected-size) subgraph before the iterative
-    # re-label — connected_components re-joins its edges every round
-    sub_edges = (
-        edges_new.join(
-            bc(survivors_aff.withColumnRenamed("node", "doc_a")),
-            "doc_a",
-            "left_semi",
-        )
-        .join(
-            bc(survivors_aff.withColumnRenamed("node", "doc_b")),
-            "doc_b",
-            "left_semi",
-        )
-        .localCheckpoint(eager=False)
-    )
-    sub_labels = connected_components(sub_edges, "doc_a", "doc_b")
-    relabelled = (
-        survivors_aff.join(sub_labels, "node", "left")
-        .select(
-            "node",
-            F.coalesce(F.col("component"), F.col("node")).alias("component"),
-        )
-        .localCheckpoint(eager=False)  # consumers: A_f, labels_A probe
-    )
 
-    # 5. decontamination inverse
-    is_eval = hash_bucket("doc_id", salt="eval") < DECON_EVAL_PCT
-    del_cg = decon_grams(deleted.filter(~is_eval), DECON_K)
-    del_bg = decon_grams(deleted.filter(is_eval), DECON_K)
-    # occurrence counts can only change for grams the DELETED docs
-    # held, so the count/bench/posting indexes are only SCANNED,
-    # probed by broadcast-small deletion-touched gram sets
-    del_cnt = del_cg.groupBy("g").agg(
-        F.count(F.lit(1)).alias("n_del")
-    ).localCheckpoint(eager=False)
-    std_cnt_del = rd(paths["decon_counts"]).join(bc(del_cnt.select("g")), "g")
-    newly_under_g = (
-        del_cnt.join(bc(std_cnt_del), "g", "left")
-        .select(
-            "g",
-            F.coalesce(F.col("occ"), F.lit(0)).alias("occ_std"),
-            (F.coalesce(F.col("occ"), F.lit(0)) - F.col("n_del")).alias(
-                "occ_new"
-            ),
-        )
-        .filter(
-            (F.col("occ_std") > DECON_DF_CAP)
-            & (F.col("occ_new") <= DECON_DF_CAP)
-            & (F.col("occ_new") > 0)
-        )
-        .select("g")
-        .localCheckpoint(eager=False)
-    )
-    # bench grams only SHRINK under deletion: the vanished set (eval
-    # doc-count decremented to zero) is deletion-bounded, and standing
-    # hits' grams are standing-bench by construction, so
-    # ⋉ surviving-bench ≡ anti vanished-bench
-    del_bg_cnt = (
-        del_bg.select("g", "doc_id")
-        .distinct()
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("n_del"))
-        .localCheckpoint(eager=False)
-    )
-    std_bench_del = rd(paths["bench_grams"]).join(
-        bc(del_bg_cnt.select("g")), "g"
-    )
-    vanished_bench = (
-        del_bg_cnt.join(bc(std_bench_del), "g", "left")
-        .filter(
-            F.coalesce(F.col("n_eval"), F.lit(0)) - F.col("n_del") <= 0
-        )
-        .select("g")
-        .localCheckpoint(eager=False)
-    )
-    under_bench = (
-        rd(paths["bench_grams"])
-        .join(bc(newly_under_g), "g", "left_semi")
-        .select("g")
-        .join(bc(vanished_bench), "g", "left_anti")
-    )
-    hits_back = (
-        rd(paths["decon_postings"])
-        .join(bc(under_bench), "g", "left_semi")
-        .join(bc(del_ids), "doc_id", "left_anti")
-        .select("doc_id", "g")
-        .localCheckpoint(eager=False)  # consumers: Δ docs, contaminated_A
-    )
-    # contamination can flip ONLY for docs gaining a reinstated hit or
-    # losing one to a vanished bench gram (a deleted doc's own hits
-    # die with it — it leaves the selection through A_f regardless)
-    contam_delta_docs = (
-        hits_back.select("doc_id")
-        .unionByName(
-            rd(paths["decon_hits"])
-            .join(bc(vanished_bench), "g", "left_semi")
-            .select("doc_id")
-        )
-        .distinct()
-    )
 
     # 6. selection re-evaluation over A_f only + pass-through (the
     # standing-corpus-independent form of the ingest splice, applied
@@ -1409,12 +1497,10 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sel_cand = _llm_selection(ann_A, labels_A, contaminated_A).localCheckpoint(
-        eager=False
-    )
     sel_old = rd(paths["sel"])
-    sel_old_A = sel_old.join(bc(A_f), "doc_id", "left_semi").localCheckpoint(
-        eager=False
+    sel_cand, sel_old_A = ckpt_wave(
+        _llm_selection(ann_A, labels_A, contaminated_A),
+        sel_old.join(bc(A_f), "doc_id", "left_semi"),
     )
     sel_new = sel_old.join(bc(A_f), "doc_id", "left_anti").unionByName(sel_cand)
     dlt = {
@@ -1424,23 +1510,12 @@ def q_llm_dataset_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "removed": sel_old_A.join(bc(sel_cand), "doc_id", "left_anti"),
     }
 
-    # 7-9: shared scrub / tokenizer / export tail
+    # 7-9: shared scrub / export tail (tokenizer already retrained in
+    # _branch_tokenizer, concurrent with the graph/decon branches)
     skept_new, dwc_new, _, _ = _scrub_splice(
         spark, docs, paths, sel_old, sel_new, delta=dlt
     )
-    rwf_new = (
-        rd(paths["rwf"])
-        .unionByName(
-            bpe_word_table(_spread(deleted)).select(
-                "word", (-F.col("n")).alias("n")
-            )
-        )
-        .groupBy("word")
-        .agg(F.sum("n").alias("n"))
-        .filter(F.col("n") > 0)
-        .localCheckpoint(eager=False)
-    )
-    tokd = _retrain_and_reprice(rwf_new, skept_new, dwc_new)
+    tokd = _retrain_and_reprice(rwf_new, skept_new, dwc_new, merges=merges)
     return _export_verified(spark, tokd, "llm_forget")
 
 
