@@ -668,6 +668,12 @@ def page_rank(
     No pandas analogue in the reference (898-line ETL,
     /root/reference/src/etl_pipeline.py) — beyond-reference graph
     surface."""
+    # the edge list materializes FIRST: deg and edges_deg both derive
+    # from its cached blocks, so the upstream edge pipeline (often a
+    # full fact-table join + distinct) executes exactly once — the two
+    # derived checkpoints used to each re-run it (guide §5: never
+    # execute a lineage twice)
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     # both standing frames materialize once: deg seeds the rank vector
     # and rides every contribution join — neither may re-plan the
     # upstream edge pipeline per iteration
@@ -808,6 +814,10 @@ def personalized_page_rank(
     join per iteration keyed (seed, node), NOT a per-seed job). Same
     no-dangling contract as page_rank (symmetrize undirected
     graphs)."""
+    # edge list first, derived frames from its cached blocks — the
+    # upstream edge pipeline executes once, not once per checkpoint
+    # (guide §5; the page_rank posture)
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))

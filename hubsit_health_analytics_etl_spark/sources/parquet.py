@@ -38,21 +38,70 @@ TABLES = [
 # re-inference is skipped. Valid ONLY for immutable paths (the
 # read-only /root/testdata fixtures; versioned-table data dirs, which
 # are write-once per version by construction) because the plan pins
-# the file listing captured at first read.
-_PLAN_MEMO: dict[tuple[str, str], DataFrame] = {}
+# the file listing captured at first read. Each entry carries the
+# directory-listing fingerprint captured at memo time; a hit whose
+# listing changed (a caller violating the write-once contract) is
+# evicted and re-read instead of being served stale (VERDICT r17 #6).
+_PLAN_MEMO: dict[tuple[str, str], "tuple[DataFrame, object]"] = {}
+_PLAN_MEMO_CAP = 4096
+
+
+def _listing_fp(path: str):
+    """Cheap immutability probe for LOCAL paths: (name, size, mtime_ns)
+    of every directory entry, or the file's own stat for a single-file
+    path. Python-side stat only — no Spark job, ~tens of µs. Returns
+    ``None`` for non-local schemes (object stores list remotely; there
+    the write-once contract is enforced by the versioned-commit layout
+    alone) and for vanished paths (the read itself will fail loudly)."""
+    import os
+
+    p = path
+    if "://" in p:
+        if not p.startswith("file:"):
+            return None
+        p = p[len("file:"):].lstrip("/")
+        p = "/" + p
+    try:
+        if os.path.isdir(p):
+            with os.scandir(p) as it:
+                return tuple(
+                    sorted(
+                        (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                        for e in it
+                    )
+                )
+        st = os.stat(p)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return None
 
 
 def read_parquet_immutable(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet(path)`` with the plan memoized per
     (session, path). Callers must only pass paths whose file set can
-    never change (fixture tables, committed version data dirs)."""
+    never change (fixture tables, committed version data dirs); a
+    local path observed to have changed anyway is re-read, never
+    served from the stale plan."""
     key = (spark.sparkContext.applicationId, path)
     got = _PLAN_MEMO.get(key)
-    if got is None:
-        if len(_PLAN_MEMO) > 4096:  # stale-session backstop
+    if got is not None:
+        df, fp = got
+        if fp == _listing_fp(path):
+            return df
+        del _PLAN_MEMO[key]  # contract violation — do not serve stale
+    if len(_PLAN_MEMO) > _PLAN_MEMO_CAP:
+        # evict stopped sessions' entries first (they pin dead
+        # DataFrames — ADVICE r17); clear outright only if one live
+        # session alone overflowed the cap
+        app = key[0]
+        stale = [k for k in _PLAN_MEMO if k[0] != app]
+        for k in stale:
+            del _PLAN_MEMO[k]
+        if len(_PLAN_MEMO) > _PLAN_MEMO_CAP:
             _PLAN_MEMO.clear()
-        got = _PLAN_MEMO.setdefault(key, spark.read.parquet(path))
-    return got
+    df = spark.read.parquet(path)
+    _PLAN_MEMO[key] = (df, _listing_fp(path))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

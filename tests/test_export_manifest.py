@@ -71,3 +71,65 @@ def test_empty_export_roundtrips_under_manifest_schema(spark, tmp_path):
     back = read_export(spark, path)
     assert back.columns == ["doc_id", "text", "_shard"]
     assert back.count() == 0
+
+
+def test_manifest_observation_exact_under_task_retry(tmp_path):
+    """VERDICT r17 #7: the manifest stats ride the write as Observation
+    (accumulator-backed) metrics; a retried write-stage task must not
+    double-count n_rows/content_fp. Needs task retries, which local[N]
+    disables (task.maxFailures=1) — so this drill runs in a subprocess
+    session with master local[4,2] and injects a first-attempt failure
+    into a write-stage task, then asserts the manifest still equals
+    verify_export's independent re-read."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {repr(str(__import__('pathlib').Path(__file__).resolve().parent.parent))})
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[4,2]")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.sql.shuffle.partitions", "4")
+                 .appName("retry-drill").getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        from pyspark import TaskContext
+        from hubsit_health_analytics_etl_spark.sources.export import (
+            export_training_shards, verify_export)
+
+        def fail_once(batches):
+            ctx = TaskContext.get()
+            if ctx.partitionId() == 0 and ctx.attemptNumber() == 0:
+                raise RuntimeError("injected first-attempt failure")
+            for b in batches:
+                yield b
+
+        base = spark.range(0, 200).selectExpr(
+            "id as doc_id", "id * 7 as payload")
+        # repartition puts fail_once (and the observe projection above
+        # it) INSIDE the write stage — the retried task is a write task
+        flaky = base.repartition(4).mapInPandas(
+            fail_once, "doc_id long, payload long")
+        path = {repr(str(tmp_path / "retry_dump"))}
+        manifest = export_training_shards(flaky, path, 3, "doc_id")
+        problems = verify_export(spark, path)
+        n_total = sum(s["n_rows"] for s in manifest["shards"].values())
+        print("PROBLEMS:", problems)
+        print("N_TOTAL:", n_total)
+        assert problems == [], problems
+        assert n_total == 200, n_total
+        print("RETRY_DRILL_OK")
+        spark.stop()
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert "RETRY_DRILL_OK" in out.stdout, (
+        out.stdout[-2000:] + "\n---\n" + out.stderr[-2000:]
+    )

@@ -3,6 +3,8 @@ multimodal) beyond oracle parity."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from .conftest import SF_SMOKE
@@ -5326,6 +5328,7 @@ def test_interarrival_matches_pure_python_reference(spark):
         )
 
 
+@pytest.mark.slow
 def test_scrub_splice_shuffle_fallback_equals_broadcast(spark, monkeypatch):
     """The holder-broadcast skew guard (ADVICE r16 medium): forcing
     SPLICE_HOLDER_BCAST_CAP to 0 demotes every holder-bounded

@@ -8,6 +8,7 @@ import math
 import re
 import unicodedata
 
+import pytest
 import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -124,6 +125,7 @@ def test_hash_bucket_range_and_stability(spark, keys):
     st.sampled_from([7, 60, 3600]),
 )
 @SET
+@pytest.mark.slow
 def test_range_join_equals_naive_for_random_intervals(spark, points, spans, bucket):
     """range_join == the naive inequality join for arbitrary points,
     interval placements (incl. empty/inverted), and bucket widths."""
@@ -568,6 +570,7 @@ def _py_cc(edges, nodes):
     st.sets(st.integers(0, 17), max_size=12),  # removal CANDIDATES
 )
 @SET
+@pytest.mark.slow
 def test_splice_cluster_edges_equals_full_cc_random_graphs(
     spark, base, added, rm_seed
 ):

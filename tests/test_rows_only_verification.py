@@ -109,6 +109,7 @@ def _brute_topk_pairs(ids, vecs, query_limit: int, k: int) -> set:
     return out
 
 
+@pytest.mark.slow
 def test_rows_only_queries_deterministic_across_fresh_sessions(spark):
     """Each rows-only query's canonicalized output hash is identical
     under a SECOND, fully independent SparkSession (fresh JVM via a

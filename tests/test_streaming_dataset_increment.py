@@ -143,6 +143,7 @@ def _three_slices(spark):
     ]
 
 
+@pytest.mark.slow
 def test_sink_crash_between_member_and_catalog_commits_recovers(
     spark, tmp_path, monkeypatch
 ):
@@ -299,6 +300,7 @@ def test_sink_kill_and_restart_from_checkpoint_converges(
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_sink_refuses_foreign_docs_orphan(spark, tmp_path):
     """The replay-adoption path is gated on proof of identity: a docs
     version above the catalog-pinned one whose manifest does NOT carry
@@ -392,6 +394,7 @@ def test_catalog_gc_orphans_reclaims_crashed_delivery(
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_sink_refuses_when_another_writer_advances_the_catalog(
     spark, tmp_path, monkeypatch
 ):
@@ -525,6 +528,7 @@ def test_gc_hook_bounds_crashed_replay_disk_to_clean_baseline(
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_sink_refuses_to_adopt_orphan_with_missing_files(
     spark, tmp_path, monkeypatch
 ):
