@@ -366,10 +366,25 @@ def forget_documents(
     Returns the updated full (node, component) label table — deleted
     ids gone, min-id component invariant restored (so a follow-up
     :func:`incremental_dedup_clusters` merge composes with it)."""
-    d = deleted.select(F.col(deleted.columns[0]).alias("node")).distinct()
-    affected_comps = d.join(index_labels, "node").select("component").distinct()
+    # lineage truncation on every fan-out node (the splice_cluster_edges
+    # recipe): the deleted-id set feeds the comps probe AND two edge
+    # semi-joins, survivors feed both semi-joins + the relabel — without
+    # the lazy checkpoints each consumer re-derived its subtree
+    d = (
+        deleted.select(F.col(deleted.columns[0]).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    affected_comps = (
+        d.join(index_labels, "node")
+        .select("component")
+        .distinct()
+        .localCheckpoint(eager=False)  # consumers: affected, unaffected anti
+    )
     affected = index_labels.join(affected_comps, "component")
-    survivors = affected.select("node").join(d, "node", "left_anti")
+    survivors = affected.select("node").join(
+        d, "node", "left_anti"
+    ).localCheckpoint(eager=False)  # consumers: edge semi ×2 + relabel
     e = index_edges.select(F.col(src).alias("doc_a"), F.col(dst).alias("doc_b"))
     e = e.join(
         survivors.select(F.col("node").alias("doc_a")), "doc_a", "left_semi"
@@ -378,7 +393,7 @@ def forget_documents(
     relabelled = survivors.join(sub_labels, "node", "left").select(
         "node",
         F.coalesce(F.col("component"), F.col("node")).alias("component"),
-    )
+    ).localCheckpoint(eager=False)  # consumers: full union + caller joins
     unaffected = index_labels.join(affected_comps, "component", "left_anti")
     return unaffected.select("node", "component").unionByName(relabelled)
 
@@ -521,18 +536,31 @@ def _incremental_labels(
     """(full updated labels, delta) — delta is just the re-labelled
     (affected ∪ batch) rows, what an incremental sink persists per
     micro-batch instead of rewriting the corpus-sized label table."""
-    e = new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # every fan-out node truncates its lineage (lazy localCheckpoint,
+    # the splice_cluster_edges recipe): new_edges is typically the full
+    # incremental exact/MinHash PROBE PIPELINE (corpus-wide md5/shingle
+    # compute) and is consumed by touched + sub_edges + — through the
+    # returned frames — the caller's sizes join; without the
+    # checkpoints each consumer re-executed the probe from scratch
+    # (broadcast-scan plans have no shuffle files to reuse)
+    e = (
+        new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .localCheckpoint(eager=False)
+    )
     touched = e.select(F.col("u").alias("node")).union(
         e.select(F.col("v").alias("node"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)  # consumers: comps, all_nodes
     # components needing a re-label: labels of touched corpus nodes;
     # batch nodes (absent from the index) count as their own component
     affected_comps = (
         touched.join(index_labels, "node", "left")
         .select(F.coalesce(F.col("component"), F.col("node")).alias("component"))
         .distinct()
+        .localCheckpoint(eager=False)  # consumers: affected, unaffected anti
     )
-    affected = index_labels.join(affected_comps, "component")
+    affected = index_labels.join(
+        affected_comps, "component"
+    ).localCheckpoint(eager=False)  # consumers: star, all_nodes
     star = affected.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_a"), F.col("component").alias("doc_b")
     )
@@ -549,7 +577,7 @@ def _incremental_labels(
     relabelled = all_nodes.join(sub_labels, "node", "left").select(
         "node",
         F.coalesce(F.col("component"), F.col("node")).alias("component"),
-    )
+    ).localCheckpoint(eager=False)  # consumers: full union + delta
     unaffected = index_labels.join(affected_comps, "component", "left_anti")
     full = unaffected.select("node", "component").unionByName(relabelled)
     return full, relabelled

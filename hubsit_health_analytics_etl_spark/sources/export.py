@@ -23,6 +23,17 @@ sizes or wrap the hash term in pmod there. The same map-side
 md5-integer trick as operators/sampling.py; at 100 TB the fingerprint
 pass is one map + one per-shard partial sum riding the export
 shuffle.
+
+Retry/speculation posture (ADVICE r17): the manifest stats ride the
+write as Observation metrics — accumulator-backed, and Spark counts
+an accumulator update once per SUCCESSFUL task, discarding failed
+attempts, so a retried write task does not double-count (pinned by
+tests/test_export_manifest.py::
+test_manifest_observation_exact_under_task_retry, a local[4,2]
+fault-injection drill). Should a runtime ever drift here,
+``verify_export``'s independent re-read of the dump is the backstop:
+a double-counted manifest fails verification loudly instead of
+shipping.
 """
 
 from __future__ import annotations
