@@ -73,13 +73,17 @@ def connected_components(
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def _materialize(df: DataFrame) -> DataFrame:
+    def _materialize(df: DataFrame) -> "tuple[DataFrame, bool]":
+        """(materialized frame, did an eager action run). The boolean
+        lets the convergence probe ride the materialization's own job
+        via Observation; the cache() fallback runs no action, so its
+        caller must probe explicitly."""
         if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
+            return df.checkpoint(eager=True), True
         try:
-            return df.localCheckpoint(eager=True)
+            return df.localCheckpoint(eager=True), True
         except Exception:
-            return df.cache()
+            return df.cache(), False
 
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -89,7 +93,7 @@ def connected_components(
     # materialize once: every iteration joins edges — without this the
     # upstream pair-generation pipeline (e.g. the full MinHash LSH) is
     # re-executed per iteration
-    edges = _materialize(edges)
+    edges, _ = _materialize(edges)
     # label starts as min neighbor (including self)
     labels = (
         edges.groupBy("u")
@@ -135,8 +139,22 @@ def connected_components(
         new_labels = new_labels.select(
             "node", "comp", (F.col("comp") != F.col("old")).alias("_changed")
         )
-        new_labels = _materialize(new_labels)
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        # the convergence probe RIDES the materialization job as an
+        # Observation metric (one driver-sequenced action per round
+        # instead of two — the checkpoint's count and a second
+        # cached-scan job used to run back-to-back); the cache()
+        # fallback runs no action, so it keeps the explicit probe
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_labels = new_labels.observe(
+            obs, F.sum(F.col("_changed").cast("long")).alias("n_changed")
+        )
+        new_labels, eager = _materialize(new_labels)
+        if eager:
+            changed = int(obs.get["n_changed"] or 0)
+        else:
+            changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.select("node", "comp")
         if changed == 0:
             if stats is not None:

@@ -393,11 +393,33 @@ def ivf_index(
     return centroids, assigned
 
 
+def ivf_forget_frames(
+    assignments: DataFrame,
+    deleted: DataFrame,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(deleted ids, affected cells, remainder rows) — the frames
+    :func:`ivf_forget_vectors` rewrites from. Exposed so a caller can
+    run the two guard counts (``affected.count()``,
+    ``remainder.select('cell').distinct().count()``) CONCURRENTLY with
+    its own independent actions (e.g. the index writes the forget is
+    about to amend — guide §2.6) and hand them in as ``guard_counts``;
+    the frames are pure functions of the inputs, so the re-derivation
+    inside the forget is plan-identical."""
+    d = deleted.select(F.col(deleted.columns[0]).alias(id_col)).distinct()
+    affected = assignments.join(d, id_col, "left_semi").select("cell").distinct()
+    remainder = assignments.join(affected, "cell", "left_semi").join(
+        d, id_col, "left_anti"
+    )
+    return d, affected, remainder
+
+
 def ivf_forget_vectors(
     assignments: DataFrame,
     deleted: DataFrame,
     path: str,
     id_col: str = "vec_id",
+    guard_counts: "tuple[int, int] | None" = None,
 ) -> None:
     """Right-to-be-forgotten for a persisted, cell-partitioned IVF
     index: rewrite ONLY the cells containing a deleted vector, via
@@ -418,16 +440,17 @@ def ivf_forget_vectors(
     from .concurrency import run_concurrent
 
     spark = assignments.sparkSession
-    d = deleted.select(F.col(deleted.columns[0]).alias(id_col)).distinct()
-    affected = assignments.join(d, id_col, "left_semi").select("cell").distinct()
-    remainder = assignments.join(affected, "cell", "left_semi").join(
-        d, id_col, "left_anti"
-    )
-    # the two guard counts are independent actions — overlap them
-    # (guide §2.6) instead of paying two sequential job cascades
-    n_affected, n_kept = run_concurrent(
-        affected.count, remainder.select("cell").distinct().count
-    )
+    d, affected, remainder = ivf_forget_frames(assignments, deleted, id_col)
+    if guard_counts is not None:
+        # precomputed by a caller that overlapped the guard probes with
+        # its index writes (guide §2.6) — see ivf_forget_frames
+        n_affected, n_kept = guard_counts
+    else:
+        # the two guard counts are independent actions — overlap them
+        # (guide §2.6) instead of paying two sequential job cascades
+        n_affected, n_kept = run_concurrent(
+            affected.count, remainder.select("cell").distinct().count
+        )
     if n_kept < n_affected:
         raise RuntimeError(
             f"ivf_forget_vectors would empty {n_affected - n_kept} cell(s): "
