@@ -1011,7 +1011,13 @@ def bfs_hops(
             "node", F.lit(i).cast("bigint").alias("dist")
         )
         new = new.localCheckpoint(eager=True)
-        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        # visited stays a LAZY union of the per-round checkpointed
+        # frontiers: each round's anti-join re-reads i cached block
+        # sets (no recompute anywhere), which halves the per-round
+        # driver-sequenced actions vs re-checkpointing the growing
+        # union every round — the round count is the latency wall in
+        # these loops, not the scan of tiny cached frames
+        visited = visited.unionByName(new)
         frontier = new.select("node")
     return visited
 

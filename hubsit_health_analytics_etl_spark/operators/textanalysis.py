@@ -921,7 +921,7 @@ BM25_CONTRIB_SQL = (
 )
 
 
-def corpus_term_stats(docs, text_col: str = "text"):
+def corpus_term_stats(docs, text_col: str = "text", materialize: bool = False):
     """ONE corpus pass (explode → tf aggregate) from which every other
     term statistic derives: dl = Σ tf per doc, df = #(doc,token) rows
     per token (≡ distinct docs per token, since tf is one row per
@@ -933,13 +933,22 @@ def corpus_term_stats(docs, text_col: str = "text"):
     own COUNT) are unchanged. Returns (tf, dl, dfreq, stats): integer
     columns tf_l/dl_l/df_l, stats a 1-row (n_docs, avgdl) broadcast.
     At 100 TB tf/dl/dfreq are the persisted vocabulary-index family —
-    built once per ingest, reused per query."""
+    built once per ingest, reused per query.
+
+    ``materialize=True`` eager-localCheckpoints tf first, for callers
+    that consume the four frames in SEPARATE actions (e.g. persisting
+    each as its own parquet table): ReuseExchange only shares the tf
+    exchange within one plan, so without it every action re-explodes
+    the corpus. Rows are unchanged — the checkpoint pins the exact tf
+    the aggregate produced."""
     toks = docs.select(
         "doc_id", F.explode(tokens(text_col)).alias("token")
     ).filter(F.col("token") != "")
     tf = toks.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf_l")
     )
+    if materialize:
+        tf = tf.localCheckpoint(eager=True)
     dl = tf.groupBy("doc_id").agg(F.sum("tf_l").cast("bigint").alias("dl_l"))
     dfreq = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("df_l")

@@ -1555,6 +1555,7 @@ def q_bm25_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole search index."""
     import os
 
+    from ..operators.concurrency import run_concurrent
     from ..operators.sampling import hash_bucket
     from ..operators.textanalysis import bm25_scores, corpus_term_stats
     from ..sources.sinks import write_parquet
@@ -1563,8 +1564,10 @@ def q_bm25_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = hash_bucket("doc_id") < NEW_BATCH_PCT
     corpus, batch = docs.filter(~is_new), docs.filter(is_new)
 
-    def _raw_parts(slice_docs):
-        tf, dl, dfreq, _stats = corpus_term_stats(_spread(slice_docs))
+    def _raw_parts(slice_docs, materialize=False):
+        tf, dl, dfreq, _stats = corpus_term_stats(
+            _spread(slice_docs), materialize=materialize
+        )
         raw = slice_docs.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs")
         ).crossJoin(
@@ -1575,10 +1578,21 @@ def q_bm25_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         return tf, dl, dfreq, raw
 
     base = _run_scoped_index_dir("bm25")
-    for name, df in zip(
-        ["tf", "dl", "dfreq", "raw"], _raw_parts(corpus), strict=True
-    ):
-        write_parquet(df, os.path.join(base, name))
+    # The 4 index tables all derive from tf: materialize the corpus
+    # pass once (dl/dfreq/raw re-derive from the checkpoint blocks
+    # instead of re-exploding the corpus per write action — guide §5,
+    # never execute a lineage twice) and overlap the now-cheap,
+    # independent writes (guide §2.6).
+    run_concurrent(
+        *(
+            lambda n=name, d=df: write_parquet(d, os.path.join(base, n))
+            for name, df in zip(
+                ["tf", "dl", "dfreq", "raw"],
+                _raw_parts(corpus, materialize=True),
+                strict=True,
+            )
+        )
+    )
     idx = {
         name: spark.read.parquet(os.path.join(base, name))
         for name in ["tf", "dl", "dfreq", "raw"]

@@ -150,9 +150,17 @@ def _scrub_splice(spark, docs, paths, sel_old, sel_new, arts=None, delta=None):
     added, removed = ckpt_wave(added, removed)
     spost = rd(paths["scrub_postings"])
     # grams whose posting set changes: added docs' grams + removed
-    # docs' standing postings (one broadcast-probed postings scan)
+    # docs' standing postings (one broadcast-probed postings scan).
+    # The added-docs frame is BATCH-BOUNDED by the splice contract, so
+    # it spreads with an unconditional hash repartition instead of
+    # _spread's partition-count probe — df.rdd on a join-shaped frame
+    # costs ~1 s of driver-side physical planning (measured), paid
+    # inside every splice body; the keyed exchange of a batch-sized
+    # frame is cheap at any scale and coalescing-exempt (guide §2.5)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     add_grams = _doc_grams(
-        _spread(docs.join(bc(added), "doc_id")), SPAN_GRAM
+        docs.join(bc(added), "doc_id").repartition(n_part, "doc_id"),
+        SPAN_GRAM,
     ).localCheckpoint(eager=False)
     rm_post = spost.join(bc(removed), "doc_id", "left_semi")
     g_aff = (
